@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Core analytics queries (TPC-H-ish + events time series).
+  *
+  * Determinism-for-oracle rules used across the engine:
+  *   - money math is done in DECIMAL (exact, order-independent), rounded
+  *     to 2 decimals, then cast to double — bit-identical between Spark
+  *     and the DuckDB oracle regardless of aggregation order;
+  *   - time math is done in integer epoch MICROSECONDS (`unix_micros` /
+  *     DuckDB `epoch_us`) — exact parity, no ns-vs-us truncation drift;
+  *   - every query has a total deterministic sort for stable output.
+  *
+  * Scale notes: dims (region/nation/supplier/customer) stay under the
+  * broadcast threshold at any SF where they're dims; the lineitem/orders
+  * fact joins shuffle on their join keys once, AQE handles skew/coalesce.
+  */
+object Queries {
+  // decimal casts shared by the money queries
+  private def dec(c: String) = col(c).cast("decimal(12,2)")
+  private val one = lit(1).cast("decimal(3,2)")
+
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        round(sum(dec("l_extendedprice")), 2).cast("double").as("sum_base_price"),
+        round(sum(dec("l_extendedprice") * (one - dec("l_discount"))), 2).cast("double").as("sum_disc_price"),
+        round(sum(dec("l_extendedprice") * (one - dec("l_discount")) * (one + dec("l_tax"))), 2).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Shipping-priority: revenue of undelivered orders for one segment.
+    * customer is a dim → broadcast; orders⋈lineitem shuffles on orderkey.
+    */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-03-15"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-03-15"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(dec("l_extendedprice") * (one - dec("l_discount"))), 2).cast("double").as("revenue"))
+      .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Local-supplier revenue per nation in one region & year window.
+    * region→nation→supplier/customer are all broadcast dims; the only
+    * shuffle is lineitem⋈orders on orderkey.
+    */
+  def q5Region(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(dec("l_extendedprice") * (one - dec("l_discount"))), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5RegionSql: String =
+    """SELECT n_name,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Forecast-revenue-change: the pure pushed-filter scan + single agg. */
+  def q6Filter(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(dec("l_extendedprice") * dec("l_discount")), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val q6FilterSql: String =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Per-customer order rank + running spend (window functions). */
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rank_in_cust", row_number().over(w))
+      .withColumn("running_spend",
+        sum(dec("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rank_in_cust") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rank_in_cust"),
+        round(col("running_spend"), 2).cast("double").as("running_spend"))
+      .orderBy("o_custkey", "rank_in_cust")
+  }
+
+  val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, rank_in_cust,
+      |  CAST(ROUND(running_spend, 2) AS DOUBLE) AS running_spend
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rank_in_cust,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+      |  FROM orders) t
+      |WHERE rank_in_cust <= 3 ORDER BY o_custkey, rank_in_cust""".stripMargin
+
+  /** Global top-k (TakeOrderedAndProject — no full sort at scale). */
+  def qTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(dec("o_totalprice"), 2).cast("double").as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  val qTopkSql: String =
+    """SELECT o_orderkey, o_custkey, CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ---- events time series ----------------------------------------------
+
+  /** Tumbling 1-hour window aggregate per event type (integer-micros
+    * bucketing for exact oracle parity).
+    */
+  def eventsWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("hour_bucket", expr("ts_us div 3600000000"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(dec("value")), 2).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour_bucket", "event_type")
+  }
+
+  val eventsWindowAggSql: String =
+    """SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity) — lag + cumulative sum
+    * windows, all integer micros.  At 100 TB this is one shuffle on
+    * user_id; state never leaves the executors.
+    */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+            .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts_us")).as("session_start_us"), max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(dec("value")), 2).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val eventsSessionizeSql: String =
+    """SELECT user_id, session_seq, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+      |  COUNT(*) AS n_events, CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT user_id, value, ts_us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM (
+      |    SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+      |      CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+      |        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+      |        THEN 1 ELSE 0 END AS is_new
+      |    FROM events) a) b
+      |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+
+  /** 15-minute downsample per event type. */
+  def eventsDownsample(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("bucket_15m", expr("ts_us div 900000000"))
+      .groupBy("bucket_15m", "event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(dec("value")).cast("double") / count(lit(1))).as("avg_value"),
+        round(max(dec("value")), 2).cast("double").as("max_value"))
+      .orderBy("bucket_15m", "event_type")
+  }
+
+  val eventsDownsampleSql: String =
+    """SELECT CAST(FLOOR(epoch_us(ts) / 900000000) AS BIGINT) AS bucket_15m, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+      |  CAST(ROUND(MAX(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Semi-structured extraction from the JSON props column. */
+  def eventsJson(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val eventsJsonSql: String =
+    """SELECT event_type, SUM(k) AS sum_k, COUNT(*) AS n, MAX(k) AS max_k
+      |FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join" -> (q3Join _),
+    "q5_region" -> (q5Region _),
+    "q6_filter" -> (q6Filter _),
+    "q_window" -> (qWindow _),
+    "q_topk" -> (qTopk _),
+    "events_window_agg" -> (eventsWindowAgg _),
+    "events_sessionize" -> (eventsSessionize _),
+    "events_downsample" -> (eventsDownsample _),
+    "events_json" -> (eventsJson _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join" -> q3JoinSql,
+    "q5_region" -> q5RegionSql,
+    "q6_filter" -> q6FilterSql,
+    "q_window" -> qWindowSql,
+    "q_topk" -> qTopkSql,
+    "events_window_agg" -> eventsWindowAggSql,
+    "events_sessionize" -> eventsSessionizeSql,
+    "events_downsample" -> eventsDownsampleSql,
+    "events_json" -> eventsJsonSql
+  )
+}
