@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Globs
+
+/** Glob semantics pinned to the reference's tests
+  * (reference tests/index.test.ts:28-120) — executed through
+  * java.util.regex, the same engine Spark's rlike codegen uses.
+  */
+class GlobsSpec extends AnyFunSuite {
+  private def m(path: String, glob: String, nocase: Boolean = false): Boolean =
+    path.matches("^(?:" + Globs.compile(glob, nocase) + ")$")
+  private def mAny(path: String, globs: Seq[String]): Boolean =
+    path.matches("^(?:" + Globs.compileAny(globs) + ")$")
+
+  test("** crosses slashes, * does not") {
+    assert(m("foo/bar.txt", "**/*.txt"))
+    assert(!m("foo/bar.json", "**/*.txt"))
+    assert(m("bar.txt", "**/*.txt")) // leading **/ matches zero dirs
+    assert(m("a/b/c/bar.txt", "**/*.txt"))
+    assert(!m("foo/bar.txt", "*.txt"))
+    assert(m("bar.txt", "*.txt"))
+  }
+
+  test("pattern lists have OR semantics") {
+    assert(mAny("foo/bar.txt", Seq("**/*.txt", "**/*.json")))
+    assert(mAny("foo/bar.json", Seq("**/*.txt", "**/*.json")))
+    assert(!mAny("foo/bar.png", Seq("**/*.txt", "**/*.json")))
+  }
+
+  test("? matches exactly one non-slash char") {
+    assert(m("a/b1.txt", "a/b?.txt"))
+    assert(!m("a/b12.txt", "a/b?.txt"))
+    assert(!m("a/b/.txt", "a/b?.txt"))
+  }
+
+  test("{a,b} alternation") {
+    assert(m("x.json", "x.{json,csv}"))
+    assert(m("x.csv", "x.{json,csv}"))
+    assert(!m("x.txt", "x.{json,csv}"))
+    assert(m("data/y/f.csv", "data/**/f.{json,csv}"))
+  }
+
+  test("mid-path ** matches zero or more whole dirs") {
+    assert(m("a/b", "a/**/b"))
+    assert(m("a/x/b", "a/**/b"))
+    assert(m("a/x/y/b", "a/**/b"))
+    assert(!m("a/xb", "a/**/b"))
+  }
+
+  test("char classes and negated classes") {
+    assert(m("a1.log", "a[0-9].log"))
+    assert(!m("ax.log", "a[0-9].log"))
+    assert(m("ax.log", "a[!0-9].log"))
+  }
+
+  test("nocase option") {
+    assert(m("FOO/Bar.TXT", "**/*.txt", nocase = true))
+    assert(!m("FOO/Bar.TXT", "**/*.txt"))
+  }
+
+  test("literal dots are escaped") {
+    assert(!m("fooXtxt", "foo.txt"))
+    assert(m("foo.txt", "foo.txt"))
+  }
+
+  test("capture: :name and * become groups (reference capture semantics)") {
+    val (re, names) = Globs.compileCapture("users/:id/posts/:postId")
+    assert(names == Seq("id", "postId"))
+    val mm = ("^" + re + "$").r.findFirstMatchIn("users/123/posts/456").get
+    assert(mm.group(1) == "123" && mm.group(2) == "456")
+
+    val (re2, names2) = Globs.compileCapture("data/year=:y/event_type=:t/part-*")
+    assert(names2 == Seq("y", "t", "_1"))
+    val m2 = ("^" + re2 + "$").r.findFirstMatchIn("data/year=2024/event_type=click/part-7.json").get
+    assert(m2.group(1) == "2024" && m2.group(2) == "click" && m2.group(3) == "7.json")
+  }
+
+  test("compiled regex is also valid RE2 (DuckDB oracle dialect): no backrefs/lookaround") {
+    val res = Seq("**/*.txt", "a/**/b", "x.{json,csv}", "a[!0-9].log", "data/**/event_type=click/*.{json,csv}")
+      .map(Globs.compile(_))
+    res.foreach { r =>
+      assert(!r.contains("(?=") && !r.contains("(?!") && !r.contains("(?<") && !r.contains("\\1"), r)
+    }
+  }
+}
