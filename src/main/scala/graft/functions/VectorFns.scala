@@ -1,0 +1,64 @@
+package graft.functions
+
+/** Vector math over `array<float>` embedding columns, as paired Spark /
+  * DuckDB expressions (same strict left-to-right double fold on both
+  * sides ⇒ bit-identical IEEE results, so the oracle can reproduce
+  * cosine scores exactly).
+  *
+  * Spark side is pure HOFs (`zip_with` + `aggregate`) — codegen'd,
+  * no UDF; a dot product never leaves the row, so similarity scans are
+  * map-side until the top-k / bucket join.
+  */
+object VectorFns {
+
+  /** cast array<float> → array<double> (exact widening). */
+  def sparkToDouble(v: String): String = s"transform($v, x -> CAST(x AS DOUBLE))"
+
+  /** strict sequential dot product of two array<double> exprs. */
+  def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE)), (acc, v) -> acc + v)"
+
+  def sparkNorm(a: String): String = s"sqrt(${sparkDot(a, a)})"
+  def duckNorm(a: String): String = s"sqrt(${duckDot(a, a)})"
+
+  /** cosine similarity (callers pre-compute norms where possible). */
+  def sparkCosine(a: String, b: String): String =
+    s"${sparkDot(a, b)} / (${sparkNorm(a)} * ${sparkNorm(b)})"
+
+  def duckCosine(a: String, b: String): String =
+    s"${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)})"
+
+  // ---- random-hyperplane LSH (sign sketches) ----------------------------
+  // Hyperplane coefficient c(idx, j) ∈ [-1, 1]: portable integer PRN
+  // (idx·64+j)·2654435761 mod P mod 2001, shifted/scaled. T tables of
+  // `bits` planes each; a vector's bucket in table t packs the dot-product
+  // signs. Near-dup recall comes from T independent tables, precision
+  // from exact cosine verification on candidates.
+
+  val LshTables = 16
+  val LshBits = 4
+  val Dim = 64
+
+  private def planeCoef(idx: String, j: String): String =
+    s"(CAST((($idx) * 64 + $j) * 2654435761 % 2147483647 % 2001 - 1000 AS DOUBLE) / 1000.0)"
+
+  /** per-table bucket ids for vector expr `v` (array<double>, len 64) →
+    * array of LshTables bucket longs.
+    */
+  def sparkLshBuckets(v: String): String =
+    s"""transform(sequence(0, ${LshTables - 1}), t ->
+       |  aggregate(sequence(0, ${LshBits - 1}), 0L, (acc, p) ->
+       |    acc + CASE WHEN aggregate(sequence(0, ${Dim - 1}), CAST(0 AS DOUBLE), (s, j) ->
+       |      s + element_at($v, j + 1) * ${planeCoef(s"t * $LshBits + p", "j")}) > 0
+       |    THEN shiftleft(1L, p) ELSE 0L END))""".stripMargin.replaceAll("\\s+", " ")
+
+  def duckLshBuckets(v: String): String =
+    s"""list_transform(range(0, $LshTables), t ->
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, $LshBits)), (acc, p) ->
+       |    acc + CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, $Dim), j ->
+       |      ($v)[j + 1]::DOUBLE * ${planeCoef(s"t * $LshBits + p", "j")})), (s, x) -> s + x) > 0
+       |    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))""".stripMargin.replaceAll("\\s+", " ")
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash._
+import graft.sources.Tables
+
+/** Deduplication family (LLM-pipeline surface, SURVEY §2): exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection over the
+  * documents table.
+  *
+  * 100 TB shape shared by all four: signatures are computed map-side in
+  * the scan projection (HOFs, no UDFs); the only shuffles are (a) one
+  * hash-partition on the signature/band key, and (b) candidate
+  * verification joins that are bounded by bucket — NEVER all-pairs.
+  */
+object Dedup {
+
+  /** The corpus has no byte-exact duplicates, so exact dedup runs on the
+    * corpus UNION a deterministic re-ingestion of every doc_id%10==3 doc
+    * under a shifted id (the "same file landed twice" case).
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val copies = d.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    d.union(copies)
+      .withColumn("fp", expr(sparkFingerprint("text")))
+      .groupBy("fp")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("rep_id", "n_copies", "fp")
+      .orderBy("rep_id")
+  }
+
+  val dedupExactSql: String =
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 3
+       |), fps AS (
+       |  SELECT doc_id, ${duckFingerprint("text")} AS fp FROM all_docs
+       |)
+       |SELECT min(doc_id) AS rep_id, COUNT(*) AS n_copies, fp
+       |FROM fps GROUP BY fp HAVING COUNT(*) > 1 ORDER BY rep_id""".stripMargin
+
+  /** MinHash (k=12) + LSH (4 bands × 3 rows): candidates share a band
+    * bucket; verified by signature agreement ≥ 0.5.
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    // signatures: computed once, materialized (localCheckpoint) so the
+    // self-join + verification joins reuse them instead of re-evaluating
+    // the HOF tree per reference — at scale you checkpoint signatures
+    // before any LSH pipeline for exactly this reason
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("mh"))
+      .localCheckpoint()
+    val bands = sig
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mh"))
+      .select(col("doc_id"), col("b"), expr(sparkBandValue("mh", "b")).as("bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("ma")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mb")), Seq("doc_b"))
+      .withColumn("est_jaccard", expr(
+        s"round(CAST(size(filter(sequence(1, $MinhashK), i -> element_at(ma, i) = element_at(mb, i))) AS DOUBLE) / $MinhashK, 6)"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, ${duckMinhash(duckShingleHashes("text"))} AS mh FROM documents
+       |), bands AS (
+       |  SELECT doc_id, bs.b AS b, ${duckBandValue("mh", "bs.b")} AS bv
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $MinhashBands)) AS b) bs
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(len(list_filter(range(1, ${MinhashK + 1}), i -> ma[i] = mb[i])) AS DOUBLE) / $MinhashK, 6) AS est_jaccard
+       |FROM (
+       |  SELECT c.doc_a, c.doc_b, sa.mh AS ma, sb.mh AS mb
+       |  FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id) t
+       |WHERE round(CAST(len(list_filter(range(1, ${MinhashK + 1}), i -> ma[i] = mb[i])) AS DOUBLE) / $MinhashK, 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash: 64-bit sketch over shingle hashes as 4 × 16-bit bands;
+    * hamming ≤ 3 ⇒ at least one band equal (pigeonhole) ⇒ the band join
+    * finds every qualifying pair; verified with exact hamming.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(sparkSimhashBands(sparkShingleHashes("text"))).as("sh"))
+      .localCheckpoint()
+    val bands = sig.select(col("doc_id"), posexplode(col("sh")).as(Seq("b", "bv")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("hamming", expr(
+        s"aggregate(sequence(1, $SimhashBands), 0, (acc, i) -> acc + bit_count(element_at(sa, i) ^ element_at(sb, i)))"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, ${duckSimhashBands(duckShingleHashes("text"))} AS sh FROM documents
+       |), bands AS (
+       |  SELECT doc_id, bs.b AS b, sh[bs.b + 1] AS bv
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $SimhashBands)) AS b) bs
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, ${SimhashBands + 1})), (acc, i) -> acc + bit_count(xor(sa.sh[i], sb.sh[i]))) AS INT) AS hamming
+       |  FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id) t
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** n-gram Jaccard via an inverted shingle index with document-frequency
+    * pruning (shingles seen in >20 docs are stop-shingles and generate no
+    * candidates — the prefix-filtering trick that keeps the join bounded
+    * at scale), then exact Jaccard ≥ 0.5 on candidate pairs.
+    */
+  val NgramMaxDf = 20
+
+  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val shs = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(sparkShingleHashes("text")).as("sh"))
+      .withColumn("n_sh", expr("size(sh)"))
+      .localCheckpoint()
+    val ex = shs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, NgramMaxDf))
+    val rareEx = ex.join(rare, Seq("h"))
+    val cand = rareEx.as("x").join(rareEx.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("inter", expr("size(array_intersect(sa, sb))"))
+      .withColumn("jaccard", expr("round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramSql: String =
+    s"""WITH shs AS (
+       |  SELECT doc_id, ${duckShingleHashes("text")} AS sh FROM documents
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS h FROM shs
+       |), rare AS (
+       |  SELECT h FROM ex GROUP BY h HAVING COUNT(*) BETWEEN 2 AND $NgramMaxDf
+       |), rex AS (
+       |  SELECT ex.doc_id, ex.h FROM ex JOIN rare ON ex.h = rare.h
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM rex x JOIN rex y ON x.h = y.h AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+       |  FROM cand c JOIN shs sa ON c.doc_a = sa.doc_id JOIN shs sb ON c.doc_b = sb.doc_id) t
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram" -> (dedupNgram _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_ngram" -> dedupNgramSql)
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns._
+import graft.sources.Tables
+
+/** Similarity search over the embeddings table (SURVEY §2): cosine
+  * near-dup pairs via random-hyperplane LSH, brute-force top-k as the
+  * exact baseline, and an IVF-style cell-probed ANN as the scale path.
+  *
+  * 100 TB shapes: LSH buckets bound the pair join (never all-pairs);
+  * brute-force broadcasts the (small) query set across the corpus scan;
+  * IVF broadcasts the centroid table, assigns cells map-side, and
+  * probes a single cell per query.
+  */
+object Similarity {
+
+  val NearDupThreshold = 0.45
+  val KnnK = 3
+  val QuerySetSize = 10 // vec_id < 10 is the query set
+  val CentroidMod = 50 // vec_id % 50 == 7 are the coarse centroids
+
+  /** vectors with the double-cast embedding, materialized once
+    * (localCheckpoint) — every similarity query references it 2-3 times
+    * and the cast/HOF tree must not be re-evaluated per reference.
+    */
+  private def withVec(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(sparkToDouble("embedding")).as("v"))
+      .localCheckpoint()
+
+  /** embedding near-dup pairs: 16 LSH tables × 4 hyperplanes generate
+    * candidates; exact cosine ≥ threshold verifies.
+    */
+  def embedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val vecs = withVec(s, dir)
+    val buckets = vecs
+      .select(col("vec_id"), posexplode(expr(sparkLshBuckets("v"))).as(Seq("t", "bucket")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .withColumn("cosine", expr(s"round(${sparkCosine("va", "vb")}, 6)"))
+      .filter(col("cosine") >= NearDupThreshold)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val embedNeardupSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), buckets AS (
+       |  SELECT vec_id, ts.t AS t, (${duckLshBuckets("v")})[ts.t + 1] AS bucket
+       |  FROM vecs CROSS JOIN (SELECT unnest(range(0, $LshTables)) AS t) ts
+       |), cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM buckets x JOIN buckets y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |)
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT c.vec_a, c.vec_b, round(${duckCosine("a.v", "b.v")}, 6) AS cosine
+       |  FROM cand c JOIN vecs a ON c.vec_a = a.vec_id JOIN vecs b ON c.vec_b = b.vec_id) t
+       |WHERE cosine >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin
+
+  /** exact top-k cosine neighbors for the query set — broadcast the
+    * queries, scan the corpus once, TakeOrdered per query.
+    */
+  def knnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = withVec(s, dir)
+    val queries = vecs.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = vecs.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(sparkCosine("qv", "v")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val knnBruteforceSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${duckCosine("q.v", "c.v")} AS cosine
+       |  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $QuerySetSize
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-style ANN: coarse centroids (a deterministic corpus subset),
+    * map-side cell assignment via broadcast, search restricted to the
+    * query's cell (nprobe=1).
+    */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = withVec(s, dir)
+    val cents = vecs.filter(pmod(col("vec_id"), lit(CentroidMod)) === 7)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val assign = vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(sparkCosine("v", "cv")))
+      .withColumn("crank", row_number().over(byVec))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+      .localCheckpoint() // cell assignment is probed by queries AND neighbors
+    val queries = assign.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"))
+    val byQuery = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    queries.join(assign.select(col("vec_id").as("neighbor_id"), col("cell"), col("v")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", expr(sparkCosine("qv", "v")))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= KnnK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val knnIvfSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % $CentroidMod = 7
+       |), assign AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT vecs.vec_id, cents.cent_id AS cell, vecs.v,
+       |      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |        ORDER BY ${duckCosine("vecs.v", "cents.cv")} DESC, cents.cent_id) AS crank
+       |    FROM vecs CROSS JOIN cents) t
+       |  WHERE crank = 1
+       |), queries AS (
+       |  SELECT vec_id AS query_id, cell, v AS qv FROM assign WHERE vec_id < $QuerySetSize
+       |), scored AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |    ${duckCosine("q.qv", "a.v")} AS cosine
+       |  FROM queries q JOIN assign a ON q.cell = a.cell AND a.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_neardup" -> (embedNeardup _),
+    "knn_bruteforce" -> (knnBruteforce _),
+    "knn_ivf" -> (knnIvf _))
+
+  val oracles: Map[String, String] = Map(
+    "embed_neardup" -> embedNeardupSql,
+    "knn_bruteforce" -> knnBruteforceSql,
+    "knn_ivf" -> knnIvfSql)
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash._
+import graft.sources.Tables
+
+/** Text-analysis operators for the LLM-pipeline surface (SURVEY §2):
+  * language ID (stopword-lexicon heuristic), quality scoring, token
+  * counting, and rolling document fingerprints.
+  *
+  * Everything is pure column math + codegen HOFs over the scan — no
+  * UDFs, no shuffle before the final small aggregate. Per-doc work is
+  * O(len(text)), embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  /** per-language stopword lexicons (drawn from the corpus vocabulary —
+    * the heuristic is the operator; the lexicon is config).
+    */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "row", "window", "group"),
+    "en" -> Seq("the", "a", "fast", "slow", "big", "small"),
+    "es" -> Seq("data", "query", "filter", "sort"),
+    "fr" -> Seq("join", "merge", "order", "value"),
+    "zh" -> Seq("spark", "batch", "stream", "hash"))
+
+  private def sparkLexCount(lex: Seq[String]): String = {
+    val arr = lex.map(w => s"'$w'").mkString("array(", ", ", ")")
+    s"size(filter(split(text, ' '), w -> array_contains($arr, w)))"
+  }
+
+  private def duckLexCount(lex: Seq[String]): String = {
+    val arr = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split(text, ' '), w -> list_contains($arr, w)))"
+  }
+
+  /** argmax over lexicon-hit counts with deterministic lexicographic
+    * tie-break; output = confusion counts vs the labeled lang column.
+    */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val scored = lexicons.foldLeft(d) { case (df, (lang, lex)) =>
+      df.withColumn(s"s_$lang", expr(sparkLexCount(lex)))
+    }
+    val langs = lexicons.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { case (lang, acc) =>
+      val others = langs.filterNot(_ == lang).map(l => col(s"s_$l"))
+      when(col(s"s_$lang") >= greatest(others: _*), lang).otherwise(acc)
+    }
+    scored.withColumn("predicted", pred)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  val textLangidSql: String = {
+    val scores = lexicons.map { case (lang, lex) => s"${duckLexCount(lex)} AS s_$lang" }.mkString(",\n    ")
+    val langs = lexicons.map(_._1)
+    val pred = langs.init.foldRight(s"'${langs.last}'") { case (lang, acc) =>
+      val others = langs.filterNot(_ == lang).map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      s"CASE WHEN s_$lang >= $others THEN '$lang' ELSE $acc END"
+    }
+    s"""SELECT lang, $pred AS predicted, COUNT(*) AS n
+       |FROM (
+       |  SELECT lang,
+       |    $scores
+       |  FROM documents) t
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** length / distinct-word / stopword-ratio quality score.
+    *
+    * Derived doubles are quantized with floor(x·10⁶)/10⁶, NOT round():
+    * decimal rounding of binary doubles tie-breaks differently across
+    * engines, floor is a pure IEEE op chain → bit-identical in the
+    * oracle.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    def q6(e: String) = s"floor(($e) * 1000000) / CAST(1000000 AS DOUBLE)"
+    Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn("n_words", expr("size(words)"))
+      .withColumn("distinct_ratio",
+        expr(q6("CAST(size(array_distinct(words)) AS DOUBLE) / n_words")))
+      .withColumn("stop_ratio",
+        expr(q6("CAST(size(filter(words, w -> array_contains(array('the', 'a', 'and', 'of', 'to'), w))) AS DOUBLE) / n_words")))
+      .withColumn("avg_word_len",
+        expr(q6("CAST(aggregate(words, 0L, (acc, w) -> acc + length(w)) AS DOUBLE) / n_words")))
+      .withColumn("score",
+        expr(q6("CAST(0.4 AS DOUBLE) * least(CAST(1 AS DOUBLE), CAST(n_words AS DOUBLE) / CAST(200 AS DOUBLE)) + CAST(0.3 AS DOUBLE) * distinct_ratio + CAST(0.3 AS DOUBLE) * stop_ratio")))
+      .select("doc_id", "n_words", "distinct_ratio", "stop_ratio", "avg_word_len", "score")
+      .orderBy("doc_id")
+  }
+
+  val textQualitySql: String = {
+    def q6(e: String) = s"floor(($e) * 1000000) / CAST(1000000 AS DOUBLE)"
+    val dr = q6("CAST(len(list_distinct(words)) AS DOUBLE) / n_words")
+    val sr = q6("CAST(len(list_filter(words, w -> list_contains(['the', 'a', 'and', 'of', 'to'], w))) AS DOUBLE) / n_words")
+    val awl = q6("CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(words, w -> CAST(length(w) AS BIGINT))), (acc, x) -> acc + x) AS DOUBLE) / n_words")
+    s"""SELECT doc_id, n_words,
+       |  $dr AS distinct_ratio,
+       |  $sr AS stop_ratio,
+       |  $awl AS avg_word_len,
+       |  ${q6(s"CAST(0.4 AS DOUBLE) * least(CAST(1 AS DOUBLE), CAST(n_words AS DOUBLE) / CAST(200 AS DOUBLE)) + CAST(0.3 AS DOUBLE) * ($dr) + CAST(0.3 AS DOUBLE) * ($sr)")} AS score
+       |FROM (
+       |  SELECT doc_id, words, len(words) AS n_words FROM (
+       |    SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |    FROM documents) t0) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** whitespace + BPE-ish (≤4-char chunk) token counts. */
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").as("n_ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]', 0))").as("n_subword_tokens"),
+        length(col("text")).as("n_chars_actual"))
+      .orderBy("doc_id")
+  }
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]')) AS n_subword_tokens,
+      |  length(text) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** rolling polynomial fingerprint over word hashes (order-sensitive —
+    * the "content etag" of a document).
+    */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr(sparkFingerprint("text")).as("fingerprint"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))").as("n_words"))
+      .orderBy("doc_id")
+  }
+
+  val textFingerprintSql: String =
+    s"""SELECT doc_id, ${duckFingerprint("text")} AS fingerprint,
+       |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> textLangidSql,
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql)
+}

@@ -34,6 +34,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** documents/embeddings feed expression-HEAVY per-row work (signature
+    * HOFs are interpreted, not codegen'd), and the testdata ships each
+    * corpus as a single parquet row group = ONE split. Fan the corpus
+    * out across cores before that work — at production scale the corpus
+    * has thousands of splits and this repartition is a no-op to remove,
+    * but a single-block file must be spread explicitly or every
+    * signature computes on one thread.
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 }

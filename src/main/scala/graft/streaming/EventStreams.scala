@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch analytics (SURVEY §2
+  * streaming rows): the same semantics as `events_window_agg` /
+  * `events_sessionize` / `change_detect`, expressed over an unbounded
+  * source with watermarks and typed state.
+  *
+  * These run identically on a real Kafka/file stream at cluster scale:
+  * state lives in the state store keyed by (window,type) or user_id —
+  * never on the driver.
+  */
+object EventStreams {
+
+  /** tumbling 1-hour window per event_type with a 2-hour watermark —
+    * streaming twin of the batch `events_window_agg`.
+    */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Ev(user_id: Long, ts_us: Long, value: Double)
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,
+    n_events: Long, sum_value: Double)
+
+  val GapUs: Long = 30L * 60 * 1000000 // 30-minute inactivity gap
+
+  /** gap-based sessionization via flatMapGroupsWithState — the streaming
+    * twin of the batch lag+cumsum `events_sessionize`. A session closes
+    * when a later event for the user arrives past the gap, or (with
+    * `timeout = ProcessingTimeTimeout` in production) when the
+    * processing-time timeout fires with no new events.
+    */
+  def sessionize(events: Dataset[Ev],
+    timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+    implicit s: SparkSession): Dataset[Session] = {
+    import s.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st =>
+              Session(user, st.startUs, st.lastUs, st.n, st.sum)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_us))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.ts_us - st.lastUs <= GapUs =>
+                  cur = Some(SessionState(st.startUs, e.ts_us, st.n + 1, st.sum + e.value))
+                case Some(st) =>
+                  closed += Session(user, st.startUs, st.lastUs, st.n, st.sum)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration("30 minutes")
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** manifest-delta stream: each micro-batch carries (key, size, etag)
+    * observations; emits cumulative per-key change classification vs the
+    * previously-committed state — the streaming twin of `change_detect`,
+    * keyed state replacing the prev-snapshot join.
+    */
+  case class FileObs(key: String, size: Long, etag: String)
+  case class FileState(size: Long, etag: String)
+  case class FileChange(key: String, change_type: String, size: Long)
+
+  def changeFeed(obs: Dataset[FileObs])(implicit s: SparkSession): Dataset[FileChange] = {
+    import s.implicits._
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[FileState, FileChange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[FileObs], state: GroupState[FileState]) =>
+          val out = Seq.newBuilder[FileChange]
+          var cur = state.getOption
+          rows.foreach { o =>
+            cur match {
+              case None =>
+                out += FileChange(key, "added", o.size)
+              case Some(prev) if prev.size != o.size || prev.etag != o.etag =>
+                out += FileChange(key, "modified", o.size)
+              case Some(_) => // unchanged → no emission in append mode
+            }
+            cur = Some(FileState(o.size, o.etag))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

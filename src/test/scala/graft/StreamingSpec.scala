@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, FileObs}
+
+/** Structured-Streaming operators driven through MemoryStream with
+  * known inputs; semantics asserted against hand-computed expectations
+  * (these have no SQL oracle — SURVEY §2 streaming rows).
+  */
+class StreamingSpec extends SparkSpec {
+  import scala.collection.JavaConverters._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("stream_window_agg: tumbling 1h window counts match batch semantics") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowAgg(df).writeStream
+      .format("memory").queryName("wagg").outputMode("update").start()
+    try {
+      mem.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0),
+        (ts(70), "click", 4.0), (ts(30), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("wagg")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set((0L, "click", 2L, 3.0), (60L, "click", 1L, 4.0), (0L, "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("stream_sessionize: 30-min gap splits sessions per user") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionize(mem.toDS()).writeStream
+      .format("memory").queryName("sess").outputMode("append").start()
+    try {
+      val us = 60000000L // 1 min in micros
+      // user 1: events at 0,10min (one session), then 60min (gap>30 → new)
+      mem.addData(Ev(1, 0, 1.0), Ev(1, 10 * us, 2.0), Ev(1, 60 * us, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      // first session closed when the 60min event arrived
+      assert(rows == Set((1L, 0L, 10 * us, 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stream_change_feed: added → modified → silence for unchanged") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[FileObs]
+    val q = EventStreams.changeFeed(mem.toDS()).writeStream
+      .format("memory").queryName("feed").outputMode("append").start()
+    try {
+      mem.addData(FileObs("a", 10, "e1"), FileObs("b", 20, "e2"))
+      q.processAllAvailable()
+      mem.addData(FileObs("a", 11, "e3"), FileObs("b", 20, "e2"))
+      q.processAllAvailable()
+      val rows = spark.table("feed").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(("a", "added", 10L), ("b", "added", 20L), ("a", "modified", 11L)))
+    } finally q.stop()
+  }
+}
