@@ -26,6 +26,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(spark)
     spark
   }
 }

@@ -23,7 +23,10 @@ object PortableHash {
 
   // ---- word hash: poly-31 over character codes --------------------------
 
-  def sparkWordHash(w: String): String =
+  def sparkWordHash(w: String): String = s"graft_polyhash($w)"
+
+  /** the HOF twin of graft_polyhash (kept for the equivalence spec). */
+  def sparkWordHashHof(w: String): String =
     s"aggregate(filter(split($w, ''), c -> c <> ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % $P)"
 
   def duckWordHash(w: String): String =
@@ -40,7 +43,12 @@ object PortableHash {
   /** distinct 3-gram shingle hashes of a text column (the near-dup
     * feature set used by minhash / simhash / ngram-jaccard).
     */
-  def sparkShingleHashes(text: String): String = {
+  def sparkShingleHashes(text: String): String = s"graft_shingle_hashes($text)"
+
+  /** the HOF twin of graft_shingle_hashes (kept for the equivalence
+    * spec; element ORDER may differ — consumers are order-free sets).
+    */
+  def sparkShingleHashesHof(text: String): String = {
     val sh = sparkShingles(s"filter(split($text, ' '), w -> w <> '')")
     s"array_distinct(transform($sh, s -> ${sparkWordHash("s")}))"
   }
@@ -55,7 +63,10 @@ object PortableHash {
   val MinhashK = 12
   val MinhashBands = 4 // × 3 rows per band
 
-  def sparkMinhash(hashes: String): String =
+  def sparkMinhash(hashes: String): String = s"graft_minhash($hashes)"
+
+  /** the HOF twin of graft_minhash (kept for the equivalence spec). */
+  def sparkMinhashHof(hashes: String): String =
     s"transform(sequence(0, ${MinhashK - 1}), i -> aggregate($hashes, ${P}L, (m, h) -> least(m, (${aCoef("i")} * h + ${bCoef("i")}) % $P)))"
 
   def duckMinhash(hashes: String): String =
@@ -78,7 +89,10 @@ object PortableHash {
   val SimhashBands = 4
   val SimhashBandBits = 16
 
-  def sparkSimhashBands(hashes: String): String =
+  def sparkSimhashBands(hashes: String): String = s"graft_simhash_bands($hashes)"
+
+  /** the HOF twin of graft_simhash_bands (kept for the equivalence spec). */
+  def sparkSimhashBandsHof(hashes: String): String =
     s"""transform(sequence(0, ${SimhashBands - 1}), b ->
        |  aggregate(sequence(0, ${SimhashBandBits - 1}), 0L, (acc, j) ->
        |    acc + CASE WHEN aggregate($hashes, 0L, (v, h) ->

@@ -25,7 +25,10 @@ object VectorFns {
   def duckNorm(a: String): String = s"sqrt(${duckDot(a, a)})"
 
   /** cosine similarity (callers pre-compute norms where possible). */
-  def sparkCosine(a: String, b: String): String =
+  def sparkCosine(a: String, b: String): String = s"graft_cosine($a, $b)"
+
+  /** the HOF twin of graft_cosine (kept for the equivalence spec). */
+  def sparkCosineHof(a: String, b: String): String =
     s"${sparkDot(a, b)} / (${sparkNorm(a)} * ${sparkNorm(b)})"
 
   def duckCosine(a: String, b: String): String =
@@ -48,7 +51,10 @@ object VectorFns {
   /** per-table bucket ids for vector expr `v` (array<double>, len 64) →
     * array of LshTables bucket longs.
     */
-  def sparkLshBuckets(v: String): String =
+  def sparkLshBuckets(v: String): String = s"graft_lsh_buckets($v)"
+
+  /** the HOF twin of graft_lsh_buckets (kept for the equivalence spec). */
+  def sparkLshBucketsHof(v: String): String =
     s"""transform(sequence(0, ${LshTables - 1}), t ->
        |  aggregate(sequence(0, ${LshBits - 1}), 0L, (acc, p) ->
        |    acc + CASE WHEN aggregate(sequence(0, ${Dim - 1}), CAST(0 AS DOUBLE), (s, j) ->

@@ -137,6 +137,7 @@ object Dedup {
     * at scale), then exact Jaccard ≥ 0.5 on candidate pairs.
     */
   val NgramMaxDf = 20
+  val NgramMinShared = 3 // candidate pairs must share >=3 rare shingles
 
   def dedupNgram(s: SparkSession, dir: String): DataFrame = {
     val shs = Tables.documents(s, dir)
@@ -149,8 +150,10 @@ object Dedup {
     val rareEx = ex.join(rare, Seq("h"))
     val cand = rareEx.as("x").join(rareEx.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_rare"))
+      .filter(col("n_shared_rare") >= NgramMinShared)
+      .select("doc_a", "doc_b")
     cand
       .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n_sh").as("na")), Seq("doc_a"))
       .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n_sh").as("nb")), Seq("doc_b"))
@@ -171,8 +174,9 @@ object Dedup {
        |), rex AS (
        |  SELECT ex.doc_id, ex.h FROM ex JOIN rare ON ex.h = rare.h
        |), cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM rex x JOIN rex y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $NgramMinShared
        |)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT c.doc_a, c.doc_b,

@@ -10,8 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plans survive a 100 TB scale-up.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // any session that reads a graft table can parse graft_* expressions
+    graft.expressions.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * raw long (`spark.sql.legacy.parquet.nanosAsLong`). Expose both the

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{PortableHash, VectorFns}
+import graft.sources.Tables
+
+/** The custom codegen kernels (graft_*) must be bit-identical to their
+  * interpreted HOF twins — the twins are the spec (and what the DuckDB
+  * oracle mirrors); the kernels are only an execution strategy.
+  */
+class KernelSpec extends SparkSpec {
+
+  private def assertSame(colA: String, colB: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val bad = df.filter(expr(s"NOT ($colA <=> $colB)")).count()
+    assert(bad == 0, s"$colA != $colB on $bad rows")
+  }
+
+  test("graft_polyhash == HOF poly hash") {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("a", expr(PortableHash.sparkWordHash("text")))
+      .withColumn("b", expr(PortableHash.sparkWordHashHof("text")))
+    assertSame("a", "b", d)
+  }
+
+  test("graft_minhash == HOF minhash") {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("sh", expr(PortableHash.sparkShingleHashes("text")))
+      .withColumn("a", expr(PortableHash.sparkMinhash("sh")))
+      .withColumn("b", expr(PortableHash.sparkMinhashHof("sh")))
+    assertSame("a", "b", d)
+  }
+
+  test("graft_simhash_bands == HOF simhash") {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("sh", expr(PortableHash.sparkShingleHashes("text")))
+      .withColumn("a", expr(PortableHash.sparkSimhashBands("sh")))
+      .withColumn("b", expr(PortableHash.sparkSimhashBandsHof("sh")))
+    assertSame("a", "b", d)
+  }
+
+  test("graft_lsh_buckets == HOF lsh buckets") {
+    val d = Tables.embeddings(spark, sfDir)
+      .withColumn("v", expr(VectorFns.sparkToDouble("embedding")))
+      .withColumn("a", expr(VectorFns.sparkLshBuckets("v")))
+      .withColumn("b", expr(VectorFns.sparkLshBucketsHof("v")))
+    assertSame("a", "b", d)
+  }
+
+  test("graft_shingle_hashes == HOF shingle hashes (as sets)") {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("a", expr(s"array_sort(${PortableHash.sparkShingleHashes("text")})"))
+      .withColumn("b", expr(s"array_sort(${PortableHash.sparkShingleHashesHof("text")})"))
+    assertSame("a", "b", d)
+  }
+
+  test("graft_cosine == HOF cosine (bit-identical IEEE)") {
+    val v = Tables.embeddings(spark, sfDir)
+      .withColumn("v", expr(VectorFns.sparkToDouble("embedding")))
+    val d = v.limit(50).crossJoin(v.limit(50).select(col("v").as("w")))
+      .withColumn("a", expr(VectorFns.sparkCosine("v", "w")))
+      .withColumn("b", expr(VectorFns.sparkCosineHof("v", "w")))
+    assertSame("a", "b", d)
+  }
+
+  test("kernels participate in whole-stage codegen (no CodegenFallback)") {
+    val d = Tables.documents(spark, sfDir)
+      .select(expr(PortableHash.sparkWordHash("text")).as("h"))
+    d.collect() // finalize the adaptive plan
+    val plan = d.queryExecution.executedPlan.toString
+    // "*(n) Project [polyhash(...)]" — the * prefix marks a
+    // WholeStageCodegen span containing the kernel projection
+    assert(plan.contains("*(") && plan.contains("polyhash"), plan)
+  }
+}
