@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators._
+
+/** Physical-plan shape assertions (SURVEY §7 step 7): the plans must be
+  * the ones that survive a 100 TB scale-up — filters pushed into the
+  * scan, dims broadcast, top-k as TakeOrdered, no accidental cartesian
+  * products.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6_filter: predicates reach the parquet scan (PushedFilters)") {
+    val plan = planOf(Queries.q6Filter(spark, sfDir))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_shipdate"), plan)
+    // projection pruned to the needed columns only
+    assert(plan.contains("ReadSchema") && !plan.contains("l_comment"), plan)
+  }
+
+  test("q3_join: customer dim is broadcast, not shuffled") {
+    val plan = planOf(Queries.q3Join(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q5_region: all four dims broadcast; no cartesian") {
+    val plan = planOf(Queries.q5Region(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q_topk: global top-k is TakeOrderedAndProject (no full sort)") {
+    val plan = planOf(Queries.qTopk(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("glob_match: compiled regex filter sits on the scan, no shuffle before agg") {
+    val df = PathMatching.globMatch(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.toUpperCase.contains("RLIKE"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("change_detect: single co-partitioned join, no nested-loop") {
+    val plan = planOf(ChangeDetection.changeDetect(spark, sfDir))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dedup_minhash: LSH band join is an equi-join on (b, bv)") {
+    val plan = planOf(Dedup.dedupMinhash(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("knn_bruteforce: query set is broadcast") {
+    val plan = planOf(Similarity.knnBruteforce(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+}
