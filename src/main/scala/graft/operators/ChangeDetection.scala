@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.api.{ChangeDetectionOptions, ChangeDetector}
 import graft.sources.Manifest
 
 /** ChangeDetectionEngine surface (reference src/index.ts:390 —
@@ -17,26 +18,16 @@ import graft.sources.Manifest
 object ChangeDetection {
 
   /** detectChanges (compareMode=full, trackDeleted=true), emitting the
-    * non-Unchanged rows.
+    * non-Unchanged rows — runs through the user-facing
+    * [[graft.api.ChangeDetector]].
     */
   def changeDetect(s: SparkSession, dir: String): DataFrame = {
-    val prev = Manifest.snapshotPrev(s, dir)
-      .select(col("key"), col("size").as("p_size"), col("etag").as("p_etag"),
-        col("last_modified_us").as("p_mtime"))
-    val cur = Manifest.snapshotCur(s, dir)
-      .select(col("key"), col("size"), col("etag"), col("last_modified_us"))
-    val changed = col("size") =!= col("p_size") || col("etag") =!= col("p_etag") ||
-      col("last_modified_us") =!= col("p_mtime")
-    cur.join(prev, Seq("key"), "full_outer")
-      .withColumn("change_type",
-        when(col("p_etag").isNull, "added")
-          .when(col("etag").isNull, "deleted")
-          .when(changed, "modified")
-          .otherwise("unchanged"))
+    val cd = new ChangeDetector(ChangeDetectionOptions(compareMode = "full"))
+    cd.detectChanges(Manifest.snapshotPrev(s, dir), Manifest.snapshotCur(s, dir))
       .filter(col("change_type") =!= "unchanged")
       .select(col("key"), col("change_type"),
-        coalesce(col("size"), col("p_size")).as("size"),
-        col("p_size").as("prev_size"))
+        coalesce(col("size"), col("prev_size")).as("size"),
+        col("prev_size"))
       .orderBy("key")
   }
 
@@ -60,22 +51,11 @@ object ChangeDetection {
     * (including Unchanged — the reference emits those too).
     */
   def changeStats(s: SparkSession, dir: String): DataFrame = {
-    val prev = Manifest.snapshotPrev(s, dir)
-      .select(col("key"), col("size").as("p_size"), col("etag").as("p_etag"),
-        col("last_modified_us").as("p_mtime"))
-    val cur = Manifest.snapshotCur(s, dir)
-      .select(col("key"), col("size"), col("etag"), col("last_modified_us"))
-    val changed = col("size") =!= col("p_size") || col("etag") =!= col("p_etag") ||
-      col("last_modified_us") =!= col("p_mtime")
-    cur.join(prev, Seq("key"), "full_outer")
-      .withColumn("change_type",
-        when(col("p_etag").isNull, "added")
-          .when(col("etag").isNull, "deleted")
-          .when(changed, "modified")
-          .otherwise("unchanged"))
+    val cd = new ChangeDetector(ChangeDetectionOptions(compareMode = "full"))
+    cd.detectChanges(Manifest.snapshotPrev(s, dir), Manifest.snapshotCur(s, dir))
       .groupBy("change_type")
       .agg(count(lit(1)).as("n"),
-        sum(coalesce(col("size"), col("p_size"))).as("total_size"))
+        sum(coalesce(col("size"), col("prev_size"))).as("total_size"))
       .orderBy("change_type")
   }
 

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.api._
+
+/** The user-facing API layer, exercised with the reference's OWN test
+  * cases (reference tests/index.test.ts) translated to DataFrames — a
+  * reference user switching to graft keeps their semantics.
+  */
+class ApiSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def pathsDf(paths: String*) = {
+    import spark.implicits._
+    paths.toDF("key")
+  }
+
+  test("PathMatcher: isMatch / match / not (reference tests :28-100)") {
+    val m = new PathMatcher
+    val df = pathsDf("foo/bar.txt", "foo/baz.json", "qux/bar.png", "foo/bar.md")
+    assert(m.filterMatching(df, Seq("**/*.txt")).collect().map(_.getString(0)).toSet
+      == Set("foo/bar.txt"))
+    assert(m.filterMatching(df, Seq("**/*.json", "**/*.png")).collect().map(_.getString(0)).toSet
+      == Set("foo/baz.json", "qux/bar.png"))
+    assert(m.filterNot(df, Seq("**/*.txt")).collect().map(_.getString(0)).toSet
+      == Set("foo/baz.json", "qux/bar.png", "foo/bar.md"))
+  }
+
+  test("PathMatcher: all requires every pattern (reference tests :102)") {
+    val m = new PathMatcher
+    val df = pathsDf("foo/bar.txt")
+    // ["**/*", "*.txt"] → false (second can't cross the slash)
+    assert(df.filter(m.all(col("key"), "**/*", "*.txt")).count() == 0)
+    assert(df.filter(m.all(col("key"), "**/*", "**/bar.txt")).count() == 1)
+  }
+
+  test("PathMatcher: capture (reference tests :107-120)") {
+    val m = new PathMatcher
+    val df = pathsDf("users/123/posts/456")
+    val captured = df.select(m.capture("users/:id/posts/:postId", col("key")).as("c"))
+      .collect()(0).getSeq[String](0)
+    assert(captured == Seq("123", "456"))
+    val noMatch = df.select(m.capture("users/:id/comments/:cid", col("key")).as("c"))
+      .collect()(0)
+    assert(noMatch.isNullAt(0))
+  }
+
+  test("HivePartitionParser: parse coerces, validates, reports (reference §3)") {
+    val parser = new HivePartitionParser(Seq(
+      PartitionField("year", IntegerType, min = Some(2000), max = Some(2030)),
+      PartitionField("month", IntegerType, min = Some(1), max = Some(12)),
+      PartitionField("region", enumVals = Seq("us", "eu"))))
+    val df = pathsDf(
+      "table/year=2023/month=07/region=us/file.parquet", // valid; ignores non-k=v segs
+      "year=2023/month=13/region=us",                    // month out of range
+      "year=2023/region=eu")                             // month missing
+    val out = df.select(
+      parser.parse(col("key")).as("p"),
+      parser.isValid(col("key")).as("ok"),
+      parser.missingKeys(col("key")).as("missing")).collect()
+
+    val r0 = out(0)
+    assert(r0.getStruct(0).getInt(0) == 2023 && r0.getStruct(0).getInt(1) == 7) // 07 → 7
+    assert(r0.getBoolean(1))
+    val r1 = out(1)
+    assert(!r1.getBoolean(1))
+    val r2 = out(2)
+    assert(!r2.getBoolean(1) && r2.getSeq[String](2) == Seq("month"))
+  }
+
+  test("HivePartitionParser: createGlobPattern + matchesGlob") {
+    val parser = new HivePartitionParser(Seq(
+      PartitionField("year", IntegerType), PartitionField("month", IntegerType)))
+    assert(parser.createGlobPattern(Map("year" -> 2024)) == "year=2024/month=*")
+    val df = pathsDf("year=2024/month=07", "year=2023/month=07", "year=2024")
+    val matched = df.filter(parser.matchesGlob(col("key"), "year=2024/month=*"))
+      .collect().map(_.getString(0)).toSet
+    assert(matched == Set("year=2024/month=07")) // segment counts must line up
+  }
+
+  test("HivePartitionParser: format omits nulls, keeps key order") {
+    val parser = new HivePartitionParser(Seq(
+      PartitionField("year", IntegerType), PartitionField("month", IntegerType),
+      PartitionField("day", IntegerType, required = false)))
+    import spark.implicits._
+    val df = Seq((2024, 7)).toDF("y", "m")
+    val path = df.select(parser.format(Map(
+      "year" -> col("y"), "month" -> lpad(col("m").cast("string"), 2, "0"),
+      "day" -> lit(null))).as("p")).collect()(0).getString(0)
+    assert(path == "year=2024/month=07")
+  }
+
+  test("TimePartitionGenerator: formats and granularities (reference tests)") {
+    import spark.implicits._
+    val ts = Seq("2023-07-15 14:30:00").toDF("s").select(to_timestamp(col("s")).as("ts"))
+
+    def path(cfg: TimePartitionConfig): String =
+      ts.select(new TimePartitionGenerator(cfg).generatePath(col("ts"))).collect()(0).getString(0)
+
+    assert(path(TimePartitionConfig(TimeGranularity.Daily)) == "year=2023/month=07/day=15")
+    assert(path(TimePartitionConfig(TimeGranularity.Hourly)) == "year=2023/month=07/day=15/hour=14")
+    assert(path(TimePartitionConfig(TimeGranularity.Monthly, format = "path")) == "2023/07")
+    assert(path(TimePartitionConfig(TimeGranularity.Daily, prefix = "data", format = "path")) == "data/2023/07/15")
+    // includeMinute forces hour
+    assert(path(TimePartitionConfig(TimeGranularity.Daily, includeMinute = true))
+      == "year=2023/month=07/day=15/hour=14/minute=30")
+
+    val range = new TimePartitionGenerator(TimePartitionConfig(TimeGranularity.Daily))
+      .generatePathsForRange(spark, "2023-07-01 00:00:00", "2023-07-05 00:00:00")
+      .collect().map(_.getString(0))
+    assert(range.length == 5 && range.head == "year=2023/month=07/day=01")
+  }
+
+  test("ChangeDetector: quick vs full vs ignoreEtagOnSize (reference :390)") {
+    import spark.implicits._
+    val prev = Seq(
+      ("a", 10L, "e1", 1000L), // etag changes only → full-only modification
+      ("b", 20L, "e2", 2000L), // unchanged
+      ("c", 30L, "e3", 3000L)  // deleted
+    ).toDF("key", "size", "etag", "last_modified_us")
+    val cur = Seq(
+      ("a", 10L, "eX", 1000L),
+      ("b", 20L, "e2", 2000L),
+      ("d", 40L, "e4", 4000L)  // added
+    ).toDF("key", "size", "etag", "last_modified_us")
+
+    def types(opts: ChangeDetectionOptions) =
+      new ChangeDetector(opts).detectChanges(prev, cur)
+        .select("key", "change_type").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    val full = types(ChangeDetectionOptions(compareMode = "full"))
+    assert(full == Map("a" -> "modified", "b" -> "unchanged", "c" -> "deleted", "d" -> "added"))
+
+    val quick = types(ChangeDetectionOptions(compareMode = "quick"))
+    assert(quick("a") == "unchanged") // etag ignored in quick mode
+
+    val ign = types(ChangeDetectionOptions(ignoreEtagOnSize = true))
+    assert(ign("a") == "unchanged") // same size → etag skipped
+
+    val noDel = types(ChangeDetectionOptions(trackDeleted = false))
+    assert(!noDel.contains("c"))
+  }
+
+  test("ContentTypes: detect / isText / extension (reference :103-160)") {
+    val df = pathsDf("a/b.json", "a/b.PNG", "a/b.weird", "a/b")
+    val out = df.select(
+      api.ContentTypes.detect(col("key")).as("mime"),
+      api.ContentTypes.isText(api.ContentTypes.detect(col("key"))).as("txt")).collect()
+    assert(out(0).getString(0) == "application/json" && out(0).getBoolean(1))
+    assert(out(1).getString(0) == "image/png" && !out(1).getBoolean(1)) // case-insensitive ext
+    assert(out(2).getString(0) == "application/octet-stream")
+    assert(out(3).getString(0) == "application/octet-stream")
+    val ext = df.sparkSession.range(1)
+      .select(api.ContentTypes.extension(lit("text/csv"))).collect()(0).getString(0)
+    assert(ext == "csv")
+  }
+}
