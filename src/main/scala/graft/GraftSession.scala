@@ -29,4 +29,20 @@ object GraftSession {
     graft.expressions.GraftFunctions.register(spark)
     spark
   }
+
+  /** Expose every graft table (plus the synthesized manifest and its
+    * change-detection snapshots) as temp views, so the whole engine is
+    * reachable from plain `spark.sql` — the graft_* kernel functions
+    * are registered by build()/Tables.
+    */
+  def registerTables(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach(t => sources.Tables.load(spark, sfDir, t).createOrReplaceTempView(t))
+    sources.Tables.events(spark, sfDir).createOrReplaceTempView("events")
+    sources.Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    sources.Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
+    sources.Manifest.manifest(spark, sfDir).createOrReplaceTempView("manifest")
+    sources.Manifest.snapshotPrev(spark, sfDir).createOrReplaceTempView("manifest_prev")
+    sources.Manifest.snapshotCur(spark, sfDir).createOrReplaceTempView("manifest_cur")
+  }
 }

@@ -1,0 +1,32 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.sources.FileManifest
+
+/** FileManifest: distributed listing over a real filesystem with glob
+  * filtering — and the plan must NOT read file contents when only
+  * metadata is selected (column pruning on the binaryFile source).
+  */
+class FileManifestSpec extends SparkSpec {
+
+  test("list + findMatching over a real directory tree") {
+    val root = Files.createTempDirectory("graft_fm")
+    val day1 = Files.createDirectories(root.resolve("year=2024/month=01/day=01"))
+    val day2 = Files.createDirectories(root.resolve("year=2024/month=01/day=02"))
+    Files.write(day1.resolve("a.json"), "{}".getBytes)
+    Files.write(day1.resolve("b.csv"), "x,y".getBytes)
+    Files.write(day2.resolve("c.json"), "{}".getBytes)
+
+    val all = FileManifest.list(spark, root.toString + "/*/*/*")
+    assert(all.count() == 3)
+    assert(all.columns.toSeq == Seq("key", "size", "last_modified_us"))
+
+    val json = FileManifest.findMatching(spark, root.toString + "/*/*/*", Seq("**/*.json"))
+      .collect().map(_.getString(0)).toSet
+    assert(json.size == 2 && json.forall(_.endsWith(".json")))
+
+    // metadata-only projection: no content column in the scan schema
+    val plan = all.queryExecution.executedPlan.toString
+    assert(!plan.contains("content"), plan)
+  }
+}
