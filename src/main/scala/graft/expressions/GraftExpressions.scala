@@ -104,6 +104,27 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** `graft_jaccard(array<long>, array<long>)` → double (distinct-element
+  * arrays — what graft_shingle_hashes produces).
+  */
+case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e =>
+      DataType.equalsStructurally(e.dataType, ArrayType(LongType), ignoreNullability = true))
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two array<long> args")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.jaccard(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+}
+
 /** Registers the `graft_*` functions in a session's FunctionRegistry —
   * idempotent; called from GraftSession / Tables so any session that
   * touches a graft table can parse the expressions.
@@ -115,7 +136,8 @@ object GraftFunctions {
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
     "graft_simhash_bands" -> (es => SimhashBands(es.head)),
     "graft_lsh_buckets" -> (es => LshBuckets(es.head)),
-    "graft_cosine" -> (es => CosineSim(es(0), es(1))))
+    "graft_cosine" -> (es => CosineSim(es(0), es(1))),
+    "graft_jaccard" -> (es => JaccardSim(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

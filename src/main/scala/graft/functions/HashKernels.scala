@@ -128,6 +128,29 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** exact Jaccard of two distinct-element long arrays (sort + merge —
+    * no boxing); same value as
+    * size(array_intersect(a,b)) / (size(a)+size(b)-size(array_intersect)).
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0.0
+    val xs = new Array[Long](na); val ys = new Array[Long](nb)
+    var i = 0
+    while (i < na) { xs(i) = a.getLong(i); i += 1 }
+    i = 0
+    while (i < nb) { ys(i) = b.getLong(i); i += 1 }
+    java.util.Arrays.sort(xs); java.util.Arrays.sort(ys)
+    var j = 0; var inter = 0
+    i = 0
+    while (i < na && j < nb) {
+      if (xs(i) == ys(j)) { inter += 1; i += 1; j += 1 }
+      else if (xs(i) < ys(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** cosine similarity of two array<double> vectors — IDENTICAL op
     * order to the HOF twin (`VectorFns.sparkCosineHof`) and the DuckDB
     * oracle: sequential dot, sequential self-dots, dot/(sqrt·sqrt).

@@ -132,21 +132,34 @@ object Dedup {
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   /** n-gram Jaccard via an inverted shingle index with document-frequency
-    * pruning (shingles seen in >20 docs are stop-shingles and generate no
-    * candidates — the prefix-filtering trick that keeps the join bounded
-    * at scale), then exact Jaccard ≥ 0.5 on candidate pairs.
+    * pruning: stop-shingles generate no candidates (prefix-filtering —
+    * keeps the index join bounded at scale), then exact Jaccard ≥ 0.5 on
+    * candidate pairs. The df ceiling is CORPUS-RELATIVE
+    * (max(20, nDocs/50)): an absolute ceiling silently loses all recall
+    * when the corpus grows — caught by the ×10 scale smoke.
     */
   val NgramMaxDf = 20
-  val NgramMinShared = 3 // candidate pairs must share >=3 rare shingles
+  val NgramDfFraction = 50 // ceiling = max(NgramMaxDf, nDocs/NgramDfFraction)
+  val NgramMinShared = 3 // candidate pairs must share >=3 indexed shingles
+  /** bottom-k sketch prefix (Broder): only each doc's K smallest shingle
+    * hashes are indexed. Candidates for Jaccard>=0.5 share ~K/3 prefix
+    * elements in expectation, so >=3-shared recall is ~1 while the
+    * inverted-index join volume stays K-bounded per doc — without this,
+    * duplicate-heavy corpora make high-df shingles generate quadratic
+    * candidate rows (caught by the x10 scale smoke).
+    */
+  val NgramPrefixK = 24
 
   def dedupNgram(s: SparkSession, dir: String): DataFrame = {
     val shs = Tables.documents(s, dir)
       .select(col("doc_id"), expr(sparkShingleHashes("text")).as("sh"))
       .withColumn("n_sh", expr("size(sh)"))
       .localCheckpoint()
-    val ex = shs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val maxDf = math.max(NgramMaxDf.toLong, shs.count() / NgramDfFraction)
+    val ex = shs.select(col("doc_id"),
+      explode(expr(s"slice(array_sort(sh), 1, $NgramPrefixK)")).as("h"))
     val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, NgramMaxDf))
+      .filter(col("df").between(2, maxDf))
     val rareEx = ex.join(rare, Seq("h"))
     val cand = rareEx.as("x").join(rareEx.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -157,8 +170,7 @@ object Dedup {
     cand
       .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n_sh").as("na")), Seq("doc_a"))
       .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("inter", expr("size(array_intersect(sa, sb))"))
-      .withColumn("jaccard", expr("round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)"))
+      .withColumn("jaccard", expr("round(graft_jaccard(sa, sb), 6)"))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -168,9 +180,10 @@ object Dedup {
     s"""WITH shs AS (
        |  SELECT doc_id, ${duckShingleHashes("text")} AS sh FROM documents
        |), ex AS (
-       |  SELECT doc_id, unnest(sh) AS h FROM shs
+       |  SELECT doc_id, unnest(list_sort(sh)[1:$NgramPrefixK]) AS h FROM shs
        |), rare AS (
-       |  SELECT h FROM ex GROUP BY h HAVING COUNT(*) BETWEEN 2 AND $NgramMaxDf
+       |  SELECT h FROM ex GROUP BY h
+       |  HAVING COUNT(*) BETWEEN 2 AND greatest($NgramMaxDf, (SELECT COUNT(*) FROM documents) // $NgramDfFraction)
        |), rex AS (
        |  SELECT ex.doc_id, ex.h FROM ex JOIN rare ON ex.h = rare.h
        |), cand AS (

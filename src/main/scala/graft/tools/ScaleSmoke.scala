@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.sources.Tables
+
+/** Scale-stress harness: replicates the corpus N× (with id offsets so
+  * the planted near-dup structure replicates too) into a temp sf dir,
+  * then times the signature-heavy queries there. Not part of the driver
+  * contract — run ad hoc to check the LSH pipelines stay candidate-
+  * bounded instead of going quadratic as the corpus grows.
+  *
+  *   sbt "runMain graft.tools.ScaleSmoke /root/testdata/sf0.1 10"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val outDir = s"/tmp/graft_scale_x$factor"
+    val spark = GraftSession.build("graft-scale-smoke")
+
+    val docs = Tables.documents(spark, srcDir)
+    val embs = Tables.embeddings(spark, srcDir)
+    val bigDocs = (0 until factor).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ union _)
+    val bigEmbs = (0 until factor).map(i =>
+      embs.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))).reduce(_ union _)
+    bigDocs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    bigEmbs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val targets = Seq("dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
+      "embed_neardup", "knn_bruteforce", "knn_ivf", "text_fingerprint", "text_quality")
+    val times = targets.map { name =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, outDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale x$factor] $name%-16s $sec%8.2fs  rows=$n")
+      name -> sec
+    }
+    println(s"""{"scale_factor":$factor,"total_sec":${times.map(_._2).sum}}""")
+    spark.stop()
+  }
+}

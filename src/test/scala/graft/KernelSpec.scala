@@ -62,6 +62,17 @@ class KernelSpec extends SparkSpec {
     assertSame("a", "b", d)
   }
 
+  test("graft_jaccard == array_intersect formulation") {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("sh", expr(PortableHash.sparkShingleHashes("text")))
+    val pairs = d.select(col("doc_id").as("ida"), col("sh").as("sa"))
+      .crossJoin(d.limit(20).select(col("doc_id").as("idb"), col("sh").as("sb")))
+      .withColumn("a", expr("graft_jaccard(sa, sb)"))
+      .withColumn("b", expr(
+        "CAST(size(array_intersect(sa, sb)) AS DOUBLE) / (size(sa) + size(sb) - size(array_intersect(sa, sb)))"))
+    assertSame("a", "b", pairs)
+  }
+
   test("kernels participate in whole-stage codegen (no CodegenFallback)") {
     val d = Tables.documents(spark, sfDir)
       .select(expr(PortableHash.sparkWordHash("text")).as("h"))
