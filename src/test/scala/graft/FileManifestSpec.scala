@@ -29,4 +29,29 @@ class FileManifestSpec extends SparkSpec {
     val plan = all.queryExecution.executedPlan.toString
     assert(!plan.contains("content"), plan)
   }
+
+  test("stream: file-source manifest stream drives the change feed end-to-end") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val dir = Files.createTempDirectory("graft_fm_stream").toString
+    val obs1 = Seq(("a", 10L, "e1"), ("b", 20L, "e2")).toDF("key", "size", "etag")
+    obs1.write.parquet(dir + "/batch1")
+
+    val stream = FileManifest.stream(spark, dir + "/*", obs1.schema)
+      .as[EventStreams.FileObs]
+    implicit val s = spark
+    val q = EventStreams.changeFeed(stream).writeStream
+      .format("memory").queryName("fm_feed").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second listing batch: a modified, c added
+      Seq(("a", 11L, "e9"), ("c", 30L, "e3")).toDF("key", "size", "etag")
+        .write.parquet(dir + "/batch2")
+      q.processAllAvailable()
+      val rows = spark.table("fm_feed").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows.contains(("a", "added")) && rows.contains(("b", "added")))
+      assert(rows.contains(("a", "modified")) && rows.contains(("c", "added")))
+    } finally q.stop()
+  }
 }

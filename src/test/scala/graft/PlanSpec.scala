@@ -62,4 +62,19 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(Similarity.knnBruteforce(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
+
+  test("sweep: no accidental cartesian/nested-loop join in ANY query") {
+    // brute-force scoring legitimately broadcasts the query/centroid set
+    // across the corpus (an intentional broadcast cross product)
+    val intendedCross = Set("knn_bruteforce", "knn_ivf")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !intendedCross(name)
+      if (cartesian || bnlj) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unscalable join shapes in: $offenders")
+  }
 }
