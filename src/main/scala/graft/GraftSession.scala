@@ -18,6 +18,7 @@ object GraftSession {
       .builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
