@@ -110,4 +110,20 @@ class HivePartitionParser(fields: Seq[PartitionField]) {
   def extractKeys(path: Column, keys: Seq[String]): Column =
     struct(fields.filter(f => keys.contains(f.name))
       .map(f => f.typed(path).as(f.name)): _*)
+
+  /** parse → apply per-key transforms → reformat (reference transform):
+    * keys absent from `updates` keep their parsed value; transformed
+    * values are re-padded to the original segment width (zero-padding
+    * survives the roundtrip).
+    */
+  def transform(path: Column, updates: Map[String, Column => Column]): Column = {
+    val values = fields.map { f =>
+      val parsed = f.typed(path)
+      val v = updates.get(f.name).map(fn => fn(parsed)).getOrElse(parsed)
+      val padded = when(v.isNotNull,
+        lpad(v.cast(StringType), length(f.raw(path)), lit("0"))).otherwise(lit(null))
+      f.name -> (padded: Column)
+    }.toMap
+    format(values)
+  }
 }

@@ -27,6 +27,23 @@ class ApiSpec extends SparkSpec {
       == Set("foo/baz.json", "qux/bar.png", "foo/bar.md"))
   }
 
+  test("PathMatcher: ! negation entries in pattern lists (reference §3)") {
+    val m = new PathMatcher
+    val df = pathsDf("a/keep.txt", "a/secret.txt", "a/keep.md")
+    val kept = df.filter(m.isMatch(col("key"), "**/*.txt", "!**/secret*"))
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("a/keep.txt"))
+  }
+
+  test("HivePartitionParser: transform rewrites values, keeps padding") {
+    val parser = new HivePartitionParser(Seq(
+      PartitionField("year", IntegerType), PartitionField("month", IntegerType)))
+    val df = pathsDf("year=2024/month=07")
+    val out = df.select(parser.transform(col("key"),
+      Map("month" -> (c => c + 1))).as("p")).collect()(0).getString(0)
+    assert(out == "year=2024/month=08") // zero-padding survives
+  }
+
   test("PathMatcher: all requires every pattern (reference tests :102)") {
     val m = new PathMatcher
     val df = pathsDf("foo/bar.txt")
