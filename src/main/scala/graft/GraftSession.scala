@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
   * TPC-H dims still broadcast).
   */
 object GraftSession {
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString)
 
   def build(appName: String = "graft"): SparkSession = {
     val spark = SparkSession
