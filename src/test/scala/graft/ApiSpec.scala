@@ -160,6 +160,19 @@ class ApiSpec extends SparkSpec {
     assert(!noDel.contains("c"))
   }
 
+  test("Graft facade: factory surface mirrors Rehiver statics (reference :1985)") {
+    import org.apache.spark.sql.types.IntegerType
+    val parser = Graft.partition.create(PartitionField("year", IntegerType))
+    assert(parser.createGlobPattern(Map.empty) == "year=*")
+    import spark.implicits._
+    val ts = Seq("2023-07-15 14:30:00").toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val p = ts.select(Graft.time.daily(_.copy(prefix = "data")).generatePath(col("ts")))
+      .collect()(0).getString(0)
+    assert(p == "data/year=2023/month=07/day=15")
+    assert(Graft.changes.detect().isInstanceOf[ChangeDetector])
+    assert(Graft.matcher().isInstanceOf[PathMatcher])
+  }
+
   test("ContentTypes: detect / isText / extension (reference :103-160)") {
     val df = pathsDf("a/b.json", "a/b.PNG", "a/b.weird", "a/b")
     val out = df.select(
