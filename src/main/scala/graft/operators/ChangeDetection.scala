@@ -70,11 +70,36 @@ object ChangeDetection {
        |FROM cur FULL OUTER JOIN prev ON cur.key = prev.key
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** detectChanges in QUICK mode (size+mtime only, reference
+    * compareMode "quick") — etag-only mutations classify as unchanged.
+    * Same join shape; the comparison predicate narrows.
+    */
+  def changeDetectQuick(s: SparkSession, dir: String): DataFrame = {
+    val cd = new ChangeDetector(ChangeDetectionOptions(compareMode = "quick"))
+    cd.detectChanges(Manifest.snapshotPrev(s, dir), Manifest.snapshotCur(s, dir))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("change_type")
+  }
+
+  val changeDetectQuickSql: String =
+    s"""${Manifest.duckSnapshots}
+       |SELECT CASE WHEN prev.key IS NULL THEN 'added'
+       |       WHEN cur.key IS NULL THEN 'deleted'
+       |       WHEN cur.size <> prev.size
+       |         OR cur.last_modified_us <> prev.last_modified_us THEN 'modified'
+       |       ELSE 'unchanged' END AS change_type,
+       |  COUNT(*) AS n
+       |FROM cur FULL OUTER JOIN prev ON cur.key = prev.key
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "change_detect" -> (changeDetect _),
+    "change_detect_quick" -> (changeDetectQuick _),
     "change_stats" -> (changeStats _))
 
   val oracles: Map[String, String] = Map(
     "change_detect" -> changeDetectSql,
+    "change_detect_quick" -> changeDetectQuickSql,
     "change_stats" -> changeStatsSql)
 }
