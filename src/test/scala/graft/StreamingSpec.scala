@@ -34,6 +34,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_window_agg == batch events_window_agg on the real events table") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect()
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.windowAgg(mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wagg_eq").outputMode("complete").start()
+    try {
+      mem.addData(events.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("wagg_eq")
+        .select((unix_micros(col("window_start")) / 3600000000L).cast("long").as("hour_bucket"),
+          col("event_type"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.operators.Queries.eventsWindowAgg(spark, sfDir)
+        .select("hour_bucket", "event_type", "n_events")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream_sessionize: 30-min gap splits sessions per user") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
