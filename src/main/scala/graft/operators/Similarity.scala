@@ -110,12 +110,17 @@ object Similarity {
     val vecs = withVec(s, dir)
     val cents = vecs.filter(pmod(col("vec_id"), lit(CentroidMod)) === 7)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    // nearest-centroid via struct-argmin aggregate, NOT a window: the
+    // broadcast cross product is map-side, partial aggregation shrinks
+    // it to one row per vector BEFORE the shuffle — a window would
+    // shuffle all n×k scored rows. min(struct(-cos, cent_id)) picks
+    // max cosine with deterministic min-cent_id tie-break.
     val assign = vecs.crossJoin(broadcast(cents))
       .withColumn("ccos", expr(sparkCosine("v", "cv")))
-      .withColumn("crank", row_number().over(byVec))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("v"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((col("ccos") * -1).as("neg"), col("cent_id"))).as("best"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"), col("v"))
       .localCheckpoint() // cell assignment is probed by queries AND neighbors
     val queries = assign.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"))
