@@ -67,7 +67,7 @@ object Dedup {
       .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("ma")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mb")), Seq("doc_b"))
       .withColumn("est_jaccard", expr(
-        s"round(CAST(size(filter(sequence(1, $MinhashK), i -> element_at(ma, i) = element_at(mb, i))) AS DOUBLE) / $MinhashK, 6)"))
+        s"floor(CAST(size(filter(sequence(1, $MinhashK), i -> element_at(ma, i) = element_at(mb, i))) AS DOUBLE) / $MinhashK * 1000000) / CAST(1000000 AS DOUBLE)"))
       .filter(col("est_jaccard") >= 0.5)
       .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
@@ -84,11 +84,11 @@ object Dedup {
        |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
        |)
        |SELECT doc_a, doc_b,
-       |  round(CAST(len(list_filter(range(1, ${MinhashK + 1}), i -> ma[i] = mb[i])) AS DOUBLE) / $MinhashK, 6) AS est_jaccard
+       |  floor(CAST(len(list_filter(range(1, ${MinhashK + 1}), i -> ma[i] = mb[i])) AS DOUBLE) / $MinhashK * 1000000) / CAST(1000000 AS DOUBLE) AS est_jaccard
        |FROM (
        |  SELECT c.doc_a, c.doc_b, sa.mh AS ma, sb.mh AS mb
        |  FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id) t
-       |WHERE round(CAST(len(list_filter(range(1, ${MinhashK + 1}), i -> ma[i] = mb[i])) AS DOUBLE) / $MinhashK, 6) >= 0.5
+       |WHERE floor(CAST(len(list_filter(range(1, ${MinhashK + 1}), i -> ma[i] = mb[i])) AS DOUBLE) / $MinhashK * 1000000) / CAST(1000000 AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** SimHash: 64-bit sketch over shingle hashes as 4 × 16-bit bands;
@@ -170,7 +170,7 @@ object Dedup {
     cand
       .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sa"), col("n_sh").as("na")), Seq("doc_a"))
       .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sb"), col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard", expr("round(graft_jaccard(sa, sb), 6)"))
+      .withColumn("jaccard", expr("floor(graft_jaccard(sa, sb) * 1000000) / CAST(1000000 AS DOUBLE)"))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -193,8 +193,8 @@ object Dedup {
        |)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT c.doc_a, c.doc_b,
-       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+       |    floor(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 1000000) / CAST(1000000 AS DOUBLE) AS jaccard
        |  FROM cand c JOIN shs sa ON c.doc_a = sa.doc_id JOIN shs sb ON c.doc_b = sb.doc_id) t
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 

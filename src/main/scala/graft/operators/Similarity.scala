@@ -45,7 +45,7 @@ object Similarity {
     cand
       .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
       .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
-      .withColumn("cosine", expr(s"round(${sparkCosine("va", "vb")}, 6)"))
+      .withColumn("cosine", expr(s"floor(${sparkCosine("va", "vb")} * 1000000) / CAST(1000000 AS DOUBLE)"))
       .filter(col("cosine") >= NearDupThreshold)
       .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
@@ -62,7 +62,7 @@ object Similarity {
        |  FROM buckets x JOIN buckets y ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
        |)
        |SELECT vec_a, vec_b, cosine FROM (
-       |  SELECT c.vec_a, c.vec_b, round(${duckCosine("a.v", "b.v")}, 6) AS cosine
+       |  SELECT c.vec_a, c.vec_b, floor(${duckCosine("a.v", "b.v")} * 1000000) / CAST(1000000 AS DOUBLE) AS cosine
        |  FROM cand c JOIN vecs a ON c.vec_a = a.vec_id JOIN vecs b ON c.vec_b = b.vec_id) t
        |WHERE cosine >= $NearDupThreshold ORDER BY vec_a, vec_b""".stripMargin
 
@@ -81,7 +81,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= KnnK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("cosine"), 6).as("cosine"))
+        expr("floor(cosine * 1000000) / CAST(1000000 AS DOUBLE)").as("cosine"))
       .orderBy("query_id", "rank")
   }
 
@@ -98,7 +98,7 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored
        |)
-       |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+       |SELECT query_id, neighbor_id, rank, floor(cosine * 1000000) / CAST(1000000 AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin
 
   /** IVF-style ANN: coarse centroids (a deterministic corpus subset),
@@ -131,7 +131,7 @@ object Similarity {
       .withColumn("rank", row_number().over(byQuery))
       .filter(col("rank") <= KnnK)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cosine"), 6).as("cosine"))
+        expr("floor(cosine * 1000000) / CAST(1000000 AS DOUBLE)").as("cosine"))
       .orderBy("query_id", "rank")
   }
 
@@ -158,7 +158,7 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored
        |)
-       |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+       |SELECT query_id, neighbor_id, rank, floor(cosine * 1000000) / CAST(1000000 AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
