@@ -66,6 +66,52 @@ object Multimodal {
       }
   }
 
+  // ---- downstream media stages (decode → resize → frame-sample →
+  // feature-extract), each a typed mapPartitions with the schema and
+  // batch shape of a real codec pipeline; the pixel math is stubbed,
+  // the distribution/plumbing is not. ---------------------------------
+
+  case class MediaFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+    frame_hash: Long)
+  case class FrameFeature(doc_id: Long, frame_idx: Int, embedding: Array[Float])
+
+  /** resize: dimension rewrite per record (a real impl rescales pixel
+    * buffers per-partition; dims math is the contract either way).
+    */
+  def resizeStub(ds: Dataset[MediaMeta], w: Int, h: Int): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(m => m.copy(width = w, height = h)))
+  }
+
+  /** frame sampling: one output row per sampled frame (n_frames comes
+    * from the decoded header; hash stands in for the frame bytes).
+    */
+  def frameSampleStub(ds: Dataset[MediaMeta]): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      (0 until m.n_frames).map(i =>
+        MediaFrame(m.doc_id, i, m.width, m.height,
+          (m.doc_id * 1000003L + i * 8191L) % 2147483647L))
+    }
+  }
+
+  /** feature extraction: fixed-width float embedding per frame — the
+    * deterministic stand-in for a vision encoder; output schema/shape
+    * (array<float>, batched per partition) is what downstream
+    * similarity search consumes.
+    */
+  def featureExtractStub(ds: Dataset[MediaFrame], dim: Int = 8): Dataset[FrameFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { frames =>
+      // per-partition "model init" happens once here
+      frames.map { f =>
+        val emb = Array.tabulate(dim)(j =>
+          (((f.frame_hash * (j + 1) * 604297L) % 2147483647L) % 2001L - 1000L).toFloat / 1000f)
+        FrameFeature(f.doc_id, f.frame_idx, emb)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _))
   val oracles: Map[String, String] = Map(

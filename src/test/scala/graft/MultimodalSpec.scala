@@ -18,6 +18,29 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
   }
 
+  test("full media pipeline: decode -> resize -> frame-sample -> features") {
+    val decoded = Multimodal.decodeStub(spark, sfDir)
+    val resized = Multimodal.resizeStub(decoded, 224, 224)
+    val frames = Multimodal.frameSampleStub(resized)
+    val feats = Multimodal.featureExtractStub(frames)
+
+    val nFrames = frames.count()
+    val expFrames = decoded.collect().map(_.n_frames.toLong).sum
+    assert(nFrames == expFrames, s"$nFrames frames vs expected $expFrames")
+    assert(frames.collect().forall(f => f.width == 224 && f.height == 224))
+
+    val fRows = feats.collect()
+    assert(fRows.length == nFrames)
+    assert(fRows.forall(f => f.embedding.length == 8 &&
+      f.embedding.forall(v => v >= -1f && v <= 1f)))
+    // deterministic end-to-end
+    val again = Multimodal.featureExtractStub(
+      Multimodal.frameSampleStub(Multimodal.resizeStub(
+        Multimodal.decodeStub(spark, sfDir), 224, 224))).collect()
+    assert(fRows.sortBy(r => (r.doc_id, r.frame_idx)).map(_.embedding.toSeq).toSeq ==
+      again.sortBy(r => (r.doc_id, r.frame_idx)).map(_.embedding.toSeq).toSeq)
+  }
+
   test("binary metadata matches text-derived expectations") {
     val df = Multimodal.multimodalMeta(spark, sfDir)
     val r = df.filter(org.apache.spark.sql.functions.col("doc_id") === 0).collect()(0)
