@@ -66,7 +66,7 @@ object ChangeDetection {
        |       WHEN cur.size <> prev.size OR cur.etag <> prev.etag
        |         OR cur.last_modified_us <> prev.last_modified_us THEN 'modified'
        |       ELSE 'unchanged' END AS change_type,
-       |  COUNT(*) AS n, SUM(COALESCE(cur.size, prev.size)) AS total_size
+       |  COUNT(*) AS n, CAST(SUM(COALESCE(cur.size, prev.size)) AS BIGINT) AS total_size
        |FROM cur FULL OUTER JOIN prev ON cur.key = prev.key
        |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -54,7 +54,7 @@ object ContentTypes {
     s"""${Manifest.duckWith}
        |SELECT mime,
        |  (mime LIKE 'text/%' OR mime IN ('application/json','application/xml','application/javascript','application/typescript')) AS is_text,
-       |  COUNT(*) AS n, SUM(size) AS total_size
+       |  COUNT(*) AS n, CAST(SUM(size) AS BIGINT) AS total_size
        |FROM (
        |  SELECT CASE regexp_extract(key, '\\.([a-z0-9]+)$$', 1)
        |    $cases

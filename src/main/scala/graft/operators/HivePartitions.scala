@@ -88,7 +88,7 @@ object HivePartitions {
   val hivePruneSql: String =
     s"""${Manifest.duckWith}
        |SELECT CAST(regexp_extract(key, '(?:^|/)day=([^/]*)', 1) AS INT) AS day,
-       |  COUNT(*) AS n, SUM(size) AS total_size
+       |  COUNT(*) AS n, CAST(SUM(size) AS BIGINT) AS total_size
        |FROM manifest
        |WHERE regexp_matches(key, '(?:^|/)year=2024/month=[^/]*/day=[^/]*/event_type=click(?:/|$$)')
        |GROUP BY 1 ORDER BY 1""".stripMargin

@@ -35,7 +35,7 @@ object Lifecycle {
     s"""${Manifest.duckWith}
        |SELECT CAST(regexp_extract(key, '(?:^|/)day=(\\d+)', 1) AS INT) AS day,
        |  CASE WHEN last_modified_us < $CutoffUs THEN 'expire' ELSE 'keep' END AS action,
-       |  COUNT(*) AS n_objects, SUM(size) AS bytes
+       |  COUNT(*) AS n_objects, CAST(SUM(size) AS BIGINT) AS bytes
        |FROM manifest
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

@@ -24,7 +24,7 @@ object Multimodal {
     Tables.documents(s, dir)
       .withColumn("payload", expr("encode(text, 'UTF-8')")) // the opaque binary column
       .select(col("doc_id"),
-        expr("length(payload)").as("byte_len"),
+        expr("CAST(length(payload) AS BIGINT)").as("byte_len"),
         expr("hex(encode(substring(text, 1, 4), 'UTF-8'))").as("magic_hex"),
         expr(PortableHash.sparkWordHash("substring(text, 1, 64)")).as("head_hash"),
         expr("length(payload) div 1024 + 1").as("n_chunks"))

@@ -50,7 +50,7 @@ object PathMatching {
     val re = "^(?:" + Globs.compileAny(notGlobs) + ")$"
     s"""${Manifest.duckWith}
        |SELECT regexp_extract(key, 'event_type=([^/]+)', 1) AS event_type,
-       |  COUNT(*) AS n, SUM(size) AS total_size
+       |  COUNT(*) AS n, CAST(SUM(size) AS BIGINT) AS total_size
        |FROM manifest WHERE NOT regexp_matches(key, '$re')
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
@@ -104,7 +104,7 @@ object PathMatching {
        |SELECT CAST(regexp_extract(key, 'year=(\\d+)', 1) AS INT) AS year,
        |  CAST(regexp_extract(key, 'month=(\\d+)', 1) AS INT) AS month,
        |  regexp_extract(key, 'event_type=([^/]+)', 1) AS event_type,
-       |  COUNT(*) AS n_files, SUM(size) AS total_size,
+       |  COUNT(*) AS n_files, CAST(SUM(size) AS BIGINT) AS total_size,
        |  MIN(key) AS first_key, MAX(key) AS last_key
        |FROM manifest GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 

@@ -137,7 +137,7 @@ object Queries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(s, dir)
-      .withColumn("rank_in_cust", row_number().over(w))
+      .withColumn("rank_in_cust", row_number().over(w).cast("long"))
       .withColumn("running_spend",
         sum(dec("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("rank_in_cust") <= 3)
@@ -213,7 +213,7 @@ object Queries {
       |  COUNT(*) AS n_events, CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       |FROM (
       |  SELECT user_id, value, ts_us,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM (
       |    SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
       |      CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
@@ -250,7 +250,7 @@ object Queries {
   }
 
   val eventsJsonSql: String =
-    """SELECT event_type, SUM(k) AS sum_k, COUNT(*) AS n, MAX(k) AS max_k
+    """SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n, MAX(k) AS max_k
       |FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 

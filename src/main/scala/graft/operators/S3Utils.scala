@@ -55,7 +55,7 @@ object S3Utils {
        |    AND NOT starts_with(bucket, 'xn--')
        |    AND NOT ends_with(bucket, '-s3alias')) AS INT)) AS BOOLEAN) AS bucket_valid,
        |  COUNT(*) AS n,
-       |  SUM(CAST(replace(replace(key, '=', '%3D'), '%3D', '=') = key AS BIGINT)) AS n_roundtrip_ok,
+       |  CAST(SUM(CAST(replace(replace(key, '=', '%3D'), '%3D', '=') = key AS BIGINT)) AS BIGINT) AS n_roundtrip_ok,
        |  COUNT(DISTINCT replace(key, '=', '%3D')) AS n_distinct_encoded
        |FROM (
        |  SELECT key,
@@ -84,7 +84,7 @@ object S3Utils {
       .mkString(" AND ")
     s"""${Manifest.duckWith}
        |SELECT CAST(regexp_extract(key, '(?:^|/)day=([^/]*)', 1) AS INT) AS day,
-       |  COUNT(*) AS n, SUM(size) AS total_size
+       |  COUNT(*) AS n, CAST(SUM(size) AS BIGINT) AS total_size
        |FROM manifest WHERE $preds
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }

@@ -78,7 +78,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", expr(sparkCosine("qv", "v")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= KnnK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         expr("floor(cosine * 1000000) / CAST(1000000 AS DOUBLE)").as("cosine"))
@@ -128,7 +128,7 @@ object Similarity {
     queries.join(assign.select(col("vec_id").as("neighbor_id"), col("cell"), col("v")), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", expr(sparkCosine("qv", "v")))
-      .withColumn("rank", row_number().over(byQuery))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= KnnK)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         expr("floor(cosine * 1000000) / CAST(1000000 AS DOUBLE)").as("cosine"))

@@ -80,7 +80,7 @@ object TextAnalysis {
     def q6(e: String) = s"floor(($e) * 1000000) / CAST(1000000 AS DOUBLE)"
     Tables.documents(s, dir)
       .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
-      .withColumn("n_words", expr("size(words)"))
+      .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
       .withColumn("distinct_ratio",
         expr(q6("CAST(size(array_distinct(words)) AS DOUBLE) / n_words")))
       .withColumn("stop_ratio",
@@ -114,9 +114,9 @@ object TextAnalysis {
   def textTokens(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        expr("size(filter(split(text, ' '), w -> w <> ''))").as("n_ws_tokens"),
-        expr("size(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]', 0))").as("n_subword_tokens"),
-        length(col("text")).as("n_chars_actual"))
+        expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)").as("n_ws_tokens"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)").as("n_subword_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
       .orderBy("doc_id")
   }
 
@@ -134,7 +134,7 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         expr(sparkFingerprint("text")).as("fingerprint"),
-        expr("size(filter(split(text, ' '), w -> w <> ''))").as("n_words"))
+        expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)").as("n_words"))
       .orderBy("doc_id")
   }
 

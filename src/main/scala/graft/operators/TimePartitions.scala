@@ -78,7 +78,7 @@ object TimePartitions {
        |    CAST(regexp_extract(key, '(?:^|/)year=(\\d+)', 1) AS INT),
        |    CAST(regexp_extract(key, '(?:^|/)month=(\\d+)', 1) AS INT),
        |    CAST(regexp_extract(key, '(?:^|/)day=(\\d+)', 1) AS INT), 0, 0, 0.0)) AS partition_ts_us,
-       |  COUNT(*) AS n, SUM(size) AS total_size
+       |  COUNT(*) AS n, CAST(SUM(size) AS BIGINT) AS total_size
        |FROM manifest GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -48,7 +48,7 @@ class MultimodalSpec extends SparkSpec {
     val txt = graft.sources.Tables.documents(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("doc_id") === 0)
       .select("text").collect()(0).getString(0)
-    assert(r.getAs[Int]("byte_len") == txt.length)
+    assert(r.getAs[Long]("byte_len") == txt.length.toLong)
     assert(r.getAs[String]("magic_hex").length == 8) // 4 bytes → 8 hex chars
   }
 }

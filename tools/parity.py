@@ -42,12 +42,22 @@ def main():
         try:
             srel = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
             scols, srows = canon(srel.fetchall(), [c for c in srel.columns])
+            stypes = dict(zip(srel.columns, [str(t) for t in srel.types]))
             orel = con.sql(sql)
             ocols, orows = canon(orel.fetchall(), [c for c in orel.columns])
+            otypes = dict(zip(orel.columns, [str(t) for t in orel.types]))
         except Exception as e:
             print(f"FAIL {name}: {e}"); bad += 1; continue
         if scols != ocols:
             print(f"FAIL {name}: cols spark={scols} oracle={ocols}"); bad += 1; continue
+        # The driver's hasher is TYPE-sensitive: DuckDB SUM(BIGINT)→HUGEINT vs
+        # Spark BIGINT hash-mismatches even when values print identically.
+        # Compare declared types so that class of bug fails locally too.
+        tdiffs = [(c, stypes[c], otypes[c]) for c in scols if stypes[c] != otypes[c]]
+        if tdiffs:
+            print(f"FAIL {name}: type mismatch " +
+                  ", ".join(f"{c}: spark={a} oracle={b}" for c, a, b in tdiffs))
+            bad += 1; continue
         if len(srows) != len(orows):
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}"); bad += 1
             continue
