@@ -6,13 +6,15 @@ import graft.functions.PortableHash
 import graft.sources.Tables
 
 /** Multimodal-column plumbing (SURVEY §2): media payloads as opaque
-  * `binary` columns with typed metadata. The container has no image/
-  * audio codecs, so the decode step is STUBBED (deterministic fake in
-  * [[decodeStub]]) — but the Spark-side plumbing is real: binary column
-  * synthesis, byte-level metadata as codegen expressions, and a
-  * `mapPartitions` decode pipeline with a typed schema, the exact shape
-  * a Pandas-UDF/`mapInPandas` decoder has in a production pipeline
-  * (batched per-partition, schema declared up front).
+  * `binary` columns with typed metadata. Encode/decode/resize are REAL
+  * codec work via the JDK's `javax.imageio` (PNG + BMP, headless, zero
+  * external deps): [[encodeMedia]] renders deterministic rasters and
+  * emits genuine PNG/BMP bytes, [[decodeMedia]] reads them back with
+  * real dimensions and a raster-fold pixel hash, [[resizeMedia]]
+  * resamples actual pixels. Each stage is a typed `mapPartitions` —
+  * the exact batched-per-partition shape a Pandas-UDF/`mapInPandas`
+  * decoder has in a production pipeline. Only the vision-encoder
+  * embedding stays a deterministic stub (no model weights here).
   */
 object Multimodal {
 
@@ -39,64 +41,148 @@ object Multimodal {
        |  octet_length(encode(text)) // 1024 + 1 AS n_chunks
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Decoded-media record: what a real image/audio decoder would emit. */
-  case class MediaMeta(doc_id: Long, byte_len: Int, width: Int, height: Int,
-    n_frames: Int, decoder: String)
-
-  /** STUB decoder: a real pipeline would decode image/audio bytes here
-    * (the libs aren't in this container). The stub is deterministic in
-    * the payload bytes so tests can assert on it; the partitioning,
-    * schema, and batch shape are the real thing. Runs per-partition —
-    * no per-row JNI/process overhead at scale, same reason mapInPandas
-    * batches.
+  /** A media object: real codec bytes (PNG or BMP, written by the JDK's
+    * ImageIO — genuine magic numbers, headers, rasters).
     */
-  def decodeStub(s: SparkSession, dir: String): Dataset[MediaMeta] = {
+  case class MediaPayload(doc_id: Long, fmt: String, payload: Array[Byte])
+
+  /** Decoded-media record: what the decoder emits. `pixel_hash` is a
+    * deterministic fold over the actual decoded raster.
+    */
+  case class MediaMeta(doc_id: Long, byte_len: Int, width: Int, height: Int,
+    n_frames: Int, decoder: String, pixel_hash: Long)
+
+  /** Deterministic LCG fill for synthetic rasters (value depends only on
+    * the running state, so image content is a pure function of doc_id +
+    * text length).
+    */
+  @inline private def lcg(x: Long): Long = x * 6364136223846793005L + 1442695040888963407L
+
+  /** Synthesize a real image per document: render a deterministic RGB
+    * raster (seeded by doc_id + text) and encode it with the JDK's
+    * ImageIO — PNG for even doc_ids, BMP for odd. The bytes that come
+    * out are real codec output: `89 50 4E 47` / `42 4D` magic, real
+    * headers, real compression. No external deps — javax.imageio is in
+    * the JDK and works headless.
+    */
+  def encodeMedia(s: SparkSession, dir: String): Dataset[MediaPayload] = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select(col("doc_id"), expr("encode(text, 'UTF-8')").as("payload"))
-      .as[(Long, Array[Byte])]
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
-        // per-partition "decoder" init happens once here (codec handles,
-        // model weights, ...) — the stub just derives fake dimensions
-        rows.map { case (id, bytes) =>
-          val len = bytes.length
-          MediaMeta(id, len, width = 16 + len % 64, height = 16 + len % 48,
-            n_frames = 1 + len % 8, decoder = "stub-v0")
+        // per-partition stage: ImageIO writer lookup is per-format and
+        // cached by the JVM; allocation stays inside the partition loop
+        rows.map { case (id, text) =>
+          val w = 16 + (id % 48).toInt
+          val h = 16 + (id % 32).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var st = lcg(id * 1000003L + text.length)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              st = lcg(st)
+              img.setRGB(x, y, ((st >>> 40) & 0xFFFFFFL).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, baos)
+          MediaPayload(id, fmt, baos.toByteArray)
         }
       }
   }
 
-  // ---- downstream media stages (decode → resize → frame-sample →
-  // feature-extract), each a typed mapPartitions with the schema and
-  // batch shape of a real codec pipeline; the pixel math is stubbed,
-  // the distribution/plumbing is not. ---------------------------------
+  /** REAL decoder: ImageIO.read over the payload bytes — width/height
+    * come from the decoded image, pixel_hash folds the actual raster.
+    * Runs per-partition (one decoder context per partition, batched —
+    * the same shape a mapInPandas/PIL decoder has in production).
+    * Stills are 1 frame; a video decoder would emit its true count.
+    */
+  def decodeMedia(ds: Dataset[MediaPayload]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { p =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
+        require(img != null, s"undecodable payload for doc ${p.doc_id}")
+        MediaMeta(p.doc_id, p.payload.length, img.getWidth, img.getHeight,
+          n_frames = 1, decoder = s"imageio-${p.fmt}", pixel_hash = rasterHash(img))
+      }
+    }
+  }
+
+  /** Deterministic fold over the decoded ARGB raster. */
+  private def rasterHash(img: java.awt.image.BufferedImage): Long = {
+    var hsh = 1125899906842597L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        hsh = hsh * 31L + (img.getRGB(x, y) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    hsh
+  }
+
+  // ---- downstream media stages (encode → resize → decode →
+  // frame-sample → feature-extract), each a typed mapPartitions with
+  // the schema and batch shape of a real codec pipeline. Decode and
+  // resize do real codec/raster work; the vision-encoder embedding is
+  // the one deterministic stand-in (no model weights in-container). ---
 
   case class MediaFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
     frame_hash: Long)
   case class FrameFeature(doc_id: Long, frame_idx: Int, embedding: Array[Float])
 
-  /** resize: dimension rewrite per record (a real impl rescales pixel
-    * buffers per-partition; dims math is the contract either way).
+  /** REAL resize: decode, nearest-neighbor resample the raster to w×h
+    * (explicit pixel loop — deterministic across JVMs, no AWT rendering
+    * pipeline), re-encode in the same format.
     */
-  def resizeStub(ds: Dataset[MediaMeta], w: Int, h: Int): Dataset[MediaMeta] = {
+  def resizeMedia(ds: Dataset[MediaPayload], w: Int, h: Int): Dataset[MediaPayload] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(m => m.copy(width = w, height = h)))
+    ds.mapPartitions { rows =>
+      rows.map { p =>
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
+        require(src != null, s"undecodable payload for doc ${p.doc_id}")
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val (sw, sh) = (src.getWidth, src.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            dst.setRGB(x, y, src.getRGB(x * sw / w, y * sh / h) & 0xFFFFFF)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, p.fmt, baos)
+        MediaPayload(p.doc_id, p.fmt, baos.toByteArray)
+      }
+    }
   }
 
-  /** frame sampling: one output row per sampled frame (n_frames comes
-    * from the decoded header; hash stands in for the frame bytes).
+  /** frame sampling: one output row per frame (n_frames comes from the
+    * decoded header; frame_hash chains off the REAL raster hash).
     */
-  def frameSampleStub(ds: Dataset[MediaMeta]): Dataset[MediaFrame] = {
+  def frameSample(ds: Dataset[MediaMeta]): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { m =>
       (0 until m.n_frames).map(i =>
         MediaFrame(m.doc_id, i, m.width, m.height,
-          (m.doc_id * 1000003L + i * 8191L) % 2147483647L))
+          (m.pixel_hash + i * 8191L) & Long.MaxValue))
     }
   }
 
   /** feature extraction: fixed-width float embedding per frame — the
-    * deterministic stand-in for a vision encoder; output schema/shape
+    * deterministic stand-in for a vision encoder (the one stage that
+    * stays stubbed: no model weights in-container); output schema/shape
     * (array<float>, batched per partition) is what downstream
     * similarity search consumes.
     */
@@ -106,7 +192,8 @@ object Multimodal {
       // per-partition "model init" happens once here
       frames.map { f =>
         val emb = Array.tabulate(dim)(j =>
-          (((f.frame_hash * (j + 1) * 604297L) % 2147483647L) % 2001L - 1000L).toFloat / 1000f)
+          (Math.floorMod(Math.floorMod(f.frame_hash * (j + 1) * 604297L,
+            2147483647L), 2001L) - 1000L).toFloat / 1000f)
         FrameFeature(f.doc_id, f.frame_idx, emb)
       }
     }
