@@ -32,16 +32,23 @@ object S3Utils {
       !col("bucket").rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$") &&
       !col("bucket").startsWith("xn--") &&
       !col("bucket").endsWith("-s3alias")
+    // full per-segment encodeURIComponent twin (graft.api.S3Keys), driven
+    // through both the manifest key (only '=' is special in its alphabet)
+    // and a synthesized key exercising space/plus/parens/bang/tilde
+    val special = concat(col("key"), lit(" v+1 (final)!~"))
     Manifest.manifest(s, dir)
       .withColumn("bucket", bucket)
-      .withColumn("encoded", regexp_replace(col("key"), "=", "%3D"))
+      .withColumn("encoded", graft.api.S3Keys.encodeS3Key(col("key")))
+      .withColumn("enc_special", graft.api.S3Keys.encodeS3Key(special))
       .withColumn("roundtrip_ok",
-        regexp_replace(col("encoded"), "%3D", "=") === col("key"))
+        graft.api.S3Keys.decodeS3Key(col("encoded")) === col("key") &&
+          graft.api.S3Keys.decodeS3Key(col("enc_special")) === special)
       .groupBy("bucket")
       .agg(max(valid.cast("int")).cast("boolean").as("bucket_valid"),
         count(lit(1)).as("n"),
         sum(col("roundtrip_ok").cast("long")).as("n_roundtrip_ok"),
-        countDistinct(col("encoded")).as("n_distinct_encoded"))
+        countDistinct(col("encoded")).as("n_distinct_encoded"),
+        countDistinct(col("enc_special")).as("n_distinct_special"))
       .orderBy("bucket")
   }
 
@@ -55,16 +62,24 @@ object S3Utils {
        |    AND NOT starts_with(bucket, 'xn--')
        |    AND NOT ends_with(bucket, '-s3alias')) AS INT)) AS BOOLEAN) AS bucket_valid,
        |  COUNT(*) AS n,
-       |  CAST(SUM(CAST(replace(replace(key, '=', '%3D'), '%3D', '=') = key AS BIGINT)) AS BIGINT) AS n_roundtrip_ok,
-       |  COUNT(DISTINCT replace(key, '=', '%3D')) AS n_distinct_encoded
+       |  CAST(SUM(CAST(
+       |    replace(encoded, '%3D', '=') = key
+       |    AND replace(replace(replace(enc_special, '%20', ' '), '%2B', '+'), '%3D', '=') = special
+       |    AS BIGINT)) AS BIGINT) AS n_roundtrip_ok,
+       |  COUNT(DISTINCT encoded) AS n_distinct_encoded,
+       |  COUNT(DISTINCT enc_special) AS n_distinct_special
        |FROM (
-       |  SELECT key,
-       |    CASE WHEN event_id % 7 = 0 THEN 'xn--invalid-bucket'
-       |         WHEN event_id % 11 = 0 THEN '192.168.5.4'
-       |         WHEN event_id % 13 = 0 THEN 'bad..name'
-       |         WHEN event_id % 17 = 0 THEN 'trailing-s3alias'
-       |         ELSE regexp_extract(key, 'event_type=([^/]+)', 1) || '-store' END AS bucket
-       |  FROM manifest) t
+       |  SELECT key, bucket, special,
+       |    replace(key, '=', '%3D') AS encoded,
+       |    replace(replace(replace(special, '=', '%3D'), '+', '%2B'), ' ', '%20') AS enc_special
+       |  FROM (
+       |    SELECT key, key || ' v+1 (final)!~' AS special,
+       |      CASE WHEN event_id % 7 = 0 THEN 'xn--invalid-bucket'
+       |           WHEN event_id % 11 = 0 THEN '192.168.5.4'
+       |           WHEN event_id % 13 = 0 THEN 'bad..name'
+       |           WHEN event_id % 17 = 0 THEN 'trailing-s3alias'
+       |           ELSE regexp_extract(key, 'event_type=([^/]+)', 1) || '-store' END AS bucket
+       |    FROM manifest) t0) t
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** PathMatcher.all — key must match EVERY pattern in the list. */

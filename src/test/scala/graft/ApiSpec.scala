@@ -186,4 +186,32 @@ class ApiSpec extends SparkSpec {
       .select(api.ContentTypes.extension(lit("text/csv"))).collect()(0).getString(0)
     assert(ext == "csv")
   }
+
+  test("S3Keys: encodeURIComponent-per-segment twin (reference :315-339)") {
+    // expected values computed with JS encodeURIComponent per segment
+    val vectors = Seq(
+      "data/year=2024/file.parquet" -> "data/year%3D2024/file.parquet",
+      "a b/c+d" -> "a%20b/c%2Bd",
+      "ok-_.!~*'()/x" -> "ok-_.!~*'()/x", // all bare in encodeURIComponent
+      "f#g?h&i=j" -> "f%23g%3Fh%26i%3Dj",
+      "ünïcode/ß" -> "%C3%BCn%C3%AFcode/%C3%9F",
+      "/leading/trailing/" -> "/leading/trailing/",
+      "pct%20literal" -> "pct%2520literal")
+    // driver-side String twins
+    vectors.foreach { case (in, enc) =>
+      assert(S3Keys.encodeS3Key(in) == enc, s"encode($in)")
+      assert(S3Keys.decodeS3Key(enc) == in, s"decode($enc)")
+    }
+    // a raw '+' survives decode (decodeURIComponent leaves it; form
+    // decoding would turn it into a space)
+    assert(S3Keys.decodeS3Key("a+b") == "a+b")
+    // Column twins agree with the String twins
+    val df = pathsDf(vectors.map(_._1): _*)
+      .withColumn("enc", S3Keys.encodeS3Key(col("key")))
+      .withColumn("dec", S3Keys.decodeS3Key(col("enc")))
+    df.collect().foreach { r =>
+      assert(r.getString(1) == S3Keys.encodeS3Key(r.getString(0)), s"col enc ${r.getString(0)}")
+      assert(r.getString(2) == r.getString(0), s"col roundtrip ${r.getString(0)}")
+    }
+  }
 }
