@@ -67,4 +67,33 @@ class ChangeDetector(options: ChangeDetectionOptions = ChangeDetectionOptions())
 
   def loadSnapshot(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** reference commitChanges (src/index.ts:589): promote the current
+    * listing to be the next run's previous state. Write-then-swap — the
+    * new snapshot lands in a temp dir first, then replaces `statePath`
+    * with two metadata renames, so a reader never sees a half-written
+    * state and a failed write leaves the old state intact.
+    */
+  def commitChanges(cur: DataFrame, statePath: String): Unit = {
+    val spark = cur.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(statePath + ".__commit_tmp")
+    val dst = new org.apache.hadoop.fs.Path(statePath)
+    fs.delete(tmp, true)
+    cur.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"commitChanges: rename $tmp -> $dst failed")
+  }
+
+  /** reference resetCurrentState (src/index.ts:596): drop the persisted
+    * state entirely — the next detect run sees every key as `added`.
+    */
+  def resetState(spark: org.apache.spark.sql.SparkSession, statePath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+    ()
+  }
 }

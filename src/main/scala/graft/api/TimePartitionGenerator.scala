@@ -57,6 +57,33 @@ class TimePartitionGenerator(config0: TimePartitionConfig) {
   /** partition path for a timestamp column (reference generatePath). */
   def generatePath(ts: Column): Column = concat_ws("/", segments(ts): _*)
 
+  /** partition path for "now" (reference generateCurrentPath,
+    * src/index.ts:1977). Column form — stamp a whole DataFrame with the
+    * ingest partition; `current_timestamp()` is query-constant.
+    */
+  def generateCurrentPath(): Column = generatePath(current_timestamp())
+
+  /** String form of generateCurrentPath for driver-side callers
+    * (manifest prefixes, sink paths). Injectable clock so tests pin the
+    * instant; same segment logic as the Column twin, UTC like the
+    * session timezone.
+    */
+  def generateCurrentPath(clock: java.time.Clock): String = {
+    val t = java.time.ZonedDateTime.now(clock.withZone(java.time.ZoneOffset.UTC))
+    val hive = config.format == "hive"
+    def seg(key: String, v: String): String = if (hive) s"$key=$v" else v
+    val base = Seq(seg("year", f"${t.getYear}%04d")) ++
+      (if (config.granularity != Yearly) Seq(seg("month", f"${t.getMonthValue}%02d")) else Nil) ++
+      (config.granularity match {
+        case Daily | Hourly => Seq(seg("day", f"${t.getDayOfMonth}%02d"))
+        case _ => Nil
+      }) ++
+      (if (config.includeHour) Seq(seg("hour", f"${t.getHour}%02d")) else Nil) ++
+      (if (config.includeMinute) Seq(seg("minute", f"${t.getMinute}%02d")) else Nil)
+    val all = if (config.prefix.nonEmpty) config.prefix +: base else base
+    all.mkString("/")
+  }
+
   /** one row per period in [start, end] (reference
     * generatePathsForRange) — distributed via sequence + explode.
     */

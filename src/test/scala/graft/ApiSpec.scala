@@ -187,6 +187,49 @@ class ApiSpec extends SparkSpec {
     assert(ext == "csv")
   }
 
+  test("TimePartitionGenerator: generateCurrentPath (reference :1977)") {
+    // pinned clock: 2023-07-15T14:25:00Z
+    val clock = java.time.Clock.fixed(
+      java.time.Instant.parse("2023-07-15T14:25:00Z"), java.time.ZoneOffset.UTC)
+    assert(Graft.time.daily().generateCurrentPath(clock) == "year=2023/month=07/day=15")
+    assert(Graft.time.hourly().generateCurrentPath(clock) == "year=2023/month=07/day=15/hour=14")
+    assert(Graft.time.monthly(_.copy(format = "path", prefix = "logs"))
+      .generateCurrentPath(clock) == "logs/2023/07")
+    // Column twin agrees: generatePath on the same pinned timestamp
+    val viaCol = spark.sql("SELECT TIMESTAMP'2023-07-15 14:25:00' AS ts")
+      .select(Graft.time.daily().generatePath(col("ts"))).collect()(0).getString(0)
+    assert(viaCol == Graft.time.daily().generateCurrentPath(clock))
+    // and the current_timestamp() form produces a path of the same shape
+    val nowPath = spark.range(1)
+      .select(Graft.time.daily().generateCurrentPath()).collect()(0).getString(0)
+    assert(nowPath.matches("year=\\d{4}/month=\\d{2}/day=\\d{2}"))
+  }
+
+  test("ChangeDetector: commitChanges / resetState lifecycle (reference :589)") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft_state").toString + "/prev"
+    val cd = Graft.changes.detect()
+    val run1 = Seq(("a", 1L, "e1", 10L), ("b", 2L, "e2", 20L))
+      .toDF("key", "size", "etag", "last_modified_us")
+    // first commit: run1 becomes the previous state
+    cd.commitChanges(run1, state)
+    val run2 = Seq(("a", 1L, "e1", 10L), ("b", 3L, "e3", 30L), ("c", 4L, "e4", 40L))
+      .toDF("key", "size", "etag", "last_modified_us")
+    val changes = cd.detectChanges(cd.loadSnapshot(spark, state), run2)
+      .select("key", "change_type").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(changes == Map("a" -> "unchanged", "b" -> "modified", "c" -> "added"))
+    // commit run2, detect again → all unchanged
+    cd.commitChanges(run2, state)
+    val rerun = cd.detectChanges(cd.loadSnapshot(spark, state), run2)
+    assert(rerun.filter(col("change_type") =!= "unchanged").count() == 0)
+    // a failed swap never corrupts: old state survives a no-op re-commit
+    cd.commitChanges(run2, state)
+    assert(cd.loadSnapshot(spark, state).count() == 3)
+    // reset: state gone
+    cd.resetState(spark, state)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(state)))
+  }
+
   test("S3Keys: encodeURIComponent-per-segment twin (reference :315-339)") {
     // expected values computed with JS encodeURIComponent per segment
     val vectors = Seq(
