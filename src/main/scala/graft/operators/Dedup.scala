@@ -48,13 +48,12 @@ object Dedup {
     * bucket; verified by signature agreement ≥ 0.5.
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    // signatures: computed once, materialized (localCheckpoint) so the
-    // self-join + verification joins reuse them instead of re-evaluating
-    // the HOF tree per reference — at scale you checkpoint signatures
-    // before any LSH pipeline for exactly this reason
-    val sig = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("mh"))
-      .localCheckpoint()
+    // signatures: computed once, materialized (Materialize.stable) so
+    // the self-join + verification joins reuse them instead of
+    // re-evaluating the HOF tree per reference — at scale you persist
+    // signatures before any LSH pipeline for exactly this reason
+    val sig = Materialize.stable(Tables.documents(s, dir)
+      .select(col("doc_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("mh")))
     val bands = sig
       .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mh"))
       .select(col("doc_id"), col("b"), expr(sparkBandValue("mh", "b")).as("bv"))
@@ -96,9 +95,8 @@ object Dedup {
     * finds every qualifying pair; verified with exact hamming.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sig = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(sparkSimhashBands(sparkShingleHashes("text"))).as("sh"))
-      .localCheckpoint()
+    val sig = Materialize.stable(Tables.documents(s, dir)
+      .select(col("doc_id"), expr(sparkSimhashBands(sparkShingleHashes("text"))).as("sh")))
     val bands = sig.select(col("doc_id"), posexplode(col("sh")).as(Seq("b", "bv")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
@@ -151,10 +149,9 @@ object Dedup {
   val NgramPrefixK = 24
 
   def dedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val shs = Tables.documents(s, dir)
+    val shs = Materialize.stable(Tables.documents(s, dir)
       .select(col("doc_id"), expr(sparkShingleHashes("text")).as("sh"))
-      .withColumn("n_sh", expr("size(sh)"))
-      .localCheckpoint()
+      .withColumn("n_sh", expr("size(sh)")))
     val maxDf = math.max(NgramMaxDf.toLong, shs.count() / NgramDfFraction)
     val ex = shs.select(col("doc_id"),
       explode(expr(s"slice(array_sort(sh), 1, $NgramPrefixK)")).as("h"))

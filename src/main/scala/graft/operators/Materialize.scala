@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Materialization point for expensive expression trees (minhash/simhash
+  * signatures, cast embeddings) that downstream LSH joins reference two
+  * or three times — without one, Catalyst re-evaluates the whole
+  * signature tree per join reference.
+  *
+  * Two spellings, switched by `spark.graft.materialize`:
+  *
+  *  - `persist` (default): `persist(DISK_ONLY)`. Lineage is kept, so a
+  *    lost executor's blocks are recomputed from the parquet scan —
+  *    the 1000-executor-safe choice. DISK_ONLY because signature sets
+  *    at 100 TB scale are themselves TB-sized; they must not compete
+  *    with shuffle/exec memory.
+  *  - `localCheckpoint`: truncates lineage and pins blocks to
+  *    executors — fastest on local[N] where executor loss cannot
+  *    happen, fragile on a real cluster.
+  */
+object Materialize {
+  def stable(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.materialize").getOrElse("persist") match {
+      case "localCheckpoint" => df.localCheckpoint()
+      case _ => df.persist(StorageLevel.DISK_ONLY)
+    }
+}

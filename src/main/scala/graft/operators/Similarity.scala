@@ -22,13 +22,13 @@ object Similarity {
   val CentroidMod = 50 // vec_id % 50 == 7 are the coarse centroids
 
   /** vectors with the double-cast embedding, materialized once
-    * (localCheckpoint) — every similarity query references it 2-3 times
-    * and the cast/HOF tree must not be re-evaluated per reference.
+    * ([[Materialize.stable]]) — every similarity query references it
+    * 2-3 times and the cast/HOF tree must not be re-evaluated per
+    * reference.
     */
   private def withVec(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(sparkToDouble("embedding")).as("v"))
-      .localCheckpoint()
+    Materialize.stable(Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(sparkToDouble("embedding")).as("v")))
 
   /** embedding near-dup pairs: 16 LSH tables × 4 hyperplanes generate
     * candidates; exact cosine ≥ threshold verifies.
@@ -115,13 +115,13 @@ object Similarity {
     // it to one row per vector BEFORE the shuffle — a window would
     // shuffle all n×k scored rows. min(struct(-cos, cent_id)) picks
     // max cosine with deterministic min-cent_id tie-break.
-    val assign = vecs.crossJoin(broadcast(cents))
+    val assign = Materialize.stable(vecs.crossJoin(broadcast(cents))
       .withColumn("ccos", expr(sparkCosine("v", "cv")))
       .groupBy(col("vec_id"))
       .agg(min(struct((col("ccos") * -1).as("neg"), col("cent_id"))).as("best"),
         first(col("v")).as("v"))
       .select(col("vec_id"), col("best.cent_id").as("cell"), col("v"))
-      .localCheckpoint() // cell assignment is probed by queries AND neighbors
+    ) // cell assignment is probed by queries AND neighbors
     val queries = assign.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"))
     val byQuery = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
