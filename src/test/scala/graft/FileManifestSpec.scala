@@ -30,6 +30,38 @@ class FileManifestSpec extends SparkSpec {
     assert(!plan.contains("content"), plan)
   }
 
+  test("put -> list/getObjects round-trip (putObject twin)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fm_put").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 20)
+      .selectExpr("concat('shard=', doc_id % 4, '/doc_', doc_id, '.txt') AS key",
+        "encode(text, 'UTF-8') AS payload")
+    val receipts = FileManifest.put(docs, dir)
+    assert(receipts.count() == 20)
+    assert(receipts.columns.toSeq == Seq("key", "etag", "size"))
+    // every receipt etag is an md5 hex
+    assert(receipts.collect().forall(_.getString(1).matches("[0-9a-f]{32}")))
+
+    // round-trip through the listing: same keys, same sizes
+    val listed = FileManifest.list(spark, dir + "/*")
+      .selectExpr("regexp_extract(key, '(shard=.*)$', 1) AS key", "size")
+    val exp = receipts.select("key", "size")
+    assert(listed.except(exp).count() == 0 && exp.except(listed).count() == 0)
+
+    // and through getObjects: payload bytes identical
+    val back = FileManifest.getObjects(spark, dir + "/*")
+      .selectExpr("regexp_extract(key, '(shard=.*)$', 1) AS key", "decode(payload, 'UTF-8') AS text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val orig = docs.selectExpr("key", "decode(payload, 'UTF-8') AS text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back == orig)
+
+    // put is an overwrite (putObject semantics): second put, same state
+    FileManifest.put(docs, dir)
+    assert(FileManifest.list(spark, dir + "/*").count() == 20)
+  }
+
   test("stream: file-source manifest stream drives the change feed end-to-end") {
     import spark.implicits._
     import graft.streaming.EventStreams
