@@ -20,6 +20,7 @@ object Similarity {
   val KnnK = 3
   val QuerySetSize = 10 // vec_id < 10 is the query set
   val CentroidMod = 50 // vec_id % 50 == 7 are the coarse centroids
+  val Nprobe = 2 // IVF: queries search their 2 nearest cells
 
   /** vectors with the double-cast embedding, materialized once
     * ([[Materialize.stable]]) — every similarity query references it
@@ -102,8 +103,16 @@ object Similarity {
        |FROM ranked WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin
 
   /** IVF-style ANN: coarse centroids (a deterministic corpus subset),
-    * map-side cell assignment via broadcast, search restricted to the
-    * query's cell (nprobe=1).
+    * map-side cell assignment via broadcast, queries probe their
+    * [[Nprobe]] nearest cells (the standard IVF recall knob).
+    *
+    * Scale shape: neighbor assignment is ONE struct-argmin aggregate
+    * (n rows shuffled, never the n×k scored cross product). Query
+    * probes are [[Nprobe]] iterative argmin passes over the
+    * query×centroid scores — each pass excludes the cells already
+    * chosen, keeps aggregate state bounded (no unbounded collect_list
+    * top-k), and only runs on the query set, which is tiny next to the
+    * corpus.
     */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -121,11 +130,28 @@ object Similarity {
       .agg(min(struct((col("ccos") * -1).as("neg"), col("cent_id"))).as("best"),
         first(col("v")).as("v"))
       .select(col("vec_id"), col("best.cent_id").as("cell"), col("v"))
-    ) // cell assignment is probed by queries AND neighbors
-    val queries = assign.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("query_id"), col("cell"), col("v").as("qv"))
+    ) // every vector indexed in exactly its best cell
+    // query-side probe list: Nprobe argmin passes, pass p excluding the
+    // cells picked by passes < p
+    val qscore = Materialize.stable(
+      vecs.filter(col("vec_id") < QuerySetSize).crossJoin(broadcast(cents))
+        .withColumn("neg", expr(sparkCosine("v", "cv")) * -1)
+        .select(col("vec_id").as("query_id"), col("cent_id"), col("neg"), col("v").as("qv")))
+    val probes = (1 until Nprobe).foldLeft(
+      qscore.groupBy("query_id")
+        .agg(min(struct(col("neg"), col("cent_id"))).as("b"), first(col("qv")).as("qv"))
+        .select(col("query_id"), col("b.cent_id").as("cell"), col("qv"))
+    ) { (acc, _) =>
+      val next = qscore
+        .join(acc.groupBy("query_id").agg(collect_set(col("cell")).as("seen")), Seq("query_id"))
+        .filter(!array_contains(col("seen"), col("cent_id")))
+        .groupBy("query_id")
+        .agg(min(struct(col("neg"), col("cent_id"))).as("b"), first(col("qv")).as("qv"))
+        .select(col("query_id"), col("b.cent_id").as("cell"), col("qv"))
+      acc.union(next)
+    }
     val byQuery = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    queries.join(assign.select(col("vec_id").as("neighbor_id"), col("cell"), col("v")), Seq("cell"))
+    probes.join(assign.select(col("vec_id").as("neighbor_id"), col("cell"), col("v")), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", expr(sparkCosine("qv", "v")))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
@@ -147,12 +173,17 @@ object Similarity {
        |        ORDER BY ${duckCosine("vecs.v", "cents.cv")} DESC, cents.cent_id) AS crank
        |    FROM vecs CROSS JOIN cents) t
        |  WHERE crank = 1
-       |), queries AS (
-       |  SELECT vec_id AS query_id, cell, v AS qv FROM assign WHERE vec_id < $QuerySetSize
+       |), qprobe AS (
+       |  SELECT query_id, cell, qv FROM (
+       |    SELECT vecs.vec_id AS query_id, cents.cent_id AS cell, vecs.v AS qv,
+       |      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |        ORDER BY ${duckCosine("vecs.v", "cents.cv")} DESC, cents.cent_id) AS crank
+       |    FROM vecs CROSS JOIN cents WHERE vecs.vec_id < $QuerySetSize) t
+       |  WHERE crank <= $Nprobe
        |), scored AS (
        |  SELECT q.query_id, a.vec_id AS neighbor_id,
        |    ${duckCosine("q.qv", "a.v")} AS cosine
-       |  FROM queries q JOIN assign a ON q.cell = a.cell AND a.vec_id <> q.query_id
+       |  FROM qprobe q JOIN assign a ON q.cell = a.cell AND a.vec_id <> q.query_id
        |), ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
