@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+import graft.sources.Tables
+
+/** Corpus-shaping operators for training-data pipelines (SURVEY §2):
+  * deterministic stratified sampling, context-window chunking, and
+  * token-budget sequence packing. All map-side column math plus the one
+  * aggregation each op inherently needs — no sampling RNG (hash-based
+  * sampling is reproducible run-to-run and engine-independent, which is
+  * what a 100 TB ingest actually wants: re-running a failed partition
+  * must select the same rows).
+  */
+object Corpus {
+
+  // ---- stratified sampling ----------------------------------------------
+
+  /** per-stratum keep-rates in parts-per-million (event_type strata). */
+  val SampleRatesPpm: Seq[(String, Long)] =
+    Seq("click" -> 200000L, "view" -> 50000L, "purchase" -> 1000000L)
+  val SampleDefaultPpm = 500000L
+  val SampleMixConst = 2654435761L // Knuth multiplicative constant
+
+  /** Deterministic stratified sampler: keep a row iff
+    * `(event_id * knuth) mod 1e6 < rate(stratum)`. No RNG state, no
+    * sampleBy seed drift across retries — the decision is a pure
+    * function of the row. One partial-aggregated groupBy reports
+    * per-stratum totals/kept so the realized rate is auditable.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("event_id") * lit(SampleMixConst), lit(1000000L))
+    val rate = SampleRatesPpm.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (t, r)) => acc.when(col("event_type") === t, lit(r))
+    }.otherwise(lit(SampleDefaultPpm))
+    Tables.events(s, dir)
+      .withColumn("kept", (h < rate).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept")).as("n_sampled"),
+        expr("floor(CAST(sum(kept) AS DOUBLE) / count(1) * 1000000) / CAST(1000000 AS DOUBLE)")
+          .as("realized_rate"),
+        expr("CAST(ROUND(SUM(CASE WHEN kept = 1 THEN CAST(value AS DECIMAL(12,2)) END), 2) AS DOUBLE)")
+          .as("sum_value_sampled"))
+      .orderBy("event_type")
+  }
+
+  val sampleStratifiedSql: String = {
+    val cases = SampleRatesPpm
+      .map { case (t, r) => s"WHEN event_type = '$t' THEN $r" }
+      .mkString(" ")
+    s"""SELECT event_type,
+       |  COUNT(*) AS n_total,
+       |  CAST(SUM(kept) AS BIGINT) AS n_sampled,
+       |  floor(CAST(SUM(kept) AS DOUBLE) / COUNT(*) * 1000000) / CAST(1000000 AS DOUBLE) AS realized_rate,
+       |  CAST(ROUND(SUM(CASE WHEN kept = 1 THEN CAST(value AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS sum_value_sampled
+       |FROM (
+       |  SELECT event_type, value,
+       |    CASE WHEN (event_id * $SampleMixConst) % 1000000 <
+       |      (CASE $cases ELSE $SampleDefaultPpm END)
+       |    THEN 1 ELSE 0 END AS kept
+       |  FROM events) t
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  // ---- context-window chunking ------------------------------------------
+
+  val ChunkWords = 64 // context-window size, in words
+  val ChunkStride = 48 // overlap = ChunkWords - ChunkStride
+
+  /** Split every document into fixed-size overlapping word windows —
+    * the context-window chunker in front of a tokenizer. One
+    * explode per chunk (output-volume bound), everything else is
+    * map-side array math; chunk identity is arithmetic on the start
+    * offset, so no window function and no ordering shuffle.
+    */
+  def textChunk(s: SparkSession, dir: String): DataFrame = {
+    val fp = s"(acc, h) -> (acc * 1000003 + h) % ${PortableHash.P}"
+    Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn("start", explode(expr(s"sequence(1, greatest(1, size(words)), $ChunkStride)")))
+      .withColumn("chunk", expr(s"slice(words, start, $ChunkWords)"))
+      .select(col("doc_id"),
+        expr(s"CAST((start - 1) div $ChunkStride AS BIGINT)").as("chunk_idx"),
+        expr("CAST(start AS BIGINT)").as("start_word"),
+        expr("CAST(size(chunk) AS BIGINT)").as("n_chunk_words"),
+        expr(s"aggregate(transform(chunk, w -> ${PortableHash.sparkWordHash("w")}), 0L, $fp)")
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val textChunkSql: String =
+    s"""SELECT doc_id,
+       |  (start - 1) // $ChunkStride AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_word,
+       |  CAST(len(chunk) AS BIGINT) AS n_chunk_words,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(chunk, w -> ${PortableHash.duckWordHash("w")})),
+       |    (acc, h) -> (acc * 1000003 + h) % ${PortableHash.P}) AS chunk_fp
+       |FROM (
+       |  SELECT doc_id, start, list_slice(words, start, start + ${ChunkWords - 1}) AS chunk
+       |  FROM (
+       |    SELECT doc_id, words, unnest(range(1, greatest(1, len(words)) + 1, $ChunkStride)) AS start
+       |    FROM (
+       |      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |      FROM documents) t0) t1) t2
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- token-budget sequence packing ------------------------------------
+
+  val PackBudget = 8192L // tokens per packed sequence bin
+  val PackShardDocs = 125L // docs per packing shard
+
+  /** Greedy token-budget packing: concatenate documents in doc_id order
+    * until the running token count crosses the budget, emit per-bin
+    * stats. Packing is SHARDED (doc_id div [[PackShardDocs]]) — the
+    * running sum is a window WITHIN a shard, so the plan never funnels
+    * the corpus through one partition the way a global ORDER BY window
+    * would; shards pack independently and in parallel, which is exactly
+    * how a multi-writer training-data job lays out its output files.
+    */
+  def packBins(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("doc_id div " + PackShardDocs).as("shard"),
+        expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $PackBudget"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "bin")
+  }
+
+  val packBinsSql: String =
+    s"""SELECT shard, bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM (
+       |  SELECT doc_id, shard, n_tokens,
+       |    (CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens)
+       |      // $PackBudget AS bin
+       |  FROM (
+       |    SELECT doc_id, doc_id // $PackShardDocs AS shard,
+       |      CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+       |    FROM documents) t0) t1
+       |GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "text_chunk" -> (textChunk _),
+    "pack_bins" -> (packBins _))
+
+  val oracles: Map[String, String] = Map(
+    "sample_stratified" -> sampleStratifiedSql,
+    "text_chunk" -> textChunkSql,
+    "pack_bins" -> packBinsSql)
+}

@@ -195,15 +195,71 @@ object Dedup {
        |  FROM cand c JOIN shs sa ON c.doc_a = sa.doc_id JOIN shs sb ON c.doc_b = sb.doc_id) t
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Transitive closure of the verified minhash pairs: pair lists alone
+    * under-dedup (A~B, B~C ⇒ {A,B,C} is ONE cluster even when A~C is
+    * below threshold), so production dedup keeps one doc per CONNECTED
+    * COMPONENT. Min-label propagation to fixpoint: each round every
+    * node takes the min label among itself and its neighbors — one
+    * equi-join + one partial-aggregated groupBy per round, O(component
+    * diameter) rounds (near-dup components are shallow: dup clusters
+    * are cliques-ish, diameters of 2-4). The driver loop only compares
+    * convergence COUNTS — labels never leave the executors.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = Materialize.stable(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
+    var labels = Materialize.stable(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
+    // labels are monotonically non-increasing, so the label SUM is a
+    // strict convergence witness — one cheap aggregate per round instead
+    // of a join-and-compare against the previous labels
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val prop = edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      val next = Materialize.stable(
+        prop.union(labels).groupBy("node").agg(min("label").as("label")))
+      val nextSum = next.agg(sum("label")).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE mpairs AS (
+       |  SELECT doc_a, doc_b FROM ($dedupMinhashSql) mp
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mpairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM mpairs
+       |), reach(node, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+       |)
+       |SELECT node AS doc_id, MIN(label) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_ngram" -> (dedupNgram _))
+    "dedup_ngram" -> (dedupNgram _),
+    "dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "dedup_ngram" -> dedupNgramSql)
+    "dedup_ngram" -> dedupNgramSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

@@ -78,6 +78,36 @@ object EventStreams {
       }
   }
 
+  /** streaming exact-dedup: incoming documents carry a content
+    * fingerprint; only the FIRST doc per fingerprint passes — the
+    * streaming twin of `dedup_exact` for an ingest that must not admit
+    * a document twice across micro-batches. State = one (fingerprint →
+    * first doc_id) entry in the state store, partitioned by
+    * fingerprint; at cluster scale bound it with
+    * `dropDuplicatesWithinWatermark` semantics (keep the timeout) so
+    * state doesn't grow forever on an unbounded corpus.
+    */
+  case class Doc(doc_id: Long, fp: Long)
+  case class DedupDecision(doc_id: Long, fp: Long, is_first: Boolean)
+
+  def dedupStream(docs: Dataset[Doc])(implicit s: SparkSession): Dataset[DedupDecision] = {
+    import s.implicits._
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState[Long, DedupDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: Long, rows: Iterator[Doc], state: GroupState[Long]) =>
+          val out = Seq.newBuilder[DedupDecision]
+          var seen = state.getOption
+          // deterministic within a batch: admit the smallest doc_id first
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            out += DedupDecision(d.doc_id, fp, seen.isEmpty)
+            if (seen.isEmpty) seen = Some(d.doc_id)
+          }
+          seen.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** manifest-delta stream: each micro-batch carries (key, size, etag)
     * observations; emits cumulative per-key change classification vs the
     * previously-committed state — the streaming twin of `change_detect`,

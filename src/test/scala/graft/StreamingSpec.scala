@@ -79,6 +79,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup: first doc per fingerprint passes, dups flagged across batches") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.Doc
+    val mem = MemoryStream[Doc]
+    val q = EventStreams.dedupStream(mem.toDS()).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      // batch 1: fp 100 arrives twice (doc 5 and 3 — smaller id wins)
+      mem.addData(Doc(5, 100), Doc(3, 100), Doc(7, 200))
+      q.processAllAvailable()
+      // batch 2: fp 100 again (dup across batches), fp 300 new
+      mem.addData(Doc(9, 100), Doc(11, 300))
+      q.processAllAvailable()
+      val rows = spark.table("dedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(rows == Set(
+        (3L, 100L, true), (5L, 100L, false), (7L, 200L, true),
+        (9L, 100L, false), (11L, 300L, true)))
+    } finally q.stop()
+  }
+
   test("stream_change_feed: added → modified → silence for unchanged") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
