@@ -143,15 +143,61 @@ object TextAnalysis {
        |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- PII scrubbing ------------------------------------------------------
+
+  /** regex patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub: count and redact emails / IPv4s per document. The corpus
+    * has no organic PII, so a deterministic injection (doc_id-derived
+    * emails on every 5th doc, IPs on every 7th) builds the ground truth
+    * the scrubber must find; counts + a fingerprint of the REDACTED text
+    * prove the rewrite. Pure map-side regex column math — the shape of
+    * every production PII pass.
+    */
+  def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    // Spark SQL string literals eat single backslashes (\b -> backspace),
+    // so regexes embedded in expr() text must double them
+    def sqlRe(re: String) = re.replace("\\", "\\\\")
+    val (em, ip) = (sqlRe(EmailRe), sqlRe(Ipv4Re))
+    Tables.documents(s, dir)
+      .withColumn("dirty", expr(
+        """concat(text,
+          |  CASE WHEN doc_id % 5 = 0 THEN concat(' contact user', doc_id, '@example.com now') ELSE '' END,
+          |  CASE WHEN doc_id % 7 = 0 THEN concat(' from 10.0.', doc_id % 256, '.', doc_id % 100, ' logged') ELSE '' END)""".stripMargin))
+      .select(col("doc_id"),
+        expr(s"CAST(size(regexp_extract_all(dirty, '$em', 0)) AS BIGINT)").as("n_emails"),
+        expr(s"CAST(size(regexp_extract_all(dirty, '$ip', 0)) AS BIGINT)").as("n_ips"),
+        expr(sparkFingerprint(
+          s"regexp_replace(regexp_replace(dirty, '$em', '<EMAIL>'), '$ip', '<IP>')"))
+          .as("scrub_fp"))
+      .orderBy("doc_id")
+  }
+
+  val textPiiScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(dirty, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(dirty, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  ${duckFingerprint(s"regexp_replace(regexp_replace(dirty, '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g')")} AS scrub_fp
+       |FROM (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || doc_id % 256 || '.' || doc_id % 100 || ' logged' ELSE '' END) AS dirty
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_pii_scrub" -> (textPiiScrub _),
     "text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
+    "text_pii_scrub" -> textPiiScrubSql,
     "text_fingerprint" -> textFingerprintSql)
 }
