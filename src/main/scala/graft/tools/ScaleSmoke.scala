@@ -29,7 +29,8 @@ object ScaleSmoke {
     bigEmbs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     val targets = Seq("dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-      "embed_neardup", "knn_bruteforce", "knn_ivf", "text_fingerprint", "text_quality")
+      "dedup_clusters", "embed_neardup", "knn_bruteforce", "knn_ivf",
+      "text_fingerprint", "text_quality", "text_chunk", "pack_bins")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
