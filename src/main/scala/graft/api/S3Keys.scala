@@ -39,6 +39,19 @@ object S3Keys {
     steps.foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
   }
 
+  /** Twin of the reference's `isValidBucketName` (src/index.ts:35):
+    * AWS bucket-name rules — length 3-63, lowercase/digit/dot/hyphen,
+    * starts+ends alphanumeric, no adjacent dots, not IP-formatted, no
+    * `xn--` prefix, no `-s3alias` suffix. Pure codegen'd predicate.
+    */
+  def isValidBucketName(bucket: Column): Column =
+    length(bucket).between(3, 63) &&
+      bucket.rlike("^[a-z0-9][a-z0-9.-]*[a-z0-9]$") &&
+      !bucket.contains("..") &&
+      !bucket.rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$") &&
+      !bucket.startsWith("xn--") &&
+      !bucket.endsWith("-s3alias")
+
   // ---- driver-side String twins (same output, for non-Spark callers
   // and spec vectors) --------------------------------------------------
 

@@ -26,12 +26,7 @@ object S3Utils {
       .when(pmod(col("event_id"), lit(13)) === 0, lit("bad..name"))
       .when(pmod(col("event_id"), lit(17)) === 0, lit("trailing-s3alias"))
       .otherwise(concat(regexp_extract(col("key"), "event_type=([^/]+)", 1), lit("-store")))
-    val valid = length(col("bucket")).between(3, 63) &&
-      col("bucket").rlike("^[a-z0-9][a-z0-9.-]*[a-z0-9]$") &&
-      !col("bucket").contains("..") &&
-      !col("bucket").rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$") &&
-      !col("bucket").startsWith("xn--") &&
-      !col("bucket").endsWith("-s3alias")
+    val valid = graft.api.S3Keys.isValidBucketName(col("bucket"))
     // full per-segment encodeURIComponent twin (graft.api.S3Keys), driven
     // through both the manifest key (only '=' is special in its alphabet)
     // and a synthesized key exercising space/plus/parens/bang/tilde

@@ -230,6 +230,21 @@ class ApiSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(state)))
   }
 
+  test("S3Keys: isValidBucketName (reference :35)") {
+    val cases = Seq(
+      "my-bucket" -> true, "a.b.c" -> true, "abc" -> true,
+      "ab" -> false, // too short
+      ("a" * 64) -> false, // too long
+      "My-Bucket" -> false, // uppercase
+      "-leading" -> false, "trailing-" -> false,
+      "bad..dots" -> false, "192.168.1.1" -> false,
+      "xn--punycode" -> false, "name-s3alias" -> false)
+    val df = pathsDf(cases.map(_._1): _*)
+      .withColumn("ok", S3Keys.isValidBucketName(col("key")))
+    val got = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (b, exp) => assert(got(b) == exp, s"bucket $b") }
+  }
+
   test("S3Keys: encodeURIComponent-per-segment twin (reference :315-339)") {
     // expected values computed with JS encodeURIComponent per segment
     val vectors = Seq(

@@ -102,6 +102,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup == batch dedup_exact on the real documents table") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.Doc
+    import graft.functions.PortableHash
+    // same corpus+copies construction as the batch dedup_exact query
+    val d = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(PortableHash.sparkFingerprint("text")).as("fp"))
+    val copies = d.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select((col("doc_id") + 100000).as("doc_id"), col("fp"))
+    val docs = d.union(copies).as[Doc].collect()
+
+    val mem = MemoryStream[Doc]
+    val q = EventStreams.dedupStream(mem.toDS()).writeStream
+      .format("memory").queryName("dedup_eq").outputMode("append").start()
+    try {
+      // two micro-batches: originals, then the re-ingested copies
+      val (orig, dup) = docs.partition(_.doc_id < 100000)
+      mem.addData(orig.toSeq); q.processAllAvailable()
+      mem.addData(dup.toSeq); q.processAllAvailable()
+      // every copy-group representative in the batch answer must be the
+      // admitted doc in the stream, and each group's other members rejected
+      val admitted = spark.table("dedup_eq").filter(col("is_first"))
+        .groupBy("fp").agg(min("doc_id").as("rep"), count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(admitted.values.forall(_._2 == 1L)) // exactly one admit per fp
+      val batch = graft.operators.Dedup.dedupExact(spark, sfDir)
+        .collect().map(r => (r.getAs[Long]("fp"), r.getAs[Long]("rep_id"))).toMap
+      batch.foreach { case (fp, rep) =>
+        assert(admitted(fp)._1 == rep, s"fp $fp: stream admitted ${admitted(fp)._1}, batch keeps $rep")
+      }
+      val nRejected = spark.table("dedup_eq").filter(!col("is_first")).count()
+      assert(nRejected == dup.length) // each re-ingested copy rejected
+    } finally q.stop()
+  }
+
   test("stream_change_feed: added → modified → silence for unchanged") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
