@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.BucketedSink
+import graft.operators.Skew
+
+/** Scale-shape utilities: bucketed tables must join WITHOUT a shuffle,
+  * and salted joins must spread hot keys while staying row-identical
+  * to the plain join.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("bucketed tables sort-merge join with no exchange on either side") {
+    import graft.functions.PortableHash
+    val dir = Files.createTempDirectory("graft_bucketed").toString
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(PortableHash.sparkFingerprint("text")).as("fp"))
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)").as("n_tokens"))
+    BucketedSink.writeBucketed(docs, "b_fps", s"$dir/fps", "doc_id", 4)
+    BucketedSink.writeBucketed(toks, "b_toks", s"$dir/toks", "doc_id", 4)
+
+    val joined = BucketedSink.table(spark, "b_fps").hint("merge")
+      .join(BucketedSink.table(spark, "b_toks"), Seq("doc_id"))
+    assert(joined.count() == docs.count())
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    // same rows as the plain (shuffled) join
+    val plain = docs.join(toks, Seq("doc_id"))
+    assert(joined.except(plain).count() == 0 && plain.except(joined).count() == 0)
+  }
+
+  test("saltedJoin: row-identical to plain join, shuffle keyed on (key, salt)") {
+    import spark.implicits._
+    // skewed fact: 90% of rows share event_type 'click'
+    val fact = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 2.0), ("error", 0.0), ("scroll", 0.1))
+      .toDF("event_type", "weight")
+
+    val salted = Skew.saltedJoin(fact, dim, "event_type", "event_id", 8)
+      .select("event_id", "event_type", "weight")
+    val plain = fact.join(dim, Seq("event_type")).select("event_id", "event_type", "weight")
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+    assert(salted.count() == plain.count()) // except() dedups; counts catch multiplicity drift
+
+    // the shuffle must be keyed on (event_type, __salt), spreading the hot key
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column missing from the plan:\n$plan")
+  }
+}
