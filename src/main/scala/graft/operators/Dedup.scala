@@ -209,9 +209,11 @@ object Dedup {
     val pairs = dedupMinhash(s, dir).select(col("doc_a"), col("doc_b"))
     val edges = Materialize.stable(
       pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
-    var labels = Materialize.stable(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")))
+    // iteration state is label pairs only (two longs per clustered doc —
+    // orders of magnitude smaller than the corpus), so plain memory
+    // caching beats the disk-backed persist used for signature trees
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
     // labels are monotonically non-increasing, so the label SUM is a
     // strict convergence witness — one cheap aggregate per round instead
     // of a join-and-compare against the previous labels
@@ -221,8 +223,7 @@ object Dedup {
     while (!converged && iter < 25) {
       val prop = edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
-      val next = Materialize.stable(
-        prop.union(labels).groupBy("node").agg(min("label").as("label")))
+      val next = prop.union(labels).groupBy("node").agg(min("label").as("label")).cache()
       val nextSum = next.agg(sum("label")).head.getLong(0)
       labels.unpersist()
       labels = next
