@@ -185,6 +185,10 @@ class ApiSpec extends SparkSpec {
     val ext = df.sparkSession.range(1)
       .select(api.ContentTypes.extension(lit("text/csv"))).collect()(0).getString(0)
     assert(ext == "csv")
+    val cs = df.sparkSession.range(1).select(
+      api.ContentTypes.charset(lit("text/csv")),
+      api.ContentTypes.charset(lit("image/png"))).collect()(0)
+    assert(cs.getString(0) == "UTF-8" && cs.isNullAt(1))
   }
 
   test("TimePartitionGenerator: generateCurrentPath (reference :1977)") {
