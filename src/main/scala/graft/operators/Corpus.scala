@@ -153,13 +153,101 @@ object Corpus {
        |    FROM documents) t0) t1
        |GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
 
+  // ---- end-to-end curation ----------------------------------------------
+
+  val CurateMinWords = 20L
+  val CurateMinScore = 0.27 // ~corpus median — the knob a real pipeline tunes
+
+  /** The composite curation pass a real pipeline runs before training:
+    * quality score + language ID + near-dup membership fold into one
+    * keep/drop decision with a reason. Everything except the dup check
+    * is map-side column math on the scan; the dup check is one
+    * broadcast-able semi-join against the verified near-dup pairs (the
+    * non-representative side of each pair drops). First failing check
+    * wins the reason, so the decision is totally deterministic.
+    */
+  def corpusCurate(s: SparkSession, dir: String): DataFrame = {
+    def q6(e: String) = s"floor(($e) * 1000000) / CAST(1000000 AS DOUBLE)"
+    val langs = TextAnalysis.lexicons.map(_._1)
+    val scored = TextAnalysis.lexicons.foldLeft(
+      Tables.documents(s, dir)
+        .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+        .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))) {
+      case (df, (lang, lex)) => df.withColumn(s"s_$lang", expr(TextAnalysis.sparkLexCount(lex)))
+    }
+    val pred = langs.foldRight(lit(langs.last)) { case (lang, acc) =>
+      val others = langs.filterNot(_ == lang).map(l => col(s"s_$l"))
+      when(col(s"s_$lang") >= greatest(others: _*), lang).otherwise(acc)
+    }
+    val dups = Dedup.dedupMinhash(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dup_mark", lit(true))
+    val reason = when(col("n_words") < CurateMinWords, "too_short")
+      .when(col("is_dup"), "near_dup")
+      .when(col("score") < CurateMinScore, "low_quality")
+      .otherwise("keep")
+    scored
+      .withColumn("distinct_ratio",
+        expr(q6("CAST(size(array_distinct(words)) AS DOUBLE) / n_words")))
+      .withColumn("stop_ratio",
+        expr(q6("CAST(size(filter(words, w -> array_contains(array('the', 'a', 'and', 'of', 'to'), w))) AS DOUBLE) / n_words")))
+      .withColumn("score",
+        expr(q6("CAST(0.4 AS DOUBLE) * least(CAST(1 AS DOUBLE), CAST(n_words AS DOUBLE) / CAST(200 AS DOUBLE)) + CAST(0.3 AS DOUBLE) * distinct_ratio + CAST(0.3 AS DOUBLE) * stop_ratio")))
+      .withColumn("predicted", pred)
+      .join(dups, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("dup_mark"), lit(false)))
+      .withColumn("reason", reason)
+      .select(col("doc_id"), col("n_words"), col("score"), col("predicted"),
+        col("is_dup"), col("reason"), (col("reason") === "keep").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val corpusCurateSql: String = {
+    def q6(e: String) = s"floor(($e) * 1000000) / CAST(1000000 AS DOUBLE)"
+    val langs = TextAnalysis.lexicons.map(_._1)
+    val scores = TextAnalysis.lexicons
+      .map { case (lang, lex) => s"${TextAnalysis.duckLexCount(lex)} AS s_$lang" }
+      .mkString(",\n      ")
+    val pred = langs.init.foldRight(s"'${langs.last}'") { case (lang, acc) =>
+      val others = langs.filterNot(_ == lang).map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      s"CASE WHEN s_$lang >= $others THEN '$lang' ELSE $acc END"
+    }
+    val dr = q6("CAST(len(list_distinct(words)) AS DOUBLE) / n_words")
+    val sr = q6("CAST(len(list_filter(words, w -> list_contains(['the', 'a', 'and', 'of', 'to'], w))) AS DOUBLE) / n_words")
+    val score = q6(s"CAST(0.4 AS DOUBLE) * least(CAST(1 AS DOUBLE), CAST(n_words AS DOUBLE) / CAST(200 AS DOUBLE)) + CAST(0.3 AS DOUBLE) * ($dr) + CAST(0.3 AS DOUBLE) * ($sr)")
+    s"""WITH dups AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (${Dedup.dedupMinhashSql}) mp
+       |), feat AS (
+       |  SELECT doc_id, n_words, $score AS score, $pred AS predicted
+       |  FROM (
+       |    SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words,
+       |      $scores
+       |    FROM (
+       |      SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |      FROM documents) t0) t1
+       |)
+       |SELECT doc_id, n_words, score, predicted,
+       |  (dup_id IS NOT NULL) AS is_dup,
+       |  reason, (reason = 'keep') AS keep
+       |FROM (
+       |  SELECT f.*, d.doc_id AS dup_id,
+       |    CASE WHEN n_words < $CurateMinWords THEN 'too_short'
+       |         WHEN d.doc_id IS NOT NULL THEN 'near_dup'
+       |         WHEN score < $CurateMinScore THEN 'low_quality'
+       |         ELSE 'keep' END AS reason
+       |  FROM feat f LEFT JOIN dups d USING (doc_id)) x
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "text_chunk" -> (textChunk _),
-    "pack_bins" -> (packBins _))
+    "pack_bins" -> (packBins _),
+    "corpus_curate" -> (corpusCurate _))
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> sampleStratifiedSql,
     "text_chunk" -> textChunkSql,
-    "pack_bins" -> packBinsSql)
+    "pack_bins" -> packBinsSql,
+    "corpus_curate" -> corpusCurateSql)
 }

@@ -25,12 +25,12 @@ object TextAnalysis {
     "fr" -> Seq("join", "merge", "order", "value"),
     "zh" -> Seq("spark", "batch", "stream", "hash"))
 
-  private def sparkLexCount(lex: Seq[String]): String = {
+  private[operators] def sparkLexCount(lex: Seq[String]): String = {
     val arr = lex.map(w => s"'$w'").mkString("array(", ", ", ")")
     s"size(filter(split(text, ' '), w -> array_contains($arr, w)))"
   }
 
-  private def duckLexCount(lex: Seq[String]): String = {
+  private[operators] def duckLexCount(lex: Seq[String]): String = {
     val arr = lex.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter(string_split(text, ' '), w -> list_contains($arr, w)))"
   }
