@@ -114,7 +114,12 @@ object Similarity {
     * top-k), and only runs on the query set, which is tiny next to the
     * corpus.
     */
-  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+  def knnIvf(s: SparkSession, dir: String): DataFrame = knnIvfAt(Nprobe)(s, dir)
+
+  /** knn_ivf with an explicit probe count — the recall/cost knob
+    * (ScaleOpsSpec measures recall vs brute force at 1/2/4 probes).
+    */
+  def knnIvfAt(nprobe: Int)(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = withVec(s, dir)
     val cents = vecs.filter(pmod(col("vec_id"), lit(CentroidMod)) === 7)
@@ -137,7 +142,7 @@ object Similarity {
       vecs.filter(col("vec_id") < QuerySetSize).crossJoin(broadcast(cents))
         .withColumn("neg", expr(sparkCosine("v", "cv")) * -1)
         .select(col("vec_id").as("query_id"), col("cent_id"), col("neg"), col("v").as("qv")))
-    val probes = (1 until Nprobe).foldLeft(
+    val probes = (1 until nprobe).foldLeft(
       qscore.groupBy("query_id")
         .agg(min(struct(col("neg"), col("cent_id"))).as("b"), first(col("qv")).as("qv"))
         .select(col("query_id"), col("b.cent_id").as("cell"), col("qv"))
