@@ -197,13 +197,64 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, floor(cosine * 1000000) / CAST(1000000 AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin
 
+  /** int8 symmetric quantization of the embedding column — the vector-
+    * store compression step (4× smaller than f32, 8× than f64). Per
+    * vector: scale = 127/max|v|, q_i = floor(v_i·scale + 0.5). Output
+    * is the quantized checksum + floor-quantized reconstruction MSE, so
+    * the oracle pins BOTH the integer codes and the error math. Pure
+    * map-side HOF column work; every double op is written identically
+    * on both engines (same IEEE chain → bit-equal, the PortableHash
+    * discipline applied to vector math).
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val q6 = (e: String) => s"floor(($e) * 1000000) / CAST(1000000 AS DOUBLE)"
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(sparkToDouble("embedding")).as("v"))
+      .withColumn("maxabs", expr(
+        "greatest(aggregate(v, CAST(0 AS DOUBLE), (m, x) -> greatest(m, abs(x))), CAST(1e-12 AS DOUBLE))"))
+      .withColumn("q", expr(
+        "transform(v, x -> CAST(floor(x * (CAST(127 AS DOUBLE) / maxabs) + CAST(0.5 AS DOUBLE)) AS BIGINT))"))
+      .select(col("vec_id"),
+        expr(q6("maxabs")).as("maxabs_q"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("q_sum"),
+        expr("aggregate(q, 0L, (acc, x) -> greatest(acc, abs(x)))").as("q_maxabs"),
+        expr(q6(
+          """aggregate(transform(sequence(1, size(v)), i ->
+            |  (element_at(v, i) - CAST(element_at(q, i) AS DOUBLE) * (maxabs / CAST(127 AS DOUBLE))) *
+            |  (element_at(v, i) - CAST(element_at(q, i) AS DOUBLE) * (maxabs / CAST(127 AS DOUBLE)))),
+            |  CAST(0 AS DOUBLE), (acc, x) -> acc + x) / CAST(size(v) AS DOUBLE)""".stripMargin.replaceAll("\\s+", " ")))
+          .as("mse_q"))
+      .orderBy("vec_id")
+  }
+
+  val embedQuantizeSql: String =
+    s"""SELECT vec_id,
+       |  floor(maxabs * 1000000) / CAST(1000000 AS DOUBLE) AS maxabs_q,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), q), (acc, x) -> acc + x) AS q_sum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), q), (acc, x) -> greatest(acc, abs(x))) AS q_maxabs,
+       |  floor((list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(v) + 1), i ->
+       |    (v[i] - CAST(q[i] AS DOUBLE) * (maxabs / CAST(127 AS DOUBLE))) *
+       |    (v[i] - CAST(q[i] AS DOUBLE) * (maxabs / CAST(127 AS DOUBLE))))), (acc, x) -> acc + x)
+       |    / CAST(len(v) AS DOUBLE)) * 1000000) / CAST(1000000 AS DOUBLE) AS mse_q
+       |FROM (
+       |  SELECT vec_id, v, maxabs,
+       |    list_transform(v, x -> CAST(floor(x * (CAST(127 AS DOUBLE) / maxabs) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+       |  FROM (
+       |    SELECT vec_id, v,
+       |      greatest(list_reduce(list_prepend(CAST(0 AS DOUBLE), v), (m, x) -> greatest(m, abs(x))), CAST(1e-12 AS DOUBLE)) AS maxabs
+       |    FROM (
+       |      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings) t0) t1) t2
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_neardup" -> (embedNeardup _),
     "knn_bruteforce" -> (knnBruteforce _),
-    "knn_ivf" -> (knnIvf _))
+    "knn_ivf" -> (knnIvf _),
+    "embed_quantize" -> (embedQuantize _))
 
   val oracles: Map[String, String] = Map(
     "embed_neardup" -> embedNeardupSql,
     "knn_bruteforce" -> knnBruteforceSql,
-    "knn_ivf" -> knnIvfSql)
+    "knn_ivf" -> knnIvfSql,
+    "embed_quantize" -> embedQuantizeSql)
 }
