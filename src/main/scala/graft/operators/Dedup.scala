@@ -211,9 +211,10 @@ object Dedup {
       pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
     // iteration state is label pairs only (two longs per clustered doc —
     // orders of magnitude smaller than the corpus), so plain memory
-    // caching beats the disk-backed persist used for signature trees
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+    // caching beats the disk-backed persist used for signature trees.
+    // Init fuses round 1: label = min(self, min neighbor).
+    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("node"), least(col("mn"), col("src")).as("label")).cache()
     // labels are monotonically non-increasing, so the label SUM is a
     // strict convergence witness — one cheap aggregate per round instead
     // of a join-and-compare against the previous labels

@@ -108,6 +108,20 @@ object EventStreams {
       }
   }
 
+  /** bounded-state variant of [[dedupStream]]: on an unbounded corpus
+    * the fingerprint state store grows forever; with an event-time
+    * watermark, Spark expires fingerprint state older than the delay —
+    * the right admission semantics when duplicates arrive close in time
+    * (re-crawls, retry storms) rather than years apart.
+    */
+  case class StampedDoc(doc_id: Long, fp: Long, ts: Timestamp)
+
+  def dedupStreamBounded(docs: org.apache.spark.sql.Dataset[StampedDoc],
+    delay: String = "1 hour"): DataFrame =
+    docs.toDF()
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** manifest-delta stream: each micro-batch carries (key, size, etag)
     * observations; emits cumulative per-key change classification vs the
     * previously-committed state — the streaming twin of `change_detect`,

@@ -102,6 +102,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup_bounded: watermark admits one doc per fp, bounded state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.StampedDoc
+    val mem = MemoryStream[StampedDoc]
+    val q = EventStreams.dedupStreamBounded(mem.toDS(), "30 minutes").writeStream
+      .format("memory").queryName("dedup_wm").outputMode("append").start()
+    try {
+      // fp 100 twice within the window -> one admit
+      mem.addData(StampedDoc(1, 100, ts(10)), StampedDoc(2, 100, ts(15)),
+        StampedDoc(3, 200, ts(12)))
+      q.processAllAvailable()
+      mem.addData(StampedDoc(4, 100, ts(20))) // still within watermark -> dup
+      q.processAllAvailable()
+      val admitted = spark.table("dedup_wm").select("fp").collect().map(_.getLong(0)).toSeq
+      assert(admitted.sorted == Seq(100L, 200L), s"got $admitted")
+    } finally q.stop()
+  }
+
   test("stream_dedup == batch dedup_exact on the real documents table") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
