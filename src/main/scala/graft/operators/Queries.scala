@@ -254,7 +254,99 @@ object Queries {
       |FROM (SELECT event_type, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** AS-OF join, Spark-first: each purchase picks the user's most
+    * recent click at-or-before it. NOT a per-row subquery or a
+    * cartesian: both event streams merge into ONE user-partitioned
+    * window pass, and `last(click-only column, ignoreNulls)` carries
+    * the running "most recent click" forward — one shuffle on user_id,
+    * linear scan within each user, identical cost to sessionize. This
+    * is how an as-of join stays O(n) at 100 TB; an inequality join
+    * would be O(n·m) per user. (DuckDB spells the same thing ASOF
+    * JOIN; the oracle uses the window form so tie-break semantics —
+    * order by (ts, event_id) — are bit-identical.)
+    */
+  def eventsAsof(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts_us")))
+      .withColumn("click_val", when(col("event_type") === "click", dec("value")))
+      .withColumn("last_click_ts_us", last(col("click_ts"), ignoreNulls = true).over(w))
+      .withColumn("last_click_value",
+        round(last(col("click_val"), ignoreNulls = true).over(w), 2).cast("double"))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("last_click_ts_us"),
+        (col("ts_us") - col("last_click_ts_us")).as("gap_us"),
+        col("last_click_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val eventsAsofSql: String =
+    """SELECT user_id, event_id, ts_us, last_click_ts_us,
+      |  ts_us - last_click_ts_us AS gap_us, last_click_value
+      |FROM (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts_us,
+      |    CAST(ROUND(last_value(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS last_click_value
+      |  FROM (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us FROM events) e) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** RANGE join, Spark-first: clicks within the 5 minutes before each
+    * error, per user. The naive formulation is an inequality join
+    * (cartesian within user); the scale shape is BANDED: bucket both
+    * sides by ts div W, probe each error's bucket AND the previous one
+    * (two equi-join keys cover any window that spans a bucket edge),
+    * then filter the exact range. Join volume is bounded by events per
+    * 2W of time per user — never user-cartesian.
+    */
+  val RangeWindowUs = 300000000L // 5 minutes
+
+  def eventsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id"), col("ts_us"),
+        expr(s"ts_us div $RangeWindowUs").as("b0"))
+      .withColumn("e_bucket", explode(array(col("b0") - 1, col("b0"))))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("click_ts"),
+        dec("value").as("cv"), expr(s"ts_us div $RangeWindowUs").as("c_bucket"))
+    // the range predicate is part of the JOIN condition (a left join
+    // followed by a range filter would drop errors whose candidate
+    // clicks all miss the window); each matching click lands in exactly
+    // one of the two probe buckets, so the groupBy merges both probes
+    // without double counting
+    errors.join(clicks,
+        col("e_user") === col("c_user") && col("e_bucket") === col("c_bucket") &&
+          col("click_ts") < col("ts_us") && col("click_ts") >= col("ts_us") - RangeWindowUs,
+        "left")
+      .groupBy(col("e_user").as("user_id"), col("event_id"), col("ts_us"))
+      .agg(count(col("click_ts")).as("n_clicks_5m"),
+        coalesce(round(sum(col("cv")), 2).cast("double"), lit(0.0)).as("sum_click_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val eventsRangeJoinSql: String =
+    s"""SELECT e.user_id, e.event_id, e.ts_us,
+       |  CAST(COUNT(c.click_ts) AS BIGINT) AS n_clicks_5m,
+       |  COALESCE(CAST(ROUND(SUM(c.cv), 2) AS DOUBLE), 0.0) AS sum_click_value
+       |FROM (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error') e
+       |LEFT JOIN (
+       |  SELECT user_id, epoch_us(ts) AS click_ts, CAST(value AS DECIMAL(12,2)) AS cv
+       |  FROM events WHERE event_type = 'click') c
+       |  ON e.user_id = c.user_id
+       |  AND c.click_ts < e.ts_us AND c.click_ts >= e.ts_us - $RangeWindowUs
+       |GROUP BY e.user_id, e.event_id, e.ts_us
+       |ORDER BY e.user_id, e.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_asof" -> (eventsAsof _),
+    "events_range_join" -> (eventsRangeJoin _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q5_region" -> (q5Region _),
@@ -277,6 +369,8 @@ object Queries {
     "events_window_agg" -> eventsWindowAggSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_downsample" -> eventsDownsampleSql,
-    "events_json" -> eventsJsonSql
+    "events_json" -> eventsJsonSql,
+    "events_asof" -> eventsAsofSql,
+    "events_range_join" -> eventsRangeJoinSql
   )
 }
