@@ -62,6 +62,28 @@ class FileManifestSpec extends SparkSpec {
     assert(FileManifest.list(spark, dir + "/*").count() == 20)
   }
 
+  test("Formats: orders round-trips parquet/json/csv with schema fidelity") {
+    import graft.sources.Formats
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val n = orders.count()
+    for (fmt <- Seq("parquet", "json", "csv")) {
+      val dir = Files.createTempDirectory(s"graft_fmt_$fmt").toString + "/t"
+      Formats.write(orders, dir, fmt)
+      val back = Formats.read(spark, dir, fmt, orders.schema)
+      assert(back.schema == orders.schema, s"$fmt schema drift")
+      assert(back.count() == n, s"$fmt row count")
+      assert(back.except(orders).count() == 0 && orders.except(back).count() == 0,
+        s"$fmt values drift")
+    }
+    // csv refuses nested columns instead of mangling them
+    val nested = orders.selectExpr("o_orderkey", "array(o_custkey) AS arr")
+    val err = intercept[IllegalArgumentException] {
+      Formats.write(nested, Files.createTempDirectory("graft_fmt_bad").toString, "csv")
+    }
+    assert(err.getMessage.contains("arr"))
+  }
+
   test("stream: file-source manifest stream drives the change feed end-to-end") {
     import spark.implicits._
     import graft.streaming.EventStreams
