@@ -30,7 +30,7 @@ object ScaleSmoke {
 
     val targets = Seq("dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_clusters", "embed_neardup", "knn_bruteforce", "knn_ivf",
-      "text_fingerprint", "text_quality", "text_chunk", "pack_bins")
+      "text_fingerprint", "text_quality", "text_chunk", "pack_bins", "corpus_curate")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
