@@ -158,6 +158,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest pipeline: fingerprint -> dedup -> quality gate, end to end") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.IngestPipeline
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = IngestPipeline.curate(mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    try {
+      val longText = (1 to 100).map(i => s"word$i the a of").mkString(" ")
+      mem.addData(
+        (1L, longText, ts(10)),
+        (2L, longText, ts(11)), // exact dup of doc 1 -> dropped by dedup
+        (3L, "too short", ts(12)))
+      q.processAllAvailable()
+      val rows = spark.table("ingest")
+        .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(!rows.contains(2L), "duplicate fingerprint must not pass the dedup stage")
+      assert(rows(1L), "long diverse doc passes the quality gate")
+      assert(!rows(3L), "short doc is flagged keep=false")
+      // stream fingerprints == batch fingerprints (same kernel)
+      val fp = spark.table("ingest").filter(col("doc_id") === 1).select("fp").collect()(0).getLong(0)
+      val batchFp = Seq(longText).toDF("text")
+        .select(org.apache.spark.sql.functions.expr(
+          graft.functions.PortableHash.sparkFingerprint("text"))).collect()(0).getLong(0)
+      assert(fp == batchFp)
+    } finally q.stop()
+  }
+
   test("stream_change_feed: added → modified → silence for unchanged") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
