@@ -344,9 +344,59 @@ object Queries {
        |GROUP BY e.user_id, e.event_id, e.ts_us
        |ORDER BY e.user_id, e.event_id""".stripMargin
 
+  /** staged conversion funnel: signup → first click after signup →
+    * first purchase after that click, per user. Each stage is a
+    * filtered partial-agg (min ts) plus an equi-join on user_id — the
+    * strictly-sequential semantics ("after the previous stage") without
+    * any ordered collect_list, whose struct ordering isn't portable
+    * across engines. Three small shuffles on user_id, all
+    * AQE-coalesced; no windows, no per-user arrays.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def stage(tpe: String) = e.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("ts_us"))
+    val s1 = stage("signup").groupBy("user_id").agg(min("ts_us").as("t1"))
+    val s2 = stage("click").join(s1, Seq("user_id"))
+      .filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"), first("t1").as("t1"))
+    val s3 = stage("purchase").join(s2, Seq("user_id"))
+      .filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"), first("t2").as("t2"))
+    // the three ONE-ROW stage summaries combine via crossJoin — a 1×1
+    // broadcast, intentionally allowlisted in the PlanSpec sweep (the
+    // sweep exists to catch accidental DATA-sized cartesians)
+    s1.agg(count(lit(1)).as("n_signup")).crossJoin(
+      s2.agg(count(lit(1)).as("n_click_after"),
+        expr("floor(CAST(sum(t2 - t1) AS DOUBLE) / count(1) * 1000000) / CAST(1000000 AS DOUBLE)")
+          .as("avg_signup_to_click_us"))).crossJoin(
+      s3.agg(count(lit(1)).as("n_purchase_after"),
+        expr("floor(CAST(sum(t3 - t2) AS DOUBLE) / count(1) * 1000000) / CAST(1000000 AS DOUBLE)")
+          .as("avg_click_to_purchase_us")))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2, MIN(s1.t1) AS t1
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3, MIN(s2.t2) AS t2
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1
+      |)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+      |  (SELECT COUNT(*) FROM s2) AS n_click_after,
+      |  (SELECT floor(CAST(SUM(t2 - t1) AS DOUBLE) / COUNT(*) * 1000000) / CAST(1000000 AS DOUBLE) FROM s2) AS avg_signup_to_click_us,
+      |  (SELECT COUNT(*) FROM s3) AS n_purchase_after,
+      |  (SELECT floor(CAST(SUM(t3 - t2) AS DOUBLE) / COUNT(*) * 1000000) / CAST(1000000 AS DOUBLE) FROM s3) AS avg_click_to_purchase_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof" -> (eventsAsof _),
     "events_range_join" -> (eventsRangeJoin _),
+    "events_funnel" -> (eventsFunnel _),
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q5_region" -> (q5Region _),
@@ -371,6 +421,7 @@ object Queries {
     "events_downsample" -> eventsDownsampleSql,
     "events_json" -> eventsJsonSql,
     "events_asof" -> eventsAsofSql,
-    "events_range_join" -> eventsRangeJoinSql
+    "events_range_join" -> eventsRangeJoinSql,
+    "events_funnel" -> eventsFunnelSql
   )
 }

@@ -65,8 +65,10 @@ class PlanSpec extends SparkSpec {
 
   test("sweep: no accidental cartesian/nested-loop join in ANY query") {
     // brute-force scoring legitimately broadcasts the query/centroid set
-    // across the corpus (an intentional broadcast cross product)
-    val intendedCross = Set("knn_bruteforce", "knn_ivf")
+    // across the corpus (an intentional broadcast cross product), and
+    // events_funnel combines three ONE-ROW aggregates (a 1×1 broadcast,
+    // not a data-sized cartesian)
+    val intendedCross = Set("knn_bruteforce", "knn_ivf", "events_funnel")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
