@@ -27,10 +27,23 @@ object ScaleSmoke {
       embs.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))).reduce(_ union _)
     bigDocs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     bigEmbs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events replicate with offset ids too (user population grows ×N,
+    // timestamps stay — the time-series ops see N× traffic density).
+    // Raw read keeps ts as the nano long (plain INT64 on write, which
+    // Tables.events reads identically).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    (0 until factor).map(i => ev
+      .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+      .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
     val targets = Seq("dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_clusters", "embed_neardup", "knn_bruteforce", "knn_ivf",
-      "text_fingerprint", "text_quality", "text_chunk", "pack_bins", "corpus_curate")
+      "text_fingerprint", "text_quality", "text_chunk", "pack_bins", "corpus_curate",
+      "events_asof", "events_range_join", "events_funnel", "events_sessionize",
+      "sketch_hll", "sketch_cms", "sample_stratified")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
