@@ -23,4 +23,29 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect()(0).getInt(0)
     assert(sig == 12)
   }
+
+  test("a full operator expressed in pure SQL matches its DataFrame twin") {
+    GraftSession.registerTables(spark, sfDir)
+    // glob_not in pure SQL over the manifest view: same compiled regex
+    // (same glob list as the operator), same aggregate — a SQL-first
+    // user gets identical results. The regex goes through a SQL string
+    // literal, so its backslashes double.
+    val re = ("^(?:" + graft.functions.Globs.compileAny(
+      Seq("**/*.parquet", "**/*.json", "**/*.csv")) + ")$").replace("\\", "\\\\")
+    val sqlSide = spark.sql(
+      s"""SELECT regexp_extract(key, 'event_type=([^/]+)', 1) AS event_type,
+         |  COUNT(*) AS n, CAST(SUM(size) AS BIGINT) AS total_size
+         |FROM manifest WHERE NOT key RLIKE '$re'
+         |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    val dfSide = graft.operators.PathMatching.globNot(spark, sfDir).collect()
+    assert(sqlSide.map(_.toString).toSeq == dfSide.map(_.toString).toSeq)
+
+    // similarity kernels compose in SQL too
+    val cos = spark.sql(
+      """SELECT graft_cosine(transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                    transform(b.embedding, x -> CAST(x AS DOUBLE))) AS c
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 0
+        |LIMIT 1""".stripMargin).collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9) // self-cosine
+  }
 }
