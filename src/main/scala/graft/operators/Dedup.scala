@@ -47,12 +47,19 @@ object Dedup {
   /** MinHash (k=12) + LSH (4 bands × 3 rows): candidates share a band
     * bucket; verified by signature agreement ≥ 0.5.
     */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(s, dir))
+
+  /** library entry point: near-dup pairs over ANY (doc_id, text)
+    * DataFrame — the oracle query above is this applied to the test
+    * corpus.
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
     // signatures: computed once, materialized (Materialize.stable) so
     // the self-join + verification joins reuse them instead of
     // re-evaluating the HOF tree per reference — at scale you persist
     // signatures before any LSH pipeline for exactly this reason
-    val sig = Materialize.stable(Tables.documents(s, dir)
+    val sig = Materialize.stable(docs
       .select(col("doc_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("mh")))
     val bands = sig
       .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mh"))

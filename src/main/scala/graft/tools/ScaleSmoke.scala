@@ -18,6 +18,12 @@ object ScaleSmoke {
     val factor = if (args.length > 1) args(1).toInt else 10
     val outDir = s"/tmp/graft_scale_x$factor"
     val spark = GraftSession.build("graft-scale-smoke")
+    // partitions scale with the data so per-partition memory stays flat
+    // (exactly what a real cluster does; AQE coalesces the excess).
+    // Without this, N× data over a FIXED partition count grows every
+    // shuffle partition N× until the join buffers OOM — the harness
+    // artifact a fixed-size local JVM would otherwise hit at ×30.
+    spark.conf.set("spark.sql.shuffle.partitions", (32 * math.max(1, factor / 3)).toString)
 
     val docs = Tables.documents(spark, srcDir)
     val embs = Tables.embeddings(spark, srcDir)

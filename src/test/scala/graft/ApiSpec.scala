@@ -234,6 +234,35 @@ class ApiSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(state)))
   }
 
+  test("CorpusOps: LLM-pipeline ops over an arbitrary user DataFrame") {
+    import spark.implicits._
+    val long1 = (1 to 80).map(i => s"tok$i the a").mkString(" ")
+    val docs = Seq(
+      (1L, long1), (2L, long1), // exact dups
+      (3L, "the a short one"),
+      (4L, (1 to 80).map(i => s"other$i of to").mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val groups = api.CorpusOps.exactDupGroups(docs).collect()
+    assert(groups.length == 1 &&
+      groups(0).getAs[Long]("rep_id") == 1L && groups(0).getAs[Long]("n_copies") == 2L)
+
+    val keep = api.CorpusOps.dedupKeepList(docs)
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep(1L) && !keep(2L) && keep(3L) && keep(4L))
+
+    val q = api.CorpusOps.qualityScore(docs)
+      .select("doc_id", "n_words", "score").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(q(1L)._1 == 240L && q(3L)._1 == 4L)
+    assert(q(1L)._2 > q(3L)._2) // long diverse doc outranks short one
+
+    val chunks = api.CorpusOps.chunk(docs.filter($"doc_id" === 1), words = 64, stride = 48)
+    assert(chunks.count() == 5) // 240 words / stride 48
+    assert(chunks.filter($"chunk_idx" === 0).select("chunk_text")
+      .collect()(0).getString(0).startsWith("tok1 the a"))
+  }
+
   test("S3Keys: isValidBucketName (reference :35)") {
     val cases = Seq(
       "my-bucket" -> true, "a.b.c" -> true, "abc" -> true,
