@@ -18,12 +18,16 @@ object ScaleSmoke {
     val factor = if (args.length > 1) args(1).toInt else 10
     val outDir = s"/tmp/graft_scale_x$factor"
     val spark = GraftSession.build("graft-scale-smoke")
-    // partitions scale with the data so per-partition memory stays flat
-    // (exactly what a real cluster does; AQE coalesces the excess).
-    // Without this, N× data over a FIXED partition count grows every
-    // shuffle partition N× until the join buffers OOM — the harness
-    // artifact a fixed-size local JVM would otherwise hit at ×30.
-    spark.conf.set("spark.sql.shuffle.partitions", (32 * math.max(1, factor / 3)).toString)
+    // partitions track DATA VOLUME (≈128 MB targets), not the raw
+    // factor: the corpus is ~300 MB/× so ×10 stays at 32 partitions
+    // and ×30 roughly doubles. (Measured: blindly multiplying
+    // partitions by the factor made the many-stage LSH pipelines 4×
+    // slower — tiny-task overhead — while the ×30 OOM risk is actually
+    // the verification join buffers in ONE shared local JVM; on a real
+    // cluster each executor brings its own heap. Run big factors with
+    // SPARK_DRIVER_MEM=32g.)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(32, 32 * factor / 15).toString)
 
     val docs = Tables.documents(spark, srcDir)
     val embs = Tables.embeddings(spark, srcDir)
