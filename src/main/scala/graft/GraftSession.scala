@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint home for iterative state (Materialize.iteration);
+    // on a real cluster this is an HDFS/S3 path
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     graft.expressions.GraftFunctions.register(spark)
     spark
   }

@@ -36,16 +36,19 @@ object CorpusOps {
   def nearDupPairs(docs: DataFrame): DataFrame =
     graft.operators.Dedup.minhashPairs(prepared(docs).select(col("doc_id"), col("text")))
 
-  /** connected-component cluster ids for the near-dup graph: keep one
-    * doc per cluster_id downstream.
+  /** keep-list by CONNECTED COMPONENT of the near-dup graph: transitive
+    * closure of the verified pairs (A~B, B~C ⇒ {A,B,C} is one cluster
+    * even when A~C is below threshold), keep exactly the representative
+    * (min doc_id) of each cluster; docs in no pair keep. Components via
+    * [[graft.operators.Dedup.connectedComponents]] (pointer-doubled
+    * min-label propagation, O(log diameter) rounds).
     */
   def dedupKeepList(docs: DataFrame): DataFrame = {
-    val pairs = nearDupPairs(docs).select("doc_a", "doc_b")
-    // non-representative side of each pair drops; docs in no pair keep
-    val drops = pairs.select(col("doc_b").as("doc_id")).distinct()
-    docs.join(drops.withColumn("drop", lit(true)), Seq("doc_id"), "left")
-      .withColumn("keep", coalesce(!col("drop"), lit(true)))
-      .drop("drop")
+    val labels = graft.operators.Dedup.connectedComponents(
+      nearDupPairs(docs).select("doc_a", "doc_b"))
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("keep", col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+      .drop("cluster_id")
   }
 
   /** quality features + composite score (same formula as text_quality /

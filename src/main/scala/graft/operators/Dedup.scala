@@ -202,36 +202,57 @@ object Dedup {
        |  FROM cand c JOIN shs sa ON c.doc_a = sa.doc_id JOIN shs sb ON c.doc_b = sb.doc_id) t
        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Transitive closure of the verified minhash pairs: pair lists alone
-    * under-dedup (A~B, B~C ⇒ {A,B,C} is ONE cluster even when A~C is
-    * below threshold), so production dedup keeps one doc per CONNECTED
-    * COMPONENT. Min-label propagation to fixpoint: each round every
-    * node takes the min label among itself and its neighbors — one
-    * equi-join + one partial-aggregated groupBy per round, O(component
-    * diameter) rounds (near-dup components are shallow: dup clusters
-    * are cliques-ish, diameters of 2-4). The driver loop only compares
-    * convergence COUNTS — labels never leave the executors.
+  /** Rounds cap for [[connectedComponents]]. With pointer doubling the
+    * reachable diameter doubles each round, so 25 rounds covers any
+    * component with diameter ≤ 2²⁵ — hitting the cap means the input
+    * graph is pathological, and the loop fails LOUDLY rather than
+    * returning unconverged labels.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhash(s, dir).select(col("doc_a"), col("doc_b"))
+  val ComponentMaxRounds = 25
+
+  /** Connected components of an undirected pair graph, as a library
+    * primitive over ANY (doc_a, doc_b) edge frame: returns one
+    * (doc_id, cluster_id) row per node that appears in some pair, with
+    * cluster_id = the component's min doc_id. Pair lists alone
+    * under-dedup (A~B, B~C ⇒ {A,B,C} is ONE cluster even when A~C is
+    * below threshold), so production dedup keeps one doc per component.
+    *
+    * Min-label propagation WITH pointer doubling: each round a node
+    * takes the min of its own label, its neighbors' labels, and its
+    * label's label (path shortcutting). The shortcut halves remaining
+    * component diameter per round ⇒ O(log d) rounds instead of O(d) —
+    * chain-shaped components that would starve plain propagation
+    * converge in a handful of joins. Per round: two equi-joins + one
+    * partial-aggregated groupBy; the driver sees only the label-SUM
+    * convergence scalar (labels are monotone non-increasing, so an
+    * unchanged sum is a strict fixpoint witness) — labels never leave
+    * the executors. Label state goes through [[Materialize.iteration]]
+    * (lineage-TRUNCATING checkpoint): the hop self-join would otherwise
+    * double the logical plan every round, and at 100 TB the label table
+    * is corpus-cardinality rows that must not pin executor memory.
+    */
+  def connectedComponents(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.toDF("doc_a", "doc_b")
     val edges = Materialize.stable(
       pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
-    // iteration state is label pairs only (two longs per clustered doc —
-    // orders of magnitude smaller than the corpus), so plain memory
-    // caching beats the disk-backed persist used for signature trees.
     // Init fuses round 1: label = min(self, min neighbor).
-    var labels = edges.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src").as("node"), least(col("mn"), col("src")).as("label")).cache()
-    // labels are monotonically non-increasing, so the label SUM is a
-    // strict convergence witness — one cheap aggregate per round instead
-    // of a join-and-compare against the previous labels
+    var labels = Materialize.iteration(edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("node"), least(col("mn"), col("src")).as("label")))
     var prevSum = labels.agg(sum("label")).head.getLong(0)
     var converged = false
     var iter = 0
-    while (!converged && iter < 25) {
+    while (!converged && iter < ComponentMaxRounds) {
       val prop = edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
-      val next = prop.union(labels).groupBy("node").agg(min("label").as("label")).cache()
+      // pointer doubling: node -> label(label(node)). Every label value
+      // is itself a node id in the same component, so the self-join is
+      // total where it matters and the hop is always a valid label.
+      val hop = labels.as("a")
+        .join(labels.select(col("node").as("l"), col("label").as("ll")).as("b"),
+          col("a.label") === col("b.l"))
+        .select(col("a.node").as("node"), col("b.ll").as("label"))
+      val next = Materialize.iteration(
+        prop.union(hop).union(labels).groupBy("node").agg(min("label").as("label")))
       val nextSum = next.agg(sum("label")).head.getLong(0)
       labels.unpersist()
       labels = next
@@ -239,9 +260,18 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
+    require(converged,
+      s"connectedComponents: no fixpoint after $ComponentMaxRounds rounds — " +
+        "component diameter exceeds 2^25 or the edge frame is non-deterministic")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
   }
+
+  /** Transitive closure of the verified minhash pairs over the test
+    * corpus — [[connectedComponents]] applied to [[dedupMinhash]].
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(dedupMinhash(s, dir).select(col("doc_a"), col("doc_b")))
+      .orderBy("doc_id")
 
   val dedupClustersSql: String =
     s"""WITH RECURSIVE mpairs AS (

@@ -25,4 +25,21 @@ object Materialize {
       case "localCheckpoint" => df.localCheckpoint()
       case _ => df.persist(StorageLevel.DISK_ONLY)
     }
+
+  /** Materialization for ITERATIVE state (label propagation, k-means
+    * rounds): unlike [[stable]], this must TRUNCATE lineage, because a
+    * loop whose next state self-joins the previous state doubles the
+    * logical plan per round — persist alone keeps the (exponentially
+    * growing) plan tree and overflows the optimizer's stack after ~10
+    * rounds.
+    *
+    * Reliable `checkpoint()` when a checkpoint dir is set (the
+    * 1000-executor-safe choice — state files land in shared storage and
+    * survive executor loss; set `sc.setCheckpointDir` to an HDFS/S3 path
+    * on a real cluster, as GraftSession does with a local tmp dir);
+    * `localCheckpoint()` otherwise.
+    */
+  def iteration(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 }

@@ -263,6 +263,28 @@ class ApiSpec extends SparkSpec {
       .collect()(0).getString(0).startsWith("tok1 the a"))
   }
 
+  test("CorpusOps.dedupKeepList: transitive chain keeps exactly one doc per component") {
+    import spark.implicits._
+    // C = X++Y++Z; A = X++Y; B = Y++Z. Shingle Jaccard(A,C) ≈ J(B,C) ≈
+    // 0.65 (pairs), J(A,B) ≈ 0.32 (no pair) — a chain through C. C has
+    // the MAX doc_id, so both pairs land as (end, 9): the old
+    // drop-doc_b heuristic would keep BOTH ends of one cluster.
+    val x = (1 to 30).map(i => s"xw$i").mkString(" ")
+    val y = (1 to 30).map(i => s"yw$i").mkString(" ")
+    val z = (1 to 30).map(i => s"zw$i").mkString(" ")
+    val docs = Seq(
+      (5L, s"$x $y"), (7L, s"$y $z"), (9L, s"$x $y $z"),
+      (11L, (1 to 60).map(i => s"solo$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = api.CorpusOps.nearDupPairs(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((5L, 9L), (7L, 9L)), s"expected the chain shape, got $pairs")
+    val keep = api.CorpusOps.dedupKeepList(docs)
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep == Map(5L -> true, 7L -> false, 9L -> false, 11L -> true),
+      s"one doc per component must survive, got $keep")
+  }
+
   test("S3Keys: isValidBucketName (reference :35)") {
     val cases = Seq(
       "my-bucket" -> true, "a.b.c" -> true, "abc" -> true,

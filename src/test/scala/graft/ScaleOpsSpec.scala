@@ -56,6 +56,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r4 > r1, s"probing 4 cells must beat 1 ($r4 vs $r1)")
   }
 
+  test("connectedComponents: diameter-20 chain converges (pointer doubling)") {
+    import spark.implicits._
+    // a path graph is the propagation worst case: plain min-label
+    // propagation needs diameter rounds; pointer doubling needs ~log2
+    val chain = (1L to 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = Seq((30L, 40L), (35L, 40L)).toDF("doc_a", "doc_b") // max-id center
+    val got = graft.operators.Dedup.connectedComponents(chain.union(star))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 21L).forall(got(_) == 1L), s"chain labels: $got")
+    assert(Seq(30L, 35L, 40L).forall(got(_) == 30L), s"star labels: $got")
+    assert(got.size == 24)
+  }
+
   test("saltedJoin: row-identical to plain join, shuffle keyed on (key, salt)") {
     import spark.implicits._
     // skewed fact: 90% of rows share event_type 'click'
