@@ -79,4 +79,69 @@ object CorpusOps {
       .withColumn("chunk_idx", expr(s"CAST((start - 1) div $stride AS BIGINT)"))
       .withColumn("chunk_text", expr("array_join(chunk_words, ' ')"))
       .drop("__words", "chunk_words")
+
+  /** Deterministic stratified sampler over ANY frame: keep a row iff
+    * `(hash(idCol) * knuth) mod 1e6 < ratesPpm(stratum)`. The decision
+    * is a pure function of the row — no RNG seed, no `sampleBy` state,
+    * so a retried partition at 100 TB selects exactly the same rows.
+    * Strata absent from `ratesPpm` fall back to `defaultPpm`.
+    */
+  def sampleStratified(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      ratesPpm: Map[String, Long],
+      defaultPpm: Long = 500000L): DataFrame = {
+    require(ratesPpm.values.forall(r => r >= 0 && r <= 1000000L) &&
+      defaultPpm >= 0 && defaultPpm <= 1000000L,
+      "rates are parts-per-million: 0..1000000")
+    val h = pmod(col(idCol).cast("long") * lit(graft.operators.Corpus.SampleMixConst),
+      lit(1000000L))
+    val rate = ratesPpm.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (s0, r)) => acc.when(col(strataCol) === s0, lit(r))
+    }.otherwise(lit(defaultPpm))
+    df.filter(h < rate)
+  }
+
+  /** Greedy token-budget packing over ANY frame: assign every doc a
+    * (shard, bin) so that concatenating a bin's docs in `idCol` order
+    * stays under `budgetTokens`. Sharded (`idCol div shardDocs`) so the
+    * running-sum window never funnels the corpus through one partition —
+    * shards pack independently, matching multi-writer output layout.
+    * Output = input + `n_tokens`, `shard`, `bin`.
+    */
+  def packBins(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      budgetTokens: Long = 8192L,
+      shardDocs: Long = 125L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens",
+        expr(s"CAST(size(filter(split($textCol, ' '), w -> w <> '')) AS BIGINT)"))
+      .withColumn("shard", expr(s"$idCol div $shardDocs"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(__cum - n_tokens) div $budgetTokens"))
+      .drop("__cum")
+  }
+
+  /** PII scrub over ANY frame: redact emails and IPv4s in `textCol`
+    * in place, reporting per-row match counts. Pure map-side regex
+    * column math — the shape of every production PII pass.
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.operators.TextAnalysis.{EmailRe, Ipv4Re}
+    def sqlRe(re: String) = re.replace("\\", "\\\\")
+    val (em, ip) = (sqlRe(EmailRe), sqlRe(Ipv4Re))
+    docs
+      .withColumn("n_emails",
+        expr(s"CAST(size(regexp_extract_all($textCol, '$em', 0)) AS BIGINT)"))
+      .withColumn("n_ips",
+        expr(s"CAST(size(regexp_extract_all($textCol, '$ip', 0)) AS BIGINT)"))
+      .withColumn(textCol,
+        expr(s"regexp_replace(regexp_replace($textCol, '$em', '<EMAIL>'), '$ip', '<IP>')"))
+  }
 }

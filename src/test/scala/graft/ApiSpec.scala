@@ -285,6 +285,70 @@ class ApiSpec extends SparkSpec {
       s"one doc per component must survive, got $keep")
   }
 
+  test("CorpusOps.sampleStratified: deterministic, rate-respecting, rerun-stable") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i =>
+      (i, if (i % 3 == 0) "rare" else "common", s"payload$i"))
+    val df = rows.toDF("id", "stratum", "payload")
+    val rates = Map("rare" -> 1000000L, "common" -> 100000L)
+    val sampled = api.CorpusOps.sampleStratified(df, "id", "stratum", rates)
+    val byStratum = sampled.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rare keeps everything (1e6 ppm); common keeps ~10%
+    assert(byStratum("rare") == rows.count(_._2 == "rare"))
+    val commonTotal = rows.count(_._2 == "common")
+    assert(byStratum("common") > commonTotal / 20 && byStratum("common") < commonTotal / 5,
+      s"~10% expected, got ${byStratum("common")}/$commonTotal")
+    // pure function of the row: a rerun selects the SAME ids
+    val ids1 = sampled.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = api.CorpusOps.sampleStratified(df, "id", "stratum", rates)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // unseen stratum falls back to defaultPpm=0 → dropped entirely
+    val none = api.CorpusOps.sampleStratified(
+      df.withColumn("stratum", lit("other")), "id", "stratum", rates, defaultPpm = 0L)
+    assert(none.count() == 0)
+    assertThrows[IllegalArgumentException] {
+      api.CorpusOps.sampleStratified(df, "id", "stratum", Map("x" -> 2000000L))
+    }
+  }
+
+  test("CorpusOps.packBins: bins respect the token budget within each shard") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i =>
+      (i, (1 to (i % 50 + 10).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = api.CorpusOps.packBins(docs, budgetTokens = 200L, shardDocs = 100L)
+    assert(packed.count() == 400) // assignment, not aggregation: every doc lands
+    val bins = packed.groupBy("shard", "bin")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n")).collect()
+    // greedy invariant: a bin only exceeds budget by less than its last doc,
+    // i.e. every bin's START offset is under budget → tok - last < 200
+    val perBin = packed.collect().groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin")))
+    perBin.foreach { case ((s0, b), rs) =>
+      val toks = rs.map(_.getAs[Long]("n_tokens"))
+      assert(toks.sum - toks.max < 200L, s"bin ($s0,$b) start offset past budget")
+    }
+    // shards are independent: shard = doc_id div 100
+    assert(packed.filter($"doc_id" === 101L).select("shard").head().getLong(0) == 1L)
+  }
+
+  test("CorpusOps.piiScrub: redacts in place and counts matches on a user frame") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at alice@example.com or 10.0.0.1 thanks"),
+      (2L, "no pii here at all"),
+      (3L, "bob@corp.io and carol@corp.io wrote from 192.168.1.100"))
+      .toDF("doc_id", "text")
+    val out = api.CorpusOps.piiScrub(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"))).toMap
+    assert(out(1L) == ("reach me at <EMAIL> or <IP> thanks", 1L, 1L))
+    assert(out(2L) == ("no pii here at all", 0L, 0L))
+    assert(out(3L)._2 == 2L && out(3L)._3 == 1L)
+    assert(!out.values.exists(v => v._1.contains("@") || v._1.matches(".*\\d+\\.\\d+\\.\\d+\\.\\d+.*")))
+  }
+
   test("S3Keys: isValidBucketName (reference :35)") {
     val cases = Seq(
       "my-bucket" -> true, "a.b.c" -> true, "abc" -> true,
