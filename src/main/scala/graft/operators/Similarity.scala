@@ -116,14 +116,53 @@ object Similarity {
     */
   def knnIvf(s: SparkSession, dir: String): DataFrame = knnIvfAt(Nprobe)(s, dir)
 
+  /** deterministic seed centroids (a corpus subset). */
+  private def seedCents(vecs: DataFrame): DataFrame =
+    vecs.filter(pmod(col("vec_id"), lit(CentroidMod)) === 7)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+
+  /** One Lloyd (k-means) refinement of the seed centroids: assign every
+    * vector to its nearest seed, replace each seed with the element-wise
+    * mean of its cell. The mean is computed on INTEGER milli-quantized
+    * components (`floor(x·1000)`), because integer sums are associative
+    * — the aggregation is order-independent, so Spark's partial
+    * aggregation and DuckDB's serial sum produce the identical centroid
+    * and the oracle stays bit-exact. (A double sum would differ in the
+    * last ulp depending on partition order.)
+    *
+    * Scale shape: assignment is the same broadcast + struct-argmin as
+    * the index build (one row per vector pre-shuffle); the component
+    * sum is a (cell, pos) partial aggregate — the shuffle carries
+    * cells×64 rows, not the corpus.
+    */
+  private def refineCents(vecs: DataFrame): DataFrame = {
+    val seeds = seedCents(vecs)
+    val assign0 = vecs.crossJoin(broadcast(seeds))
+      .withColumn("ccos", expr(sparkCosine("v", "cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((col("ccos") * -1).as("neg"), col("cent_id"))).as("best"),
+        first(col("v")).as("v"))
+      .select(col("best.cent_id").as("cell"), col("v"))
+    assign0
+      .select(col("cell"),
+        posexplode(expr("transform(v, x -> CAST(floor(x * 1000) AS BIGINT))"))
+          .as(Seq("pos", "q")))
+      .groupBy("cell", "pos")
+      .agg(sum("q").as("qs"), count(lit(1)).as("n"))
+      .withColumn("c",
+        expr("floor(CAST(qs AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(1000 AS DOUBLE)"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
+      .select(col("cell").as("cent_id"), col("cv"))
+  }
+
   /** knn_ivf with an explicit probe count — the recall/cost knob
     * (ScaleOpsSpec measures recall vs brute force at 1/2/4 probes).
     */
   def knnIvfAt(nprobe: Int)(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = withVec(s, dir)
-    val cents = vecs.filter(pmod(col("vec_id"), lit(CentroidMod)) === 7)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cents = Materialize.stable(refineCents(vecs))
     // nearest-centroid via struct-argmin aggregate, NOT a window: the
     // broadcast cross product is map-side, partial aggregation shrinks
     // it to one row per vector BEFORE the shuffle — a window would
@@ -169,8 +208,24 @@ object Similarity {
   val knnIvfSql: String =
     s"""WITH vecs AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-       |), cents AS (
+       |), seeds AS (
        |  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % $CentroidMod = 7
+       |), assign0 AS (
+       |  SELECT cell, v FROM (
+       |    SELECT vecs.vec_id, seeds.cent_id AS cell, vecs.v,
+       |      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |        ORDER BY ${duckCosine("vecs.v", "seeds.cv")} DESC, seeds.cent_id) AS crank
+       |    FROM vecs CROSS JOIN seeds) t
+       |  WHERE crank = 1
+       |), comp AS (
+       |  SELECT cell, p.pos AS pos,
+       |    SUM(CAST(floor(v[p.pos + 1] * 1000) AS BIGINT)) AS qs, COUNT(*) AS n
+       |  FROM assign0 CROSS JOIN (SELECT unnest(range(0, ${graft.functions.VectorFns.Dim})) AS pos) p
+       |  GROUP BY 1, 2
+       |), cents AS (
+       |  SELECT cell AS cent_id,
+       |    list(floor(CAST(qs AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(1000 AS DOUBLE) ORDER BY pos) AS cv
+       |  FROM comp GROUP BY 1
        |), assign AS (
        |  SELECT vec_id, cell, v FROM (
        |    SELECT vecs.vec_id, cents.cent_id AS cell, vecs.v,

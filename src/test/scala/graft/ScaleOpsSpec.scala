@@ -47,12 +47,15 @@ class ScaleOpsSpec extends SparkSpec {
       approx.intersect(exact).size.toDouble / exact.size
     }
     val (r1, r2, r4) = (recallAt(1), recallAt(2), recallAt(4))
+    info(f"recall@nprobe 1/2/4 = $r1%.3f / $r2%.3f / $r4%.3f")
     // the probe knob must monotonically buy recall — the property that
     // guards against a silently-broken probe expansion. Absolute recall
     // on these STRUCTURE-FREE synthetic embeddings is inherently modest
     // (coarse cells of a random cloud); the floor catches collapse only.
     assert(r1 <= r2 && r2 <= r4, s"recall not monotone: $r1, $r2, $r4")
-    assert(r2 >= 0.25, s"nprobe=2 recall $r2 collapsed")
+    // floor raised 0.25 -> 0.4 when the one-step Lloyd refinement landed
+    // (measured 0.567 at sf0.01; seeds-only centroids sat at the old floor)
+    assert(r2 >= 0.4, s"nprobe=2 recall $r2 collapsed")
     assert(r4 > r1, s"probing 4 cells must beat 1 ($r4 vs $r1)")
   }
 
