@@ -61,6 +61,27 @@ object VectorFns {
        |      s + element_at($v, j + 1) * ${planeCoef(s"t * $LshBits + p", "j")}) > 0
        |    THEN shiftleft(1L, p) ELSE 0L END))""".stripMargin.replaceAll("\\s+", " ")
 
+  // ---- random projection (Johnson–Lindenstrauss dim reduction) ----------
+  // Project Dim=64 → ProjDim=16 with coefficients from the same portable
+  // PRN family as the LSH planes but a DISJOINT index stream (offset by
+  // LshTables·LshBits = 64 plane slots), so the projection is
+  // uncorrelated with the LSH sketches. Strict left-to-right double
+  // fold on both engines ⇒ bit-equal projected components.
+
+  val ProjDim = 16
+
+  def sparkProject(v: String): String =
+    s"""transform(sequence(0, ${ProjDim - 1}), j ->
+       |  aggregate(sequence(0, ${Dim - 1}), CAST(0 AS DOUBLE), (s, i) ->
+       |    s + element_at($v, i + 1) * ${planeCoef(s"j + ${LshTables * LshBits}", "i")}))"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  def duckProject(v: String): String =
+    s"""list_transform(range(0, $ProjDim), j ->
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, $Dim), i ->
+       |    ($v)[i + 1]::DOUBLE * ${planeCoef(s"j + ${LshTables * LshBits}", "i")})), (s, x) -> s + x))"""
+      .stripMargin.replaceAll("\\s+", " ")
+
   def duckLshBuckets(v: String): String =
     s"""list_transform(range(0, $LshTables), t ->
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, $LshBits)), (acc, p) ->

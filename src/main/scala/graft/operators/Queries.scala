@@ -393,7 +393,59 @@ object Queries {
       |  (SELECT COUNT(*) FROM s3) AS n_purchase_after,
       |  (SELECT floor(CAST(SUM(t3 - t2) AS DOUBLE) / COUNT(*) * 1000000) / CAST(1000000 AS DOUBLE) FROM s3) AS avg_click_to_purchase_us""".stripMargin
 
+  /** Per-type value anomaly counts: z-score against the group's own
+    * mean/stddev, |z| > 2 flags. Parity discipline: the first and
+    * second moments are EXACT DECIMAL sums (associative — partition
+    * order can't change them), cast to DOUBLE only once at the end, so
+    * Spark's partial aggregation and DuckDB's serial sum agree
+    * bit-for-bit; a naive DOUBLE sum would drift in the last ulp and
+    * flip boundary rows.
+    *
+    * Scale shape: one partial-agg pass builds the per-type stats (rows
+    * shuffled = one per (partition, type)); the stats table (|types|
+    * rows) broadcasts back onto the scan for the flag pass — the
+    * corpus is read twice but never shuffled on data volume.
+    */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("s1"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("s2"))
+      .withColumn("mean", expr("s1 / CAST(n AS DOUBLE)"))
+      .withColumn("std", expr(
+        "sqrt(s2 / CAST(n AS DOUBLE) - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))"))
+      .select("event_type", "n", "mean", "std")
+    e.join(broadcast(stats), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        expr("floor(max(mean) * 1000000) / CAST(1000000 AS DOUBLE)").as("mean"),
+        expr("floor(max(std) * 1000000) / CAST(1000000 AS DOUBLE)").as("std"),
+        sum(expr("CASE WHEN abs(value - mean) > CAST(2 AS DOUBLE) * std THEN 1L ELSE 0L END"))
+          .as("n_anomalies"))
+      .orderBy("event_type")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH stats AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
+      |  FROM events GROUP BY 1
+      |), enriched AS (
+      |  SELECT e.event_type, e.value, st.n,
+      |    st.s1 / CAST(st.n AS DOUBLE) AS mean,
+      |    sqrt(st.s2 / CAST(st.n AS DOUBLE) - (st.s1 / CAST(st.n AS DOUBLE)) * (st.s1 / CAST(st.n AS DOUBLE))) AS std
+      |  FROM events e JOIN stats st USING (event_type)
+      |)
+      |SELECT event_type, MAX(n) AS n,
+      |  floor(MAX(mean) * 1000000) / CAST(1000000 AS DOUBLE) AS mean,
+      |  floor(MAX(std) * 1000000) / CAST(1000000 AS DOUBLE) AS std,
+      |  CAST(SUM(CASE WHEN abs(value - mean) > CAST(2 AS DOUBLE) * std THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM enriched GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly" -> (eventsAnomaly _),
     "events_asof" -> (eventsAsof _),
     "events_range_join" -> (eventsRangeJoin _),
     "events_funnel" -> (eventsFunnel _),
@@ -410,6 +462,7 @@ object Queries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_anomaly" -> eventsAnomalySql,
     "q1_agg" -> q1AggSql,
     "q3_join" -> q3JoinSql,
     "q5_region" -> q5RegionSql,

@@ -301,15 +301,52 @@ object Similarity {
        |      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings) t0) t1) t2
        |ORDER BY vec_id""".stripMargin
 
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims — the cheap
+    * dimensionality reduction in front of clustering / coarse ANN.
+    * Coefficients come from the portable PRN family (disjoint index
+    * stream from the LSH planes), so both engines generate the SAME
+    * projection matrix from arithmetic alone — nothing is shipped.
+    * Output pins the milli-quantized projected components (rolling
+    * integer fingerprint) and the norm ratio — JL says it concentrates
+    * around sqrt(16/64) = 0.5 · sqrt(Dim/ProjDim) scaling aside.
+    * Pure map-side HOF column math; zero shuffles beyond the sort.
+    */
+  def embedProject(s: SparkSession, dir: String): DataFrame = {
+    val q6 = (e: String) => s"floor(($e) * 1000000) / CAST(1000000 AS DOUBLE)"
+    val P = graft.functions.PortableHash.P
+    withVec(s, dir)
+      .withColumn("p", expr(sparkProject("v")))
+      .select(col("vec_id"),
+        expr(s"aggregate(transform(p, x -> CAST(floor(x * 1000) AS BIGINT)), 0L, " +
+          s"(acc, q) -> (((acc * 1000003 + q) % $P) + $P) % $P)").as("proj_fp"),
+        expr(q6(s"${sparkNorm("p")} / ${sparkNorm("v")}")).as("norm_ratio"))
+      .orderBy("vec_id")
+  }
+
+  val embedProjectSql: String = {
+    val P = graft.functions.PortableHash.P
+    s"""SELECT vec_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(p, x -> CAST(floor(x * 1000) AS BIGINT))),
+       |    (acc, q) -> (((acc * 1000003 + q) % $P) + $P) % $P) AS proj_fp,
+       |  floor((${duckNorm("p")} / ${duckNorm("v")}) * 1000000) / CAST(1000000 AS DOUBLE) AS norm_ratio
+       |FROM (
+       |  SELECT vec_id, v, ${duckProject("v")} AS p
+       |  FROM (
+       |    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings) t0) t1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_neardup" -> (embedNeardup _),
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_ivf" -> (knnIvf _),
-    "embed_quantize" -> (embedQuantize _))
+    "embed_quantize" -> (embedQuantize _),
+    "embed_project" -> (embedProject _))
 
   val oracles: Map[String, String] = Map(
     "embed_neardup" -> embedNeardupSql,
     "knn_bruteforce" -> knnBruteforceSql,
     "knn_ivf" -> knnIvfSql,
-    "embed_quantize" -> embedQuantizeSql)
+    "embed_quantize" -> embedQuantizeSql,
+    "embed_project" -> embedProjectSql)
 }

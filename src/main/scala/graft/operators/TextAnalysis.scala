@@ -187,17 +187,75 @@ object TextAnalysis {
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
 
+  val TfidfTopK = 3
+
+  /** Per-document top-[[TfidfTopK]] terms by a tf·(N/df) salience score
+    * — tf-idf with a RATIONAL idf (N/df instead of log(N/df)): the
+    * ranking is identical (x ↦ log x is monotone) and the score is
+    * three exact IEEE ops (int→double casts, one multiply, one divide)
+    * that both engines reproduce bit-for-bit, where a libm `ln` could
+    * differ in the last ulp and flip the q6 floor.
+    *
+    * Scale shape: explode → (doc, term) partial-agg count → term-level
+    * df partial-agg (vocabulary-sized, shuffles terms not the corpus)
+    * → df join back (AQE broadcasts a small vocabulary, degrades to a
+    * shuffle equi-join on term at 100 TB) → per-doc top-k through a
+    * WindowGroupLimit partial (per-partition top-k ships before the
+    * shuffle).
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        expr("CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank"), col("term"),
+        expr("floor(score * 1000000) / CAST(1000000 AS DOUBLE)").as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+       |    FROM documents) t
+       |  GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+       |), n AS (
+       |  SELECT COUNT(*) AS n_docs FROM documents
+       |)
+       |SELECT doc_id, rank, term, floor(score * 1000000) / CAST(1000000 AS DOUBLE) AS score
+       |FROM (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC, tf.term) AS rank
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n) t
+       |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_pii_scrub" -> (textPiiScrub _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "tfidf_topterms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_pii_scrub" -> textPiiScrubSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "tfidf_topterms" -> tfidfTopTermsSql)
 }

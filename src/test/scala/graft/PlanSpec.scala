@@ -65,10 +65,11 @@ class PlanSpec extends SparkSpec {
 
   test("sweep: no accidental cartesian/nested-loop join in ANY query") {
     // brute-force scoring legitimately broadcasts the query/centroid set
-    // across the corpus (an intentional broadcast cross product), and
-    // events_funnel combines three ONE-ROW aggregates (a 1×1 broadcast,
-    // not a data-sized cartesian)
-    val intendedCross = Set("knn_bruteforce", "knn_ivf", "events_funnel")
+    // across the corpus (an intentional broadcast cross product);
+    // events_funnel combines three ONE-ROW aggregates and
+    // tfidf_topterms attaches the ONE-ROW corpus count N (1×n
+    // broadcasts, not data-sized cartesians)
+    val intendedCross = Set("knn_bruteforce", "knn_ivf", "events_funnel", "tfidf_topterms")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

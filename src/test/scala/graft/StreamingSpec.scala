@@ -236,6 +236,53 @@ class StreamingSpec extends SparkSpec {
     assert(out.sorted == batch.sorted, "stream admissions == batch first-per-fingerprint")
   }
 
+  test("streamMatchingObjects onProgress twin: StreamingQueryListener batch stats") {
+    // The reference's onProgress({processed, total, matched}) callback
+    // (src/index.ts:1390) maps to Spark's StreamingQueryListener:
+    // numInputRows per micro-batch is `processed`, the filtered sink
+    // count is `matched`. This is the documented 1:1 in API_MAP.md —
+    // here it runs: a file-source stream with a glob filter, two
+    // arrival waves, and the listener's per-batch stats observed.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    import spark.implicits._
+    val progressed = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        if (e.progress.numInputRows > 0) batches.incrementAndGet()
+        progressed.addAndGet(e.progress.numInputRows)
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val root = java.nio.file.Files.createTempDirectory("graft-progress").toString
+    try {
+      val pm = new graft.api.PathMatcher
+      Seq("data/a.json", "logs/x.log").toDF("key")
+        .write.mode("append").parquet(root)
+      val q = graft.sources.FileManifest.stream(spark, root,
+          org.apache.spark.sql.types.StructType.fromDDL("key STRING"))
+        .filter(pm.isMatch(col("key"), "data/**"))
+        .writeStream.format("memory").queryName("progress_t").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Seq("data/b.json", "data/c.json", "logs/y.log").toDF("key")
+          .write.mode("append").parquet(root)
+        q.processAllAvailable()
+        // matched: the glob kept exactly the data/ keys
+        assert(spark.table("progress_t").count() == 3)
+        // processed: listener saw every arriving row, across >= 2 batches
+        // (listener bus is async — poll briefly)
+        val deadline = System.nanoTime() + 10e9.toLong
+        while (progressed.get() < 5 && System.nanoTime() < deadline) Thread.sleep(50)
+        assert(progressed.get() == 5, s"listener processed ${progressed.get()} of 5")
+        assert(batches.get() >= 2, "two arrival waves -> two non-empty batches")
+      } finally q.stop()
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("stream_change_feed: added → modified → silence for unchanged") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
