@@ -154,11 +154,155 @@ object Sketches {
        |GROUP BY p.user_id, p.n_exact
        |ORDER BY p.n_exact DESC, p.user_id""".stripMargin
 
+  // ---- Bloom filter -----------------------------------------------------
+
+  val BloomBits = 256 // 8 × 32-bit words: shifts stay ≤ 31, because
+  // DuckDB's signed << range-checks and rejects 1<<63 while Spark's
+  // shiftleft wraps — 32-bit words keep the two engines in the lane
+  // where both agree
+  val BloomWordBits = 32
+  val BloomWords: Int = BloomBits / BloomWordBits // 8
+  val BloomProbeMax = 20L // membership probes: user_id 1..20
+
+  private def bloomHash(u: String, a: Long, b: Long): String =
+    s"(((($u % $P) * $a + $b) % $P) % $BloomBits)"
+  private val BloomA1 = 604297L
+  private val BloomB1 = 12289L
+  private val BloomA2 = 1103515245L
+  private val BloomB2 = 12345L
+
+  /** Per-type Bloom membership sketch over user_id: k=2 portable integer
+    * hashes set bits in a 256-bit filter held as eight BIGINT words
+    * merged with `bit_or` — partial aggregation ORs words map-side, the
+    * shuffle carries 8 longs per (partition, type). The probe pass
+    * tests users 1..[[BloomProbeMax]] with an HOF fold over the merged
+    * words (no join); the oracle pins the exact words, the popcount,
+    * and the no-false-negative property (probe hits ⊇ true members).
+    */
+  def sketchBloom(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    def word(w: Int): String = {
+      def part(h: String) =
+        s"CASE WHEN $h div $BloomWordBits = $w THEN shiftleft(CAST(1 AS BIGINT), CAST($h % $BloomWordBits AS INT)) ELSE CAST(0 AS BIGINT) END"
+      s"${part(bloomHash("user_id", BloomA1, BloomB1))} | ${part(bloomHash("user_id", BloomA2, BloomB2))}"
+    }
+    val wordsArr = (0 until BloomWords).map(w => s"bits$w").mkString("array(", ", ", ")")
+    val probe = {
+      def hit(h: String) =
+        s"(element_at($wordsArr, CAST($h div $BloomWordBits AS INT) + 1) & shiftleft(CAST(1 AS BIGINT), CAST($h % $BloomWordBits AS INT))) != 0"
+      // sequence() yields INTs — the hash multiply needs 64-bit room
+      s"""aggregate(sequence(1, $BloomProbeMax), CAST(0 AS BIGINT), (acc, u) ->
+         |  acc + CASE WHEN ${hit(bloomHash("CAST(u AS BIGINT)", BloomA1, BloomB1))}
+         |    AND ${hit(bloomHash("CAST(u AS BIGINT)", BloomA2, BloomB2))} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    }
+    val wordAggs = (0 until BloomWords).map(w => expr(s"bit_or(${word(w)})").as(s"bits$w"))
+    val popcount = (0 until BloomWords).map(w => s"CAST(bit_count(bits$w) AS BIGINT)").mkString(" + ")
+    e.groupBy("event_type")
+      .agg(wordAggs.head, wordAggs.tail :+
+        countDistinct(when(col("user_id").between(1L, BloomProbeMax), col("user_id")))
+          .as("n_probe_present"): _*)
+      .withColumn("set_bits", expr(popcount))
+      .withColumn("n_probe_hits", expr(probe))
+      .select(col("event_type") +: (0 until BloomWords).map(w => col(s"bits$w")) :+
+        col("set_bits") :+ col("n_probe_present") :+ col("n_probe_hits"): _*)
+      .orderBy("event_type")
+  }
+
+  val sketchBloomSql: String = {
+    def word(w: Int): String = {
+      def part(h: String) =
+        s"CASE WHEN $h // $BloomWordBits = $w THEN (CAST(1 AS BIGINT) << CAST($h % $BloomWordBits AS INT)) ELSE CAST(0 AS BIGINT) END"
+      s"${part(bloomHash("user_id", BloomA1, BloomB1))} | ${part(bloomHash("user_id", BloomA2, BloomB2))}"
+    }
+    val wordsArr = (0 until BloomWords).map(w => s"bits$w").mkString("[", ", ", "]")
+    val probe = {
+      def hit(h: String) =
+        s"(($wordsArr[CAST($h // $BloomWordBits AS INT) + 1] & (CAST(1 AS BIGINT) << CAST($h % $BloomWordBits AS INT))) != 0)"
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, ${BloomProbeMax + 1})), (acc, u) ->
+         |  acc + CASE WHEN ${hit(bloomHash("u", BloomA1, BloomB1))}
+         |    AND ${hit(bloomHash("u", BloomA2, BloomB2))} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    }
+    val wordCols = (0 until BloomWords).map(w => s"bit_or(${word(w)}) AS bits$w").mkString(",\n       |    ")
+    val bitsList = (0 until BloomWords).map(w => s"bits$w").mkString(", ")
+    val popcount = (0 until BloomWords).map(w => s"CAST(bit_count(bits$w) AS BIGINT)").mkString(" + ")
+    s"""WITH merged AS (
+       |  SELECT event_type,
+       |    $wordCols,
+       |    COUNT(DISTINCT CASE WHEN user_id BETWEEN 1 AND $BloomProbeMax THEN user_id END) AS n_probe_present
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT event_type, $bitsList,
+       |  $popcount AS set_bits,
+       |  n_probe_present,
+       |  $probe AS n_probe_hits
+       |FROM merged ORDER BY event_type""".stripMargin
+  }
+
+  // ---- histogram quantiles ----------------------------------------------
+
+  val QuantBinInv = 10L // bin width 1/10
+
+  /** Per-type histogram quantile sketch of `value`: 0.1-wide integer
+    * bins, cumulative counts, quantile estimate = lower edge of the
+    * first bin whose cumulative count crosses q·total — ALL integer
+    * comparisons (cum·100 ≥ total·q), no interpolation, no libm.
+    *
+    * Scale shape: one partial aggregate to (type, bin) — the shuffle
+    * carries bin counts, not rows — then a window over the few hundred
+    * bins per type. The sketch is mergeable by construction (bin counts
+    * add), which is what a 1000-executor percentile job needs.
+    */
+  def sketchQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr(s"CAST(floor(value * $QuantBinInv) AS BIGINT)").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("event_type")
+    def est(q: Int) =
+      s"CAST(MIN(CASE WHEN cum * 100 >= total * $q THEN bin END) AS DOUBLE) / CAST($QuantBinInv AS DOUBLE)"
+    binned
+      .withColumn("cum", sum("c").over(wc))
+      .withColumn("total", sum("c").over(wt))
+      .groupBy("event_type")
+      .agg(max(col("total")).as("n"),
+        expr(est(50)).as("p50_est"),
+        expr(est(95)).as("p95_est"),
+        expr(est(99)).as("p99_est"))
+      .orderBy("event_type")
+  }
+
+  val sketchQuantileSql: String = {
+    def est(q: Int) =
+      s"CAST(MIN(CASE WHEN cum * 100 >= total * $q THEN bin END) AS DOUBLE) / CAST($QuantBinInv AS DOUBLE)"
+    s"""WITH binned AS (
+       |  SELECT event_type, CAST(floor(value * $QuantBinInv) AS BIGINT) AS bin, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT event_type, bin,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+       |  FROM binned
+       |)
+       |SELECT event_type, MAX(total) AS n,
+       |  ${est(50)} AS p50_est, ${est(95)} AS p95_est, ${est(99)} AS p99_est
+       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> (sketchHll _),
-    "sketch_cms" -> (sketchCms _))
+    "sketch_cms" -> (sketchCms _),
+    "sketch_bloom" -> (sketchBloom _),
+    "sketch_quantile" -> (sketchQuantile _))
 
   val oracles: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
-    "sketch_cms" -> sketchCmsSql)
+    "sketch_cms" -> sketchCmsSql,
+    "sketch_bloom" -> sketchBloomSql,
+    "sketch_quantile" -> sketchQuantileSql)
 }
