@@ -239,15 +239,79 @@ object Corpus {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- domain-mixture planning ------------------------------------------
+
+  /** target mixture shares in ppm; sources absent here are excluded. */
+  val MixTargetsPpm: Seq[(String, Long)] = Seq(
+    "src0" -> 300000L, "src1" -> 300000L, "src2" -> 250000L, "src3" -> 150000L)
+
+  /** Domain-mixture planner — the "how much of each source goes into
+    * the training mix" pass: given per-source target shares, find the
+    * largest corpus M every share can be served from availability
+    * (M = min over sources of n_avail·1e6/target), then per-source
+    * take counts and realized shares. All integer arithmetic until the
+    * final q6 ratios.
+    *
+    * Scale shape: one partial-agg count per source, then window math
+    * over the SOURCE-CARDINALITY frame (dozens of rows) — the corpus
+    * itself is never reshuffled; the plan output feeds the
+    * deterministic hash sampler ([[graft.api.CorpusOps.sampleStratified]])
+    * which executes the mix map-side.
+    */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = MixTargetsPpm.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (src, ppm)) => acc.when(col("source") === src, lit(ppm))
+    }.otherwise(lit(0L))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_avail"))
+      .withColumn("target_ppm", target)
+      .filter(col("target_ppm") > 0)
+      .withColumn("cap", expr("n_avail * 1000000 div target_ppm"))
+      .withColumn("m", min("cap").over(all))
+      .withColumn("n_take", expr("m * target_ppm div 1000000"))
+      .withColumn("total_take", sum("n_take").over(all))
+      .withColumn("realized_ppm", expr(
+        "floor(CAST(n_take AS DOUBLE) / CAST(total_take AS DOUBLE) * 1000000 * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .select("source", "target_ppm", "n_avail", "n_take", "realized_ppm")
+      .orderBy("source")
+  }
+
+  val corpusMixSql: String = {
+    val cases = MixTargetsPpm
+      .map { case (src, ppm) => s"WHEN source = '$src' THEN $ppm" }
+      .mkString(" ")
+    s"""WITH avail AS (
+       |  SELECT source, COUNT(*) AS n_avail,
+       |    CAST(CASE $cases ELSE 0 END AS BIGINT) AS target_ppm
+       |  FROM documents GROUP BY 1
+       |), capped AS (
+       |  SELECT source, n_avail, target_ppm,
+       |    MIN(n_avail * 1000000 // target_ppm) OVER () AS m
+       |  FROM avail WHERE target_ppm > 0
+       |), taken AS (
+       |  SELECT source, n_avail, target_ppm,
+       |    CAST(m * target_ppm // 1000000 AS BIGINT) AS n_take,
+       |    CAST(SUM(m * target_ppm // 1000000) OVER () AS BIGINT) AS total_take
+       |  FROM capped
+       |)
+       |SELECT source, target_ppm, n_avail, n_take,
+       |  floor(CAST(n_take AS DOUBLE) / CAST(total_take AS DOUBLE) * 1000000 * 1000000) / CAST(1000000 AS DOUBLE) AS realized_ppm
+       |FROM taken ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "text_chunk" -> (textChunk _),
     "pack_bins" -> (packBins _),
-    "corpus_curate" -> (corpusCurate _))
+    "corpus_curate" -> (corpusCurate _),
+    "corpus_mix" -> (corpusMix _))
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> sampleStratifiedSql,
     "text_chunk" -> textChunkSql,
     "pack_bins" -> packBinsSql,
-    "corpus_curate" -> corpusCurateSql)
+    "corpus_curate" -> corpusCurateSql,
+    "corpus_mix" -> corpusMixSql)
 }

@@ -444,8 +444,50 @@ object Queries {
       |  CAST(SUM(CASE WHEN abs(value - mean) > CAST(2 AS DOUBLE) * std THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
       |FROM enriched GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Cohort retention: users grouped by their FIRST active day, with
+    * day-1 and day-7 return rates. The distinct (user, day) grid and
+    * the min-day cohort are both partial-aggregated; the cohort join is
+    * an equi-join on user_id (co-partitioned with the grid's own
+    * shuffle — AQE broadcasts the cohort at small SF, degrades to a
+    * shuffled hash join at 100 TB). All integer day arithmetic; the
+    * only doubles are the final q6 rate ratios.
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day")).distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohort, Seq("user_id"))
+      .groupBy("cohort_day")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("day") === col("cohort_day") + 1, col("user_id")))
+          .as("d1_retained"),
+        countDistinct(when(col("day") === col("cohort_day") + 7, col("user_id")))
+          .as("d7_retained"))
+      .withColumn("d1_rate", expr(
+        "floor(CAST(d1_retained AS DOUBLE) / CAST(n_users AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .withColumn("d7_rate", expr(
+        "floor(CAST(d7_retained AS DOUBLE) / CAST(n_users AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .orderBy("cohort_day")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH days_ AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), cohort AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM days_ GROUP BY 1
+      |)
+      |SELECT cohort_day,
+      |  COUNT(DISTINCT d.user_id) AS n_users,
+      |  COUNT(DISTINCT CASE WHEN d.day = c.cohort_day + 1 THEN d.user_id END) AS d1_retained,
+      |  COUNT(DISTINCT CASE WHEN d.day = c.cohort_day + 7 THEN d.user_id END) AS d7_retained,
+      |  floor(CAST(COUNT(DISTINCT CASE WHEN d.day = c.cohort_day + 1 THEN d.user_id END) AS DOUBLE) / CAST(COUNT(DISTINCT d.user_id) AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS d1_rate,
+      |  floor(CAST(COUNT(DISTINCT CASE WHEN d.day = c.cohort_day + 7 THEN d.user_id END) AS DOUBLE) / CAST(COUNT(DISTINCT d.user_id) AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS d7_rate
+      |FROM days_ d JOIN cohort c USING (user_id)
+      |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> (eventsAnomaly _),
+    "events_retention" -> (eventsRetention _),
     "events_asof" -> (eventsAsof _),
     "events_range_join" -> (eventsRangeJoin _),
     "events_funnel" -> (eventsFunnel _),
@@ -463,6 +505,7 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "events_anomaly" -> eventsAnomalySql,
+    "events_retention" -> eventsRetentionSql,
     "q1_agg" -> q1AggSql,
     "q3_join" -> q3JoinSql,
     "q5_region" -> q5RegionSql,
