@@ -128,6 +128,30 @@ object CorpusOps {
       .drop("__cum")
   }
 
+  /** Domain-mixture plan over ANY frame: given per-source target shares
+    * (ppm), the largest corpus M every share can be served from
+    * availability (M = min over sources of n_avail·1e6/target) and the
+    * per-source take counts. Integer arithmetic; window math runs over
+    * the source-cardinality frame only — the corpus is never
+    * reshuffled. Execute the plan with [[sampleStratified]] using
+    * rate = n_take·1e6/n_avail per source.
+    */
+  def mixPlan(df: DataFrame, sourceCol: String, targetsPpm: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetsPpm.nonEmpty && targetsPpm.values.forall(p => p > 0 && p <= 1000000L),
+      "target shares are parts-per-million: 1..1000000")
+    val target = targetsPpm.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (src, ppm)) => acc.when(col(sourceCol) === src, lit(ppm))
+    }.otherwise(lit(0L))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(sourceCol).agg(count(lit(1)).as("n_avail"))
+      .withColumn("target_ppm", target)
+      .filter(col("target_ppm") > 0)
+      .withColumn("m", min(expr("n_avail * 1000000 div target_ppm")).over(all))
+      .withColumn("n_take", expr("m * target_ppm div 1000000"))
+      .select(col(sourceCol), col("target_ppm"), col("n_avail"), col("n_take"))
+  }
+
   /** PII scrub over ANY frame: redact emails and IPv4s in `textCol`
     * in place, reporting per-row match counts. Pure map-side regex
     * column math — the shape of every production PII pass.

@@ -333,6 +333,28 @@ class ApiSpec extends SparkSpec {
     assert(packed.filter($"doc_id" === 101L).select("shard").head().getLong(0) == 1L)
   }
 
+  test("CorpusOps.mixPlan: largest corpus every target share can be served from") {
+    import spark.implicits._
+    // availability: a=100, b=50, c=30, d=999 (untargeted)
+    val rows = (1 to 100).map(i => (i.toLong, "a")) ++
+      (1 to 50).map(i => (1000L + i, "b")) ++
+      (1 to 30).map(i => (2000L + i, "c")) ++
+      (1 to 999).map(i => (3000L + i, "d"))
+    val df = rows.toDF("id", "src")
+    val plan = api.CorpusOps.mixPlan(df, "src",
+      Map("a" -> 500000L, "b" -> 300000L, "c" -> 200000L))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_avail"), r.getAs[Long]("n_take"))).toMap
+    // binding source is c: M = min(100/.5, 50/.3, 30/.2) = min(200, 166, 150) = 150
+    assert(plan == Map("a" -> (100L, 75L), "b" -> (50L, 45L), "c" -> (30L, 30L)),
+      s"got $plan")
+    // untargeted source excluded entirely
+    assert(!plan.contains("d"))
+    assertThrows[IllegalArgumentException] {
+      api.CorpusOps.mixPlan(df, "src", Map("a" -> 0L))
+    }
+  }
+
   test("CorpusOps.piiScrub: redacts in place and counts matches on a user frame") {
     import spark.implicits._
     val df = Seq(
