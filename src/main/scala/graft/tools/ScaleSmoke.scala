@@ -53,7 +53,9 @@ object ScaleSmoke {
       "dedup_clusters", "embed_neardup", "knn_bruteforce", "knn_ivf",
       "text_fingerprint", "text_quality", "text_chunk", "pack_bins", "corpus_curate",
       "events_asof", "events_range_join", "events_funnel", "events_sessionize",
-      "sketch_hll", "sketch_cms", "sample_stratified")
+      "sketch_hll", "sketch_cms", "sample_stratified",
+      "tfidf_topterms", "events_retention", "events_anomaly",
+      "sketch_bloom", "sketch_quantile", "embed_project", "corpus_mix")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
