@@ -85,6 +85,18 @@ case class LshBuckets(child: Expression) extends KernelExpression {
   override protected def withNewChildInternal(c: Expression): LshBuckets = copy(child = c)
 }
 
+/** `graft_project(array<double>)` → array<double>[16]: JL random
+  * projection with the portable-PRN coefficient stream.
+  */
+case class ProjectVec(child: Expression) extends KernelExpression {
+  override def expectedInput: DataType = ArrayType(DoubleType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def kernel: String = "graft.functions.HashKernels.project"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.project(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): ProjectVec = copy(child = c)
+}
+
 /** `graft_cosine(array<double>, array<double>)` → double. */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -136,6 +148,7 @@ object GraftFunctions {
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
     "graft_simhash_bands" -> (es => SimhashBands(es.head)),
     "graft_lsh_buckets" -> (es => LshBuckets(es.head)),
+    "graft_project" -> (es => ProjectVec(es.head)),
     "graft_cosine" -> (es => CosineSim(es(0), es(1))),
     "graft_jaccard" -> (es => JaccardSim(es(0), es(1))))
 

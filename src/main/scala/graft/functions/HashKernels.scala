@@ -196,4 +196,29 @@ object HashKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** JL random projection Dim→ProjDim — the compiled twin of
+    * [[VectorFns.sparkProjectHof]]: same coefficient stream (offset
+    * past the LSH plane indices), same strict left-to-right double
+    * fold, so results are bit-identical to the HOF spec and the DuckDB
+    * oracle.
+    */
+  def project(vec: ArrayData): ArrayData = {
+    val dim = vec.numElements()
+    val out = new Array[Double](VectorFns.ProjDim)
+    var j0 = 0
+    while (j0 < VectorFns.ProjDim) {
+      val idx = (j0 + VectorFns.LshTables * VectorFns.LshBits).toLong
+      var s = 0.0
+      var i = 0
+      while (i < dim && i < VectorFns.Dim) {
+        val c = ((idx * 64L + i) * 2654435761L % P % 2001L - 1000L).toDouble / 1000.0
+        s += vec.getDouble(i) * c
+        i += 1
+      }
+      out(j0) = s
+      j0 += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -70,7 +70,10 @@ object VectorFns {
 
   val ProjDim = 16
 
-  def sparkProject(v: String): String =
+  def sparkProject(v: String): String = s"graft_project($v)"
+
+  /** the HOF twin of graft_project (kept for the equivalence spec). */
+  def sparkProjectHof(v: String): String =
     s"""transform(sequence(0, ${ProjDim - 1}), j ->
        |  aggregate(sequence(0, ${Dim - 1}), CAST(0 AS DOUBLE), (s, i) ->
        |    s + element_at($v, i + 1) * ${planeCoef(s"j + ${LshTables * LshBits}", "i")}))"""

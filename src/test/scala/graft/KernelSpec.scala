@@ -46,6 +46,14 @@ class KernelSpec extends SparkSpec {
     assertSame("a", "b", d)
   }
 
+  test("graft_project == HOF JL projection (bit-identical IEEE)") {
+    val d = Tables.embeddings(spark, sfDir)
+      .withColumn("v", expr(VectorFns.sparkToDouble("embedding")))
+      .withColumn("a", expr(VectorFns.sparkProject("v")))
+      .withColumn("b", expr(VectorFns.sparkProjectHof("v")))
+    assertSame("a", "b", d)
+  }
+
   test("graft_shingle_hashes == HOF shingle hashes (as sets)") {
     val d = Tables.documents(spark, sfDir)
       .withColumn("a", expr(s"array_sort(${PortableHash.sparkShingleHashes("text")})"))
