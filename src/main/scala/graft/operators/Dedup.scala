@@ -288,17 +288,83 @@ object Dedup {
        |SELECT node AS doc_id, MIN(label) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---- benchmark decontamination ----------------------------------------
+
+  val ContamEvalMod = 10L // doc_id % 10 == 7 is the "benchmark" set
+  val ContamMinShared = 5L // flag at >= 5 shared distinct shingles
+
+  /** Train/eval contamination check — the decontamination pass every
+    * LLM data pipeline runs before training: flag training docs that
+    * share ≥ [[ContamMinShared]] distinct 3-gram shingles with any
+    * benchmark doc (here a deterministic doc_id-mod subset stands in
+    * for the benchmark suite).
+    *
+    * Scale shape: the eval side is benchmark-suite-sized (KBs against
+    * a 100 TB corpus), so its shingle index effectively broadcasts;
+    * the train side streams through the equi-join on the shingle hash
+    * map-side. Stop-shingles (common trigrams) are dropped by the same
+    * corpus-relative df ceiling as dedup_ngram BEFORE the join, so one
+    * "the end." in an eval doc can't pull in the whole corpus. Shared
+    * counts are a per-(train, eval) partial aggregate.
+    */
+  def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val shs = Materialize.stable(Tables.documents(s, dir)
+      .select(col("doc_id"), expr(sparkShingleHashes("text")).as("sh"))
+      .withColumn("n_sh", expr("CAST(size(sh) AS BIGINT)")))
+    val maxDf = math.max(NgramMaxDf.toLong, shs.count() / NgramDfFraction)
+    val isEval = pmod(col("doc_id"), lit(ContamEvalMod)) === 7
+    val trainEx = shs.filter(!isEval)
+      .select(col("doc_id").as("train_doc"), col("n_sh"), explode(col("sh")).as("h"))
+    val informative = trainEx.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val evalEx = shs.filter(isEval)
+      .select(col("doc_id").as("eval_doc"), explode(col("sh")).as("h"))
+      .join(informative, Seq("h"))
+    trainEx.join(evalEx, Seq("h"))
+      .groupBy("train_doc", "eval_doc", "n_sh")
+      .agg(count(lit(1)).as("n_shared")) // shingle sets are distinct per doc
+      .filter(col("n_shared") >= ContamMinShared)
+      .withColumn("overlap", expr(
+        "floor(CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .select("train_doc", "eval_doc", "n_shared", "overlap")
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  val textContaminationSql: String =
+    s"""WITH shs AS (
+       |  SELECT doc_id, ${duckShingleHashes("text")} AS sh FROM documents
+       |), train_ex AS (
+       |  SELECT doc_id AS train_doc, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS h
+       |  FROM shs WHERE doc_id % $ContamEvalMod <> 7
+       |), informative AS (
+       |  SELECT h FROM train_ex GROUP BY h
+       |  HAVING COUNT(*) <= greatest($NgramMaxDf, (SELECT COUNT(*) FROM documents) // $NgramDfFraction)
+       |), eval_ex AS (
+       |  SELECT u.doc_id AS eval_doc, u.h FROM (
+       |    SELECT doc_id, unnest(sh) AS h FROM shs WHERE doc_id % $ContamEvalMod = 7) u
+       |  JOIN informative i ON i.h = u.h
+       |)
+       |SELECT train_doc, eval_doc, n_shared, overlap FROM (
+       |  SELECT t.train_doc, e.eval_doc, t.n_sh, COUNT(*) AS n_shared,
+       |    floor(CAST(COUNT(*) AS DOUBLE) / CAST(t.n_sh AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS overlap
+       |  FROM train_ex t JOIN eval_ex e ON t.h = e.h
+       |  GROUP BY 1, 2, 3) x
+       |WHERE n_shared >= $ContamMinShared
+       |ORDER BY train_doc, eval_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> (dedupNgram _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "text_contamination" -> (textContamination _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram" -> dedupNgramSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "text_contamination" -> textContaminationSql)
 }
