@@ -153,4 +153,28 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  /** Streaming decontamination — the stream-static join pattern: the
+    * STATIC eval/benchmark shingle index (benchmark-suite-sized, so it
+    * broadcasts into every micro-batch) joined against the shingles of
+    * arriving docs; a doc is flagged once it shares ≥ `minShared`
+    * distinct shingles with any eval doc. Same shingle kernel and
+    * threshold semantics as the batch
+    * [[graft.operators.Dedup.textContamination]], so a batch backfill
+    * and the live stream agree. Emit in UPDATE mode (counts grow
+    * within a doc's micro-batch only — docs arrive whole).
+    */
+  def contaminationStream(docs: DataFrame, evalDocs: DataFrame,
+      minShared: Long = 5L): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val sh = graft.functions.PortableHash.sparkShingleHashes("text")
+    val evalEx = evalDocs
+      .select(col("doc_id").as("eval_doc"), explode(expr(sh)).as("h"))
+    docs
+      .select(col("doc_id"), explode(expr(sh)).as("h"))
+      .join(broadcast(evalEx), Seq("h"))
+      .groupBy("doc_id", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -283,6 +283,27 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("contamination stream: static eval index flags arriving dup docs") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val shared = (1 to 40).map(i => s"bench$i").mkString(" ")
+    val evalDocs = Seq((900L, shared)).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.contaminationStream(
+        mem.toDF().toDF("doc_id", "text"), evalDocs)
+      .writeStream.format("memory").queryName("contam").outputMode("update").start()
+    try {
+      mem.addData(
+        (1L, shared + " extra tail words here"), // near-copy of the benchmark doc
+        (2L, (1 to 40).map(i => s"clean$i").mkString(" "))) // disjoint
+      q.processAllAvailable()
+      val rows = spark.table("contam").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_doc"))).toSet
+      assert(rows == Set((1L, 900L)),
+        s"only the benchmark near-copy is flagged, got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream_change_feed: added → modified → silence for unchanged") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
