@@ -13,8 +13,10 @@ import graft.sources.Tables
   * real dimensions and a raster-fold pixel hash, [[resizeMedia]]
   * resamples actual pixels. Each stage is a typed `mapPartitions` —
   * the exact batched-per-partition shape a Pandas-UDF/`mapInPandas`
-  * decoder has in a production pipeline. Only the vision-encoder
-  * embedding stays a deterministic stub (no model weights here).
+  * decoder has in a production pipeline. [[featureExtract]] computes a
+  * REAL classical visual feature (mean-pooled luma grid, pHash family)
+  * from the decoded raster; a learned vision encoder would replace only
+  * that method body (no model weights in-container).
   */
 object Multimodal {
 
@@ -131,9 +133,8 @@ object Multimodal {
 
   // ---- downstream media stages (encode → resize → decode →
   // frame-sample → feature-extract), each a typed mapPartitions with
-  // the schema and batch shape of a real codec pipeline. Decode and
-  // resize do real codec/raster work; the vision-encoder embedding is
-  // the one deterministic stand-in (no model weights in-container). ---
+  // the schema and batch shape of a real codec pipeline. All stages do
+  // real codec/raster work, feature extraction included (luma grid). ---
 
   case class MediaFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
     frame_hash: Long)
@@ -180,21 +181,44 @@ object Multimodal {
     }
   }
 
-  /** feature extraction: fixed-width float embedding per frame — the
-    * deterministic stand-in for a vision encoder (the one stage that
-    * stays stubbed: no model weights in-container); output schema/shape
-    * (array<float>, batched per partition) is what downstream
-    * similarity search consumes.
+  /** REAL visual feature: mean-pooled `grid`×`grid` grayscale (luma)
+    * over the decoded raster, L2-normalized — the classical
+    * pHash-family feature. Integer luma sums with explicit loops, so
+    * retries reproduce bit-identically across JVMs; resized copies of
+    * an image mean-pool to nearly the same grid, which is exactly what
+    * downstream cosine search needs to find visual near-dups. A learned
+    * vision encoder slots in here with the same signature and batch
+    * shape (per-partition init, array<float> out).
     */
-  def featureExtractStub(ds: Dataset[MediaFrame], dim: Int = 8): Dataset[FrameFeature] = {
+  def featureExtract(ds: Dataset[MediaPayload], grid: Int = 8): Dataset[FrameFeature] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions { frames =>
-      // per-partition "model init" happens once here
-      frames.map { f =>
-        val emb = Array.tabulate(dim)(j =>
-          (Math.floorMod(Math.floorMod(f.frame_hash * (j + 1) * 604297L,
-            2147483647L), 2001L) - 1000L).toFloat / 1000f)
-        FrameFeature(f.doc_id, f.frame_idx, emb)
+    ds.mapPartitions { rows =>
+      rows.map { p =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
+        require(img != null, s"undecodable payload for doc ${p.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = new Array[Long](grid * grid)
+        val counts = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer ITU-R 601 luma — no floating point in the fold
+            val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+              114 * (rgb & 0xFF)) / 1000
+            val cell = (y * grid / h) * grid + (x * grid / w)
+            sums(cell) += luma
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = Array.tabulate(grid * grid)(c =>
+          if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
+        val norm = math.sqrt(means.map(m => m * m).sum)
+        val emb = means.map(m => if (norm == 0) 0f else (m / norm).toFloat)
+        FrameFeature(p.doc_id, 0, emb)
       }
     }
   }

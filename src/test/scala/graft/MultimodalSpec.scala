@@ -50,10 +50,10 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("full media pipeline: encode -> resize -> decode -> frames -> features") {
-    val decoded = Multimodal.decodeMedia(
-      Multimodal.resizeMedia(Multimodal.encodeMedia(spark, sfDir), 64, 64))
+    val resized = Multimodal.resizeMedia(Multimodal.encodeMedia(spark, sfDir), 64, 64)
+    val decoded = Multimodal.decodeMedia(resized)
     val frames = Multimodal.frameSample(decoded)
-    val feats = Multimodal.featureExtractStub(frames)
+    val feats = Multimodal.featureExtract(resized)
 
     val nFrames = frames.count()
     val expFrames = decoded.collect().map(_.n_frames.toLong).sum
@@ -62,8 +62,38 @@ class MultimodalSpec extends SparkSpec {
 
     val fRows = feats.collect()
     assert(fRows.length == nFrames)
-    assert(fRows.forall(f => f.embedding.length == 8 &&
-      f.embedding.forall(v => v >= -1f && v <= 1f)))
+    // L2-normalized 8x8 luma grid: unit norm, non-negative (luma >= 0)
+    assert(fRows.forall(f => f.embedding.length == 64 &&
+      f.embedding.forall(v => v >= 0f && v <= 1f)))
+    assert(fRows.forall { f =>
+      val n = math.sqrt(f.embedding.map(v => v.toDouble * v).sum)
+      math.abs(n - 1.0) < 1e-4 || n == 0.0
+    })
+  }
+
+  test("luma-grid features find visual near-dups across resizes") {
+    import org.apache.spark.sql.functions._
+    // the SAME image at two resolutions mean-pools to nearly the same
+    // grid; different images do not — the property cosine search needs
+    val payloads = Multimodal.encodeMedia(spark, sfDir)
+    val at64 = Multimodal.featureExtract(
+      Multimodal.resizeMedia(payloads, 64, 64))
+    val at96 = Multimodal.featureExtract(
+      Multimodal.resizeMedia(payloads, 96, 96))
+    def toMap(ds: org.apache.spark.sql.Dataset[graft.operators.Multimodal.FrameFeature]) =
+      ds.collect().map(f => f.doc_id -> f.embedding.map(_.toDouble)).toMap
+    val (a, b) = (toMap(at64.limit(2000)), toMap(at96.limit(2000)))
+    def cos(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    val ids = a.keySet.intersect(b.keySet).toSeq.sorted.take(20)
+    ids.foreach { id =>
+      assert(cos(a(id), b(id)) > 0.98, s"doc $id: resize broke self-similarity")
+    }
+    // cross-image similarity strictly lower than self-similarity
+    val others = for (i <- ids.take(5); j <- ids.take(5) if i != j) yield cos(a(i), b(j))
+    val selfMin = ids.take(5).map(id => cos(a(id), b(id))).min
+    assert(others.max < selfMin,
+      f"cross-image cosine ${others.max}%.4f should stay below self ${selfMin}%.4f")
   }
 
   test("binary metadata matches text-derived expectations") {
