@@ -55,7 +55,8 @@ object ScaleSmoke {
       "events_asof", "events_range_join", "events_funnel", "events_sessionize",
       "sketch_hll", "sketch_cms", "sample_stratified",
       "tfidf_topterms", "events_retention", "events_anomaly",
-      "sketch_bloom", "sketch_quantile", "embed_project", "corpus_mix")
+      "sketch_bloom", "sketch_quantile", "embed_project", "corpus_mix",
+      "text_contamination")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
