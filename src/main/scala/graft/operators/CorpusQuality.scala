@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus-quality filters beyond per-doc column math ([[TextAnalysis]]):
+  * repetition metrics in the style of the Gopher/MassiveText rules
+  * (Rae et al. 2021 §A1.1 — "fraction of tokens in duplicate n-grams",
+  * "fraction in the most common n-gram") and a corpus-level character
+  * n-gram likelihood proxy (the cheap stand-in for a KenLM perplexity
+  * gate à la CCNet): documents whose character bigrams are rare IN THIS
+  * corpus score low and get flagged.
+  *
+  * Portability: every statistic is an integer count until one final
+  * floor-quantized division — no libm, no RNG — so the DuckDB oracle
+  * reproduces each score bit-for-bit.
+  */
+object CorpusQuality {
+
+  private def q6(e: String) = s"floor(($e) * 1000000) / CAST(1000000 AS DOUBLE)"
+
+  // word bigrams as an array column; empty when the doc has < 2 words
+  private val sparkWordBigrams =
+    """CASE WHEN size(words) < 2 THEN array()
+      |  ELSE transform(sequence(1, size(words) - 1),
+      |    i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))
+      |END""".stripMargin.replaceAll("\\s+", " ")
+
+  private val duckWordBigrams =
+    "list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])"
+
+  /** Repetitive-document metrics per doc: total word-bigram count, the
+    * most-common-bigram share, and the fraction of bigram occurrences
+    * that are duplicates (appear ≥2× in the doc) — the two Gopher
+    * repetition signals — plus the resulting keep/drop flag.
+    *
+    * Scale shape: explode to (doc, bigram) then ONE partial-aggregated
+    * groupBy — the shuffle carries per-doc distinct bigram counts
+    * (output-bound, ≪ corpus); the per-doc reduction that follows is on
+    * the grouped frame, and docs re-enter via a doc_id equi-join so
+    * zero-bigram documents still emit a row. Per-doc work is
+    * O(len(doc)); nothing is corpus-quadratic.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grouped = docs
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .select(col("doc_id"), explode(expr(sparkWordBigrams)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    val per = grouped.groupBy("doc_id").agg(
+      sum("c").as("n_bigrams"),
+      max("c").as("top_c"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        expr(s"CASE WHEN n_bigrams IS NULL OR n_bigrams = 0 THEN CAST(0 AS DOUBLE) ELSE ${q6("CAST(top_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)")} END").as("top_share"),
+        expr(s"CASE WHEN n_bigrams IS NULL OR n_bigrams = 0 THEN CAST(0 AS DOUBLE) ELSE ${q6("CAST(dup_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)")} END").as("dup_frac"))
+      .withColumn("repetitive",
+        col("top_share") > 0.05 || col("dup_frac") > 0.3)
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH grouped AS (
+       |  SELECT doc_id, bg, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest($duckWordBigrams) AS bg FROM (
+       |      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |      FROM documents) t0) t1
+       |  GROUP BY 1, 2
+       |), per AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_c,
+       |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+       |  FROM grouped GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       |  CASE WHEN p.n_bigrams IS NULL OR p.n_bigrams = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE ${q6("CAST(p.top_c AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)")} END AS top_share,
+       |  CASE WHEN p.n_bigrams IS NULL OR p.n_bigrams = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE ${q6("CAST(p.dup_c AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)")} END AS dup_frac,
+       |  (CASE WHEN p.n_bigrams IS NULL OR p.n_bigrams = 0 THEN CAST(0 AS DOUBLE)
+       |        ELSE ${q6("CAST(p.top_c AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)")} END) > 0.05
+       |    OR (CASE WHEN p.n_bigrams IS NULL OR p.n_bigrams = 0 THEN CAST(0 AS DOUBLE)
+       |        ELSE ${q6("CAST(p.dup_c AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)")} END) > 0.3 AS repetitive
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // char bigrams of the raw text; empty when the text has < 2 chars
+  private val sparkCharBigrams =
+    """CASE WHEN length(text) < 2 THEN array()
+      |  ELSE transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))
+      |END""".stripMargin.replaceAll("\\s+", " ")
+
+  private val duckCharBigrams =
+    "list_transform(range(1, length(text)), i -> substring(text, i, 2))"
+
+  /** Corpus character-bigram likelihood proxy: build the corpus-wide
+    * bigram frequency table (the "language model" — vocabulary-bounded,
+    * ≤ charset², a few hundred rows here), then score each document by
+    * the mean corpus frequency of its bigrams. Rare-charactered docs
+    * (boilerplate, mojibake, wrong-language shards) score low — the
+    * shape of a CCNet-style LM quality gate with the KenLM swapped for
+    * corpus statistics both engines can reproduce exactly. The score is
+    * a RATIONAL mean (Σ freq / n) — monotone-equivalent to mean log-
+    * frequency rankings would need libm; the mean keeps IEEE exactness.
+    *
+    * Scale shape: the frequency table is a vocabulary-sized partial
+    * aggregate (shuffles charset² rows, not the corpus) and broadcasts
+    * back onto the per-doc explode; the per-doc sum partial-aggregates
+    * map-side. Two passes over the text, zero corpus-sized shuffles.
+    */
+  def textNgramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bg = docs.select(col("doc_id"), explode(expr(sparkCharBigrams)).as("bg"))
+    val freq = bg.groupBy("bg").agg(count(lit(1)).as("freq"))
+    bg.join(broadcast(freq), Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("freq").as("freq_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr(q6("CAST(freq_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)")).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val textNgramLmSql: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest($duckCharBigrams) AS bg FROM documents
+       |), freq AS (
+       |  SELECT bg, COUNT(*) AS freq FROM bg GROUP BY 1
+       |)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  ${q6("CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS lm_score
+       |FROM bg JOIN freq USING (bg)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
+    "text_ngram_lm" -> (textNgramLm _))
+
+  val oracles: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
+    "text_ngram_lm" -> textNgramLmSql)
+}

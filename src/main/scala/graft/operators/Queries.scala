@@ -485,7 +485,74 @@ object Queries {
       |FROM days_ d JOIN cohort c USING (user_id)
       |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
 
+  /** Pricing summary with subtotals at every grouping level — the
+    * ROLLUP lattice (flag×status, per-flag, grand total) in ONE pass.
+    * Spark expands the lattice BEFORE the partial aggregate (Expand →
+    * partial HashAggregate), so the shuffle carries one partial row per
+    * (group, level) — at 100 TB that's 3× the group cardinality, not 3
+    * scans of the fact table. `gid` (grouping_id) disambiguates the
+    * subtotal levels; group keys are coalesced to 'ALL' so the output
+    * carries no NULL-vs-value ambiguity into the sort.
+    */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        round(sum(dec("l_extendedprice") * (one - dec("l_discount"))), 2).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("sum_qty"), col("sum_disc_price"), col("count_order"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+  }
+
+  val qRollupSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily event matrix via the Dataset `pivot` API with an EXPLICIT
+    * value list — with the values declared, pivot compiles to one
+    * partial-aggregated pass (no extra distinct-values job, which at
+    * 100 TB would be a full extra scan); the shuffle carries one row
+    * per (day, 5 counters).
+    */
+  def eventsPivot(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("day", expr("ts_us div 86400000000"))
+    e.groupBy("day").pivot("event_type", EventTypes).count()
+      .select(col("day") +:
+        EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .withColumn("n_total", EventTypes.map(t => col(s"n_$t")).reduce(_ + _))
+      .orderBy("day")
+  }
+
+  val eventsPivotSql: String = {
+    val counts = EventTypes.map(t =>
+      s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t").mkString(",\n      |  ")
+    val total = EventTypes.map(t => s"n_$t").mkString(" + ")
+    s"""SELECT day, $counts,
+       |  $total AS n_total
+       |FROM (SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events) t
+       |GROUP BY day ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> (qRollup _),
+    "events_pivot" -> (eventsPivot _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_retention" -> (eventsRetention _),
     "events_asof" -> (eventsAsof _),
@@ -504,6 +571,8 @@ object Queries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rollup" -> qRollupSql,
+    "events_pivot" -> eventsPivotSql,
     "events_anomaly" -> eventsAnomalySql,
     "events_retention" -> eventsRetentionSql,
     "q1_agg" -> q1AggSql,
