@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Semantic invariants of the round-3 operators — properties the
+/** Semantic invariants of the round-3/4 operators — properties the
   * DuckDB hash parity can't express (parity proves Spark == oracle;
   * these prove both compute the RIGHT thing).
   */
@@ -77,6 +77,105 @@ class OperatorInvariantSpec extends SparkSpec {
     val binding = plan.minBy { case (_, (ppm, avail, _)) => avail * 1000000L / ppm }
     assert(binding._2._3 >= binding._2._2 - 1,
       s"binding source ${binding._1} underused: $binding")
+  }
+
+  test("compact_plan: bins bounded by target + one file, counts conserve the manifest") {
+    val plan = operators.Maintenance.compactPlan(spark, sf).collect()
+    val maxFile = 1024L + 4194304L // manifest synthesis size bound
+    plan.foreach { r =>
+      val pdir = r.getString(0)
+      assert(r.getAs[Long]("max_bin_bytes") < operators.Maintenance.CompactTarget + maxFile,
+        s"$pdir: a greedy first-fit bin may exceed the target by at most one file")
+      assert(r.getAs[Long]("n_bins") >=
+        r.getAs[Long]("total_bytes") / (operators.Maintenance.CompactTarget + maxFile),
+        s"$pdir: too few bins for the byte volume")
+    }
+    val total = plan.map(_.getAs[Long]("n_files")).sum
+    val manifestN = sources.Manifest.manifest(spark, sf).count()
+    assert(total == manifestN, s"planned files $total != manifest $manifestN")
+  }
+
+  test("incr_agg: incremental path consistent with full recompute everywhere") {
+    val rows = operators.Maintenance.incrAgg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("consistent"),
+        s"${r.getString(0)}: incremental (${r.getAs[Long]("n_files_incr")}, ${r.getAs[Long]("bytes_incr")}) " +
+          s"!= full (${r.getAs[Long]("n_files_full")}, ${r.getAs[Long]("bytes_full")})")
+    }
+    val fullN = sources.Manifest.snapshotCur(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_files_full")).sum == fullN)
+  }
+
+  test("zorder_layout: every Z-bin is one aligned 32x32 quadtree cell") {
+    val rows = operators.Maintenance.zorderLayout(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == sources.Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      // bin width 1024 = 4^5 consecutive Z-values = a complete level-5
+      // quadtree cell, so both dimension ranges fit in one 32-wide tile
+      // — the tight two-dimensional bound zone-map skipping consumes.
+      // A lexicographic (x, y) layout of the same 64 bins would give
+      // every bin the full 256-wide y range.
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") < 32,
+        s"zbin ${r.getAs[Long]("zbin")}: x range escapes the quadtree cell")
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") < 32,
+        s"zbin ${r.getAs[Long]("zbin")}: y range escapes the quadtree cell")
+      assert(r.getAs[Long]("bbox_area") <= 1024L)
+    }
+  }
+
+  test("text_repetition: shares bounded, bigram counts consistent with token counts") {
+    val rep = operators.CorpusQuality.textRepetition(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val toks = operators.TextAnalysis.textTokens(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_ws_tokens")).toMap
+    rep.foreach { case (doc, r) =>
+      val n = r.getAs[Long]("n_bigrams")
+      assert(n == math.max(toks(doc) - 1, 0), s"doc $doc: $n bigrams vs ${toks(doc)} words")
+      val top = r.getAs[Double]("top_share"); val dup = r.getAs[Double]("dup_frac")
+      assert(top > 0 && top <= 1 && dup >= 0 && dup <= 1, s"doc $doc: shares out of range")
+      // any bigram that repeats is itself duplicated, so a top share
+      // above 1/n implies at least that much duplicated mass
+      if (top * n >= 2) assert(dup >= top - 1e-9, s"doc $doc: top $top > dup $dup")
+    }
+  }
+
+  test("text_ngram_lm: bigram counts match text length, score within corpus frequency range") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getString(1)).toMap
+    val total = docs.values.map(t => math.max(t.length - 1, 0).toLong).sum
+    operators.CorpusQuality.textNgramLm(spark, sf).collect().foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") == docs(doc).length - 1)
+      val score = r.getAs[Double]("lm_score")
+      // each bigram occurs at least once (itself), at most `total` times
+      assert(score >= 1.0 && score <= total.toDouble, s"doc $doc: score $score")
+    }
+  }
+
+  test("q_rollup: subtotal lattice is internally consistent") {
+    val rows = operators.Queries.qRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("gid"),
+        r.getAs[Double]("sum_qty"), r.getAs[Long]("count_order")))
+    val leaves = rows.filter(_._3 == 0)
+    val flags = rows.filter(_._3 == 1)
+    val grand = rows.filter(_._3 == 3)
+    assert(grand.length == 1)
+    assert(grand.head._5 == leaves.map(_._5).sum, "grand total != sum of leaves")
+    flags.foreach { case (rf, _, _, _, n) =>
+      assert(n == leaves.filter(_._1 == rf).map(_._5).sum, s"flag $rf subtotal drift")
+    }
+  }
+
+  test("events_pivot: per-day counts conserve the event table") {
+    val rows = operators.Queries.eventsPivot(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_total")).sum
+    assert(total == sources.Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val parts = operators.Queries.EventTypes.map(t => r.getAs[Long](s"n_$t")).sum
+      assert(parts == r.getAs[Long]("n_total"))
+    }
   }
 
   test("embed_project: projections deterministic and norm ratios sane") {
