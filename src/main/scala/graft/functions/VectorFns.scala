@@ -24,6 +24,14 @@ object VectorFns {
   def sparkNorm(a: String): String = s"sqrt(${sparkDot(a, a)})"
   def duckNorm(a: String): String = s"sqrt(${duckDot(a, a)})"
 
+  /** strict sequential squared L2 distance of two array<double> exprs. */
+  def sparkSqDist(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  def duckSqDist(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), " +
+      s"i -> (($a)[i]::DOUBLE - ($b)[i]::DOUBLE) * (($a)[i]::DOUBLE - ($b)[i]::DOUBLE))), (acc, v) -> acc + v)"
+
   /** cosine similarity (callers pre-compute norms where possible). */
   def sparkCosine(a: String, b: String): String = s"graft_cosine($a, $b)"
 

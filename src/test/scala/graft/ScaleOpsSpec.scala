@@ -59,6 +59,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(r4 > r1, s"probing 4 cells must beat 1 ($r4 vs $r1)")
   }
 
+  test("knn_pq recall vs brute force: reranked ADC shortlist recovers most true neighbors") {
+    val sf = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.operators.Similarity.knnBruteforce(spark, sf))
+    val approx = pairs(graft.operators.Similarity.knnPq(spark, sf))
+    assert(exact.size == approx.size) // same k per query
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    info(f"pq recall@3 (shortlist=${graft.operators.Similarity.PqShortlist}) = $recall%.3f")
+    // measured 0.733 at sf0.01 (raw ADC ranking alone sits at 0.13 on
+    // these structure-free embeddings — the exact rerank is what buys
+    // the recall); the floor catches collapse, not jitter
+    assert(recall >= 0.6, s"pq recall $recall collapsed")
+  }
+
   test("connectedComponents: diameter-20 chain converges (pointer doubling)") {
     import spark.implicits._
     // a path graph is the propagation worst case: plain min-label
