@@ -154,6 +154,73 @@ object EventStreams {
       }
   }
 
+  /** A listing-sweep observation: one object seen by a manifest sweep,
+    * or its tombstone (`deleted = true`) when the sweep notices the key
+    * is gone.
+    */
+  case class SweepObs(key: String, size: Long, etag: String, deleted: Boolean)
+
+  /** One partition-level maintenance delta derived from a sweep. */
+  case class FileDelta(pdir: String, d_files: Long, d_bytes: Long)
+
+  /** Streaming twin of the batch `incr_agg` maintenance path: per-key
+    * state (size, etag) turns each sweep observation into the aggregate
+    * DELTA it implies — Added (+1 file, +size), Modified (0, size
+    * difference), Deleted (−1, −size), Unchanged (nothing). Downstream,
+    * [[mergeDeltas]] folds the per-batch deltas into the maintained
+    * per-partition aggregate inside `foreachBatch` — the maintained-
+    * aggregate MERGE pattern (one stateful operator in the stream, the
+    * merge as an idempotent batch join per micro-batch), which is how a
+    * production lake keeps 10⁸-object partition stats current without
+    * ever re-scanning the listing.
+    */
+  def deltaFeed(obs: Dataset[SweepObs])(implicit s: SparkSession): Dataset[FileDelta] = {
+    import s.implicits._
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[FileState, FileDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[SweepObs], state: GroupState[FileState]) =>
+          val pdir = key.replaceAll("/part-[^/]*$", "")
+          val out = Seq.newBuilder[FileDelta]
+          var cur = state.getOption
+          rows.foreach { o =>
+            (cur, o.deleted) match {
+              case (Some(prev), true) =>
+                out += FileDelta(pdir, -1L, -prev.size)
+                cur = None
+              case (None, true) => // tombstone for a key never seen
+              case (None, false) =>
+                out += FileDelta(pdir, 1L, o.size)
+                cur = Some(FileState(o.size, o.etag))
+              case (Some(prev), false) if prev.size != o.size || prev.etag != o.etag =>
+                out += FileDelta(pdir, 0L, o.size - prev.size)
+                cur = Some(FileState(o.size, o.etag))
+              case (Some(_), false) => // unchanged
+            }
+          }
+          cur match {
+            case Some(st) => state.update(st)
+            case None => if (state.exists) state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Fold one micro-batch of [[FileDelta]]s into the maintained
+    * per-partition aggregate `(pdir, n_files, total_bytes)` — a pure
+    * batch full-outer MERGE, idempotent per batch, called from
+    * `foreachBatch`. Partitions whose counts reach zero are dropped.
+    */
+  def mergeDeltas(agg: DataFrame, deltas: DataFrame): DataFrame = {
+    val d = deltas.groupBy("pdir")
+      .agg(sum("d_files").as("d_files"), sum("d_bytes").as("d_bytes"))
+    agg.join(d, Seq("pdir"), "full_outer")
+      .select(col("pdir"),
+        (coalesce(col("n_files"), lit(0L)) + coalesce(col("d_files"), lit(0L))).as("n_files"),
+        (coalesce(col("total_bytes"), lit(0L)) + coalesce(col("d_bytes"), lit(0L))).as("total_bytes"))
+      .filter(col("n_files") > 0)
+  }
+
   /** Streaming decontamination — the stream-static join pattern: the
     * STATIC eval/benchmark shingle index (benchmark-suite-sized, so it
     * broadcasts into every micro-batch) joined against the shingles of

@@ -321,4 +321,42 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set(("a", "added", 10L), ("b", "added", 20L), ("a", "modified", 11L)))
     } finally q.stop()
   }
+
+  test("stream_incr_agg: foreachBatch-merged deltas equal a recompute of the final listing") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.SweepObs
+    val mem = MemoryStream[SweepObs]
+    // the maintained aggregate, re-materialized per micro-batch (in
+    // production this is a MERGE into a table; here a collected Seq)
+    var agg: Seq[(String, Long, Long)] = Seq.empty
+    val q = EventStreams.deltaFeed(mem.toDS()).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStreams.FileDelta], _: Long) =>
+        agg = EventStreams.mergeDeltas(
+          agg.toDF("pdir", "n_files", "total_bytes"), batch.toDF())
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      }
+      .start()
+    try {
+      // sweep 1: three files in two partitions
+      mem.addData(
+        SweepObs("a/part-1.parquet", 100, "e1", deleted = false),
+        SweepObs("a/part-2.parquet", 200, "e2", deleted = false),
+        SweepObs("b/part-1.parquet", 50, "e3", deleted = false))
+      q.processAllAvailable()
+      assert(agg.toSet == Set(("a", 2L, 300L), ("b", 1L, 50L)))
+      // sweep 2: modify, delete, keep, add
+      mem.addData(
+        SweepObs("a/part-1.parquet", 150, "e4", deleted = false),
+        SweepObs("a/part-2.parquet", 0, "", deleted = true),
+        SweepObs("b/part-1.parquet", 50, "e3", deleted = false),
+        SweepObs("b/part-2.parquet", 75, "e5", deleted = false))
+      q.processAllAvailable()
+      // final listing: a = {part-1: 150}, b = {part-1: 50, part-2: 75}
+      assert(agg.toSet == Set(("a", 1L, 150L), ("b", 2L, 125L)),
+        s"maintained aggregate drifted: $agg")
+    } finally q.stop()
+  }
 }
