@@ -152,6 +152,61 @@ object CorpusOps {
       .select(col(sourceCol), col("target_ppm"), col("n_avail"), col("n_take"))
   }
 
+  /** Gopher-style repetition metrics over ANY frame: word-bigram count,
+    * most-common-bigram share, duplicate-bigram fraction, and the
+    * resulting `repetitive` flag at the given thresholds. Output = input
+    * plus the four columns; docs with < 2 words get zeroed metrics.
+    * One output-bound (id, bigram) partial aggregate — nothing
+    * corpus-quadratic.
+    */
+  def repetitionMetrics(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      topShareMax: Double = 0.2,
+      dupFracMax: Double = 0.5): DataFrame = {
+    def q6(e: String) = s"floor(($e) * 1000000) / CAST(1000000 AS DOUBLE)"
+    val grouped = docs
+      .withColumn("__w", expr(s"filter(split($textCol, ' '), w -> w <> '')"))
+      .select(col(idCol),
+        explode(expr(graft.operators.CorpusQuality.sparkWordBigramsOf("__w"))).as("bg"))
+      .groupBy(idCol, "bg").agg(count(lit(1)).as("c"))
+    val per = grouped.groupBy(idCol).agg(
+      sum("c").as("__n"), max("c").as("__top"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("__dup"))
+    docs.join(per, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("__n"), lit(0L)))
+      .withColumn("top_share", expr(
+        s"CASE WHEN __n IS NULL OR __n = 0 THEN CAST(0 AS DOUBLE) ELSE ${q6("CAST(__top AS DOUBLE) / CAST(__n AS DOUBLE)")} END"))
+      .withColumn("dup_frac", expr(
+        s"CASE WHEN __n IS NULL OR __n = 0 THEN CAST(0 AS DOUBLE) ELSE ${q6("CAST(__dup AS DOUBLE) / CAST(__n AS DOUBLE)")} END"))
+      .withColumn("repetitive",
+        col("top_share") > topShareMax || col("dup_frac") > dupFracMax)
+      .drop("__n", "__top", "__dup")
+  }
+
+  /** Corpus character-bigram likelihood score over ANY frame — the
+    * CCNet-style LM quality gate with corpus statistics standing in for
+    * the KenLM. Output = input plus `n_bigrams` and `lm_score` (mean
+    * corpus frequency of the doc's char bigrams; LOW = atypical
+    * characters for this corpus). The frequency table is vocabulary-
+    * bounded (≤ charset²) and broadcasts.
+    */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def q6(e: String) = s"floor(($e) * 1000000) / CAST(1000000 AS DOUBLE)"
+    val bg = docs.select(col(idCol),
+      explode(expr(graft.operators.CorpusQuality.sparkCharBigramsOf(textCol))).as("bg"))
+    val freq = bg.groupBy("bg").agg(count(lit(1)).as("freq"))
+    val per = bg.join(broadcast(freq), Seq("bg"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__n"), sum("freq").as("__fs"))
+    docs.join(per, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("__n"), lit(0L)))
+      .withColumn("lm_score", expr(
+        s"CASE WHEN __n IS NULL OR __n = 0 THEN CAST(0 AS DOUBLE) ELSE ${q6("CAST(__fs AS DOUBLE) / CAST(__n AS DOUBLE)")} END"))
+      .drop("__n", "__fs")
+  }
+
   /** PII scrub over ANY frame: redact emails and IPv4s in `textCol`
     * in place, reporting per-row match counts. Pure map-side regex
     * column math — the shape of every production PII pass.

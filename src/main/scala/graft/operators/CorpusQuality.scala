@@ -21,11 +21,13 @@ object CorpusQuality {
   private def q6(e: String) = s"floor(($e) * 1000000) / CAST(1000000 AS DOUBLE)"
 
   // word bigrams as an array column; empty when the doc has < 2 words
-  private val sparkWordBigrams =
-    """CASE WHEN size(words) < 2 THEN array()
-      |  ELSE transform(sequence(1, size(words) - 1),
-      |    i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))
-      |END""".stripMargin.replaceAll("\\s+", " ")
+  private[graft] def sparkWordBigramsOf(words: String): String =
+    s"""CASE WHEN size($words) < 2 THEN array()
+       |  ELSE transform(sequence(1, size($words) - 1),
+       |    i -> concat(element_at($words, i), ' ', element_at($words, i + 1)))
+       |END""".stripMargin.replaceAll("\\s+", " ")
+
+  private val sparkWordBigrams = sparkWordBigramsOf("words")
 
   private val duckWordBigrams =
     "list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])"
@@ -88,10 +90,12 @@ object CorpusQuality {
        |ORDER BY d.doc_id""".stripMargin
 
   // char bigrams of the raw text; empty when the text has < 2 chars
-  private val sparkCharBigrams =
-    """CASE WHEN length(text) < 2 THEN array()
-      |  ELSE transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))
-      |END""".stripMargin.replaceAll("\\s+", " ")
+  private[graft] def sparkCharBigramsOf(text: String): String =
+    s"""CASE WHEN length($text) < 2 THEN array()
+       |  ELSE transform(sequence(1, length($text) - 1), i -> substring($text, i, 2))
+       |END""".stripMargin.replaceAll("\\s+", " ")
+
+  private val sparkCharBigrams = sparkCharBigramsOf("text")
 
   private val duckCharBigrams =
     "list_transform(range(1, length(text)), i -> substring(text, i, 2))"

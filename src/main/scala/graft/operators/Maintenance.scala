@@ -43,14 +43,20 @@ object Maintenance {
     * manifest. Output is one row per partition dir (bounded by the
     * partition count, not the file count).
     */
-  def compactPlan(s: SparkSession, dir: String): DataFrame = {
-    val files = Manifest.manifest(s, dir)
+  def compactPlan(s: SparkSession, dir: String): DataFrame =
+    compactPlanFor(Manifest.manifest(s, dir), CompactTarget).orderBy("pdir")
+
+  /** [[compactPlan]] over ANY manifest frame (`key`, `size`) with a
+    * caller-chosen target — the library entry point.
+    */
+  def compactPlanFor(manifest: DataFrame, target: Long): DataFrame = {
+    val files = manifest
       .withColumn("pdir", regexp_replace(col("key"), "/part-[^/]*$", ""))
     val w = Window.partitionBy("pdir").orderBy("key")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val binned = files
       .withColumn("cum", sum("size").over(w))
-      .withColumn("bin", expr(s"(cum - size) div $CompactTarget"))
+      .withColumn("bin", expr(s"(cum - size) div $target"))
     binned
       .groupBy("pdir", "bin")
       .agg(count(lit(1)).as("bin_files"), sum("size").as("bin_bytes"))
@@ -60,7 +66,6 @@ object Maintenance {
         sum("bin_bytes").as("total_bytes"),
         count(lit(1)).as("n_bins"),
         max("bin_bytes").as("max_bin_bytes"))
-      .orderBy("pdir")
   }
 
   val compactPlanSql: String =
@@ -100,10 +105,17 @@ object Maintenance {
     * cardinality is the partition count. That asymmetry — touch the
     * changes, not the lake — is the entire point of maintaining state.
     */
-  def incrAgg(s: SparkSession, dir: String): DataFrame = {
-    val prev = Manifest.snapshotPrev(s, dir).select(col("key"), col("size").as("psize"))
-    val cur = Manifest.snapshotCur(s, dir).select(col("key"), col("size").as("csize"))
-    val dayDir = regexp_extract(col("key"), DayDirRe, 1)
+  def incrAgg(s: SparkSession, dir: String): DataFrame =
+    incrAggFor(Manifest.snapshotPrev(s, dir), Manifest.snapshotCur(s, dir), DayDirRe)
+      .orderBy("day_dir")
+
+  /** [[incrAgg]] over ANY two snapshot frames (`key`, `size`) with a
+    * caller-chosen partition-extraction regex — the library entry point.
+    */
+  def incrAggFor(prevSnap: DataFrame, curSnap: DataFrame, dirRe: String): DataFrame = {
+    val prev = prevSnap.select(col("key"), col("size").as("psize"))
+    val cur = curSnap.select(col("key"), col("size").as("csize"))
+    val dayDir = regexp_extract(col("key"), dirRe, 1)
 
     val prevAgg = prev.groupBy(dayDir.as("day_dir"))
       .agg(count(lit(1)).as("n_prev"), sum("psize").as("bytes_prev"))
@@ -130,7 +142,6 @@ object Maintenance {
         col("n_files_incr"), col("bytes_incr"))
       .withColumn("consistent",
         col("n_files_full") === col("n_files_incr") && col("bytes_full") === col("bytes_incr"))
-      .orderBy("day_dir")
   }
 
   val incrAggSql: String =

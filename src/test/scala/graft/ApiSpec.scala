@@ -371,6 +371,51 @@ class ApiSpec extends SparkSpec {
     assert(!out.values.exists(v => v._1.contains("@") || v._1.matches(".*\\d+\\.\\d+\\.\\d+\\.\\d+.*")))
   }
 
+  test("CorpusOps.repetitionMetrics: planted repetitive doc flagged, clean doc passes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "x") // single word → zero bigrams
+    ).toDF("id", "body")
+    val out = CorpusOps.repetitionMetrics(docs, idCol = "id", textCol = "body")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(!out(1L).getAs[Boolean]("repetitive"), "varied prose must pass")
+    assert(out(2L).getAs[Boolean]("repetitive"), "one repeated bigram must flag")
+    assert(out(2L).getAs[Double]("top_share") == 1.0 &&
+      out(2L).getAs[Double]("dup_frac") == 1.0)
+    assert(out(3L).getAs[Long]("n_bigrams") == 0L &&
+      !out(3L).getAs[Boolean]("repetitive"))
+    // original columns survive
+    assert(out(1L).getAs[String]("body").startsWith("the quick"))
+  }
+
+  test("CorpusOps.lmScore: mojibake-charactered doc scores lowest in its corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain english words here"),
+      (2L, "plain english words there"),
+      (3L, "Þ¶§þÐÞ¶§")
+    ).toDF("id", "body")
+    val out = CorpusOps.lmScore(docs, idCol = "id", textCol = "body")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("lm_score")).toMap
+    assert(out(3L) < out(1L) && out(3L) < out(2L),
+      s"rare-charactered doc must score lowest: $out")
+  }
+
+  test("Maintenance.compactPlanFor: caller manifest and target, bins within one file of target") {
+    import spark.implicits._
+    val manifest = Seq(
+      ("logs/a/part-1", 60L), ("logs/a/part-2", 60L), ("logs/a/part-3", 60L),
+      ("logs/b/part-1", 10L)).toDF("key", "size")
+    val plan = graft.operators.Maintenance.compactPlanFor(manifest, target = 100L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // a: cum-before = 0,60,120 → bins 0,0,1 (two bins); b: one bin
+    assert(plan("logs/a").getAs[Long]("n_bins") == 2L)
+    assert(plan("logs/a").getAs[Long]("max_bin_bytes") == 120L)
+    assert(plan("logs/b").getAs[Long]("n_bins") == 1L)
+  }
+
   test("S3Keys: isValidBucketName (reference :35)") {
     val cases = Seq(
       "my-bucket" -> true, "a.b.c" -> true, "abc" -> true,
