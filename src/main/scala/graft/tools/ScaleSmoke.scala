@@ -56,7 +56,10 @@ object ScaleSmoke {
       "sketch_hll", "sketch_cms", "sample_stratified",
       "tfidf_topterms", "events_retention", "events_anomaly",
       "sketch_bloom", "sketch_quantile", "embed_project", "corpus_mix",
-      "text_contamination")
+      "text_contamination",
+      // round 4 (q_rollup excluded: lineitem isn't replicated here)
+      "text_repetition", "text_ngram_lm", "knn_pq",
+      "compact_plan", "incr_agg", "zorder_layout", "events_pivot")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
