@@ -522,6 +522,76 @@ object Queries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join: orders
+    * in a quarter having at least one lineitem shipped more than 90
+    * days after the order date. The semi join deduplicates on the
+    * build side's first match — no row explosion for multi-lineitem
+    * orders, and the shuffle is one co-partitioned exchange on
+    * orderkey. Date math is interval arithmetic on the NTZ timestamps
+    * (exact on both engines — no epoch conversion, no timezone).
+    */
+  def q4Semijoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
+    val l = Tables.lineitem(s, dir)
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          expr("l_shipdate > o_orderdate + INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4SemijoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q17 shape — the correlated scalar subquery (per-part average
+    * quantity) decorrelated to an aggregate + self-join: revenue of
+    * small-quantity line items (quantity < half the part's average),
+    * per brand. The average never materializes as a double — the
+    * predicate cross-multiplies (2·qty·n < Σqty) in exact DECIMAL, so
+    * both engines evaluate the same exact rational comparison.
+    *
+    * Scale: the per-part aggregate and the probe co-partition on
+    * partkey (one shuffle each side, AQE-coalesced); part is a dim →
+    * broadcast.
+    */
+  def q17Smallqty(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val avgq = l.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+    val p = Tables.part(s, dir)
+    l.join(avgq, Seq("l_partkey"))
+      .filter(expr(
+        "CAST(2 AS DECIMAL(3,0)) * CAST(l_quantity AS DECIMAL(12,2)) * n_items < sum_qty"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(dec("l_extendedprice")), 2).cast("double").as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  val q17SmallqtySql: String =
+    """SELECT p_brand, COUNT(*) AS n_small,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN (
+      |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS sum_qty,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem GROUP BY 1) a USING (l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE CAST(2 AS DECIMAL(3,0)) * CAST(l_quantity AS DECIMAL(12,2)) * n_items < sum_qty
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
   /** Daily event matrix via the Dataset `pivot` API with an EXPLICIT
@@ -552,6 +622,8 @@ object Queries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rollup" -> (qRollup _),
+    "q4_semijoin" -> (q4Semijoin _),
+    "q17_smallqty" -> (q17Smallqty _),
     "events_pivot" -> (eventsPivot _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_retention" -> (eventsRetention _),
@@ -572,6 +644,8 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q_rollup" -> qRollupSql,
+    "q4_semijoin" -> q4SemijoinSql,
+    "q17_smallqty" -> q17SmallqtySql,
     "events_pivot" -> eventsPivotSql,
     "events_anomaly" -> eventsAnomalySql,
     "events_retention" -> eventsRetentionSql,
