@@ -232,6 +232,16 @@ object Maintenance {
        |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS bbox_area
        |FROM zvals GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Append a Z-value column interleaving `xCol` and `yCol` (each taken
+    * mod 2^[[ZBits]]) — the write-side companion of [[zorderLayout]]:
+    * `df.withColumn("z", …)` then `repartitionByRange(n, col("z"))`
+    * gives every output file a tight bounding box on BOTH dimensions,
+    * which parquet zone-map / file-stats skipping consumes directly
+    * (SinkSpec measures the file-count win vs a lexicographic layout).
+    */
+  def zvalue(xCol: String, yCol: String): org.apache.spark.sql.Column =
+    expr(zExpr(s"($xCol % 256)", s"($yCol % 256)", "div"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "compact_plan" -> (compactPlan _),
     "incr_agg" -> (incrAgg _),
