@@ -17,6 +17,9 @@ import graft.sources.{FileManifest, HivePartitionedSink, Tables}
   *   5. pack survivors into token-budget bins (CorpusOps.packBins)
   *   6. write the curated corpus Hive-partitioned by bin shard and read
   *      a single shard back through partition pruning
+  *   7. maintenance sweep: plan small-file compaction over the listing
+  *      and reconcile the incremental per-day aggregate against a full
+  *      recompute (Maintenance.compactPlanFor / incrAggFor)
   *
   * Every stage asserts its row counts, so this doubles as an e2e smoke:
   *
@@ -84,8 +87,20 @@ object Demo {
     require(plan.contains("PartitionFilters") && nShard0 > 0,
       "shard read-back must prune partitions")
 
+    // 7. maintenance sweep over the (grown) lake listing: compaction
+    //    plan + incremental aggregate reconciled against full recompute
+    val compaction = graft.operators.Maintenance
+      .compactPlanFor(relisting, target = 4L * 1024 * 1024)
+    val nPdirs = compaction.count()
+    require(nPdirs > 0 && compaction.filter(col("n_bins") < 1).count() == 0,
+      "every partition dir gets at least one compaction bin")
+    val recon = graft.operators.Maintenance
+      .incrAggFor(dataFiles, relisting, "^(.*/year=\\d+/month=\\d+/day=\\d+)")
+    require(recon.filter(!col("consistent")).count() == 0,
+      "incremental aggregate must reconcile with the full recompute")
+
     println(s"[demo] lake files=$nAll data=$nData day1=$nDay1 added=$added " +
-      s"docs=$nDocs kept=$nKept shard0=$nShard0 — all stages asserted OK")
+      s"docs=$nDocs kept=$nKept shard0=$nShard0 pdirs=$nPdirs — all stages asserted OK")
     spark.stop()
   }
 }
