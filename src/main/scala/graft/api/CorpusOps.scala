@@ -194,12 +194,13 @@ object CorpusOps {
     */
   def lmScore(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     def q6(e: String) = s"floor(($e) * 1000000) / CAST(1000000 AS DOUBLE)"
-    val bg = docs.select(col(idCol),
-      explode(expr(graft.operators.CorpusQuality.sparkCharBigramsOf(textCol))).as("bg"))
-    val freq = bg.groupBy("bg").agg(count(lit(1)).as("freq"))
-    val per = bg.join(broadcast(freq), Seq("bg"))
+    val grouped = docs.select(col(idCol),
+        explode(expr(graft.operators.CorpusQuality.sparkCharBigramsOf(textCol))).as("bg"))
+      .groupBy(idCol, "bg").agg(count(lit(1)).as("c"))
+    val freq = grouped.groupBy("bg").agg(sum("c").as("freq"))
+    val per = grouped.join(broadcast(freq), Seq("bg"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("__n"), sum("freq").as("__fs"))
+      .agg(sum("c").as("__n"), sum(expr("c * freq")).as("__fs"))
     docs.join(per, Seq(idCol), "left")
       .withColumn("n_bigrams", coalesce(col("__n"), lit(0L)))
       .withColumn("lm_score", expr(

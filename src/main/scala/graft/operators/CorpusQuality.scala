@@ -110,18 +110,24 @@ object CorpusQuality {
     * a RATIONAL mean (Σ freq / n) — monotone-equivalent to mean log-
     * frequency rankings would need libm; the mean keeps IEEE exactness.
     *
-    * Scale shape: the frequency table is a vocabulary-sized partial
-    * aggregate (shuffles charset² rows, not the corpus) and broadcasts
-    * back onto the per-doc explode; the per-doc sum partial-aggregates
-    * map-side. Two passes over the text, zero corpus-sized shuffles.
+    * Scale shape: ONE explode pass builds the (doc, bigram, count)
+    * partial aggregate; the frequency table derives from it (a
+    * vocabulary-sized aggregate — charset² rows, not the corpus) and
+    * broadcasts back onto the same grouped frame. Zero corpus-sized
+    * shuffles, and the text is scanned once.
     */
   def textNgramLm(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val bg = docs.select(col("doc_id"), explode(expr(sparkCharBigrams)).as("bg"))
-    val freq = bg.groupBy("bg").agg(count(lit(1)).as("freq"))
-    bg.join(broadcast(freq), Seq("bg"))
+    // ONE explode pass: the (doc, bigram, c) partial aggregate both
+    // feeds the corpus frequency table (freq = Σ c over docs) and
+    // carries the per-doc counts — Σ_occurrences freq ≡ Σ_bg c·freq
+    val grouped = Materialize.stable(
+      docs.select(col("doc_id"), explode(expr(sparkCharBigrams)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c")))
+    val freq = grouped.groupBy("bg").agg(sum("c").as("freq"))
+    grouped.join(broadcast(freq), Seq("bg"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("freq").as("freq_sum"))
+      .agg(sum("c").as("n_bigrams"), sum(expr("c * freq")).as("freq_sum"))
       .select(col("doc_id"), col("n_bigrams"),
         expr(q6("CAST(freq_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)")).as("lm_score"))
       .orderBy("doc_id")
@@ -138,11 +144,76 @@ object CorpusQuality {
        |FROM bg JOIN freq USING (bg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // shared raw-quality chain (same formula as text_quality's score,
+  // captured as exact integer MICROS so per-source means aggregate
+  // order-independently — a mean of doubles would drift with partition
+  // order and break the oracle)
+  private def microQuality(q6d: String => String): String = {
+    val dr = q6d("CAST(size(array_distinct(words)) AS DOUBLE) / n_words")
+    val sr = q6d("CAST(size(filter(words, w -> array_contains(array('the', 'a', 'and', 'of', 'to'), w))) AS DOUBLE) / n_words")
+    s"CAST(floor((CAST(0.4 AS DOUBLE) * least(CAST(1 AS DOUBLE), CAST(n_words AS DOUBLE) / CAST(200 AS DOUBLE)) + CAST(0.3 AS DOUBLE) * ($dr) + CAST(0.3 AS DOUBLE) * ($sr)) * 1000000) AS BIGINT)"
+  }
+
+  /** Source-level curation stats — the RefinedWeb/C4-style "filter by
+    * origin" pass: per source, document count, English share, mean
+    * length, and mean quality (aggregated as exact integer micro-scores
+    * so the mean is order-independent), plus a keep decision with a
+    * CROSS-MULTIPLIED integer threshold (Σmicro ≥ n·300000 ⟺ mean ≥
+    * 0.3 — no double mean ever materializes in the predicate).
+    *
+    * Scale: per-doc features are map-side column math; the shuffle
+    * carries one partial row per source. Dropping a source then becomes
+    * one broadcast semi-join against this (source-cardinality) table.
+    */
+  def corpusSourceStats(s: SparkSession, dir: String): DataFrame = {
+    val micro = microQuality(q6)
+    Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+      .withColumn("micro_q", expr(micro))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum("n_words").as("sum_words"),
+        sum("micro_q").as("sum_micro"))
+      .select(col("source"), col("n_docs"), col("n_en"),
+        expr(q6("CAST(sum_words AS DOUBLE) / CAST(n_docs AS DOUBLE)")).as("mean_words"),
+        expr(q6("CAST(sum_micro AS DOUBLE) / CAST(n_docs AS DOUBLE) / CAST(1000000 AS DOUBLE)")).as("mean_quality"),
+        (col("n_docs") >= 15 && col("sum_micro") * 10 >= col("n_docs") * 3000000L).as("keep"))
+      .orderBy("source")
+  }
+
+  val corpusSourceStatsSql: String = {
+    val dr = q6("CAST(len(list_distinct(words)) AS DOUBLE) / n_words")
+    val sr = q6("CAST(len(list_filter(words, w -> list_contains(['the', 'a', 'and', 'of', 'to'], w))) AS DOUBLE) / n_words")
+    val micro = s"CAST(floor((CAST(0.4 AS DOUBLE) * least(CAST(1 AS DOUBLE), CAST(n_words AS DOUBLE) / CAST(200 AS DOUBLE)) + CAST(0.3 AS DOUBLE) * ($dr) + CAST(0.3 AS DOUBLE) * ($sr)) * 1000000) AS BIGINT)"
+    s"""WITH feat AS (
+       |  SELECT source, lang, len(words) AS n_words, $micro AS micro_q
+       |  FROM (
+       |    SELECT source, lang, list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |    FROM documents) t
+       |), agg AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |    CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       |    CAST(SUM(micro_q) AS BIGINT) AS sum_micro
+       |  FROM feat GROUP BY 1
+       |)
+       |SELECT source, n_docs, n_en,
+       |  ${q6("CAST(sum_words AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS mean_words,
+       |  ${q6("CAST(sum_micro AS DOUBLE) / CAST(n_docs AS DOUBLE) / CAST(1000000 AS DOUBLE)")} AS mean_quality,
+       |  n_docs >= 15 AND sum_micro * 10 >= n_docs * 3000000 AS keep
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
-    "text_ngram_lm" -> (textNgramLm _))
+    "text_ngram_lm" -> (textNgramLm _),
+    "corpus_source_stats" -> (corpusSourceStats _))
 
   val oracles: Map[String, String] = Map(
     "text_repetition" -> textRepetitionSql,
-    "text_ngram_lm" -> textNgramLmSql)
+    "text_ngram_lm" -> textNgramLmSql,
+    "corpus_source_stats" -> corpusSourceStatsSql)
 }

@@ -294,13 +294,144 @@ object Sketches {
        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- HLL set operations ------------------------------------------------
+
+  /** the raw-regime HLL estimate from (n_present, numerator) columns —
+    * the exact same literal-arithmetic chain as [[sketchHll]].
+    */
+  private def hllEst(nPresent: String, presentNum: String): String = {
+    val num = s"($presentNum + (CAST($HllM AS BIGINT) - $nPresent) * CAST(${1L << (HllWBits + 1)} AS BIGINT))"
+    s"floor(${alphaExpr(HllM)} * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST(${1L << (HllWBits + 1)} AS DOUBLE) / CAST($num AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"
+  }
+
+  /** HLL set operations across groups — the property that makes
+    * sketches matter at 100 TB: two groups' sketches MERGE (per-bucket
+    * max) into the union's sketch without touching the data again, and
+    * inclusion–exclusion turns union estimates into intersection
+    * estimates. Here: for every event-type pair, the estimated and
+    * exact count of shared active user-days ("days a user did both").
+    *
+    * Scale shape: the per-type bucket sketches are built once (one
+    * partial-agg pass over events); every pair's union sketch derives
+    * from those 512-bucket tables — pair work is sketch-sized,
+    * corpus-free. The exact intersection (the verification baseline) is
+    * the thing that does NOT scale — it self-joins the distinct
+    * (type, user_day) grid — which is exactly why the sketch path
+    * exists.
+    */
+  def sketchHllSetops(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("user_id * 1000003 + ts_us div 86400000000").as("user_day"))
+      .withColumn("h", expr(PortableHash.sparkWordHash("CAST(user_day AS STRING)")))
+      .withColumn("bucket", expr(s"h % $HllM"))
+      .withColumn("rank", expr(s"CASE WHEN h div $HllM = 0 THEN ${HllWBits + 1} ELSE ${HllWBits + 1} - length(bin(h div $HllM)) END"))
+    val buckets = Materialize.stable(
+      e.groupBy("event_type", "bucket").agg(max("rank").as("mr")))
+    def merged(b: DataFrame, keys: Seq[String]): DataFrame =
+      b.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllWBits + 1 - mr)")).as("present_num"))
+    val singles = merged(buckets, Seq("event_type"))
+      .select(col("event_type"), expr(hllEst("n_present", "present_num")).as("est"))
+    val pairs = buckets.select(col("event_type").as("type_a")).distinct()
+      .crossJoin(buckets.select(col("event_type").as("type_b")).distinct())
+      .filter(col("type_a") < col("type_b"))
+    // each pair's union sketch: the pair list joins the bucket table
+    // once per side (two EQUI-joins unioned — no nested-loop OR join),
+    // then per-bucket max merges the two sketches
+    val unionBuckets = pairs
+      .join(buckets, col("event_type") === col("type_a"))
+      .select(col("type_a"), col("type_b"), col("bucket"), col("mr"))
+      .union(pairs
+        .join(buckets, col("event_type") === col("type_b"))
+        .select(col("type_a"), col("type_b"), col("bucket"), col("mr")))
+      .groupBy("type_a", "type_b", "bucket").agg(max("mr").as("mr"))
+    val unions = merged(unionBuckets, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr(hllEst("n_present", "present_num")).as("est_union"))
+    val exact = {
+      val d = e.select(col("event_type"), col("user_day")).distinct()
+      d.select(col("event_type").as("type_a"), col("user_day"))
+        .join(d.select(col("event_type").as("type_b"), col("user_day")), Seq("user_day"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_exact_intersect"))
+    }
+    unions
+      .join(singles.select(col("event_type").as("type_a"), col("est").as("hll_a")), Seq("type_a"))
+      .join(singles.select(col("event_type").as("type_b"), col("est").as("hll_b")), Seq("type_b"))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n_exact_intersect"), lit(0L)).as("n_exact_intersect"),
+        col("hll_a"), col("hll_b"), col("est_union").as("hll_union"),
+        expr("floor((hll_a + hll_b - est_union) * 1000000) / CAST(1000000 AS DOUBLE)").as("hll_intersect"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val sketchHllSetopsSql: String = {
+    def duckMerged(src: String, keys: String) =
+      s"""SELECT $keys, COUNT(*) AS n_present,
+         |    CAST(SUM(CAST(1 AS BIGINT) << ($HllWBits + 1 - mr)) AS BIGINT) AS present_num
+         |  FROM $src GROUP BY ${(1 to keys.split(",").length).mkString(", ")}"""
+        .stripMargin
+    def est(np: String, pn: String) = {
+      val num = s"($pn + (CAST($HllM AS BIGINT) - $np) * ${1L << (HllWBits + 1)})"
+      s"floor(${alphaExpr(HllM)} * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST(${1L << (HllWBits + 1)} AS DOUBLE) / CAST($num AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"
+    }
+    s"""WITH hashed AS (
+       |  SELECT event_type, user_day,
+       |    ${PortableHash.duckWordHash("CAST(user_day AS VARCHAR)")} AS h
+       |  FROM (SELECT event_type, user_id * 1000003 + epoch_us(ts) // 86400000000 AS user_day FROM events) t
+       |), ranked AS (
+       |  SELECT event_type, user_day, h % $HllM AS bucket,
+       |    CASE WHEN h // $HllM = 0 THEN ${HllWBits + 1}
+       |         ELSE ${HllWBits + 1} - length(bin(h // $HllM)) END AS rank
+       |  FROM hashed
+       |), buckets AS (
+       |  SELECT event_type, bucket, MAX(rank) AS mr FROM ranked GROUP BY 1, 2
+       |), singles AS (
+       |  SELECT event_type, ${est("n_present", "present_num")} AS est FROM (
+       |  ${duckMerged("buckets", "event_type")}) m
+       |), pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b
+       |  FROM (SELECT DISTINCT event_type FROM buckets) a
+       |  CROSS JOIN (SELECT DISTINCT event_type FROM buckets) b
+       |  WHERE a.event_type < b.event_type
+       |), union_buckets AS (
+       |  SELECT p.type_a, p.type_b, k.bucket, MAX(k.mr) AS mr
+       |  FROM pairs p JOIN buckets k
+       |    ON k.event_type = p.type_a OR k.event_type = p.type_b
+       |  GROUP BY 1, 2, 3
+       |), unions AS (
+       |  SELECT type_a, type_b, ${est("n_present", "present_num")} AS est_union FROM (
+       |  ${duckMerged("union_buckets", "type_a, type_b")}) m
+       |), exact AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_exact_intersect
+       |  FROM (SELECT DISTINCT event_type, user_day FROM hashed) a
+       |  JOIN (SELECT DISTINCT event_type, user_day FROM hashed) b
+       |    ON a.user_day = b.user_day AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT u.type_a, u.type_b,
+       |  COALESCE(x.n_exact_intersect, 0) AS n_exact_intersect,
+       |  sa.est AS hll_a, sb.est AS hll_b, u.est_union AS hll_union,
+       |  floor((sa.est + sb.est - u.est_union) * 1000000) / CAST(1000000 AS DOUBLE) AS hll_intersect
+       |FROM unions u
+       |JOIN singles sa ON sa.event_type = u.type_a
+       |JOIN singles sb ON sb.event_type = u.type_b
+       |LEFT JOIN exact x ON x.type_a = u.type_a AND x.type_b = u.type_b
+       |ORDER BY u.type_a, u.type_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_setops" -> (sketchHllSetops _),
     "sketch_hll" -> (sketchHll _),
     "sketch_cms" -> (sketchCms _),
     "sketch_bloom" -> (sketchBloom _),
     "sketch_quantile" -> (sketchQuantile _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_hll_setops" -> sketchHllSetopsSql,
     "sketch_hll" -> sketchHllSql,
     "sketch_cms" -> sketchCmsSql,
     "sketch_bloom" -> sketchBloomSql,

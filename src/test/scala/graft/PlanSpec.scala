@@ -68,8 +68,11 @@ class PlanSpec extends SparkSpec {
     // across the corpus (an intentional broadcast cross product);
     // events_funnel combines three ONE-ROW aggregates and
     // tfidf_topterms attaches the ONE-ROW corpus count N (1×n
-    // broadcasts, not data-sized cartesians)
-    val intendedCross = Set("knn_bruteforce", "knn_ivf", "events_funnel", "tfidf_topterms")
+    // broadcasts, not data-sized cartesians); sketch_hll_setops
+    // enumerates type PAIRS by crossing the 5-row distinct-type list
+    // with itself (group-cardinality-sized, corpus-free)
+    val intendedCross = Set("knn_bruteforce", "knn_ivf", "events_funnel", "tfidf_topterms",
+      "sketch_hll_setops")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
