@@ -178,6 +178,43 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("sketch_hll_setops: union/intersection estimates obey set algebra") {
+    val rows = operators.Sketches.sketchHllSetops(spark, sf).collect()
+    assert(rows.length == 10) // C(5,2) type pairs
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Double]("hll_a"), r.getAs[Double]("hll_b"))
+      val u = r.getAs[Double]("hll_union")
+      val i = r.getAs[Double]("hll_intersect")
+      val pair = s"${r.getString(0)}-${r.getString(1)}"
+      // merged sketch dominates both sides (per-bucket max can only grow)
+      assert(u >= a - 1e-6 && u >= b - 1e-6, s"$pair: union $u below a side ($a, $b)")
+      assert(u <= a + b + 1e-6, s"$pair: union $u above a+b")
+      assert(i == math.floor((a + b - u) * 1e6) / 1e6, s"$pair: inclusion-exclusion broken")
+      // estimate within a factor-of-2 band of exact: inclusion-exclusion
+      // AMPLIFIES per-sketch error by ~|A|/|A∩B| (each side is ~5× the
+      // intersection here), so a 512-bucket raw-regime HLL's few-percent
+      // single-set error legitimately becomes tens of percent on the
+      // intersection — the band catches collapse/sign errors, not noise
+      val exact = r.getAs[Long]("n_exact_intersect").toDouble
+      assert(i >= 0.4 * exact && i <= 1.7 * exact,
+        s"$pair: intersect est $i vs exact $exact")
+    }
+  }
+
+  test("corpus_source_stats: conserves the corpus and keeps only above-threshold sources") {
+    val rows = operators.CorpusQuality.corpusSourceStats(spark, sf).collect()
+    val docs = sources.Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(rows.map(_.getAs[Long]("n_en")).sum == docs.filter(col("lang") === "en").count())
+    rows.foreach { r =>
+      val keep = r.getAs[Boolean]("keep")
+      // the flag is computed on exact integers; the displayed mean is
+      // q6-floored, so compare with a one-micro tolerance
+      val meets = r.getAs[Long]("n_docs") >= 15 && r.getAs[Double]("mean_quality") >= 0.3 - 1e-6
+      assert(keep == meets, s"${r.getString(0)}: keep flag inconsistent with thresholds")
+    }
+  }
+
   test("embed_project: projections deterministic and norm ratios sane") {
     val out = operators.Similarity.embedProject(spark, sf)
     val a = out.collect(); val b = operators.Similarity.embedProject(spark, sf).collect()
