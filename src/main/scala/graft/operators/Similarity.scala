@@ -489,7 +489,100 @@ object Similarity {
        |  CAST(adc_i AS DOUBLE) / CAST(1000000 AS DOUBLE) AS adc_dist
        |FROM ranked WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin
 
+  // ---- semantic dedup (SemDeDup-style) -----------------------------------
+
+  val SemTau = 0.45 // same cosine bar as embed_neardup
+
+  /** Cluster-bounded semantic dedup (the SemDeDup recipe, Abbas et al.
+    * 2023): assign every embedding to its IVF cell (the same
+    * Lloyd-refined centroids as knn_ivf), score pairs ONLY within a
+    * cell, connect pairs at cosine ≥ [[SemTau]] into components
+    * (transitive — A~B, B~C is one group even if A~C dips below the
+    * bar), and keep exactly the min-id representative of each
+    * component. Output = one row per vector with its cell, component
+    * id, and keep flag.
+    *
+    * Scale shape: the clustering exists precisely to BOUND the
+    * quadratic term — pair scoring is per-cell all-pairs, so cell
+    * count must grow with the corpus (SemDeDup sizes clusters to keep
+    * cells ~constant); cross-cell duplicates are the documented recall
+    * tradeoff. Components run on the verified-pair graph
+    * (pointer-doubled min-label propagation), which is output-sized,
+    * not corpus-sized.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val vecs = withVec(s, dir)
+    val cents = Materialize.stable(refineCents(vecs))
+    val assign = Materialize.stable(vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr(sparkCosine("v", "cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((col("ccos") * -1).as("neg"), col("cent_id"))).as("best"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"), col("v")))
+    val pairs = assign.as("a").join(assign.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(expr(s"${sparkCosine("a.v", "b.v")} >= $SemTau"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    assign.select("vec_id", "cell").join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("component"),
+        (col("cluster_id").isNull || col("vec_id") === col("cluster_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH RECURSIVE vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), seeds AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % $CentroidMod = 7
+       |), assign0 AS (
+       |  SELECT cell, v FROM (
+       |    SELECT vecs.vec_id, seeds.cent_id AS cell, vecs.v,
+       |      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |        ORDER BY ${duckCosine("vecs.v", "seeds.cv")} DESC, seeds.cent_id) AS crank
+       |    FROM vecs CROSS JOIN seeds) t
+       |  WHERE crank = 1
+       |), comp AS (
+       |  SELECT cell, p.pos AS pos,
+       |    SUM(CAST(floor(v[p.pos + 1] * 1000) AS BIGINT)) AS qs, COUNT(*) AS n
+       |  FROM assign0 CROSS JOIN (SELECT unnest(range(0, ${graft.functions.VectorFns.Dim})) AS pos) p
+       |  GROUP BY 1, 2
+       |), cents AS (
+       |  SELECT cell AS cent_id,
+       |    list(floor(CAST(qs AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(1000 AS DOUBLE) ORDER BY pos) AS cv
+       |  FROM comp GROUP BY 1
+       |), assign AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT vecs.vec_id, cents.cent_id AS cell, vecs.v,
+       |      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |        ORDER BY ${duckCosine("vecs.v", "cents.cv")} DESC, cents.cent_id) AS crank
+       |    FROM vecs CROSS JOIN cents) t
+       |  WHERE crank = 1
+       |), pairs AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${duckCosine("a.v", "b.v")} >= $SemTau
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(node, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+       |), comps AS (
+       |  SELECT node AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+       |)
+       |SELECT a.vec_id, a.cell,
+       |  COALESCE(c.cluster_id, a.vec_id) AS component,
+       |  c.cluster_id IS NULL OR a.vec_id = c.cluster_id AS keep
+       |FROM assign a LEFT JOIN comps c ON a.vec_id = c.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> (dedupSemantic _),
     "knn_pq" -> (knnPq _),
     "embed_neardup" -> (embedNeardup _),
     "knn_bruteforce" -> (knnBruteforce _),
@@ -498,6 +591,7 @@ object Similarity {
     "embed_project" -> (embedProject _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_semantic" -> dedupSemanticSql,
     "knn_pq" -> knnPqSql,
     "embed_neardup" -> embedNeardupSql,
     "knn_bruteforce" -> knnBruteforceSql,

@@ -71,8 +71,10 @@ class PlanSpec extends SparkSpec {
     // broadcasts, not data-sized cartesians); sketch_hll_setops
     // enumerates type PAIRS by crossing the 5-row distinct-type list
     // with itself (group-cardinality-sized, corpus-free)
+    // dedup_semantic shares knn_ivf's centroid-broadcast assignment
+    // cross; its pair join is a (cell, cell) equi-join
     val intendedCross = Set("knn_bruteforce", "knn_ivf", "events_funnel", "tfidf_topterms",
-      "sketch_hll_setops")
+      "sketch_hll_setops", "dedup_semantic")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
