@@ -59,7 +59,8 @@ object ScaleSmoke {
       "text_contamination",
       // round 4 (q_rollup excluded: lineitem isn't replicated here)
       "text_repetition", "text_ngram_lm", "knn_pq",
-      "compact_plan", "incr_agg", "zorder_layout", "events_pivot")
+      "compact_plan", "incr_agg", "zorder_layout", "events_pivot",
+      "dedup_semantic", "corpus_source_stats", "sketch_hll_setops")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
