@@ -223,6 +223,58 @@ object Multimodal {
     }
   }
 
+  val AHashBands = 16         // 16 bands × 4 bits over the 64-bit hash
+  val AHashMaxHamming = 15L   // pigeonhole: ≤15 flipped bits ⇒ ≥1 intact band
+
+  /** 64-bit aHash over the luma-grid feature: bit i is set iff cell i's
+    * (normalized) luma sits above the grid mean — the classical
+    * average-hash. Pure column HOF math over the feature vector
+    * (codegen'd, no UDF); resized/re-encoded copies of an image flip
+    * only the bits whose cells hover at the mean.
+    */
+  def aHash(features: Dataset[FrameFeature]): DataFrame =
+    features.toDF()
+      .withColumn("__mean", expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)) / CAST(size(embedding) AS DOUBLE)"))
+      .withColumn("ahash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, i) ->
+          |  acc | CASE WHEN CAST(element_at(embedding, i + 1) AS DOUBLE) > __mean
+          |    THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin.replaceAll("\\s+", " ")))
+      .drop("__mean")
+
+  /** Visual near-dup pairs by banded aHash — the scalable candidate
+    * generator for image dedup (the cosine feature join needs one; this
+    * IS one): split the 64-bit hash into [[AHashBands]] bands, equi-join
+    * on (band, value) — any pair within hamming [[AHashMaxHamming]]
+    * shares at least one intact band (pigeonhole), so recall at the
+    * threshold is GUARANTEED, not probabilistic — then verify the exact
+    * hamming distance on candidates only. Same shape as dedup_simhash,
+    * fed by real decoded pixels.
+    *
+    * Band sizing is corpus-dependent: the synthetic test images are
+    * pure high-frequency noise — the adversarial extreme for perceptual
+    * hashing — and resized copies flip up to 15 of 64 bits (measured;
+    * distinct images differ by ≥20), forcing 4-bit bands whose random
+    * collision rate is high and pushing the pruning work onto the
+    * hamming verify. Natural images are low-frequency; self-hamming
+    * sits under ~8 and 8-bit bands restore the selective bucket join.
+    */
+  def imageNearDupPairs(features: Dataset[FrameFeature]): DataFrame = {
+    val h = aHash(features).select(col("doc_id"), col("ahash"))
+    val bands = h.select(col("doc_id"), col("ahash"),
+      explode(expr(s"transform(sequence(0, ${AHashBands - 1}), b -> " +
+        s"named_struct('b', b, 'v', shiftrightunsigned(ahash, b * ${64 / AHashBands}) % ${1L << (64 / AHashBands)}))")).as("band"))
+      .select(col("doc_id"), col("ahash"), col("band.b").as("b"), col("band.v").as("v"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.ahash ^ y.ahash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= AHashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _))
   val oracles: Map[String, String] = Map(

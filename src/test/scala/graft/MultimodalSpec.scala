@@ -96,6 +96,33 @@ class MultimodalSpec extends SparkSpec {
       f"cross-image cosine ${others.max}%.4f should stay below self ${selfMin}%.4f")
   }
 
+  test("aHash banding finds each resized copy, exact hamming verifies") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // plant perceptual dups: the same images at two resolutions, copies
+    // offset by +100000 — the banded join must pair original ↔ copy
+    val payloads = Multimodal.encodeMedia(spark, sfDir)
+    val originals = Multimodal.resizeMedia(payloads, 64, 64)
+    val copies = Multimodal.resizeMedia(payloads, 96, 96)
+      .map(p => p.copy(doc_id = p.doc_id + 100000L))
+    val feats = Multimodal.featureExtract(originals.union(copies))
+    val n = 40 // bound the all-pairs check below
+    val sample = feats.filter(f => (f.doc_id % 100000L) < n)
+    val pairs = Multimodal.imageNearDupPairs(sample)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every original pairs with exactly its own copy
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val expected = sample.collect().map(_.doc_id).filter(_ < 100000L)
+      .map(id => (id, id + 100000L)).toSet
+    assert(expected.subsetOf(found),
+      s"missing planted dup pairs: ${expected -- found}")
+    // no cross-image pair survives the hamming verify
+    val cross = pairs.filter { case (a, b, _) => b - a != 100000L }
+    assert(cross.isEmpty, s"false positives: ${cross.toSeq}")
+    // the verify bound actually binds
+    assert(pairs.forall(_._3 <= Multimodal.AHashMaxHamming))
+  }
+
   test("binary metadata matches text-derived expectations") {
     val df = Multimodal.multimodalMeta(spark, sfDir)
     val r = df.filter(org.apache.spark.sql.functions.col("doc_id") === 0).collect()(0)
