@@ -208,6 +208,24 @@ object CorpusOps {
       .drop("__n", "__fs")
   }
 
+  /** SemDeDup-style semantic keep-list over ANY frame carrying an
+    * embedding column: IVF-cell-bounded cosine pairs at `tau`,
+    * transitive components, min-id representative kept. Returns
+    * (`idCol`, cell, component, keep). Ids should span at least the
+    * centroid-seed modulus ([[graft.operators.Similarity.CentroidMod]])
+    * so the corpus-relative seed rule selects centroids.
+    */
+  def semanticKeepList(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      tau: Double = graft.operators.Similarity.SemTau): DataFrame = {
+    val vecs = prepared(df).select(col(idCol).cast("long").as("vec_id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    graft.operators.Similarity.dedupSemanticFor(vecs, tau)
+      .withColumnRenamed("vec_id", idCol)
+  }
+
   /** PII scrub over ANY frame: redact emails and IPv4s in `textCol`
     * in place, reporting per-row match counts. Pure map-side regex
     * column math — the shape of every production PII pass.

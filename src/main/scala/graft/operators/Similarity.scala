@@ -510,8 +510,14 @@ object Similarity {
     * (pointer-doubled min-label propagation), which is output-sized,
     * not corpus-sized.
     */
-  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
-    val vecs = withVec(s, dir)
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    dedupSemanticFor(withVec(s, dir), SemTau).orderBy("vec_id")
+
+  /** [[dedupSemantic]] over ANY (`vec_id`, `v`: array<double>) frame
+    * with a caller-chosen cosine bar — the library entry point
+    * (`api.CorpusOps.semanticKeepList` adapts arbitrary column names).
+    */
+  def dedupSemanticFor(vecs: DataFrame, tau: Double): DataFrame = {
     val cents = Materialize.stable(refineCents(vecs))
     val assign = Materialize.stable(vecs.crossJoin(broadcast(cents))
       .withColumn("ccos", expr(sparkCosine("v", "cv")))
@@ -521,7 +527,7 @@ object Similarity {
       .select(col("vec_id"), col("best.cent_id").as("cell"), col("v")))
     val pairs = assign.as("a").join(assign.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter(expr(s"${sparkCosine("a.v", "b.v")} >= $SemTau"))
+      .filter(expr(s"${sparkCosine("a.v", "b.v")} >= $tau"))
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
     val comps = Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
@@ -529,7 +535,6 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         coalesce(col("cluster_id"), col("vec_id")).as("component"),
         (col("cluster_id").isNull || col("vec_id") === col("cluster_id")).as("keep"))
-      .orderBy("vec_id")
   }
 
   val dedupSemanticSql: String =

@@ -416,6 +416,26 @@ class ApiSpec extends SparkSpec {
     assert(plan("logs/b").getAs[Long]("n_bins") == 1L)
   }
 
+  test("CorpusOps.semanticKeepList: planted identical pair keeps the min id") {
+    import spark.implicits._
+    // 100 deterministic 64-dim vectors (ids span the centroid-seed
+    // modulus); id 9 carries id 3's exact vector — one semantic dup
+    def vec(id: Long): Array[Float] = {
+      val rnd = new scala.util.Random(id) // deterministic per id, well mixed
+      Array.fill(64)((rnd.nextInt(1009) - 504).toFloat)
+    }
+    val rows = (0L until 100L).map(id => (id, if (id == 9L) vec(3L) else vec(id)))
+    val df = rows.toDF("vid", "emb")
+    val out = CorpusOps.semanticKeepList(df, idCol = "vid", vecCol = "emb", tau = 0.95)
+      .collect().map(r => r.getAs[Long]("vid") -> r).toMap
+    assert(out.size == 100)
+    assert(out(3L).getAs[Boolean]("keep"), "representative (min id) must keep")
+    assert(!out(9L).getAs[Boolean]("keep"), "the identical copy must drop")
+    assert(out(9L).getAs[Long]("component") == 3L)
+    val dropped = out.values.count(!_.getAs[Boolean]("keep"))
+    assert(dropped == 1, s"exactly the planted dup drops, got $dropped")
+  }
+
   test("S3Keys: isValidBucketName (reference :35)") {
     val cases = Seq(
       "my-bucket" -> true, "a.b.c" -> true, "abc" -> true,
