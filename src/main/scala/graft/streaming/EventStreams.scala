@@ -221,6 +221,46 @@ object EventStreams {
       .filter(col("n_files") > 0)
   }
 
+  case class ValEv(event_type: String, value: Double)
+  case class MomentState(n: Long, sum: Double, sumsq: Double)
+  case class AnomalyDecision(event_type: String, value: Double, flagged: Boolean)
+
+  val AnomalyMinN = 30L // no flags until the baseline has this many points
+
+  /** Streaming z-score anomaly monitor — the stateful twin of the batch
+    * `events_anomaly`: per-type running moments (n, Σv, Σv²) live in
+    * state; every event in a micro-batch is scored against the moments
+    * AS OF THE PREVIOUS batches (prequential semantics — a batch can't
+    * vote on its own baseline, and the decision is deterministic
+    * whatever order rows arrive within the batch), then the batch folds
+    * into the state. Flag at |v − μ| > 2σ via the sqrt-free comparison
+    * n·(n·v − Σv)² > 4·n·(n·Σv² − Σv²ᵤₘ²). State is three numbers per
+    * event type — bounded forever.
+    */
+  def anomalyStream(events: Dataset[ValEv])(implicit s: SparkSession): Dataset[AnomalyDecision] = {
+    import s.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[MomentState, AnomalyDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[ValEv], state: GroupState[MomentState]) =>
+          val st = state.getOption.getOrElse(MomentState(0L, 0.0, 0.0))
+          val batch = rows.toSeq
+          val out = batch.map { e =>
+            val flagged = st.n >= AnomalyMinN && {
+              val n = st.n.toDouble
+              val dev = n * e.value - st.sum // n·(v − μ) scaled by n
+              val varn2 = n * st.sumsq - st.sum * st.sum // n²σ²
+              dev * dev > 4.0 * varn2
+            }
+            AnomalyDecision(typ, e.value, flagged)
+          }
+          state.update(MomentState(st.n + batch.size,
+            st.sum + batch.map(_.value).sum,
+            st.sumsq + batch.map(v => v.value * v.value).sum))
+          out.iterator
+      }
+  }
+
   /** Streaming decontamination — the stream-static join pattern: the
     * STATIC eval/benchmark shingle index (benchmark-suite-sized, so it
     * broadcasts into every micro-batch) joined against the shingles of

@@ -322,6 +322,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_anomaly: outliers flagged against prior-batch moments only") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.ValEv
+    val mem = MemoryStream[ValEv]
+    val q = EventStreams.anomalyStream(mem.toDS()).writeStream
+      .format("memory").queryName("anom").outputMode("append").start()
+    try {
+      // batch 1: 40 baseline points around 10.0 (incl. a wild value —
+      // no flags yet: the baseline hasn't reached AnomalyMinN before
+      // this batch, and a batch can't vote on itself)
+      mem.addData((1 to 40).map(i => ValEv("m", 10.0 + (i % 5 - 2) * 0.1)) :+ ValEv("m", 99.0): _*)
+      q.processAllAvailable()
+      assert(spark.table("anom").filter(col("flagged")).count() == 0)
+      // batch 2: a clear outlier + a normal point, scored against the
+      // 41-point baseline (whose σ the batch-1 outlier inflated — 50
+      // still sits far outside)
+      mem.addData(ValEv("m", 50.0), ValEv("m", 10.1))
+      q.processAllAvailable()
+      val decisions = spark.table("anom")
+        .filter(col("value").isin(50.0, 10.1))
+        .collect().map(r => r.getDouble(1) -> r.getBoolean(2)).toMap
+      assert(decisions(50.0), "outlier must flag")
+      assert(!decisions(10.1), "normal value must pass")
+      // a fresh type has no baseline — never flags
+      mem.addData(ValEv("fresh", 1e9))
+      q.processAllAvailable()
+      assert(spark.table("anom")
+        .filter(col("event_type") === "fresh" && col("flagged")).count() == 0)
+    } finally q.stop()
+  }
+
   test("stream_incr_agg: foreachBatch-merged deltas equal a recompute of the final listing") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
