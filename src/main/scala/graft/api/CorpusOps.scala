@@ -51,6 +51,14 @@ object CorpusOps {
       .drop("cluster_id")
   }
 
+  /** CCNet-style sub-document dedup stats over any (doc_id, text)
+    * frame: corpus-wide duplicated-span fraction per doc and the keep
+    * flag at the 0.5 threshold — see
+    * [[graft.operators.Dedup.spanStats]] for the scale shape.
+    */
+  def spanDedupStats(docs: DataFrame, window: Int = graft.operators.Dedup.SpanWords): DataFrame =
+    graft.operators.Dedup.spanStats(prepared(docs).select(col("doc_id"), col("text")), window)
+
   /** quality features + composite score (same formula as text_quality /
     * corpus_curate).
     */

@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Audio-column plumbing (SURVEY §2 multimodal family): audio payloads
+  * as opaque `binary` columns, with REAL codec work via the JDK's
+  * `javax.sound.sampled` (WAV/PCM16, headless, zero external deps) —
+  * the audio twin of [[Multimodal]]'s ImageIO path.
+  *
+  * [[encodeAudio]] synthesizes a deterministic integer sawtooth
+  * waveform per doc and writes genuine RIFF/WAVE bytes through
+  * `AudioSystem`; [[decodeAudio]] reads them back through the real
+  * codec (`AudioSystem.getAudioInputStream`) and folds the decoded PCM
+  * frames into integer acoustics (peak, energy, zero crossings).
+  * Because the waveform is a pure integer function of (doc_id, t), the
+  * DuckDB oracle recomputes the SAME acoustics analytically — parity
+  * proves the encode→WAV→decode round trip is bit-exact. A learned
+  * audio encoder would replace only [[envelopeFeature]]'s fold (no
+  * model weights in-container).
+  *
+  * Each stage is a typed `mapPartitions`: one codec context per
+  * partition, the batch shape a `mapInPandas`/torchaudio decoder has in
+  * a production pipeline.
+  */
+object Audio {
+
+  /** synthesis parameters — all pure integer functions of doc_id, so
+    * both engines (and the ScalaTest spec) can derive them independently
+    */
+  @inline def nSamples(id: Long): Int = 1600 + (id % 800).toInt
+  @inline def sampleRate(id: Long): Int = if (id % 2 == 0) 16000 else 8000
+  /** sawtooth step per sample — sized so the period (20000/f ≈ 11-12
+    * samples) is much shorter than an envelope window: a window then
+    * averages several full periods and its mean tracks the AMPLITUDE,
+    * not the phase (with slow periods the envelope is phase noise)
+    */
+  @inline def freqStep(id: Long): Int = 1667 + (id % 64).toInt * 13
+  /** per-window amplitude 1..8 (16 windows) — gives each doc an
+    * envelope SHAPE, which is what the near-dup feature keys on. Each
+    * window gets its own LARGE mixing constant so (id+7)·C(w) wraps
+    * the 251 modulus many times — any polynomial linear in w gives
+    * every doc the same staircase merely rotated, and small multipliers
+    * leave id-differences ≡ 0 (mod 8) invisible (both observed as
+    * false near-dups under the banded hash).
+    */
+  val AmpMix: Array[Int] = Array(1013, 2027, 3049, 4057, 5077, 6091, 7103, 8117,
+    9127, 10139, 11149, 12157, 13163, 14173, 15187, 16193)
+  @inline def amp(id: Long, w: Int): Int = 1 + ((id + 7) * AmpMix(w) % 251 % 8).toInt
+  /** sample t of doc id: amplitude-modulated sawtooth in
+    * [-10000, 9999], PCM16-safe. Both subtraction operands are
+    * non-negative integer divisions, so Scala's truncating `/` and the
+    * oracle's flooring `//` agree exactly.
+    */
+  @inline def sample(id: Long, t: Int, n: Int): Int = {
+    val v = ((t.toLong * freqStep(id) + id * 7) % 20000).toInt
+    val a = amp(id, (t.toLong * 16 / n).toInt)
+    v * a / 8 - 10000 * a / 8
+  }
+
+  case class AudioPayload(doc_id: Long, payload: Array[Byte])
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+    n_samples: Long, duration_ms: Long, peak: Long, energy: Long,
+    zero_crossings: Long)
+  case class AudioFeature(doc_id: Long, embedding: Array[Float])
+
+  /** Synthesize a REAL WAV file per document: deterministic PCM16 mono
+    * sawtooth, written through `AudioSystem.write` — genuine RIFF
+    * header, fmt/data chunks, little-endian frames.
+    */
+  def encodeAudio(s: SparkSession, dir: String): Dataset[AudioPayload] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = nSamples(id)
+          val pcm = new Array[Byte](n * 2)
+          var t = 0
+          while (t < n) {
+            val x = sample(id, t, n)
+            pcm(2 * t) = (x & 0xFF).toByte            // little-endian PCM16
+            pcm(2 * t + 1) = ((x >> 8) & 0xFF).toByte
+            t += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            sampleRate(id).toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          AudioPayload(id, baos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL decoder: `AudioSystem.getAudioInputStream` over the payload
+    * bytes — format comes from the parsed WAV header, samples from the
+    * decoded frame stream. Integer acoustics only (energy, not RMS —
+    * no libm in anything an oracle checks).
+    */
+  def decodeAudio(ds: Dataset[AudioPayload]): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { p =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"unexpected WAV shape for doc ${p.doc_id}")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var peak = 0L; var energy = 0L; var zc = 0L
+        var prevNeg = false
+        var t = 0
+        while (t < n) {
+          // little-endian signed PCM16
+          val x = ((bytes(2 * t + 1) << 8) | (bytes(2 * t) & 0xFF)).toLong
+          if (math.abs(x) > peak) peak = math.abs(x)
+          energy += x * x
+          val neg = x < 0
+          if (t > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          t += 1
+        }
+        val rate = fmt.getSampleRate.toInt
+        AudioMeta(p.doc_id, rate, fmt.getChannels, n.toLong,
+          n.toLong * 1000L / rate, peak, energy, zc)
+      }
+    }
+  }
+
+  /** REAL resample: decode, linear-interpolate the PCM to the target
+    * rate with pure integer arithmetic (position in 1/65536 sample
+    * units), re-encode through the codec — actual DSP, deterministic
+    * across JVMs.
+    */
+  def resampleAudio(ds: Dataset[AudioPayload], targetRate: Int): Dataset[AudioPayload] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { p =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p.payload))
+        val srcRate = ais.getFormat.getSampleRate.toInt
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        def src(i: Int): Int = {
+          val j = math.min(i, n - 1)
+          (bytes(2 * j + 1) << 8) | (bytes(2 * j) & 0xFF)
+        }
+        val outN = (n.toLong * targetRate / srcRate).toInt
+        val pcm = new Array[Byte](outN * 2)
+        var t = 0
+        while (t < outN) {
+          val pos = t.toLong * srcRate * 65536L / targetRate
+          val i = (pos >> 16).toInt
+          val frac = (pos & 0xFFFF).toInt
+          val x = (src(i).toLong * (65536 - frac) + src(i + 1).toLong * frac) >> 16
+          pcm(2 * t) = (x & 0xFF).toByte
+          pcm(2 * t + 1) = ((x >> 8) & 0xFF).toByte
+          t += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(targetRate.toFloat, 16, 1, true, false)
+        val out = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, outN.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(out,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        AudioPayload(p.doc_id, baos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL acoustic feature: 16-window mean-rectified-amplitude envelope
+    * over the decoded PCM, L2-normalized — rate-invariant (a resampled
+    * copy has nearly the same envelope), which is what downstream
+    * near-dup search needs. Integer sums in the fold; floats only at
+    * the final normalize.
+    */
+  def envelopeFeature(ds: Dataset[AudioPayload], windows: Int = 16): Dataset[AudioFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { p =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p.payload))
+        val bytes = ais.readAllBytes()
+        val n = math.max(bytes.length / 2, 1)
+        val sums = new Array[Long](windows)
+        val counts = new Array[Long](windows)
+        var t = 0
+        while (2 * t + 1 < bytes.length) {
+          val x = (bytes(2 * t + 1) << 8) | (bytes(2 * t) & 0xFF)
+          val w = math.min((t.toLong * windows / n).toInt, windows - 1)
+          sums(w) += math.abs(x)
+          counts(w) += 1
+          t += 1
+        }
+        val means = Array.tabulate(windows)(w =>
+          if (counts(w) == 0) 0.0 else sums(w).toDouble / counts(w))
+        val norm = math.sqrt(means.map(m => m * m).sum)
+        AudioFeature(p.doc_id,
+          means.map(m => if (norm == 0) 0f else (m / norm).toFloat))
+      }
+    }
+  }
+
+  /** Audio near-dup pairs, the standard LSH shape: banded 64-bit
+    * envelope hash generates candidates (pigeonhole recall — reuses
+    * [[Multimodal.imageNearDupPairs]]'s feature-agnostic band join),
+    * then an EXACT cosine on the true envelope verifies. The hash alone
+    * over-fires: 8-level envelopes collide at chance level (observed),
+    * but chance bit-collisions have cosine well below a true copy's.
+    */
+  def audioNearDupPairs(features: Dataset[AudioFeature], minCos: Double = 0.995): DataFrame = {
+    import features.sparkSession.implicits._
+    val cands = Multimodal.imageNearDupPairs(
+      features.map(f => Multimodal.FrameFeature(f.doc_id, 0, f.embedding)))
+    val emb = features.toDF().select(col("doc_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    cands.join(emb.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(emb.as("eb"), col("doc_b") === col("eb.doc_id"))
+      .withColumn("cos", expr(graft.functions.VectorFns.sparkCosine("ea.v", "eb.v")))
+      .filter(col("cos") >= minCos)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** audio_meta oracle query: encode REAL WAVs, decode them through the
+    * REAL codec, emit integer acoustics. The oracle recomputes the same
+    * numbers analytically from the synthesis formula — any container or
+    * codec bug (header drift, endianness, truncation) breaks parity.
+    */
+  def audioMeta(s: SparkSession, dir: String): DataFrame =
+    decodeAudio(encodeAudio(s, dir)).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("duration_ms"), col("peak"), col("energy"),
+        col("zero_crossings"))
+      .orderBy("doc_id")
+
+  val audioMetaSql: String =
+    s"""WITH params AS (
+      |  SELECT doc_id, 1600 + doc_id % 800 AS n,
+      |    CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS rate,
+      |    1667 + doc_id % 64 * 13 AS f
+      |  FROM documents),
+      |samples AS (
+      |  SELECT doc_id, i,
+      |    ((i * f + doc_id * 7) % 20000) * a // 8 - 10000 * a // 8 AS x
+      |  FROM (
+      |    SELECT doc_id, n, f, i,
+      |      1 + (doc_id + 7) * ([${AmpMix.mkString(", ")}][(i * 16 // n) + 1]) % 251 % 8 AS a
+      |    FROM params, UNNEST(generate_series(0, CAST(n - 1 AS BIGINT))) AS t(i)) m),
+      |acoustics AS (
+      |  SELECT doc_id,
+      |    CAST(MAX(ABS(x)) AS BIGINT) AS peak,
+      |    CAST(SUM(x * x) AS BIGINT) AS energy,
+      |    CAST(SUM(CASE WHEN px IS NOT NULL AND (x < 0) <> (px < 0) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      |  FROM (SELECT doc_id, x, LAG(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+      |        FROM samples) s
+      |  GROUP BY doc_id)
+      |SELECT p.doc_id, CAST(p.rate AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+      |  CAST(p.n AS BIGINT) AS n_samples, CAST(p.n * 1000 // p.rate AS BIGINT) AS duration_ms,
+      |  a.peak, a.energy, a.zero_crossings
+      |FROM params p JOIN acoustics a USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audio_meta" -> (audioMeta _))
+  val oracles: Map[String, String] = Map(
+    "audio_meta" -> audioMetaSql)
+}

@@ -352,7 +352,74 @@ object Dedup {
        |WHERE n_shared >= $ContamMinShared
        |ORDER BY train_doc, eval_doc""".stripMargin
 
+  /** Words per span for [[dedupSpans]] — CCNet deduplicates paragraphs;
+    * the synthetic corpus has no paragraph breaks, so the unit is a
+    * fixed 8-word span (non-overlapping), which the planted duplicate
+    * docs share across doc boundaries.
+    */
+  val SpanWords = 8
+
+  /** CCNet-style sub-document dedup: fingerprint every consecutive
+    * [[SpanWords]]-word span, count span frequency CORPUS-WIDE, and
+    * score each doc by its duplicated-span fraction (the signal CCNet
+    * thresholds to drop boilerplate-heavy docs).
+    *
+    * 100 TB shape: the span frame is computed map-side in the scan
+    * projection (split + slice HOFs, one 64-bit fingerprint per span —
+    * the strings never shuffle); the frequency pass is one partial-agg
+    * groupBy on the fingerprint; the probe join is equi-keyed against
+    * the DUPLICATED fingerprints only (output-bound build side — unique
+    * spans, the overwhelming majority, never enter the join build).
+    */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    spanStats(Tables.documents(s, dir))
+
+  /** library entry point: span-dedup stats over ANY (doc_id, text)
+    * DataFrame.
+    */
+  def spanStats(docs: DataFrame, window: Int = SpanWords): DataFrame = {
+    val spans = Materialize.stable(
+      docs.withColumn("__ws", split(col("text"), " "))
+        .withColumn("span", explode(expr(
+          s"transform(sequence(0, (size(__ws) + ${window - 1}) div $window - 1), " +
+            s"i -> array_join(slice(__ws, i * $window + 1, $window), ' '))")))
+        .select(col("doc_id"), expr(sparkFingerprint("span")).as("h")))
+    val dup = spans.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"), lit(1).as("is_dup"))
+    spans.join(dup, Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0))).cast("long").as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"),
+        (lit(2) * col("n_dup_spans") <= col("n_spans")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSpansSql: String =
+    s"""SELECT doc_id, n_spans, n_dup_spans,
+       |  CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_frac,
+       |  2 * n_dup_spans <= n_spans AS keep
+       |FROM (
+       |  SELECT doc_id, COUNT(*) AS n_spans,
+       |    CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+       |  FROM (
+       |    SELECT doc_id, ${duckFingerprint("span")} AS h
+       |    FROM (
+       |      SELECT doc_id, array_to_string(ws[(i-1)*$SpanWords+1 : i*$SpanWords], ' ') AS span
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w,
+       |        UNNEST(generate_series(1, (len(ws) + ${SpanWords - 1}) // $SpanWords)) AS t(i))) hs
+       |  JOIN (SELECT h AS h2, COUNT(*) AS c
+       |        FROM (SELECT ${duckFingerprint("span")} AS h
+       |              FROM (SELECT array_to_string(ws[(i-1)*$SpanWords+1 : i*$SpanWords], ' ') AS span
+       |                    FROM (SELECT string_split(text, ' ') AS ws FROM documents) w2,
+       |                      UNNEST(generate_series(1, (len(ws) + ${SpanWords - 1}) // $SpanWords)) AS t2(i)) s2) f
+       |        GROUP BY h) freq ON hs.h = freq.h2
+       |  GROUP BY doc_id) agg
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_spans" -> (dedupSpans _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -361,6 +428,7 @@ object Dedup {
     "text_contamination" -> (textContamination _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_spans" -> dedupSpansSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,

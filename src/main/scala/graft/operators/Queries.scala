@@ -620,7 +620,115 @@ object Queries {
        |GROUP BY day ORDER BY day""".stripMargin
   }
 
+  /** TPC-H Q13 shape — outer-join count distribution: how many
+    * customers placed 0, 1, 2, … urgent orders (the zero bucket is the
+    * point — only an outer join finds customers the fact table never
+    * mentions). Spark-first
+    * decorrelation: the fact side pre-aggregates to (custkey, count)
+    * partials BEFORE touching customer, so the join shuffles one row
+    * per customer instead of one per order — the LEFT OUTER is against
+    * a customer-cardinality frame and `coalesce(cnt, 0)` restores the
+    * zero-order customers the filter excluded. At 100 TB the orders
+    * scan never reaches the join unaggregated.
+    */
+  def q13Custdist(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Tables.customer(s, dir)
+      .join(counts, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustdistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q22 shape — NOT EXISTS decorrelated to a LEFT ANTI join:
+    * above-average-balance customers with no urgent orders, per
+    * nation. The global average never materializes as a double — the
+    * one-row (total, n) aggregate broadcasts onto the customer scan
+    * and the predicate cross-multiplies (bal·n > Σbal) in exact
+    * DECIMAL, so both engines evaluate the same exact rational
+    * comparison. The anti join co-partitions on custkey and the
+    * urgent-order side carries only its join key.
+    */
+  def q22Antijoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val bal = c.filter(col("c_acctbal") > 0)
+      .agg(sum(dec("c_acctbal")).cast("decimal(22,2)").as("total"),
+        count(lit(1)).as("n"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === lit("1-URGENT"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(bal))
+      .filter(expr("CAST(c_acctbal AS DECIMAL(12,2)) * n > total"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(dec("c_acctbal")), 2).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  val q22AntijoinSql: String =
+    """SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+      |FROM customer c JOIN (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS total,
+      |    COUNT(*) AS n
+      |  FROM customer WHERE c_acctbal > 0) s ON TRUE
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > total
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Rolling 7-day distinct active users per day, exactly — the DAU /
+    * WAU curve. Spark-first shape: the corpus collapses to the
+    * (user, day) activity grid first (partial-agg dedup — the only
+    * pass over the events), then each grid row EXPLODES into the ≤7
+    * window-end days it contributes to and a count-distinct per day
+    * finishes the job. The fanout is over the grid (users × active
+    * days), never over raw events, and there is no per-day range scan
+    * — everything after the dedup is equi-keyed. A days semi-join
+    * drops window ends past the data's edge.
+    */
+  def eventsDauRolling(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct()
+    val days = grid.select(col("day").as("d")).distinct()
+    grid.select(col("user_id"), col("day"),
+        explode(expr("sequence(day, day + 6)")).as("d"))
+      .join(broadcast(days), Seq("d"), "left_semi")
+      .groupBy("d")
+      .agg(countDistinct(when(col("day") === col("d"), col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("dau7"))
+      .select(col("d").as("day"), col("dau"), col("dau7"))
+      .orderBy("day")
+  }
+
+  val eventsDauRollingSql: String =
+    """WITH grid AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day AS d FROM grid)
+      |SELECT d AS day,
+      |  COUNT(DISTINCT CASE WHEN g.day = d THEN g.user_id END) AS dau,
+      |  COUNT(DISTINCT g.user_id) AS dau7
+      |FROM days JOIN grid g ON g.day BETWEEN d - 6 AND d
+      |GROUP BY d ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_custdist" -> (q13Custdist _),
+    "q22_antijoin" -> (q22Antijoin _),
+    "events_dau_rolling" -> (eventsDauRolling _),
     "q_rollup" -> (qRollup _),
     "q4_semijoin" -> (q4Semijoin _),
     "q17_smallqty" -> (q17Smallqty _),
@@ -643,6 +751,9 @@ object Queries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q13_custdist" -> q13CustdistSql,
+    "q22_antijoin" -> q22AntijoinSql,
+    "events_dau_rolling" -> eventsDauRollingSql,
     "q_rollup" -> qRollupSql,
     "q4_semijoin" -> q4SemijoinSql,
     "q17_smallqty" -> q17SmallqtySql,

@@ -60,7 +60,9 @@ object ScaleSmoke {
       // round 4 (q_rollup excluded: lineitem isn't replicated here)
       "text_repetition", "text_ngram_lm", "knn_pq",
       "compact_plan", "incr_agg", "zorder_layout", "events_pivot",
-      "dedup_semantic", "corpus_source_stats", "sketch_hll_setops")
+      "dedup_semantic", "corpus_source_stats", "sketch_hll_setops",
+      // round 4b: span dedup + rolling distinct + audio codec path
+      "dedup_spans", "events_dau_rolling", "audio_meta")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

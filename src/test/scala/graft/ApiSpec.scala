@@ -263,6 +263,22 @@ class ApiSpec extends SparkSpec {
       .collect()(0).getString(0).startsWith("tok1 the a"))
   }
 
+  test("CorpusOps.spanDedupStats: duplicated spans counted corpus-wide, keep flag at 0.5") {
+    import spark.implicits._
+    val shared = (1 to 16).map(i => s"same$i").mkString(" ")  // 2 spans, in both docs
+    val docs = Seq(
+      (1L, shared + " " + (1 to 16).map(i => s"only-a$i").mkString(" ")), // 2/4 dup -> keep
+      (2L, shared + " " + (1 to 8).map(i => s"only-b$i").mkString(" ")),  // 2/3 dup -> drop
+      (3L, (1 to 24).map(i => s"uniq$i").mkString(" ")))                  // 0/3 dup -> keep
+      .toDF("doc_id", "text")
+    val stats = api.CorpusOps.spanDedupStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"), r.getAs[Boolean]("keep"))).toMap
+    assert(stats(1L) == ((4L, 2L, true)), s"doc 1: ${stats(1L)}")
+    assert(stats(2L) == ((3L, 2L, false)), s"doc 2: ${stats(2L)}")
+    assert(stats(3L) == ((3L, 0L, true)), s"doc 3: ${stats(3L)}")
+  }
+
   test("CorpusOps.dedupKeepList: transitive chain keeps exactly one doc per component") {
     import spark.implicits._
     // C = X++Y++Z; A = X++Y; B = Y++Z. Shingle Jaccard(A,C) ≈ J(B,C) ≈

@@ -215,6 +215,52 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q13_custdist: distribution conserves customers and qualifying orders") {
+    val rows = operators.Queries.q13Custdist(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist")))
+    val customers = sources.Tables.customer(spark, sf).count()
+    val qualifying = sources.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    // every customer lands in exactly one bucket; buckets weighted by
+    // their count reproduce the filtered fact cardinality exactly
+    assert(rows.map(_._2).sum == customers, "Σ custdist must equal |customer|")
+    assert(rows.map(r => r._1 * r._2).sum == qualifying,
+      "Σ c_count·custdist must equal the qualifying-order count")
+    assert(rows.exists(_._1 == 0L), "the zero-order bucket must exist (outer-join zeros)")
+  }
+
+  test("q22_antijoin: every nation group's mean balance exceeds the global positive mean") {
+    val c = sources.Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
+    val pos = c.filter(col("c_acctbal") > 0).agg(sum("c_acctbal"), count(lit(1))).head()
+    val globalMean = pos.getDouble(0) / pos.getLong(1)
+    val rows = operators.Queries.q22Antijoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("totacctbal") / r.getAs[Long]("numcust")
+      // members all pass bal > globalMean, so any group mean does too
+      assert(mean > globalMean - 0.01,
+        s"nation ${r.get(0)}: group mean $mean <= global mean $globalMean")
+    }
+    // anti-join actually bit: some above-average customer has an urgent order
+    val aboveAvg = c.filter(col("c_acctbal") > globalMean).count()
+    assert(rows.map(_.getAs[Long]("numcust")).sum < aboveAvg,
+      "anti join removed nothing — urgent-order customers not excluded")
+  }
+
+  test("events_dau_rolling: window dominates the day and is capped by the trailing-7 sum") {
+    val rows = operators.Queries.eventsDauRolling(spark, sf).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"), r.getAs[Long]("dau7")))
+      .sortBy(_._1)
+    val byDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (d, dau, dau7) =>
+      assert(dau7 >= dau, s"day $d: dau7 $dau7 < dau $dau")
+      val cap = (d - 6 to d).flatMap(byDay.get).sum
+      assert(dau7 <= cap, s"day $d: dau7 $dau7 exceeds trailing-7 dau sum $cap")
+    }
+    // the first active day has no history: its window is exactly its day
+    assert(rows.head._2 == rows.head._3, "first day's dau7 must equal its dau")
+  }
+
   test("embed_project: projections deterministic and norm ratios sane") {
     val out = operators.Similarity.embedProject(spark, sf)
     val a = out.collect(); val b = operators.Similarity.embedProject(spark, sf).collect()

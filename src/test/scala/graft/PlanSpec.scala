@@ -72,9 +72,11 @@ class PlanSpec extends SparkSpec {
     // enumerates type PAIRS by crossing the 5-row distinct-type list
     // with itself (group-cardinality-sized, corpus-free)
     // dedup_semantic shares knn_ivf's centroid-broadcast assignment
-    // cross; its pair join is a (cell, cell) equi-join
+    // cross; its pair join is a (cell, cell) equi-join;
+    // q22_antijoin broadcasts the ONE-ROW (Σbal, n) aggregate onto the
+    // customer scan (the decorrelated scalar subquery — 1×n, not n×m)
     val intendedCross = Set("knn_bruteforce", "knn_ivf", "events_funnel", "tfidf_topterms",
-      "sketch_hll_setops", "dedup_semantic")
+      "sketch_hll_setops", "dedup_semantic", "q22_antijoin")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
