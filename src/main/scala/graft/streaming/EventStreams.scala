@@ -28,6 +28,32 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** stream-stream RANGE join with watermarks — the streaming twin of
+    * the batch `events_range_join`: each error joins the same user's
+    * clicks within the 5 minutes before it (LEFT OUTER, so click-less
+    * errors still emit one null-click row once the watermark passes
+    * them). The time bound living INSIDE the join condition is what
+    * lets Spark evict state on both sides: a click older than
+    * (watermark − 5 min) can never match a future error, so click
+    * state is bounded by watermark + range width — never the stream
+    * history. At scale both sides hash-partition on user_id once, the
+    * same shuffle the batch twin does.
+    */
+  def rangeJoinStream(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", "10 minutes")
+    val e = errors
+      .select(col("user_id").as("e_user"), col("event_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "10 minutes")
+    e.join(c,
+      col("c_user") === col("e_user") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("c_ts") < col("e_ts"),
+      "leftOuter")
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,

@@ -304,6 +304,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_range_join == batch events_range_join on the real events table") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"), col("event_type"))
+      .as[(Long, Long, Timestamp, Double, String)].collect()
+    val maxTs = ev.map(_._3.getTime).max
+
+    val clicksMem = MemoryStream[(Long, Timestamp, Double)]
+    val errorsMem = MemoryStream[(Long, Long, Timestamp)]
+    val joined = EventStreams.rangeJoinStream(
+      clicksMem.toDF().toDF("user_id", "ts", "value"),
+      errorsMem.toDF().toDF("user_id", "event_id", "ts"))
+    val q = joined.writeStream.format("memory").queryName("srj").outputMode("append").start()
+    try {
+      clicksMem.addData(ev.filter(_._5 == "click").map(e => (e._1, e._3, e._4)).toSeq)
+      errorsMem.addData(ev.filter(_._5 == "error").map(e => (e._1, e._2, e._3)).toSeq)
+      q.processAllAvailable()
+      // flush: a far-future sentinel on BOTH sides pushes the watermark
+      // past every real error so their outer (null-click) rows emit
+      val flush = new Timestamp(maxTs + 3600 * 1000L)
+      clicksMem.addData((-1L, flush, 0.0))
+      errorsMem.addData((-1L, -1L, flush))
+      q.processAllAvailable()
+
+      val streamed = spark.table("srj").filter(col("e_user") >= 0)
+        .groupBy(col("e_user").as("user_id"), col("event_id"))
+        .agg(count(col("c_ts")).as("n_clicks_5m"),
+          coalesce(round(sum(col("c_value").cast("decimal(12,2)")), 2).cast("double"), lit(0.0))
+            .as("sum_click_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.operators.Queries.eventsRangeJoin(spark, sfDir)
+        .select("user_id", "event_id", "n_clicks_5m", "sum_click_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream_change_feed: added → modified → silence for unchanged") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
