@@ -418,7 +418,50 @@ object Dedup {
        |  GROUP BY doc_id) agg
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental ingestion dedup — the batch twin of `stream_dedup`:
+    * a NEW batch of documents is admitted or rejected against the
+    * fingerprint index of the existing corpus (the shape a daily
+    * ingestion job has: never re-dedup the lake, join the delta against
+    * the index). The synthetic new batch mixes true re-ingestions
+    * (doc_id%10==3, byte-identical) with genuinely new docs
+    * (doc_id%10==7, text suffixed).
+    *
+    * 100 TB shape: the index is one (fp, min_id) row per distinct doc —
+    * built once, reusable across batches (in production it's a bucketed
+    * table on fp, making this join exchange-free per
+    * [[graft.sources.BucketedSink]]); the probe shuffles only the
+    * BATCH, which is deltas-sized, not corpus-sized.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val index = d.select(col("doc_id"), expr(sparkFingerprint("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("dup_of"))
+    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select((col("doc_id") + 200000).as("new_id"), col("text"))
+      .union(d.filter(pmod(col("doc_id"), lit(10)) === 7)
+        .select((col("doc_id") + 200000).as("new_id"),
+          concat(col("text"), lit(" fresh-suffix")).as("text")))
+    batch.withColumn("fp", expr(sparkFingerprint("text")))
+      .join(index, Seq("fp"), "left_outer")
+      .select(col("new_id"), col("dup_of").isNull.as("admitted"), col("dup_of"))
+      .orderBy("new_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH idx AS (
+       |  SELECT ${duckFingerprint("text")} AS fp, MIN(doc_id) AS dup_of
+       |  FROM documents GROUP BY 1),
+       |batch AS (
+       |  SELECT doc_id + 200000 AS new_id, text FROM documents WHERE doc_id % 10 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text || ' fresh-suffix' FROM documents WHERE doc_id % 10 = 7)
+       |SELECT new_id, dup_of IS NULL AS admitted, dup_of
+       |FROM (SELECT new_id, ${duckFingerprint("text")} AS fp FROM batch) b
+       |LEFT JOIN idx USING (fp)
+       |ORDER BY new_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -428,6 +471,7 @@ object Dedup {
     "text_contamination" -> (textContamination _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,

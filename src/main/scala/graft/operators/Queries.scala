@@ -725,7 +725,84 @@ object Queries {
       |FROM days JOIN grid g ON g.day BETWEEN d - 6 AND d
       |GROUP BY d ORDER BY d""".stripMargin
 
+  /** TPC-H Q21 shape — EXISTS and NOT EXISTS collapsed into ONE
+    * co-partitioned pass: suppliers that were the SOLE late shipper on
+    * a multi-supplier order. Instead of two correlated subqueries
+    * (another supplier EXISTS; another late supplier does NOT), the
+    * per-(order, supplier) grain aggregates once on orderkey and a
+    * window over the same key derives both counts — no self-join, no
+    * second scan, and the window reuses the aggregation's partitioning
+    * (lateness = shipped > 90 days after order date, as q4).
+    */
+  def q21LateSupp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val perSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        (col("l_shipdate") > expr("o_orderdate + INTERVAL 90 DAYS")).cast("int"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("supp_late"))
+    val w = Window.partitionBy("l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp", sum(col("supp_late")).over(w))
+      .filter(col("supp_late") === 1 && col("n_late_supp") === 1 && col("n_supp") >= 2)
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("suppkey"))
+      .limit(20)
+  }
+
+  val q21LateSuppSql: String =
+    """WITH ls AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS supp_late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT l_suppkey AS suppkey, COUNT(*) AS numwait
+      |FROM ls a
+      |WHERE supp_late = 1
+      |  AND EXISTS (
+      |    SELECT 1 FROM ls b
+      |    WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM ls c
+      |    WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey <> a.l_suppkey
+      |      AND c.supp_late = 1)
+      |GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 20""".stripMargin
+
+  /** hourly OHLC per event type — the first/last-by-event-time
+    * aggregate shape (time-series downsampling for dashboards):
+    * `min_by`/`max_by` pick open/close in ONE partial-aggregated pass —
+    * no per-group sort, no window, no self-join; ties break on
+    * (ts, event_id) via a zero-padded composite string key (exactly
+    * what the DuckDB `arg_min`/`arg_max` twin orders by).
+    */
+  def eventsOhlc(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("hour_bucket", expr("ts_us div 3600000000"))
+      .withColumn("ord", format_string("%020d-%012d", col("ts_us"), col("event_id")))
+      .groupBy("hour_bucket", "event_type")
+      .agg(min_by(col("value"), col("ord")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ord")).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("hour_bucket", "event_type")
+  }
+
+  val eventsOhlcSql: String =
+    """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+      |  arg_min(value, printf('%020d-%012d', epoch_us(ts), event_id)) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id)) AS close,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_late_supp" -> (q21LateSupp _),
+    "events_ohlc" -> (eventsOhlc _),
     "q13_custdist" -> (q13Custdist _),
     "q22_antijoin" -> (q22Antijoin _),
     "events_dau_rolling" -> (eventsDauRolling _),
@@ -751,6 +828,8 @@ object Queries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q21_late_supp" -> q21LateSuppSql,
+    "events_ohlc" -> eventsOhlcSql,
     "q13_custdist" -> q13CustdistSql,
     "q22_antijoin" -> q22AntijoinSql,
     "events_dau_rolling" -> eventsDauRollingSql,

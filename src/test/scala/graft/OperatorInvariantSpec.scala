@@ -261,6 +261,66 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.head._2 == rows.head._3, "first day's dau7 must equal its dau")
   }
 
+  test("q21_late_supp: matches a brute-force recount of sole-late multi-supplier orders") {
+    val rows = operators.Queries.q21LateSupp(spark, sf).collect()
+      .map(r => r.getAs[Long]("suppkey") -> r.getAs[Long]("numwait"))
+    assert(rows.nonEmpty)
+    // NTZ timestamps surface as LocalDateTime — epoch-ms via UTC
+    def ms(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[java.time.LocalDateTime](i).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val l = sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), ms(r, 2)))
+    val o = sources.Tables.orders(spark, sf).select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> ms(r, 1)).toMap
+    val ninetyDaysMs = 90L * 86400 * 1000
+    val byOrder = l.groupBy(_._1)
+    val brute = byOrder.toSeq.flatMap { case (ok, items) =>
+      val supps = items.groupBy(_._2)
+      val late = supps.filter(_._2.exists(i => i._3 > o(ok) + ninetyDaysMs)).keys.toSeq
+      if (supps.size >= 2 && late.size == 1) late else Nil
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val top = brute.toSeq.sortBy { case (k, n) => (-n, k) }.take(20)
+    assert(rows.toSeq == top, s"engine ${rows.toSeq} vs brute-force $top")
+  }
+
+  test("events_ohlc: bounds hold and open/close match a per-group sort") {
+    val rows = operators.Queries.eventsOhlc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val events = sources.Tables.events(spark, sf)
+      .selectExpr("ts_us div 3600000000 as hb", "event_type", "ts_us", "event_id", "value")
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sortBy(v => (v._1, v._2)) }
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("hour_bucket"), r.getAs[String]("event_type"))
+      val (open, high, low, close) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(low <= open && open <= high && low <= close && close <= high, s"$key bounds")
+      val sorted = events(key)
+      assert(open == sorted.head._3 && close == sorted.last._3,
+        s"$key: open/close disagree with the time-sorted group")
+      assert(r.getAs[Long]("n") == sorted.length.toLong)
+    }
+  }
+
+  test("dedup_incremental: re-ingestions rejected with a valid ancestor, fresh docs admitted") {
+    val out = operators.Dedup.dedupIncremental(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val newId = r.getAs[Long]("new_id")
+      val admitted = r.getAs[Boolean]("admitted")
+      if ((newId - 200000) % 10 == 3) {
+        assert(!admitted, s"$newId: byte-identical re-ingestion must be rejected")
+        assert(r.getAs[Long]("dup_of") <= newId - 200000,
+          s"$newId: ancestor must be an existing (earlier) doc")
+      } else {
+        assert(admitted, s"$newId: suffixed doc is genuinely new, must be admitted")
+        assert(r.isNullAt(r.fieldIndex("dup_of")), s"$newId: admitted doc has an ancestor")
+      }
+    }
+  }
+
   test("embed_project: projections deterministic and norm ratios sane") {
     val out = operators.Similarity.embedProject(spark, sf)
     val a = out.collect(); val b = operators.Similarity.embedProject(spark, sf).collect()
