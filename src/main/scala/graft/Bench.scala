@@ -53,18 +53,23 @@ object Bench {
         name -> (med, if (med > 0) (sorted.last - sorted.head) / med else 0.0)
       }
     }
-    def jnum(v: Double) = if (v == -1.0) "-1" else f"$v%.6f"
-    val qs = results.map { case (k, (m, _)) => s"\"" + k + "\":" + jnum(m) }
+    def jnum(v: Double, fmt: String) = if (v == -1.0) "-1" else fmt.format(v)
+    def qmap(fmt: String) = results
+      .map { case (k, (m, _)) => s"\"" + k + "\":" + jnum(m, fmt) }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, (_, sp)) => s"\"" + k + "\":" + f"$sp%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"stat":"median","queries":$qs,"spread":$spreads,"sf":"$sfDir"}"""
-    // bare-file copy so the harness never has to fish the line out of
-    // sbt/log4j output
+    // Full-precision record (+ per-query spread) goes to bench.json — the
+    // durable artifact. STDOUT gets a compact line (2-decimal medians, no
+    // spread map): the harness captures only the tail of the run output,
+    // and at 100+ queries the full line overflows that window and parses
+    // as nothing (round-3's BENCH parsed:null was exactly this).
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"stat":"median","queries":${qmap("%.6f")},"spread":$spreads,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val compact = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","runs":$Runs,"stat":"median","queries":${qmap("%.2f")},"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }
