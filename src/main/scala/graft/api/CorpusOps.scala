@@ -250,4 +250,28 @@ object CorpusOps {
       .withColumn(textCol,
         expr(s"regexp_replace(regexp_replace($textCol, '$em', '<EMAIL>'), '$ip', '<IP>')"))
   }
+
+  /** URL canonicalization over ANY frame with a `urlCol` column:
+    * lowercase, strip scheme / leading www. / explicit default port /
+    * query string / trailing slash. Adds `canonical_url` and `domain`
+    * columns — pure codegen'd column math, no shuffle.
+    */
+  def canonicalizeUrls(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    df.withColumn("canonical_url",
+        graft.operators.WebCorpus.canonicalize(col(urlCol)))
+      .withColumn("domain", regexp_extract(col("canonical_url"), "^([^/]+)", 1))
+  }
+
+  /** URL-canonicalization dedup keep-list over ANY frame: one row per
+    * canonical URL with the min-id keeper and the variant count. ONE
+    * canonical-key shuffle; no text column required or moved.
+    */
+  def urlDedupGroups(df: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    canonicalizeUrls(df, urlCol)
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_variants"), min(idCol).as("keeper"))
+  }
 }

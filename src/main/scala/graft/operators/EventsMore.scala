@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-series depth: decay-weighted scoring, gap filling, and
+  * hopping (sliding) windows — the shapes a metrics pipeline needs
+  * beyond plain tumbling aggregation.
+  *
+  * Determinism discipline: all three stay in integer math until the
+  * final (single) IEEE operation — decay weights are exact powers of
+  * two applied to exact cents, window/bucket ids are integer epoch-
+  * microsecond divisions — so aggregation order can never change a bit.
+  */
+object EventsMore {
+
+  /** Anchor for decay age: one day past the last event (the "as of"
+    * time a caller would pass as now()). Fixed so the oracle can
+    * restate it; day 0 = 2024-01-31 back to day 30 = 2024-01-01.
+    */
+  private val AnchorUs = 1706659200000000L // 2024-01-31 00:00:00 UTC
+  private val MaxAgeDays = 30
+
+  /** Exponentially time-decayed engagement score per user with a
+    * half-life of one day: an event `d` days old weighs 2^-d. The
+    * trick that keeps it oracle-exact: weigh CENTS by the exact power
+    * of two 2^(30-d) in BIGINT, sum (order-independent integer math),
+    * and divide once by 2^30·100 at the end — one IEEE division, bit-
+    * identical on both engines. Shape: pure map-side arithmetic + one
+    * user-keyed partial agg; nothing but the (user, score) grid ever
+    * shuffles. Overflow headroom: cents ≤ 10⁴, weight ≤ 2^30, 10⁸
+    * rows/user would still sit at ~10^21... so the per-user bound that
+    * matters is ~10^14 rows — far beyond any real per-user stream.
+    */
+  def eventsDecay(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.withColumn("age_days",
+        least(expr(s"($AnchorUs - ts_us) div ${86400L * 1000000}"), lit(MaxAgeDays.toLong)))
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .withColumn("wunits",
+        expr(s"cents * shiftleft(CAST(1 AS BIGINT), CAST($MaxAgeDays - age_days AS INT))"))
+      .groupBy("user_id")
+      .agg(sum(col("wunits")).as("units"), count(lit(1)).as("n_events"))
+      .withColumn("decayed_score",
+        expr(s"CAST(units AS DOUBLE) / CAST(${(1L << MaxAgeDays) * 100L} AS DOUBLE)"))
+      .select("user_id", "decayed_score", "n_events")
+      .orderBy("user_id")
+  }
+
+  val eventsDecaySql: String =
+    s"""WITH w AS (
+       |  SELECT user_id,
+       |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |      * (CAST(1 AS BIGINT) << CAST($MaxAgeDays - LEAST(($AnchorUs - epoch_us(ts)) // ${86400L * 1000000}, $MaxAgeDays) AS INT))
+       |      AS wunits
+       |  FROM events)
+       |SELECT user_id,
+       |  CAST(CAST(SUM(wunits) AS BIGINT) AS DOUBLE) / CAST(${(1L << MaxAgeDays) * 100L} AS DOUBLE) AS decayed_score,
+       |  COUNT(*) AS n_events
+       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Hourly event counts per type with GAPS FILLED: hours in which a
+    * type saw no events appear as explicit zero rows (dashboards and
+    * downstream window math need the dense series). The dense hour
+    * axis is generated per type from its own (min, max) hour — a
+    * sequence+explode whose fanout is bounded by the TIME RANGE, not
+    * the data volume, so at 100 TB the axis is still just
+    * years×8760×|types| rows. Counts join the axis type+hour-keyed;
+    * missing hours coalesce to 0.
+    */
+  def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("hour_bucket", expr("ts_us div 3600000000"))
+    val counts = e.groupBy("event_type", "hour_bucket")
+      .agg(count(lit(1)).as("n_events"))
+    val axis = e.groupBy("event_type")
+      .agg(min("hour_bucket").as("h0"), max("hour_bucket").as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hour_bucket"))
+    axis.join(counts, Seq("event_type", "hour_bucket"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .orderBy("event_type", "hour_bucket")
+  }
+
+  val eventsGapFillSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    MIN(epoch_us(ts) // 3600000000) AS h0, MAX(epoch_us(ts) // 3600000000) AS h1
+      |  FROM events GROUP BY 1),
+      |axis AS (
+      |  SELECT event_type, UNNEST(generate_series(h0, h1)) AS hour_bucket FROM b),
+      |c AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT axis.event_type, axis.hour_bucket, COALESCE(c.n, 0) AS n_events
+      |FROM axis LEFT JOIN c ON axis.event_type = c.event_type AND axis.hour_bucket = c.hour_bucket
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Hopping (sliding) window aggregate: 60-minute windows advancing
+    * every 15 minutes, per event type. Each event lands in exactly 4
+    * windows, so the corpus EXPLODES ×4 map-side (offsets 0..3 — the
+    * same thing Structured Streaming's `window(col, "1 hour", "15
+    * minutes")` does) and then partial-aggregates on (type, window
+    * start) — the shuffle carries one row per live window per type,
+    * never the ×4 event fanout.
+    */
+  def eventsHopWindow(s: SparkSession, dir: String): DataFrame = {
+    val hopUs = 900000000L // 15 min
+    val e = Tables.events(s, dir)
+      .withColumn("b", expr(s"ts_us div $hopUs"))
+      .withColumn("off", explode(array((0 to 3).map(i => lit(i.toLong)): _*)))
+      .withColumn("window_start_us", expr(s"(b - off) * $hopUs"))
+    e.groupBy("event_type", "window_start_us")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(expr("CAST(value AS DECIMAL(12,2))")), 2).cast("double").as("sum_value"))
+      .orderBy("event_type", "window_start_us")
+  }
+
+  val eventsHopWindowSql: String =
+    """SELECT event_type, ((epoch_us(ts) // 900000000) - off) * 900000000 AS window_start_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events, UNNEST([0, 1, 2, 3]) AS t(off)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Event-type transition matrix (first-order Markov counts): for
+    * each user's event stream in time order, count (from → to) pairs
+    * corpus-wide; a user's first event transitions from '<start>'.
+    * The user-path analysis behind funnels and next-action models.
+    * Shape: ONE user-keyed shuffle + per-partition sort for the lag,
+    * then a partial agg onto the |types|²-bounded matrix — order is
+    * made deterministic by the (ts_us, event_id) composite sort key.
+    */
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("from_type", coalesce(lag("event_type", 1).over(w), lit("<start>")))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventsMarkovSql: String =
+    """WITH t AS (
+      |  SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+      |      '<start>') AS from_type,
+      |    event_type AS to_type
+      |  FROM events)
+      |SELECT from_type, to_type, COUNT(*) AS n_transitions
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_decay" -> (eventsDecay _),
+    "events_gap_fill" -> (eventsGapFill _),
+    "events_hop_window" -> (eventsHopWindow _),
+    "events_markov" -> (eventsMarkov _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_decay" -> eventsDecaySql,
+    "events_gap_fill" -> eventsGapFillSql,
+    "events_hop_window" -> eventsHopWindowSql,
+    "events_markov" -> eventsMarkovSql
+  )
+}

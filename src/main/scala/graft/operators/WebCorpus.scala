@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Web-corpus curation by URL: canonicalization-based dedup and
+  * per-domain stats — the RefinedWeb/C4-style origin-level passes that
+  * run BEFORE content-level dedup (a crawl sees the same page as
+  * http/https, with/without www, with tracking params; URL canon
+  * collapses those for free without touching the text).
+  *
+  * The documents table has no URL column, so one is synthesized
+  * deterministically from doc_id (same convention as the PII-scrub
+  * injection, TextAnalysis.scala): every 4 consecutive docs share a
+  * page, each with a different noise variant — scheme case, www,
+  * explicit :443, trailing slash, utm/ref query params. The operators
+  * then have planted ground truth: every canonical group has exactly
+  * 4 variants (or fewer at corpus tail), and the scrub must find all.
+  *
+  * Scale shape: both ops are map-side string math + ONE key-partial
+  * aggregation (canonical URL / domain). The canonicalizer is the
+  * library entry point a user would aim at a real `url` column.
+  */
+object WebCorpus {
+
+  private val Domains = Seq(
+    "alpha.example.com", "beta.example.org", "gamma.example.net",
+    "delta.example.io", "epsilon.example.dev", "zeta.example.co",
+    "eta.example.app", "theta.example.site")
+
+  /** Synthesized raw URL per doc: page id = doc_id div 4, variant =
+    * doc_id % 4. Spark column twin of [[duckUrl]].
+    */
+  def urlCol: org.apache.spark.sql.Column = {
+    val dom = element_at(
+      array(Domains.map(lit): _*),
+      (pmod(expr("doc_id div 4"), lit(8)) + 1).cast("int"))
+    val page = concat(lit("/p"), expr("doc_id div 4").cast("string"))
+    val v = pmod(col("doc_id"), lit(4))
+    when(v === 0, concat(lit("https://"), dom, page))
+      .when(v === 1, concat(lit("HTTP://WWW."), dom, page, lit("/")))
+      .when(v === 2, concat(lit("https://"), dom, lit(":443"), page, lit("?utm_source=feed")))
+      .otherwise(concat(lit("https://www."), dom, page, lit("?ref=rss")))
+  }
+
+  /** Identical synthesis in DuckDB SQL (oracle side). */
+  val duckUrl: String =
+    """CASE doc_id % 4
+      |  WHEN 0 THEN 'https://' || dom || page
+      |  WHEN 1 THEN 'HTTP://WWW.' || dom || page || '/'
+      |  WHEN 2 THEN 'https://' || dom || ':443' || page || '?utm_source=feed'
+      |  ELSE 'https://www.' || dom || page || '?ref=rss' END""".stripMargin
+
+  val duckUrlWith: String = {
+    val arr = Domains.map(d => s"'$d'").mkString("[", ",", "]")
+    s"""SELECT doc_id, n_chars,
+       |  ($arr)[CAST((doc_id // 4) % 8 + 1 AS INT)] AS dom,
+       |  '/p' || CAST(doc_id // 4 AS VARCHAR) AS page
+       |FROM documents""".stripMargin
+  }
+
+  /** URL canonicalizer: lowercase → strip scheme → strip leading www.
+    * → strip explicit default port → strip the query string → strip a
+    * trailing slash. Chained `regexp_replace` with patterns valid in
+    * both Java regex and RE2 — pure codegen'd column math, usable on
+    * any url column.
+    */
+  def canonicalize(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val c1 = lower(url)
+    val c2 = regexp_replace(c1, "^[a-z]+://", "")
+    val c3 = regexp_replace(c2, "^www\\.", "")
+    val c4 = regexp_replace(c3, ":(443|80)(/|\\?|$)", "$2")
+    val c5 = regexp_replace(c4, "\\?.*$", "")
+    regexp_replace(c5, "/$", "")
+  }
+
+  /** The same canonicalization chain over a DuckDB expression. */
+  def duckCanon(expr: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |  lower($expr),
+       |  '^[a-z]+://', ''), '^www\\.', ''), ':(443|80)(/|\\?|$$)', '\\2'), '\\?.*$$', ''), '/$$', '')""".stripMargin
+
+  /** URL-canonicalization dedup: group by canonical URL, keep the
+    * min-doc_id variant, report the variant count. With the planted
+    * synthesis every full group collapses 4 → 1 (the oracle pins the
+    * exact distribution). ONE canonical-key shuffle; the text column
+    * never moves.
+    */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("canonical_url", canonicalize(urlCol))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keeper_doc"))
+      .orderBy("canonical_url")
+  }
+
+  val dedupUrlSql: String =
+    s"""WITH u AS ($duckUrlWith),
+       |raw AS (SELECT doc_id, $duckUrl AS url FROM u)
+       |SELECT ${duckCanon("url")} AS canonical_url,
+       |  COUNT(*) AS n_variants, MIN(doc_id) AS keeper_doc
+       |FROM raw GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-domain corpus stats + origin-level keep decision: page count,
+    * doc count, char volume per registrable domain, and a keep flag
+    * (drop domains contributing more than twice the per-domain mean of
+    * chars — the "single origin dominating the corpus" filter). The
+    * mean never becomes a double: the predicate cross-multiplies in
+    * BIGINT (domain_chars · n_domains ≤ 2 · total_chars).
+    */
+  def webDomains(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("canonical_url", canonicalize(urlCol))
+      .withColumn("domain", regexp_extract(col("canonical_url"), "^([^/]+)", 1))
+    val perDomain = d.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("canonical_url").as("n_pages"),
+        sum("n_chars").as("domain_chars"))
+    // corpus totals as a window over the ALREADY-AGGREGATED domain
+    // frame (domain cardinality ≪ corpus — same shape as corpus_mix),
+    // not a one-row cross join against the big side
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perDomain
+      .withColumn("n_domains", count(lit(1)).over(w))
+      .withColumn("total_chars", sum("domain_chars").over(w))
+      .withColumn("keep", col("domain_chars") * col("n_domains") <= col("total_chars") * 2)
+      .select("domain", "n_docs", "n_pages", "domain_chars", "keep")
+      .orderBy("domain")
+  }
+
+  val webDomainsSql: String =
+    s"""WITH u AS ($duckUrlWith),
+       |raw AS (SELECT doc_id, n_chars, $duckUrl AS url FROM u),
+       |canon AS (
+       |  SELECT doc_id, n_chars, ${duckCanon("url")} AS canonical_url FROM raw),
+       |per_domain AS (
+       |  SELECT regexp_extract(canonical_url, '^([^/]+)', 1) AS domain,
+       |    COUNT(*) AS n_docs, COUNT(DISTINCT canonical_url) AS n_pages,
+       |    CAST(SUM(n_chars) AS BIGINT) AS domain_chars
+       |  FROM canon GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n_domains, CAST(SUM(domain_chars) AS BIGINT) AS total_chars FROM per_domain)
+       |SELECT domain, n_docs, n_pages, domain_chars,
+       |  domain_chars * n_domains <= total_chars * 2 AS keep
+       |FROM per_domain, t ORDER BY domain""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url" -> (dedupUrl _),
+    "web_domains" -> (webDomains _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_url" -> dedupUrlSql,
+    "web_domains" -> webDomainsSql
+  )
+}

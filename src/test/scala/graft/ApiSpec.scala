@@ -387,6 +387,28 @@ class ApiSpec extends SparkSpec {
     assert(!out.values.exists(v => v._1.contains("@") || v._1.matches(".*\\d+\\.\\d+\\.\\d+\\.\\d+.*")))
   }
 
+  test("CorpusOps.urlDedupGroups: scheme/www/port/query/slash noise collapses to one page") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://Alpha.Example.com/p1"),
+      (2L, "HTTP://WWW.alpha.example.com/p1/"),
+      (3L, "https://alpha.example.com:443/p1?utm_source=feed"),
+      (4L, "https://www.alpha.example.com/p1?ref=rss"),
+      (5L, "https://beta.example.org/p2"))
+      .toDF("doc_id", "url")
+    val canon = api.CorpusOps.canonicalizeUrls(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("canonical_url"), r.getAs[String]("domain"))).toMap
+    assert((1L to 4L).forall(i => canon(i) == ("alpha.example.com/p1", "alpha.example.com")))
+    assert(canon(5L) == ("beta.example.org/p2", "beta.example.org"))
+    val groups = api.CorpusOps.urlDedupGroups(df).collect()
+      .map(r => r.getAs[String]("canonical_url") ->
+        (r.getAs[Long]("n_variants"), r.getAs[Long]("keeper"))).toMap
+    assert(groups == Map(
+      "alpha.example.com/p1" -> (4L, 1L),
+      "beta.example.org/p2" -> (1L, 5L)))
+  }
+
   test("CorpusOps.repetitionMetrics: planted repetitive doc flagged, clean doc passes") {
     import spark.implicits._
     val docs = Seq(
