@@ -144,13 +144,53 @@ object WebCorpus {
        |  domain_chars * n_domains <= total_chars * 2 AS keep
        |FROM per_domain, t ORDER BY domain""".stripMargin
 
+  /** Domains a curation pass refuses to ingest (stands in for the
+    * operator-maintained blocklist every web pipeline carries).
+    */
+  val Blocklist: Seq[String] =
+    Seq("gamma.example.net", "zeta.example.co", "theta.example.site")
+
+  /** Domain-blocklist filter: keep only docs whose URL domain is NOT
+    * on the blocklist — the first gate of web-corpus curation. The
+    * blocklist is a TABLE (not an `isin` literal) joined LEFT ANTI:
+    * at any scale the blocklist side broadcasts (thousands of rows at
+    * most) and the corpus streams through map-side — no corpus
+    * shuffle, no driver collect. Output is the kept keep-list plus
+    * domain, ordered for the oracle.
+    */
+  def corpusBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocked = Blocklist.toDF("blocked_domain")
+    Tables.documents(s, dir)
+      .withColumn("canonical_url", canonicalize(urlCol))
+      .withColumn("domain", regexp_extract(col("canonical_url"), "^([^/]+)", 1))
+      .join(broadcast(blocked), col("domain") === col("blocked_domain"), "left_anti")
+      .select("doc_id", "domain")
+      .orderBy("doc_id")
+  }
+
+  val corpusBlocklistSql: String = {
+    val list = Blocklist.map(d => s"'$d'").mkString(", ")
+    s"""WITH u AS ($duckUrlWith),
+       |raw AS (SELECT doc_id, $duckUrl AS url FROM u),
+       |canon AS (
+       |  SELECT doc_id,
+       |    regexp_extract(${duckCanon("url")}, '^([^/]+)', 1) AS domain
+       |  FROM raw)
+       |SELECT doc_id, domain FROM canon
+       |WHERE domain NOT IN ($list)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_url" -> (dedupUrl _),
-    "web_domains" -> (webDomains _)
+    "web_domains" -> (webDomains _),
+    "corpus_blocklist" -> (corpusBlocklist _)
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_url" -> dedupUrlSql,
-    "web_domains" -> webDomainsSql
+    "web_domains" -> webDomainsSql,
+    "corpus_blocklist" -> corpusBlocklistSql
   )
 }

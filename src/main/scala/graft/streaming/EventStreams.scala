@@ -28,6 +28,23 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** hopping (sliding) 60-minute window advancing every 15 minutes —
+    * streaming twin of the batch `events_hop_window`. Native
+    * `window(ts, "1 hour", "15 minutes")` assigns each event its 4
+    * containing windows (the same ×4 fanout the batch twin explodes by
+    * hand) and the watermark closes a window 2 hours after its end —
+    * state is live-window-bounded, never stream-history-bounded.
+    */
+  def hopWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value_dec"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"),
+        round(col("sum_value_dec"), 2).cast("double").as("sum_value"))
+
   /** stream-stream RANGE join with watermarks — the streaming twin of
     * the batch `events_range_join`: each error joins the same user's
     * clicks within the 5 minutes before it (LEFT OUTER, so click-less

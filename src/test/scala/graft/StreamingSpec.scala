@@ -58,6 +58,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_hop_window == batch events_hop_window on the real events table") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect()
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.hopWindowAgg(mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("hop_eq").outputMode("complete").start()
+    try {
+      mem.addData(events.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("hop_eq")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.operators.EventsMore.eventsHopWindow(spark, sfDir)
+        .select("window_start_us", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream_sessionize: 30-min gap splits sessions per user") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
