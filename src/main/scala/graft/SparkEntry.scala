@@ -11,7 +11,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.queries ++ QueriesDeep.queries ++ EventsMore.queries ++ WebCorpus.queries ++ PathMatching.queries ++ ContentTypes.queries ++
+    Queries.queries ++ QueriesDeep.queries ++ EventsMore.queries ++ WebCorpus.queries ++ AnalyticsPlus.queries ++ PathMatching.queries ++ ContentTypes.queries ++
       HivePartitions.queries ++ TimePartitions.queries ++ ChangeDetection.queries ++ S3Utils.queries ++ Lifecycle.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Audio.queries ++ Corpus.queries ++ Sketches.queries ++
       Maintenance.queries ++ CorpusQuality.queries
@@ -19,7 +19,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ QueriesDeep.oracles ++ EventsMore.oracles ++ WebCorpus.oracles ++ PathMatching.oracles ++ ContentTypes.oracles ++
+    Queries.oracles ++ QueriesDeep.oracles ++ EventsMore.oracles ++ WebCorpus.oracles ++ AnalyticsPlus.oracles ++ PathMatching.oracles ++ ContentTypes.oracles ++
       HivePartitions.oracles ++ TimePartitions.oracles ++ ChangeDetection.oracles ++ S3Utils.oracles ++ Lifecycle.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Audio.oracles ++ Corpus.oracles ++ Sketches.oracles ++
       Maintenance.oracles ++ CorpusQuality.oracles

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Customer/user analytics depth: RFM segmentation, the cohort
+  * retention matrix, and a Bloom-prefiltered join — the runtime-filter
+  * technique that matters at 100 TB spelled out in pure DataFrame
+  * algebra.
+  */
+object AnalyticsPlus {
+  private def dec(c: String) = col(c).cast("decimal(12,2)")
+  private val one = lit(1).cast("decimal(3,2)")
+
+  /** 2001-08-02 00:00:00 UTC — one day past the last order date; the
+    * "as of" a nightly segmentation job would use.
+    */
+  private val RfmAnchorUs = 996710400000000L
+
+  /** RFM (recency / frequency / monetary) customer segmentation with
+    * FIXED scoring bands — the deployed form of RFM (fixed bands keep
+    * scores comparable across runs; quantile bands would need a global
+    * sort or a quantile sketch and re-score every customer whenever the
+    * distribution drifts). ONE custkey-keyed partial agg, then pure
+    * map-side band math: integer day recency, BIGINT frequency, exact
+    * DECIMAL monetary rounded once to double.
+    */
+  def ordersRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        // o_orderdate is TIMESTAMP_NTZ in the parquet; the session TZ is
+        // pinned UTC so the cast is the identity the oracle's epoch_us does
+        expr(s"($RfmAnchorUs - max(unix_micros(CAST(o_orderdate AS TIMESTAMP)))) div ${86400L * 1000000}")
+          .as("r_days"),
+        count(lit(1)).as("frequency"),
+        round(sum(dec("o_totalprice")), 2).cast("double").as("monetary"))
+      .withColumn("r_score",
+        when(col("r_days") <= 90, 5).when(col("r_days") <= 365, 4)
+          .when(col("r_days") <= 730, 3).when(col("r_days") <= 1095, 2).otherwise(1))
+      .withColumn("f_score",
+        when(col("frequency") >= 18, 5).when(col("frequency") >= 13, 4)
+          .when(col("frequency") >= 9, 3).when(col("frequency") >= 5, 2).otherwise(1))
+      .withColumn("m_score",
+        when(col("monetary") >= 4000000.0, 5).when(col("monetary") >= 3000000.0, 4)
+          .when(col("monetary") >= 2000000.0, 3).when(col("monetary") >= 1000000.0, 2).otherwise(1))
+      .withColumn("rfm", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("custkey")
+  }
+
+  val ordersRfmSql: String =
+    s"""WITH agg AS (
+       |  SELECT o_custkey AS custkey,
+       |    ($RfmAnchorUs - MAX(epoch_us(o_orderdate))) // ${86400L * 1000000} AS r_days,
+       |    COUNT(*) AS frequency,
+       |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS monetary
+       |  FROM orders GROUP BY 1)
+       |SELECT custkey, r_days, frequency, monetary,
+       |  CASE WHEN r_days <= 90 THEN 5 WHEN r_days <= 365 THEN 4
+       |       WHEN r_days <= 730 THEN 3 WHEN r_days <= 1095 THEN 2 ELSE 1 END AS r_score,
+       |  CASE WHEN frequency >= 18 THEN 5 WHEN frequency >= 13 THEN 4
+       |       WHEN frequency >= 9 THEN 3 WHEN frequency >= 5 THEN 2 ELSE 1 END AS f_score,
+       |  CASE WHEN monetary >= 4000000.0 THEN 5 WHEN monetary >= 3000000.0 THEN 4
+       |       WHEN monetary >= 2000000.0 THEN 3 WHEN monetary >= 1000000.0 THEN 2 ELSE 1 END AS m_score,
+       |  (CASE WHEN r_days <= 90 THEN 5 WHEN r_days <= 365 THEN 4
+       |        WHEN r_days <= 730 THEN 3 WHEN r_days <= 1095 THEN 2 ELSE 1 END) * 100 +
+       |  (CASE WHEN frequency >= 18 THEN 5 WHEN frequency >= 13 THEN 4
+       |        WHEN frequency >= 9 THEN 3 WHEN frequency >= 5 THEN 2 ELSE 1 END) * 10 +
+       |  (CASE WHEN monetary >= 4000000.0 THEN 5 WHEN monetary >= 3000000.0 THEN 4
+       |        WHEN monetary >= 2000000.0 THEN 3 WHEN monetary >= 1000000.0 THEN 2 ELSE 1 END) AS rfm
+       |FROM agg ORDER BY custkey""".stripMargin
+
+  /** Full cohort retention matrix: users bucketed by FIRST-seen day
+    * (the cohort), counted on each later day they were active —
+    * (cohort_day, age_days, n_active). Generalizes events_retention's
+    * fixed d1/d7 probes to the whole triangle. Shape: the corpus
+    * collapses to the (user, day) grid in one partial agg (dedup
+    * before any join), the cohort day is a second user-keyed agg, and
+    * the grid⋈cohort join is co-partitioned on user_id — the matrix
+    * itself is |days|²/2-bounded.
+    */
+  def eventsCohortMatrix(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div ${86400L * 1000000}").as("day"))
+    val grid = e.distinct()
+    val cohort = grid.groupBy("user_id").agg(min("day").as("cohort_day"))
+    grid.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "age_days")
+  }
+
+  val eventsCohortMatrixSql: String =
+    s"""WITH grid AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // ${86400L * 1000000} AS day FROM events),
+       |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM grid GROUP BY 1)
+       |SELECT cohort_day, day - cohort_day AS age_days, COUNT(*) AS n_active
+       |FROM grid JOIN cohort USING (user_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** TPC-H Q3 computed through a DISTRIBUTED BLOOM RUNTIME FILTER —
+    * the semi-join reduction that matters when the fact side is 100 TB:
+    * the qualifying-order keys (segment + date filtered, ~10% of
+    * orders) are folded into a 64-slot × 64-bit Bloom bitmap by a tiny
+    * aggregation (`bit_or` partial agg → 64 rows), the bitmap rides a
+    * broadcast equi-join onto the lineitem scan, and only rows whose
+    * bit survives reach the real shuffle join. False positives are
+    * harmless (the exact join follows); false negatives are impossible
+    * (same two hashes both sides) — which is exactly why the oracle
+    * for this query is PLAIN q3 SQL: bit-identical output proves the
+    * no-false-negative property end to end. Spark's own AQE runtime
+    * filters do this inside the engine; spelling it in DataFrame
+    * algebra makes the technique available where AQE can't see it
+    * (e.g. pre-filtering before an expensive UDF stage).
+    */
+  def q3BloomPrejoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-03-15"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val qual = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+
+    def slot(k: String) = pmod(xxhash64(col(k), lit(1)), lit(64)).cast("int")
+    def bit(k: String) =
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64($k, 2), 64) AS INT))")
+
+    val bloom = qual
+      .select(slot("o_orderkey").as("slot"), bit("o_orderkey").as("b"))
+      .groupBy("slot").agg(expr("bit_or(b)").as("mask"))
+
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-03-15"))
+      .withColumn("slot", slot("l_orderkey"))
+      .withColumn("b", bit("l_orderkey"))
+    val lpre = l.join(broadcast(bloom), Seq("slot"))
+      .filter((col("mask").bitwiseAND(col("b"))) =!= 0)
+
+    lpre.join(qual, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(dec("l_extendedprice") * (one - dec("l_discount"))), 2).cast("double").as("revenue"))
+      .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Oracle: PLAIN Q3 — equality proves the Bloom pass dropped nothing. */
+  val q3BloomPrejoinSql: String = Queries.q3JoinSql
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_rfm" -> (ordersRfm _),
+    "events_cohort_matrix" -> (eventsCohortMatrix _),
+    "q3_bloom_prejoin" -> (q3BloomPrejoin _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "orders_rfm" -> ordersRfmSql,
+    "events_cohort_matrix" -> eventsCohortMatrixSql,
+    "q3_bloom_prejoin" -> q3BloomPrejoinSql
+  )
+}
