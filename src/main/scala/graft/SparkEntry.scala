@@ -13,7 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.queries ++ QueriesDeep.queries ++ EventsMore.queries ++ WebCorpus.queries ++ AnalyticsPlus.queries ++ PathMatching.queries ++ ContentTypes.queries ++
       HivePartitions.queries ++ TimePartitions.queries ++ ChangeDetection.queries ++ S3Utils.queries ++ Lifecycle.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Audio.queries ++ Corpus.queries ++ Sketches.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Audio.queries ++ Video.queries ++ Corpus.queries ++ Sketches.queries ++
       Maintenance.queries ++ CorpusQuality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -21,6 +21,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesDeep.oracles ++ EventsMore.oracles ++ WebCorpus.oracles ++ AnalyticsPlus.oracles ++ PathMatching.oracles ++ ContentTypes.oracles ++
       HivePartitions.oracles ++ TimePartitions.oracles ++ ChangeDetection.oracles ++ S3Utils.oracles ++ Lifecycle.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Audio.oracles ++ Corpus.oracles ++ Sketches.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Audio.oracles ++ Video.oracles ++ Corpus.oracles ++ Sketches.oracles ++
       Maintenance.oracles ++ CorpusQuality.oracles
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Video-column plumbing: the third modality (after image + audio —
+  * Multimodal.scala / Audio.scala). A "video" here is a REAL container
+  * of REAL codec frames: `GVID` magic, big-endian frame count, then
+  * length-prefixed genuine PNG frames written by `javax.imageio`. The
+  * pipeline stages mirror what a production video path does over
+  * `mapInPandas` batches: demux (parse the container index without
+  * decoding), frame-sample (decode every k-th frame), and per-frame
+  * feature extraction (integer luma statistics off the decoded
+  * raster).
+  *
+  * Frame pixels are POSITION-INDEXED (value = closed-form function of
+  * (doc, frame, pixel index), not a chained PRNG) so the DuckDB oracle
+  * can recompute every luma sum analytically with `generate_series` —
+  * parity therefore proves the encode → container → demux → PNG-decode
+  * path is bit-exact end to end, the same trick `audio_meta` uses for
+  * the WAV codec (Audio.scala:229).
+  *
+  * Scale: one video per row, each stage a typed `mapPartitions` — the
+  * batched per-partition shape codec work needs; nothing shuffles
+  * until the (doc, frame)-grained stats aggregate, which is
+  * output-bound.
+  */
+object Video {
+  val W = 24
+  val H = 16
+
+  /** Closed-form frame pixel (0..255): gray value of pixel `idx` of
+    * frame `f` of doc `doc` — all terms positive, products < 2^63.
+    */
+  @inline def pixel(doc: Long, f: Long, idx: Long): Int =
+    ((doc * 1000003L + f * 8191L + idx * 2654435761L) % 256L).toInt
+
+  /** frames per video: 2..4, varies by doc. */
+  @inline def nFrames(doc: Long): Int = (2 + doc % 3).toInt
+
+  case class VideoPayload(doc_id: Long, container: Array[Byte])
+  case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
+    luma_sum: Long)
+
+  /** Build the real containers: per doc, render each frame as a gray
+    * raster from [[pixel]], PNG-encode it (genuine IHDR/IDAT bytes),
+    * and pack `GVID | n | (len | png)*`. Gray (v,v,v) pixels make the
+    * integer ITU-601 luma equal v exactly, so the oracle's pixel sum
+    * IS the luma sum.
+    */
+  def encodeVideos(s: SparkSession, dir: String): Dataset[VideoPayload] = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long].mapPartitions { docs =>
+      docs.map { doc =>
+        val baos = new java.io.ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(baos)
+        out.writeBytes("GVID")
+        val n = nFrames(doc)
+        out.writeInt(n)
+        var f = 0
+        while (f < n) {
+          val img = new java.awt.image.BufferedImage(W, H,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var idx = 0
+          while (idx < W * H) {
+            val v = pixel(doc, f, idx)
+            img.setRGB(idx % W, idx / W, (v << 16) | (v << 8) | v)
+            idx += 1
+          }
+          val frame = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", frame)
+          val bytes = frame.toByteArray
+          out.writeInt(bytes.length)
+          out.write(bytes)
+          f += 1
+        }
+        VideoPayload(doc, baos.toByteArray)
+      }
+    }
+  }
+
+  /** Demux WITHOUT decoding: walk the container index and report the
+    * frame count and byte layout — the cheap metadata pass that lets a
+    * planner decide what to decode (a row-group-style skip for media).
+    */
+  def probe(ds: Dataset[VideoPayload]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.map { v =>
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v.container))
+      val magic = new Array[Byte](4); in.readFully(magic)
+      require(new String(magic, "US-ASCII") == "GVID", s"bad magic for doc ${v.doc_id}")
+      val n = in.readInt()
+      var total = 0L
+      var i = 0
+      while (i < n) { val len = in.readInt(); in.skipBytes(len); total += len; i += 1 }
+      (v.doc_id, n, v.container.length.toLong, total)
+    }.toDF("doc_id", "n_frames", "container_bytes", "frame_bytes")
+  }
+
+  /** Decode every `stride`-th frame (REAL PNG decode per sampled
+    * frame) and emit integer luma statistics off the actual raster.
+    */
+  def sampleFrames(ds: Dataset[VideoPayload], stride: Int = 1): Dataset[VideoFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { v =>
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v.container))
+        val magic = new Array[Byte](4); in.readFully(magic)
+        val n = in.readInt()
+        (0 until n).flatMap { f =>
+          val len = in.readInt()
+          val bytes = new Array[Byte](len); in.readFully(bytes)
+          if (f % stride != 0) None
+          else {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            require(img != null, s"undecodable frame $f of doc ${v.doc_id}")
+            var sum = 0L
+            var idx = 0
+            while (idx < img.getWidth * img.getHeight) {
+              val rgb = img.getRGB(idx % img.getWidth, idx / img.getWidth)
+              sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+                114 * (rgb & 0xFF)) / 1000
+              idx += 1
+            }
+            Some(VideoFrame(v.doc_id, f, img.getWidth, img.getHeight, sum))
+          }
+        }
+      }
+    }
+  }
+
+  /** video_meta oracle query: containers built, demuxed, every frame
+    * PNG-decoded, per-frame luma summed — vs the oracle's analytic
+    * recomputation from [[pixel]].
+    */
+  def videoMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sampleFrames(encodeVideos(s, dir)).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"), col("luma_sum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val videoMetaSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, UNNEST(generate_series(0, 1 + doc_id % 3)) AS frame_idx
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, frame_idx, i,
+       |    (doc_id * 1000003 + frame_idx * 8191 + i * 2654435761) % 256 AS v
+       |  FROM f, UNNEST(generate_series(0, ${W * H - 1})) AS t(i))
+       |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       |  CAST($W AS INT) AS width, CAST($H AS INT) AS height,
+       |  CAST(SUM(v) AS BIGINT) AS luma_sum
+       |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "video_meta" -> (videoMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "video_meta" -> videoMetaSql)
+}

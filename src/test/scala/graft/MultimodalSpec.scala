@@ -133,4 +133,33 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("byte_len") == txt.length.toLong)
     assert(r.getAs[String]("magic_hex").length == 8) // 4 bytes → 8 hex chars
   }
+
+  test("video: real GVID containers demux without decode; stride sampling decodes every k-th frame") {
+    import graft.operators.Video
+    val vids = Video.encodeVideos(spark, sfDir)
+    // container magic is genuine, and the demux-only probe agrees with
+    // the built frame counts and byte layout
+    val probed = Video.probe(vids).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_frames"), r.getAs[Long]("container_bytes"), r.getAs[Long]("frame_bytes"))).toMap
+    assert(probed.size == 500)
+    probed.foreach { case (doc, (n, cbytes, fbytes)) =>
+      assert(n == Video.nFrames(doc), s"doc $doc frame count")
+      // container = 4 magic + 4 count + n×(4 length prefix) + frames
+      assert(cbytes == 8L + 4L * n + fbytes, s"doc $doc layout")
+    }
+    // stride-2 sampling decodes exactly frames 0, 2, ... with real dims
+    val sampled = Video.sampleFrames(vids, stride = 2).collect()
+    sampled.foreach { f =>
+      assert(f.frame_idx % 2 == 0 && f.width == Video.W && f.height == Video.H)
+    }
+    val perDoc = sampled.groupBy(_.doc_id).view.mapValues(_.map(_.frame_idx).sorted.toSeq)
+    perDoc.foreach { case (doc, idxs) =>
+      assert(idxs == (0 until Video.nFrames(doc) by 2), s"doc $doc sampled frames")
+    }
+    // gray rasters: decoded luma sum equals the closed-form pixel sum
+    val f0 = sampled.find(f => f.doc_id == 0L && f.frame_idx == 0).get
+    val expected = (0 until Video.W * Video.H).map(i => Video.pixel(0L, 0L, i).toLong).sum
+    assert(f0.luma_sum == expected)
+  }
 }
