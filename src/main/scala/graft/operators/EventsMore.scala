@@ -27,21 +27,24 @@ object EventsMore {
     * trick that keeps it oracle-exact: weigh CENTS by the exact power
     * of two 2^(30-d) in BIGINT, sum (order-independent integer math),
     * and divide once by 2^30·100 at the end — one IEEE division, bit-
-    * identical on both engines. Shape: pure map-side arithmetic + one
-    * user-keyed partial agg; nothing but the (user, score) grid ever
-    * shuffles. Overflow headroom: cents ≤ 10⁴, weight ≤ 2^30, 10⁸
-    * rows/user would still sit at ~10^21... so the per-user bound that
-    * matters is ~10^14 rows — far beyond any real per-user stream.
+    * identical on both engines. Two-level aggregation for overflow
+    * safety at scale: cents pre-aggregate per (user, age-day) BEFORE
+    * the weight multiply, so the 2^30-scaled term is bounded per day
+    * (a day's cents would need to exceed 2^33 ≈ $86M to overflow),
+    * not per event-count. Both aggs partial map-side; only the
+    * (user, day)-grained grid ever shuffles.
     */
   def eventsDecay(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     e.withColumn("age_days",
         least(expr(s"($AnchorUs - ts_us) div ${86400L * 1000000}"), lit(MaxAgeDays.toLong)))
       .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .groupBy("user_id", "age_days")
+      .agg(sum(col("cents")).as("cents_day"), count(lit(1)).as("n"))
       .withColumn("wunits",
-        expr(s"cents * shiftleft(CAST(1 AS BIGINT), CAST($MaxAgeDays - age_days AS INT))"))
+        expr(s"cents_day * shiftleft(CAST(1 AS BIGINT), CAST($MaxAgeDays - age_days AS INT))"))
       .groupBy("user_id")
-      .agg(sum(col("wunits")).as("units"), count(lit(1)).as("n_events"))
+      .agg(sum(col("wunits")).as("units"), sum(col("n")).as("n_events"))
       .withColumn("decayed_score",
         expr(s"CAST(units AS DOUBLE) / CAST(${(1L << MaxAgeDays) * 100L} AS DOUBLE)"))
       .select("user_id", "decayed_score", "n_events")

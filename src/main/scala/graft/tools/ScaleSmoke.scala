@@ -62,7 +62,13 @@ object ScaleSmoke {
       "compact_plan", "incr_agg", "zorder_layout", "events_pivot",
       "dedup_semantic", "corpus_source_stats", "sketch_hll_setops",
       // round 4b: span dedup + rolling distinct + audio codec path
-      "dedup_spans", "events_dau_rolling", "audio_meta")
+      "dedup_spans", "events_dau_rolling", "audio_meta",
+      // round 4c: event-series depth, URL curation, video codec path
+      // (TPC-H additions q7..q19/orders_rfm/q3_bloom_prejoin use the
+      // un-replicated lineitem/orders — covered by bench + PLANS)
+      "events_decay", "events_gap_fill", "events_hop_window",
+      "events_markov", "events_cohort_matrix",
+      "dedup_url", "web_domains", "corpus_blocklist", "video_meta")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
