@@ -1,0 +1,90 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-series analytics as library entry points over ANY frame —
+  * the parameterized twins of the fixed-table contract queries in
+  * [[graft.operators.EventsMore]] / [[graft.operators.AnalyticsPlus]].
+  * Callers bring their own column names; every op keeps the contract
+  * queries' scale shape (map-side integer math, partial aggregation,
+  * bounded outputs) and their determinism discipline.
+  */
+object EventOps {
+
+  /** Exponentially decayed score per key with a one-`unitUs` half-life
+    * as of `anchorUs`: exact powers-of-two weights on exact cents,
+    * two-level integer aggregation (cents pre-aggregate per (key, age)
+    * before the weight multiply — see EventsMore.eventsDecay for the
+    * overflow analysis), one IEEE division at output.
+    */
+  def decayScore(df: DataFrame, keyCol: String, tsUsCol: String, valueCol: String,
+      anchorUs: Long, unitUs: Long = 86400L * 1000000, maxAge: Int = 30): DataFrame = {
+    require(maxAge >= 0 && maxAge <= 56, s"maxAge $maxAge: 2^maxAge·100 must fit a BIGINT")
+    df.withColumn("age",
+        least(expr(s"($anchorUs - $tsUsCol) div $unitUs"), lit(maxAge.toLong)))
+      .withColumn("cents", expr(s"CAST(CAST($valueCol AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .groupBy(col(keyCol), col("age"))
+      .agg(sum(col("cents")).as("cents_age"), count(lit(1)).as("n"))
+      .withColumn("wunits",
+        expr(s"cents_age * shiftleft(CAST(1 AS BIGINT), CAST($maxAge - age AS INT))"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("wunits")).as("units"), sum(col("n")).as("n_events"))
+      .withColumn("decayed_score",
+        expr(s"CAST(units AS DOUBLE) / CAST(${(1L << maxAge) * 100L} AS DOUBLE)"))
+      .select(col(keyCol), col("decayed_score"), col("n_events"))
+  }
+
+  /** Dense per-group time series: every bucket in [min, max] of each
+    * group's own range appears, silent buckets as zero. Axis fanout is
+    * bounded by the time range, never the data volume.
+    */
+  def gapFill(df: DataFrame, groupCol: String, tsUsCol: String,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    val bucketed = df.withColumn("bucket", expr(s"$tsUsCol div $bucketUs"))
+    val counts = bucketed.groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val axis = bucketed.groupBy(col(groupCol))
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col(groupCol), explode(expr("sequence(b0, b1)")).as("bucket"))
+    axis.join(counts, Seq(groupCol, "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
+  /** Hopping-window aggregate: `width = hops × hopUs` windows advancing
+    * every `hopUs`, per group. Map-side explode into the `hops`
+    * containing windows, partial-aggregated before any shuffle.
+    */
+  def hopWindow(df: DataFrame, groupCol: String, tsUsCol: String,
+      hopUs: Long = 900000000L, hops: Int = 4): DataFrame =
+    df.withColumn("b", expr(s"$tsUsCol div $hopUs"))
+      .withColumn("off", explode(array((0 until hops).map(i => lit(i.toLong)): _*)))
+      .withColumn("window_start_us", expr(s"(b - off) * $hopUs"))
+      .groupBy(col(groupCol), col("window_start_us"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** First-order Markov transition counts over each key's stream in
+    * (ts, tiebreak) order; first events transition from `startState`.
+    */
+  def markovTransitions(df: DataFrame, keyCol: String, stateCol: String,
+      tsUsCol: String, tieCol: String, startState: String = "<start>"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(tsUsCol, tieCol)
+    df.withColumn("from_state", coalesce(lag(stateCol, 1).over(w), lit(startState)))
+      .groupBy(col("from_state"), col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** Cohort retention triangle: keys bucketed by first-seen period,
+    * counted in each later period they appear. The frame collapses to
+    * the (key, period) grid BEFORE any join.
+    */
+  def cohortMatrix(df: DataFrame, keyCol: String, tsUsCol: String,
+      periodUs: Long = 86400L * 1000000): DataFrame = {
+    val grid = df.select(col(keyCol), expr(s"$tsUsCol div $periodUs").as("period")).distinct()
+    val cohort = grid.groupBy(col(keyCol)).agg(min("period").as("cohort_period"))
+    grid.join(cohort, keyCol)
+      .groupBy(col("cohort_period"), (col("period") - col("cohort_period")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+}

@@ -387,6 +387,53 @@ class ApiSpec extends SparkSpec {
     assert(!out.values.exists(v => v._1.contains("@") || v._1.matches(".*\\d+\\.\\d+\\.\\d+\\.\\d+.*")))
   }
 
+  test("EventOps: decay, gap-fill, hop-window, markov, cohort over a user-shaped frame") {
+    import spark.implicits._
+    val us = 1000000L
+    val hour = 3600L * us
+    // three users, hand-checkable timeline (hours 0, 1, 3; values in cents-friendly decimals)
+    val df = Seq(
+      (1L, 0L * hour, "a", 10.00),
+      (1L, 1L * hour, "b", 20.00),
+      (2L, 0L * hour, "a", 40.00),
+      (2L, 3L * hour, "a", 8.00),
+      (3L, 3L * hour, "b", 16.00))
+      .toDF("uid", "ts_us", "kind", "v")
+
+    // decay with 1-HOUR half-life anchored at hour 4: ages 4,3,4,1,1
+    val dec = api.EventOps.decayScore(df, "uid", "ts_us", "v",
+        anchorUs = 4L * hour, unitUs = hour, maxAge = 10)
+      .collect().map(r => r.getAs[Long]("uid") -> r.getAs[Double]("decayed_score")).toMap
+    assert(dec(1L) == 10.00 / 16 + 20.00 / 8)
+    assert(dec(2L) == 40.00 / 16 + 8.00 / 2)
+    assert(dec(3L) == 16.00 / 2)
+
+    // gap-fill: user 2 spans hours 0..3 with silent hours 1, 2
+    val gf = api.EventOps.gapFill(df.filter($"uid" === 2L), "kind", "ts_us", hour)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+    assert(gf == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 1L))
+
+    // hop-window (2 hops of 1 hour): each event lands in 2 windows
+    val hw = api.EventOps.hopWindow(df, "kind", "ts_us", hopUs = hour, hops = 2)
+      .collect().map(r => (r.getAs[String]("kind"), r.getAs[Long]("window_start_us") / hour,
+        r.getAs[Long]("n_events"))).toSet
+    assert(hw.contains(("a", -1L, 2L)) && hw.contains(("a", 0L, 2L)))
+    assert(hw.contains(("a", 2L, 1L)) && hw.contains(("a", 3L, 1L)))
+
+    // markov: user1 a→b, user2 a→a, user3 <start>→b
+    val mk = api.EventOps.markovTransitions(df, "uid", "kind", "ts_us", "v")
+      .collect().map(r => (r.getAs[String]("from_state"), r.getAs[String]("to_state")) ->
+        r.getAs[Long]("n_transitions")).toMap
+    assert(mk == Map(("<start>", "a") -> 2L, ("<start>", "b") -> 1L,
+      ("a", "b") -> 1L, ("a", "a") -> 1L))
+
+    // cohort (1-hour periods): all three cohorts at age 0; user 2 returns at age 3
+    val cm = api.EventOps.cohortMatrix(df, "uid", "ts_us", hour)
+      .collect().map(r => (r.getAs[Long]("cohort_period"), r.getAs[Long]("age")) ->
+        r.getAs[Long]("n_active")).toMap
+    assert(cm == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L, (3L, 0L) -> 1L))
+  }
+
   test("CorpusOps.urlDedupGroups: scheme/www/port/query/slash noise collapses to one page") {
     import spark.implicits._
     val df = Seq(
