@@ -12,8 +12,9 @@ import graft.sources.{FileManifest, HivePartitionedSink, Tables}
   *   2. list it as a manifest and glob-prune the listing (FileManifest
   *      + PathMatcher)
   *   3. detect changes between two listings (ChangeDetector)
-  *   4. curate the document corpus: quality score + connected-component
-  *      near-dup keep-list (CorpusOps)
+  *   4. curate the document corpus: domain-blocklist + canonical-URL
+  *      dedup gate, then quality score + connected-component near-dup
+  *      keep-list (WebCorpus + CorpusOps)
   *   5. pack survivors into token-budget bins (CorpusOps.packBins)
   *   6. write the curated corpus Hive-partitioned by bin shard and read
   *      a single shard back through partition pruning
@@ -29,6 +30,7 @@ object Demo {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = GraftSession.build("graft-demo")
+    import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-demo").toString
     val lake = s"$root/lake"
 
@@ -62,9 +64,19 @@ object Demo {
       "added").count()
     require(added > 0, "the appended day=1999 partition must surface as added")
 
-    // 4. corpus curation: quality + component-dedup keep list
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // 4. corpus curation: URL origin gate (blocklist + canonical-URL
+    //    dedup), then quality + component-dedup keep list
+    val docsAll = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .withColumn("url", graft.operators.WebCorpus.urlCol)
+    val nRaw = docsAll.count()
+    val unblocked = CorpusOps.canonicalizeUrls(docsAll)
+      .join(broadcast(graft.operators.WebCorpus.Blocklist.toDF("blocked_domain")),
+        col("domain") === col("blocked_domain"), "left_anti")
+    val urlKeepers = CorpusOps.urlDedupGroups(unblocked).select(col("keeper").as("doc_id"))
+    val docs = docsAll.join(urlKeepers, "doc_id").select("doc_id", "text")
     val nDocs = docs.count()
+    require(nDocs > 0 && nDocs < nRaw,
+      s"URL gate must drop blocked domains and URL variants ($nDocs of $nRaw)")
     val kept = CorpusOps.dedupKeepList(docs).filter(col("keep"))
       .join(CorpusOps.qualityScore(docs).select("doc_id", "n_words", "score"), Seq("doc_id"))
       .filter(col("n_words") >= 20 && col("score") >= 0.27)
@@ -100,7 +112,7 @@ object Demo {
       "incremental aggregate must reconcile with the full recompute")
 
     println(s"[demo] lake files=$nAll data=$nData day1=$nDay1 added=$added " +
-      s"docs=$nDocs kept=$nKept shard0=$nShard0 pdirs=$nPdirs — all stages asserted OK")
+      s"raw=$nRaw urlKept=$nDocs kept=$nKept shard0=$nShard0 pdirs=$nPdirs — all stages asserted OK")
     spark.stop()
   }
 }
