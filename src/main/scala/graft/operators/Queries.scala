@@ -735,7 +735,6 @@ object Queries {
     * (lateness = shipped > 90 days after order date, as q4).
     */
   def q21LateSupp(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
     val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
     val perSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -743,12 +742,18 @@ object Queries {
         (col("l_shipdate") > expr("o_orderdate + INTERVAL 90 DAYS")).cast("int"))
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(col("late")).as("supp_late"))
-    val w = Window.partitionBy("l_orderkey")
+    // ONE more aggregate over the same orderkey partitioning captures
+    // both correlated-subquery counts AND the identity of the lone late
+    // supplier (max over the one qualifying suppkey) — no window, no
+    // per-orderkey sort, no join back; the exchange from the first agg
+    // is reused as-is
     perSupp
-      .withColumn("n_supp", count(lit(1)).over(w))
-      .withColumn("n_late_supp", sum(col("supp_late")).over(w))
-      .filter(col("supp_late") === 1 && col("n_late_supp") === 1 && col("n_supp") >= 2)
-      .groupBy(col("l_suppkey").as("suppkey"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("supp_late")).as("n_late_supp"),
+        max(when(col("supp_late") === 1, col("l_suppkey"))).as("suppkey"))
+      .filter(col("n_late_supp") === 1 && col("n_supp") >= 2)
+      .groupBy("suppkey")
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("suppkey"))
       .limit(20)
