@@ -117,13 +117,14 @@ object WebCorpus {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("canonical_url").as("n_pages"),
         sum("n_chars").as("domain_chars"))
-    // corpus totals as a window over the ALREADY-AGGREGATED domain
-    // frame (domain cardinality ≪ corpus — same shape as corpus_mix),
-    // not a one-row cross join against the big side
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    perDomain
-      .withColumn("n_domains", count(lit(1)).over(w))
-      .withColumn("total_chars", sum("domain_chars").over(w))
+    // corpus totals ride back as a ONE-ROW broadcast (1×n, the
+    // decorrelated-scalar shape q22 uses): at web scale the domain
+    // frame is 10⁸ rows, and a global window over it would funnel all
+    // of them through one partition — the exact anti-pattern pack_bins
+    // avoids. A one-row broadcast costs O(1) network per executor.
+    val totals = perDomain.agg(
+      count(lit(1)).as("n_domains"), sum("domain_chars").as("total_chars"))
+    perDomain.join(broadcast(totals))
       .withColumn("keep", col("domain_chars") * col("n_domains") <= col("total_chars") * 2)
       .select("domain", "n_docs", "n_pages", "domain_chars", "keep")
       .orderBy("domain")

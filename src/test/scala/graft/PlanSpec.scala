@@ -75,8 +75,10 @@ class PlanSpec extends SparkSpec {
     // cross; its pair join is a (cell, cell) equi-join;
     // q22_antijoin broadcasts the ONE-ROW (Σbal, n) aggregate onto the
     // customer scan (the decorrelated scalar subquery — 1×n, not n×m)
+    // web_domains broadcasts its ONE-ROW (n_domains, Σchars) totals
+    // back onto the per-domain frame (same 1×n shape as q22)
     val intendedCross = Set("knn_bruteforce", "knn_ivf", "events_funnel", "tfidf_topterms",
-      "sketch_hll_setops", "dedup_semantic", "q22_antijoin")
+      "sketch_hll_setops", "dedup_semantic", "q22_antijoin", "web_domains")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
