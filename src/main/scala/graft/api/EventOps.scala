@@ -41,10 +41,11 @@ object EventOps {
     */
   def gapFill(df: DataFrame, groupCol: String, tsUsCol: String,
       bucketUs: Long = 3600000000L): DataFrame = {
-    val bucketed = df.withColumn("bucket", expr(s"$tsUsCol div $bucketUs"))
-    val counts = bucketed.groupBy(col(groupCol), col("bucket"))
+    val counts = df.withColumn("bucket", expr(s"$tsUsCol div $bucketUs"))
+      .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
-    val axis = bucketed.groupBy(col(groupCol))
+    // axis bounds come from the already-aggregated counts — ONE scan
+    val axis = counts.groupBy(col(groupCol))
       .agg(min("bucket").as("b0"), max("bucket").as("b1"))
       .select(col(groupCol), explode(expr("sequence(b0, b1)")).as("bucket"))
     axis.join(counts, Seq(groupCol, "bucket"), "left")
@@ -81,9 +82,11 @@ object EventOps {
     */
   def cohortMatrix(df: DataFrame, keyCol: String, tsUsCol: String,
       periodUs: Long = 86400L * 1000000): DataFrame = {
-    val grid = df.select(col(keyCol), expr(s"$tsUsCol div $periodUs").as("period")).distinct()
-    val cohort = grid.groupBy(col(keyCol)).agg(min("period").as("cohort_period"))
-    grid.join(cohort, keyCol)
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(keyCol), expr(s"$tsUsCol div $periodUs").as("period")).distinct()
+      // first-seen period as a key-partitioned window min — one scan,
+      // no grid⋈cohort self-join
+      .withColumn("cohort_period", min("period").over(Window.partitionBy(keyCol)))
       .groupBy(col("cohort_period"), (col("period") - col("cohort_period")).as("age"))
       .agg(count(lit(1)).as("n_active"))
   }

@@ -81,11 +81,16 @@ object AnalyticsPlus {
     * itself is |days|²/2-bounded.
     */
   def eventsCohortMatrix(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val grid = Tables.events(s, dir)
       .select(col("user_id"), expr(s"ts_us div ${86400L * 1000000}").as("day"))
-    val grid = e.distinct()
-    val cohort = grid.groupBy("user_id").agg(min("day").as("cohort_day"))
-    grid.join(cohort, "user_id")
+      .distinct()
+    // cohort day as a user-partitioned window min over the grid — ONE
+    // corpus scan and no grid⋈cohort self-join (the agg+join spelling
+    // evaluates the distinct subtree twice; AQE does not reuse the
+    // exchange across the two branches)
+    grid
+      .withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
       .agg(count(lit(1)).as("n_active"))
       .orderBy("cohort_day", "age_days")
@@ -119,7 +124,11 @@ object AnalyticsPlus {
       .select(col("c_custkey"))
     val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-03-15"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
-    val qual = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // the qualifying set feeds BOTH the bloom build and the exact join —
+    // materialize once so the orders scan doesn't run twice (DISK_ONLY
+    // with lineage kept: cluster-safe, recomputes on executor loss)
+    val qual = Materialize.stable(
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey")))
 
     def slot(k: String) = pmod(xxhash64(col(k), lit(1)), lit(64)).cast("int")
     def bit(k: String) =

@@ -73,11 +73,14 @@ object EventsMore {
     * missing hours coalesce to 0.
     */
   def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+    val counts = Tables.events(s, dir)
       .withColumn("hour_bucket", expr("ts_us div 3600000000"))
-    val counts = e.groupBy("event_type", "hour_bucket")
+      .groupBy("event_type", "hour_bucket")
       .agg(count(lit(1)).as("n_events"))
-    val axis = e.groupBy("event_type")
+    // the axis derives from the ALREADY-AGGREGATED counts frame, so the
+    // corpus is scanned exactly once (a second min/max pass over the raw
+    // events would double the 100 TB scan for a KB-sized bound)
+    val axis = counts.groupBy("event_type")
       .agg(min("hour_bucket").as("h0"), max("hour_bucket").as("h1"))
       .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hour_bucket"))
     axis.join(counts, Seq("event_type", "hour_bucket"), "left")

@@ -207,10 +207,13 @@ object QueriesDeep {
     * equality is exact because both sides stay DECIMAL until output.
     */
   def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
-    val revBySupp = Tables.lineitem(s, dir)
+    // feeds BOTH the max and the equality join — materialize once so
+    // the lineitem scan + suppkey aggregate don't run twice (supplier-
+    // cardinality frame, DISK_ONLY with lineage)
+    val revBySupp = Materialize.stable(Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
       .groupBy(col("l_suppkey"))
-      .agg(sum(rev).as("total_rev_dec"))
+      .agg(sum(rev).as("total_rev_dec")))
     val mx = revBySupp.agg(max(col("total_rev_dec")).as("mx"))
     val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
     revBySupp
