@@ -113,10 +113,12 @@ object WebCorpus {
     val d = Tables.documents(s, dir)
       .withColumn("canonical_url", canonicalize(urlCol))
       .withColumn("domain", regexp_extract(col("canonical_url"), "^([^/]+)", 1))
-    val perDomain = d.groupBy("domain")
+    // feeds BOTH the one-row totals and the final join — materialize the
+    // domain-cardinality frame once so the corpus canon+agg runs once
+    val perDomain = Materialize.stable(d.groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("canonical_url").as("n_pages"),
-        sum("n_chars").as("domain_chars"))
+        sum("n_chars").as("domain_chars")))
     // corpus totals ride back as a ONE-ROW broadcast (1×n, the
     // decorrelated-scalar shape q22 uses): at web scale the domain
     // frame is 10⁸ rows, and a global window over it would funnel all
