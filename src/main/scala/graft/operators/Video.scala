@@ -154,6 +154,89 @@ object Video {
        |  CAST(SUM(v) AS BIGINT) AS luma_sum
        |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Per-sampled-frame visual feature: the same mean-pooled integer
+    * luma grid the image pipeline extracts (Multimodal.featureExtract),
+    * computed off each REAL decoded frame. One container parse + PNG
+    * decode per sampled frame, all inside the partition.
+    */
+  def frameFeatures(vids: Dataset[VideoPayload], stride: Int = 1,
+      grid: Int = 8): Dataset[Multimodal.FrameFeature] = {
+    import vids.sparkSession.implicits._
+    vids.mapPartitions { rows =>
+      rows.flatMap { v =>
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v.container))
+        val magic = new Array[Byte](4); in.readFully(magic)
+        val n = in.readInt()
+        (0 until n).flatMap { f =>
+          val len = in.readInt()
+          val bytes = new Array[Byte](len); in.readFully(bytes)
+          if (f % stride != 0) None
+          else {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            require(img != null, s"undecodable frame $f of doc ${v.doc_id}")
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sums = new Array[Long](grid * grid)
+            val counts = new Array[Long](grid * grid)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+                  114 * (rgb & 0xFF)) / 1000
+                val cell = (y * grid / h) * grid + (x * grid / w)
+                sums(cell) += luma
+                counts(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val means = Array.tabulate(grid * grid)(c =>
+              if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
+            val norm = math.sqrt(means.map(m => m * m).sum)
+            Some(Multimodal.FrameFeature(v.doc_id, f,
+              means.map(m => if (norm == 0) 0f else (m / norm).toFloat)))
+          }
+        }
+      }
+    }
+  }
+
+  /** Video near-dup pairs: per-frame aHash signatures, candidates from
+    * banded FIRST-frame hashes (pigeonhole recall, exactly the image
+    * near-dup generator — Multimodal.imageNearDupPairs), verified by
+    * the MEAN per-aligned-frame hamming distance ≤ the image
+    * threshold. Candidate volume is bucket-bounded (first-frame bands),
+    * verification joins touch candidate pairs × frames only — never
+    * videos². Completes the modality dedup story: text (minhash),
+    * image (aHash), audio (envelope hash), video (frame-hash
+    * sequence).
+    */
+  def videoNearDupPairs(vids: Dataset[VideoPayload], stride: Int = 1): DataFrame = {
+    val sigs = Multimodal.aHash(frameFeatures(vids, stride))
+      .select(col("doc_id"), col("frame_idx"), col("ahash"))
+    val bands = 16
+    val f0 = sigs.filter(col("frame_idx") === 0)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"named_struct('b', b, 'v', shiftrightunsigned(ahash, b * ${64 / bands}) % ${1L << (64 / bands)}))")).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+    val cand = f0.as("x").join(f0.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("frame_idx"), col("ahash").as("ha")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("frame_idx"), col("ahash").as("hb")),
+        Seq("doc_b", "frame_idx"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_frames"),
+        (sum(expr("CAST(bit_count(ha ^ hb) AS BIGINT)")) / count(lit(1))).as("mean_hamming"))
+      .filter(col("mean_hamming") <= Multimodal.AHashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "video_meta" -> (videoMeta _))
 

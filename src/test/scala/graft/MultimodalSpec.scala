@@ -162,4 +162,68 @@ class MultimodalSpec extends SparkSpec {
     val expected = (0 until Video.W * Video.H).map(i => Video.pixel(0L, 0L, i).toLong).sum
     assert(f0.luma_sum == expected)
   }
+
+  test("video near-dup: brightened re-encodes found by frame-hash sequence, no cross-video pairs") {
+    import graft.operators.Video
+    import spark.implicits._
+    // the contract corpus's closed-form pixels are a LINEAR ramp (so the
+    // analytic oracle can restate them) — which makes every synthetic
+    // video the same pattern shifted by a constant, i.e. aHash-identical
+    // by construction. Near-dup detection needs videos with distinct
+    // CONTENT, so this test builds its own seeded-noise corpus.
+    def makeVideo(doc: Long, n: Int): Video.VideoPayload = {
+      val rnd = new scala.util.Random(doc * 7919 + 13)
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(baos)
+      out.writeBytes("GVID"); out.writeInt(n)
+      (0 until n).foreach { _ =>
+        val img = new java.awt.image.BufferedImage(Video.W, Video.H,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var idx = 0
+        while (idx < Video.W * Video.H) {
+          val v = rnd.nextInt(256)
+          img.setRGB(idx % Video.W, idx / Video.W, (v << 16) | (v << 8) | v)
+          idx += 1
+        }
+        val frame = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", frame)
+        out.writeInt(frame.size()); out.write(frame.toByteArray)
+      }
+      Video.VideoPayload(doc, baos.toByteArray)
+    }
+    val base = spark.createDataset((0L until 100L).map(d => makeVideo(d, 2 + (d % 3).toInt)))
+    // plant near-dups: decode every frame, brighten by +2, re-encode
+    // under doc_id + 1000000 — a genuine codec round trip, not a byte copy
+    val brightened = base.map { v =>
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v.container))
+      val magic = new Array[Byte](4); in.readFully(magic)
+      val n = in.readInt()
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(baos)
+      out.writeBytes("GVID"); out.writeInt(n)
+      (0 until n).foreach { _ =>
+        val len = in.readInt()
+        val bytes = new Array[Byte](len); in.readFully(bytes)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val dst = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var idx = 0
+        while (idx < img.getWidth * img.getHeight) {
+          val v0 = img.getRGB(idx % img.getWidth, idx / img.getWidth) & 0xFF
+          val b = math.min(255, v0 + 2)
+          dst.setRGB(idx % img.getWidth, idx / img.getWidth, (b << 16) | (b << 8) | b)
+          idx += 1
+        }
+        val frame = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", frame)
+        out.writeInt(frame.size()); out.write(frame.toByteArray)
+      }
+      Video.VideoPayload(v.doc_id + 1000000L, baos.toByteArray)
+    }
+    val pairs = Video.videoNearDupPairs(base.union(brightened)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val planted = (0L until 100L).map(d => (d, d + 1000000L)).toSet
+    assert(planted.subsetOf(pairs), s"missed: ${(planted -- pairs).take(5)}")
+    assert(pairs == planted, s"false positives: ${(pairs -- planted).take(5)}")
+  }
 }
