@@ -274,4 +274,18 @@ object CorpusOps {
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_variants"), min(idCol).as("keeper"))
   }
+
+  /** Domain-blocklist gate over ANY frame with a `urlCol`: keeps only
+    * rows whose URL domain is absent from `blocked` — a LEFT ANTI
+    * against the blocklist TABLE, which broadcasts at any scale while
+    * the corpus streams through map-side (no corpus shuffle).
+    */
+  def blocklistFilter(df: DataFrame, blocked: Seq[String],
+      urlCol: String = "url"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import df.sparkSession.implicits._
+    canonicalizeUrls(df, urlCol)
+      .join(broadcast(blocked.toDF("blocked_domain")),
+        col("domain") === col("blocked_domain"), "left_anti")
+  }
 }

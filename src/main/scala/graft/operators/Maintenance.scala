@@ -242,13 +242,58 @@ object Maintenance {
   def zvalue(xCol: String, yCol: String): org.apache.spark.sql.Column =
     expr(zExpr(s"($xCol % 256)", s"($yCol % 256)", "div"))
 
+  /** Small-file threshold for the skew report: files under 64 KiB are
+    * the metadata-pressure population a compaction pass exists to fix.
+    */
+  val SmallFileBytes: Long = 64L * 1024
+
+  /** Partition-dir skew report: per-dir file count, byte volume, the
+    * small-file population, and a `skewed` flag for dirs holding more
+    * than 4× the mean bytes — the planner's view of WHERE compaction /
+    * repartitioning is needed before a query hits the hot dirs. The
+    * mean never becomes a double: the flag cross-multiplies in BIGINT
+    * (bytes · n_dirs > 4 · total). Shape: one pdir-keyed partial agg
+    * over the manifest + ONE-ROW totals broadcast back (1×n) — at 10⁸
+    * objects the listing aggregates map-side to directory cardinality.
+    */
+  def partitionSkew(s: SparkSession, dir: String): DataFrame =
+    partitionSkewFor(Manifest.manifest(s, dir)).orderBy("pdir")
+
+  /** [[partitionSkew]] over ANY manifest frame (`key`, `size`). */
+  def partitionSkewFor(manifest: DataFrame): DataFrame = {
+    val perDir = Materialize.stable(manifest
+      .withColumn("pdir", regexp_replace(col("key"), "/part-[^/]*$", ""))
+      .groupBy("pdir")
+      .agg(count(lit(1)).as("n_files"),
+        sum("size").as("bytes"),
+        sum(when(col("size") < SmallFileBytes, 1L).otherwise(0L)).as("n_small_files")))
+    val totals = perDir.agg(
+      count(lit(1)).as("n_dirs"), sum("bytes").as("total_bytes"))
+    perDir.join(broadcast(totals))
+      .withColumn("skewed", col("bytes") * col("n_dirs") > col("total_bytes") * 4)
+      .select("pdir", "n_files", "bytes", "n_small_files", "skewed")
+  }
+
+  val partitionSkewSql: String =
+    s"""${Manifest.duckWith}, per_dir AS (
+       |  SELECT regexp_replace(key, '/part-[^/]*$$', '') AS pdir,
+       |    COUNT(*) AS n_files, CAST(SUM(size) AS BIGINT) AS bytes,
+       |    CAST(SUM(CASE WHEN size < $SmallFileBytes THEN 1 ELSE 0 END) AS BIGINT) AS n_small_files
+       |  FROM manifest GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n_dirs, CAST(SUM(bytes) AS BIGINT) AS total_bytes FROM per_dir)
+       |SELECT pdir, n_files, bytes, n_small_files,
+       |  bytes * n_dirs > total_bytes * 4 AS skewed
+       |FROM per_dir, t ORDER BY pdir""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "compact_plan" -> (compactPlan _),
     "incr_agg" -> (incrAgg _),
-    "zorder_layout" -> (zorderLayout _))
+    "zorder_layout" -> (zorderLayout _),
+    "partition_skew" -> (partitionSkew _))
 
   val oracles: Map[String, String] = Map(
     "compact_plan" -> compactPlanSql,
     "incr_agg" -> incrAggSql,
-    "zorder_layout" -> zorderLayoutSql)
+    "zorder_layout" -> zorderLayoutSql,
+    "partition_skew" -> partitionSkewSql)
 }

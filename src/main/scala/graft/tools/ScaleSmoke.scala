@@ -68,7 +68,8 @@ object ScaleSmoke {
       // un-replicated lineitem/orders — covered by bench + PLANS)
       "events_decay", "events_gap_fill", "events_hop_window",
       "events_markov", "events_cohort_matrix",
-      "dedup_url", "web_domains", "corpus_blocklist", "video_meta")
+      "dedup_url", "web_domains", "corpus_blocklist", "video_meta",
+      "partition_skew")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

@@ -454,6 +454,10 @@ class ApiSpec extends SparkSpec {
     assert(groups == Map(
       "alpha.example.com/p1" -> (4L, 1L),
       "beta.example.org/p2" -> (1L, 5L)))
+    // blocklist gate: blocking alpha drops its four variants, keeps beta
+    val kept = api.CorpusOps.blocklistFilter(df, Seq("alpha.example.com"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(5L))
   }
 
   test("CorpusOps.repetitionMetrics: planted repetitive doc flagged, clean doc passes") {
