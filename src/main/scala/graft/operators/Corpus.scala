@@ -301,8 +301,68 @@ object Corpus {
        |FROM taken ORDER BY source""".stripMargin
   }
 
+  /** Per-stratum EXACT-k sampling: the k docs with the smallest
+    * portable hash rank per source — where the ratio sampler
+    * (sample_stratified) can only promise a rate, eval-set
+    * construction needs exactly k rows per stratum, reproducibly.
+    * Shape: `WindowGroupLimit` ships each partition's local top-k
+    * before the one source-keyed shuffle; ties cannot occur (rank
+    * tiebreaks on doc_id). Deterministic: retries and speculative
+    * attempts pick identical rows.
+    */
+  val SampleTopK = 20
+
+  def sampleTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("rank"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rank", pmod(col("doc_id") * lit(2654435761L), lit(1000003L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SampleTopK)
+      .select(col("source"), col("doc_id"), col("rank"))
+      .orderBy("source", "rank", "doc_id")
+  }
+
+  val sampleTopkSql: String =
+    s"""SELECT source, doc_id, (doc_id * 2654435761) % 1000003 AS rank
+       |FROM documents
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+       |  ORDER BY (doc_id * 2654435761) % 1000003, doc_id) <= $SampleTopK
+       |ORDER BY source, rank, doc_id""".stripMargin
+
+  /** Deterministic train/val/test split (80/10/10 by hash bucket) with
+    * per-(source, split) counts — the reproducible split every corpus
+    * release needs: membership is a pure function of doc_id, so
+    * re-running on a grown corpus never moves an old doc across
+    * splits. Pure map-side bucket math + one partial agg.
+    */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame = {
+    // double-mod through a large prime: a direct `% 100` of a linear
+    // hash collapses against any regular id stride (doc_id % 20 sources
+    // made every source land wholly in ONE split — gcd arithmetic, not
+    // randomness); the prime reduction destroys the stride structure
+    val b = pmod(pmod(col("doc_id") * lit(2654435761L), lit(1000003L)), lit(100L))
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("source", "split")
+  }
+
+  val corpusSplitSql: String =
+    """SELECT source,
+      |  CASE WHEN ((doc_id * 2654435761) % 1000003) % 100 < 80 THEN 'train'
+      |       WHEN ((doc_id * 2654435761) % 1000003) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
+    "sample_topk" -> (sampleTopk _),
+    "corpus_split" -> (corpusSplit _),
     "text_chunk" -> (textChunk _),
     "pack_bins" -> (packBins _),
     "corpus_curate" -> (corpusCurate _),
@@ -310,6 +370,8 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_topk" -> sampleTopkSql,
+    "corpus_split" -> corpusSplitSql,
     "text_chunk" -> textChunkSql,
     "pack_bins" -> packBinsSql,
     "corpus_curate" -> corpusCurateSql,
