@@ -356,10 +356,14 @@ object Queries {
     val e = Tables.events(s, dir)
     def stage(tpe: String) = e.filter(col("event_type") === tpe)
       .select(col("user_id"), col("ts_us"))
-    val s1 = stage("signup").groupBy("user_id").agg(min("ts_us").as("t1"))
-    val s2 = stage("click").join(s1, Seq("user_id"))
+    // each stage frame feeds the NEXT stage's join AND its own one-row
+    // summary — materialize (user-cardinality, DISK_ONLY) so the events
+    // scan behind s1/s2 doesn't re-run per consumer
+    val s1 = Materialize.stable(
+      stage("signup").groupBy("user_id").agg(min("ts_us").as("t1")))
+    val s2 = Materialize.stable(stage("click").join(s1, Seq("user_id"))
       .filter(col("ts_us") > col("t1"))
-      .groupBy("user_id").agg(min("ts_us").as("t2"), first("t1").as("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"), first("t1").as("t1")))
     val s3 = stage("purchase").join(s2, Seq("user_id"))
       .filter(col("ts_us") > col("t2"))
       .groupBy("user_id").agg(min("ts_us").as("t3"), first("t2").as("t2"))

@@ -206,10 +206,12 @@ object TextAnalysis {
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val tf = docs
+    // feeds BOTH the df aggregate and the final join — materialize so
+    // the corpus explode+agg (the expensive pass) runs once, not twice
+    val tf = Materialize.stable(docs
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), w -> w <> '')")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.groupBy().agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
