@@ -460,6 +460,34 @@ class ApiSpec extends SparkSpec {
     assert(kept == Set(5L))
   }
 
+  test("canonicalizeUrls: idempotent and noise-invariant over 300 fuzzed URLs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789-"
+    def seg(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val cases = (1 to 300).map { i =>
+      val dom = s"${seg(5)}.${seg(4)}.${Seq("com", "org", "io", "dev")(rnd.nextInt(4))}"
+      val path = if (rnd.nextBoolean()) s"/${seg(6)}" else s"/${seg(4)}/${seg(3)}"
+      val scheme = Seq("http://", "https://", "HTTPS://", "HTTP://")(rnd.nextInt(4))
+      val www = if (rnd.nextBoolean()) "www." else ""
+      val port = if (rnd.nextBoolean()) ":443" else ""
+      val slash = if (rnd.nextBoolean()) "/" else ""
+      val query = if (rnd.nextBoolean()) s"?utm_${seg(3)}=${seg(2)}" else ""
+      val domInUrl = if (rnd.nextBoolean()) dom.toUpperCase else dom
+      (i.toLong, s"$scheme$www$domInUrl$port$path$slash$query", s"$dom$path")
+    }
+    val out = api.CorpusOps.canonicalizeUrls(cases.toDF("doc_id", "url", "expected"))
+      .withColumn("again",
+        graft.operators.WebCorpus.canonicalize(org.apache.spark.sql.functions.col("canonical_url")))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("canonical_url") == r.getAs[String]("expected"),
+        s"noise variant survived: ${r.getAs[String]("url")} -> ${r.getAs[String]("canonical_url")}")
+      assert(r.getAs[String]("again") == r.getAs[String]("canonical_url"),
+        s"not idempotent: ${r.getAs[String]("canonical_url")}")
+    }
+  }
+
   test("CorpusOps.repetitionMetrics: planted repetitive doc flagged, clean doc passes") {
     import spark.implicits._
     val docs = Seq(
