@@ -24,6 +24,18 @@ class ContractSpec extends AnyFunSuite {
     assert(rows == q, s"drift: survey-only=${rows -- q}, queries-only=${q -- rows}")
   }
 
+  test("bench stdout line stays inside the harness tail-capture window") {
+    // the harness parses the bench JSON out of the LAST ~3 KB of run
+    // output; round 3's BENCH artifact parsed as null because the line
+    // outgrew that window. Reconstruct the compact line Bench prints
+    // (2-decimal medians) with worst-case 6-char values and assert
+    // headroom for the sbt success trailer (~100 bytes).
+    val qmap = SparkEntry.queries.keys.map(k => s"\"$k\":999.99").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","runs":5,"stat":"median","queries":$qmap,"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length <= 2700,
+      s"bench stdout line would be ${line.length} bytes — trim precision or move detail to bench.json")
+  }
+
   test("oracle SQL never contains an uncast integer SUM (HUGEINT trap)") {
     // DuckDB types SUM(BIGINT) as HUGEINT while Spark emits BIGINT; the
     // driver's hasher is type-sensitive. Every SUM over an integer
