@@ -156,17 +156,52 @@ object EventsMore {
       |SELECT from_type, to_type, COUNT(*) AS n_transitions
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** EXACT per-group median (lower median, deterministic tiebreak) —
+    * the exact counterpart of sketch_quantile's mergeable
+    * approximation, for when a report needs the true order statistic.
+    * One window sort per group: rank and group size come off the SAME
+    * (type)-partitioned sort (no second shuffle), the median is the
+    * row at ceil(n/2). Value ties break on event_id, so both engines
+    * select the identical row. At scale this is the one op here that
+    * pays a per-group sort — which is exactly the price of exactness;
+    * the sketch is the 100 TB default, this is the audit path.
+    */
+  def eventsMedianExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val all = Window.partitionBy("event_type")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(all))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("n"),
+        col("value").as("median_value"), col("event_id").as("median_event"))
+      .orderBy("event_type")
+  }
+
+  val eventsMedianExactSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, n, value AS median_value, event_id AS median_event
+      |FROM r WHERE rn = (n + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_decay" -> (eventsDecay _),
     "events_gap_fill" -> (eventsGapFill _),
     "events_hop_window" -> (eventsHopWindow _),
-    "events_markov" -> (eventsMarkov _)
+    "events_markov" -> (eventsMarkov _),
+    "events_median_exact" -> (eventsMedianExact _)
   )
 
   val oracles: Map[String, String] = Map(
     "events_decay" -> eventsDecaySql,
     "events_gap_fill" -> eventsGapFillSql,
     "events_hop_window" -> eventsHopWindowSql,
-    "events_markov" -> eventsMarkovSql
+    "events_markov" -> eventsMarkovSql,
+    "events_median_exact" -> eventsMedianExactSql
   )
 }
