@@ -196,31 +196,39 @@ object Multimodal {
       rows.map { p =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
         require(img != null, s"undecodable payload for doc ${p.doc_id}")
-        val (w, h) = (img.getWidth, img.getHeight)
-        val sums = new Array[Long](grid * grid)
-        val counts = new Array[Long](grid * grid)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            // integer ITU-R 601 luma — no floating point in the fold
-            val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
-              114 * (rgb & 0xFF)) / 1000
-            val cell = (y * grid / h) * grid + (x * grid / w)
-            sums(cell) += luma
-            counts(cell) += 1
-            x += 1
-          }
-          y += 1
-        }
-        val means = Array.tabulate(grid * grid)(c =>
-          if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
-        val norm = math.sqrt(means.map(m => m * m).sum)
-        val emb = means.map(m => if (norm == 0) 0f else (m / norm).toFloat)
-        FrameFeature(p.doc_id, 0, emb)
+        FrameFeature(p.doc_id, 0, lumaGridFeature(img, grid))
       }
     }
+  }
+
+  /** The mean-pooled L2-normalized luma-grid fold itself, shared by the
+    * image path above and the video frame path (Video.frameFeatures).
+    * Integer luma sums with explicit loops — retries reproduce
+    * bit-identically across JVMs.
+    */
+  def lumaGridFeature(img: java.awt.image.BufferedImage, grid: Int): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        // integer ITU-R 601 luma — no floating point in the fold
+        val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000
+        val cell = (y * grid / h) * grid + (x * grid / w)
+        sums(cell) += luma
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(grid * grid)(c =>
+      if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
+    val norm = math.sqrt(means.map(m => m * m).sum)
+    means.map(m => if (norm == 0) 0f else (m / norm).toFloat)
   }
 
   val AHashBands = 16         // 16 bands × 4 bits over the 64-bit hash

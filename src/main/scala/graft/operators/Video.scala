@@ -98,6 +98,27 @@ object Video {
     }.toDF("doc_id", "n_frames", "container_bytes", "frame_bytes")
   }
 
+  /** Demux + decode every `stride`-th frame of one container — the
+    * shared walk behind [[sampleFrames]] and [[frameFeatures]].
+    */
+  private def decodedFrames(v: VideoPayload,
+      stride: Int): Seq[(Int, java.awt.image.BufferedImage)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v.container))
+    val magic = new Array[Byte](4); in.readFully(magic)
+    require(new String(magic, "US-ASCII") == "GVID", s"bad magic for doc ${v.doc_id}")
+    val n = in.readInt()
+    (0 until n).flatMap { f =>
+      val len = in.readInt()
+      val bytes = new Array[Byte](len); in.readFully(bytes)
+      if (f % stride != 0) None
+      else {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable frame $f of doc ${v.doc_id}")
+        Some(f -> img)
+      }
+    }
+  }
+
   /** Decode every `stride`-th frame (REAL PNG decode per sampled
     * frame) and emit integer luma statistics off the actual raster.
     */
@@ -105,26 +126,16 @@ object Video {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.flatMap { v =>
-        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v.container))
-        val magic = new Array[Byte](4); in.readFully(magic)
-        val n = in.readInt()
-        (0 until n).flatMap { f =>
-          val len = in.readInt()
-          val bytes = new Array[Byte](len); in.readFully(bytes)
-          if (f % stride != 0) None
-          else {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            require(img != null, s"undecodable frame $f of doc ${v.doc_id}")
-            var sum = 0L
-            var idx = 0
-            while (idx < img.getWidth * img.getHeight) {
-              val rgb = img.getRGB(idx % img.getWidth, idx / img.getWidth)
-              sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
-                114 * (rgb & 0xFF)) / 1000
-              idx += 1
-            }
-            Some(VideoFrame(v.doc_id, f, img.getWidth, img.getHeight, sum))
+        decodedFrames(v, stride).map { case (f, img) =>
+          var sum = 0L
+          var idx = 0
+          while (idx < img.getWidth * img.getHeight) {
+            val rgb = img.getRGB(idx % img.getWidth, idx / img.getWidth)
+            sum += (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+              114 * (rgb & 0xFF)) / 1000
+            idx += 1
           }
+          VideoFrame(v.doc_id, f, img.getWidth, img.getHeight, sum)
         }
       }
     }
@@ -164,39 +175,8 @@ object Video {
     import vids.sparkSession.implicits._
     vids.mapPartitions { rows =>
       rows.flatMap { v =>
-        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v.container))
-        val magic = new Array[Byte](4); in.readFully(magic)
-        val n = in.readInt()
-        (0 until n).flatMap { f =>
-          val len = in.readInt()
-          val bytes = new Array[Byte](len); in.readFully(bytes)
-          if (f % stride != 0) None
-          else {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            require(img != null, s"undecodable frame $f of doc ${v.doc_id}")
-            val (w, h) = (img.getWidth, img.getHeight)
-            val sums = new Array[Long](grid * grid)
-            val counts = new Array[Long](grid * grid)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
-                  114 * (rgb & 0xFF)) / 1000
-                val cell = (y * grid / h) * grid + (x * grid / w)
-                sums(cell) += luma
-                counts(cell) += 1
-                x += 1
-              }
-              y += 1
-            }
-            val means = Array.tabulate(grid * grid)(c =>
-              if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
-            val norm = math.sqrt(means.map(m => m * m).sum)
-            Some(Multimodal.FrameFeature(v.doc_id, f,
-              means.map(m => if (norm == 0) 0f else (m / norm).toFloat)))
-          }
+        decodedFrames(v, stride).map { case (f, img) =>
+          Multimodal.FrameFeature(v.doc_id, f, Multimodal.lumaGridFeature(img, grid))
         }
       }
     }
