@@ -159,22 +159,27 @@ object Similarity {
   /** knn_ivf with an explicit probe count — the recall/cost knob
     * (ScaleOpsSpec measures recall vs brute force at 1/2/4 probes).
     */
-  def knnIvfAt(nprobe: Int)(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vecs = withVec(s, dir)
-    val cents = Materialize.stable(refineCents(vecs))
-    // nearest-centroid via struct-argmin aggregate, NOT a window: the
-    // broadcast cross product is map-side, partial aggregation shrinks
-    // it to one row per vector BEFORE the shuffle — a window would
-    // shuffle all n×k scored rows. min(struct(-cos, cent_id)) picks
-    // max cosine with deterministic min-cent_id tie-break.
-    val assign = Materialize.stable(vecs.crossJoin(broadcast(cents))
+  /** nearest-centroid cell assignment via struct-argmin aggregate, NOT
+    * a window: the broadcast cross product is map-side, partial
+    * aggregation shrinks it to one row per vector BEFORE the shuffle —
+    * a window would shuffle all n×k scored rows. min(struct(-cos,
+    * cent_id)) picks max cosine with deterministic min-cent_id
+    * tie-break. Shared by [[knnIvfAt]] and [[knnJoin]].
+    */
+  private def cellAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
       .withColumn("ccos", expr(sparkCosine("v", "cv")))
       .groupBy(col("vec_id"))
       .agg(min(struct((col("ccos") * -1).as("neg"), col("cent_id"))).as("best"),
         first(col("v")).as("v"))
       .select(col("vec_id"), col("best.cent_id").as("cell"), col("v"))
-    ) // every vector indexed in exactly its best cell
+
+  def knnIvfAt(nprobe: Int)(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = withVec(s, dir)
+    val cents = Materialize.stable(refineCents(vecs))
+    val assign = Materialize.stable(cellAssign(vecs, cents))
+    // every vector indexed in exactly its best cell
     // query-side probe list: Nprobe argmin passes, pass p excluding the
     // cells picked by passes < p
     val qscore = Materialize.stable(
@@ -205,7 +210,10 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val knnIvfSql: String =
+  /** The shared oracle CTE chain (vectors → seed cells → refined
+    * centroids → final cell assignment) behind knn_ivf AND knn_join.
+    */
+  private val knnAssignCte: String =
     s"""WITH vecs AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
        |), seeds AS (
@@ -233,7 +241,10 @@ object Similarity {
        |        ORDER BY ${duckCosine("vecs.v", "cents.cv")} DESC, cents.cent_id) AS crank
        |    FROM vecs CROSS JOIN cents) t
        |  WHERE crank = 1
-       |), qprobe AS (
+       |)""".stripMargin
+
+  val knnIvfSql: String =
+    s"""$knnAssignCte, qprobe AS (
        |  SELECT query_id, cell, qv FROM (
        |    SELECT vecs.vec_id AS query_id, cents.cent_id AS cell, vecs.v AS qv,
        |      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
@@ -586,12 +597,58 @@ object Similarity {
        |FROM assign a LEFT JOIN comps c ON a.vec_id = c.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** kNN JOIN: top-k cosine neighbors for EVERY corpus vector, not
+    * just a query set — the all-pairs problem that builds similarity
+    * graphs (SemDeDup's input, recommendation candidate sets). The
+    * quadratic term is BOUNDED BY THE IVF CELLS: vectors only score
+    * against their own cell's members (same within-cell restriction
+    * dedup_semantic uses), so the self-join volume is Σ|cell|² — and
+    * because the seed rule keeps cell count growing with the corpus,
+    * mean cell size stays roughly constant. Per-vector top-k goes
+    * through WindowGroupLimit (partition-local top-k ships before the
+    * shuffle). Recall story is knn_ivf's at nprobe=1; the oracle
+    * replays the identical deterministic cell math, so parity is
+    * exact, not approximate.
+    */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = withVec(s, dir)
+    val cents = Materialize.stable(refineCents(vecs))
+    val assign = Materialize.stable(cellAssign(vecs, cents))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    assign
+      .join(assign.select(col("vec_id").as("neighbor_id"), col("cell"), col("v").as("nv")),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("vec_id"))
+      .withColumn("cosine", expr(sparkCosine("v", "nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        expr("floor(cosine * 1000000) / CAST(1000000 AS DOUBLE)").as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val knnJoinSql: String =
+    s"""$knnAssignCte, scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    ${duckCosine("a.v", "b.v")} AS cosine
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT vec_id, neighbor_id, rank,
+       |  floor(cosine * 1000000) / CAST(1000000 AS DOUBLE) AS cosine
+       |FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> (dedupSemantic _),
     "knn_pq" -> (knnPq _),
     "embed_neardup" -> (embedNeardup _),
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_ivf" -> (knnIvf _),
+    "knn_join" -> (knnJoin _),
     "embed_quantize" -> (embedQuantize _),
     "embed_project" -> (embedProject _))
 
@@ -601,6 +658,7 @@ object Similarity {
     "embed_neardup" -> embedNeardupSql,
     "knn_bruteforce" -> knnBruteforceSql,
     "knn_ivf" -> knnIvfSql,
+    "knn_join" -> knnJoinSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_project" -> embedProjectSql)
 }

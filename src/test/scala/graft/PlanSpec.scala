@@ -77,8 +77,9 @@ class PlanSpec extends SparkSpec {
     // customer scan (the decorrelated scalar subquery — 1×n, not n×m)
     // web_domains broadcasts its ONE-ROW (n_domains, Σchars) totals
     // back onto the per-domain frame (same 1×n shape as q22)
-    val intendedCross = Set("knn_bruteforce", "knn_ivf", "events_funnel", "tfidf_topterms",
-      "sketch_hll_setops", "dedup_semantic", "q22_antijoin", "web_domains", "partition_skew")
+    val intendedCross = Set("knn_bruteforce", "knn_ivf", "knn_join", "events_funnel",
+      "tfidf_topterms", "sketch_hll_setops", "dedup_semantic", "q22_antijoin",
+      "web_domains", "partition_skew")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
