@@ -234,6 +234,20 @@ object CorpusOps {
       .withColumnRenamed("vec_id", idCol)
   }
 
+  /** k-nearest-neighbor graph over ANY embedding frame — top-k cosine
+    * neighbors for EVERY row, the similarity-graph builder. Quadratic
+    * work is bounded by the IVF cells (within-cell scoring only); see
+    * Similarity.knnJoin for the scale analysis. The frame must contain
+    * at least one seed id (id % 50 == 7) for the coarse cells.
+    */
+  def neighborGraph(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 3): DataFrame = {
+    val vecs = prepared(df).select(col(idCol).cast("long").as("vec_id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    graft.operators.Similarity.knnJoinFor(vecs, k)
+      .withColumnRenamed("vec_id", idCol)
+  }
+
   /** PII scrub over ANY frame: redact emails and IPv4s in `textCol`
     * in place, reporting per-row match counts. Pure map-side regex
     * column math — the shape of every production PII pass.

@@ -610,9 +610,15 @@ object Similarity {
     * replays the identical deterministic cell math, so parity is
     * exact, not approximate.
     */
-  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+  def knnJoin(s: SparkSession, dir: String): DataFrame =
+    knnJoinFor(withVec(s, dir), KnnK)
+
+  /** [[knnJoin]] over ANY (vec_id, v) frame with a caller-chosen k —
+    * the library entry point (api.CorpusOps.neighborGraph). Requires
+    * at least one seed id (`vec_id % CentroidMod == 7`) in the frame.
+    */
+  def knnJoinFor(vecs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vecs = withVec(s, dir)
     val cents = Materialize.stable(refineCents(vecs))
     val assign = Materialize.stable(cellAssign(vecs, cents))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
@@ -622,7 +628,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("vec_id"))
       .withColumn("cosine", expr(sparkCosine("v", "nv")))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= KnnK)
+      .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"),
         expr("floor(cosine * 1000000) / CAST(1000000 AS DOUBLE)").as("cosine"))
       .orderBy("vec_id", "rank")

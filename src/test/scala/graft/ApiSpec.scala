@@ -460,6 +460,22 @@ class ApiSpec extends SparkSpec {
     assert(kept == Set(5L))
   }
 
+  test("CorpusOps.neighborGraph: planted clusters neighbor within themselves") {
+    import spark.implicits._
+    // two well-separated clusters of 20 vectors; id 7 provides the seed
+    val rows = (0L until 40L).map { i =>
+      val v = if (i < 20) Array(100f, i.toFloat, 1f, 0f) else Array(i.toFloat, 100f, 0f, 1f)
+      (i, v)
+    }
+    val g = api.CorpusOps.neighborGraph(rows.toDF("vec_id", "embedding"), k = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id"))
+    assert(g.length == 40)
+    g.foreach { case (id, nb) =>
+      assert((id < 20) == (nb < 20), s"$id's nearest neighbor $nb crossed clusters")
+      assert(id != nb)
+    }
+  }
+
   test("canonicalizeUrls: idempotent and noise-invariant over 300 fuzzed URLs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
