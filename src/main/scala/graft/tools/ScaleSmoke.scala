@@ -69,7 +69,8 @@ object ScaleSmoke {
       "events_decay", "events_gap_fill", "events_hop_window",
       "events_markov", "events_cohort_matrix",
       "dedup_url", "web_domains", "corpus_blocklist", "video_meta",
-      "partition_skew", "sample_topk", "corpus_split", "events_median_exact")
+      "partition_skew", "sample_topk", "corpus_split", "events_median_exact",
+      "knn_join")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
