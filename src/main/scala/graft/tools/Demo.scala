@@ -110,6 +110,9 @@ object Demo {
       .incrAggFor(dataFiles, relisting, "^(.*/year=\\d+/month=\\d+/day=\\d+)")
     require(recon.filter(!col("consistent")).count() == 0,
       "incremental aggregate must reconcile with the full recompute")
+    val skew = graft.operators.Maintenance.partitionSkewFor(relisting)
+    require(skew.count() > 0 && skew.filter(col("n_files") < 1).count() == 0,
+      "skew report covers every partition dir")
 
     println(s"[demo] lake files=$nAll data=$nData day1=$nDay1 added=$added " +
       s"raw=$nRaw urlKept=$nDocs kept=$nKept shard0=$nShard0 pdirs=$nPdirs — all stages asserted OK")
