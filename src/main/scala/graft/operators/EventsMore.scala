@@ -189,12 +189,38 @@ object EventsMore {
       |FROM r WHERE rn = (n + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** Per-user activity distribution in log2 buckets: how many users
+    * fired [2^b, 2^(b+1)) events — the long-tail histogram behind
+    * engagement dashboards and bot-filter thresholds, in a shape that
+    * never sorts: (user) partial agg → map-side log2 bucket → (bucket)
+    * partial agg. The bucket index floor(log2(n)) is computed as
+    * `length(bin(n)) - 1` — pure integer/string math, because libm
+    * log2 (Spark spells it log(n)/log(2)) can land a hair under an
+    * exact power of two and floor into the wrong bucket.
+    */
+  def eventsActivityHist(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .withColumn("bucket", expr("CAST(length(bin(n)) - 1 AS INT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"))
+      .orderBy("bucket")
+  }
+
+  val eventsActivityHistSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+      |SELECT CAST(length(bin(n)) - 1 AS INT) AS bucket,
+      |  COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events
+      |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_decay" -> (eventsDecay _),
     "events_gap_fill" -> (eventsGapFill _),
     "events_hop_window" -> (eventsHopWindow _),
     "events_markov" -> (eventsMarkov _),
-    "events_median_exact" -> (eventsMedianExact _)
+    "events_median_exact" -> (eventsMedianExact _),
+    "events_activity_hist" -> (eventsActivityHist _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -202,6 +228,7 @@ object EventsMore {
     "events_gap_fill" -> eventsGapFillSql,
     "events_hop_window" -> eventsHopWindowSql,
     "events_markov" -> eventsMarkovSql,
-    "events_median_exact" -> eventsMedianExactSql
+    "events_median_exact" -> eventsMedianExactSql,
+    "events_activity_hist" -> eventsActivityHistSql
   )
 }
