@@ -71,6 +71,44 @@ object EventStreams {
       "leftOuter")
   }
 
+  case class GapState(lastBucket: Long)
+
+  /** Streaming gap fill: dense per-type bucket counts with explicit
+    * zero rows for silent buckets — the streaming twin of the batch
+    * events_gap_fill / EventOps.gapFill. State per type is ONE long
+    * (the last emitted bucket); when a batch advances a type's max
+    * bucket, the silent buckets in between are emitted as zeros, so
+    * the UNION of all batch outputs is the same dense series no matter
+    * where the micro-batch boundaries fall. Rows for buckets at or
+    * below the high-water mark (late data) re-emit as correction rows
+    * — downstream either overwrites by (type, bucket) key or bounds
+    * lateness with a watermark upstream.
+    */
+  def gapFillStream(events: Dataset[(String, Long)],
+      bucketUs: Long = 3600000000L): Dataset[(String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .map { case (tpe, tsUs) => (tpe, tsUs / bucketUs) }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long)], state: GroupState[GapState]) =>
+          val counts = rows.map(_._2).toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val batchMax = counts.keys.max
+          val emitFrom = state.getOption match {
+            case Some(GapState(last)) if last < batchMax => last + 1
+            case None => counts.keys.min
+            case _ => Long.MaxValue // late-only batch: corrections below
+          }
+          val dense =
+            if (emitFrom == Long.MaxValue) Iterator.empty
+            else (emitFrom to batchMax).iterator.map(b => (tpe, b, counts.getOrElse(b, 0L)))
+          val corrections = counts.keys.filter(_ < emitFrom).toSeq.sorted.iterator
+            .map(b => (tpe, b, counts(b)))
+          state.update(GapState(math.max(batchMax, state.getOption.map(_.lastBucket).getOrElse(Long.MinValue))))
+          corrections ++ dense
+      }
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,

@@ -82,6 +82,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_gap_fill: zeros for silent buckets, batch-boundary invariant, == batch on real events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case across TWO batches: type a sees buckets 0 and 3 (batch 1)
+    // then 5 (batch 2) — silent 1,2 fill in batch 1, silent 4 in batch 2
+    val hourUs = 3600000000L
+    val mem = MemoryStream[(String, Long)]
+    val q = EventStreams.gapFillStream(mem.toDS(), hourUs)
+      .toDF("event_type", "bucket", "n")
+      .writeStream.format("memory").queryName("gapf").outputMode("append").start()
+    try {
+      mem.addData(("a", 0L * hourUs), ("a", 3L * hourUs + 5), ("a", 3L * hourUs + 9))
+      q.processAllAvailable()
+      mem.addData(("a", 5L * hourUs))
+      q.processAllAvailable()
+      val got = spark.table("gapf")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((0L, 1L), (1L, 0L), (2L, 0L), (3L, 2L), (4L, 0L), (5L, 1L)))
+    } finally q.stop()
+
+    // equivalence with the batch operator on the real events table
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us")).as[(String, Long)].collect()
+    val mem2 = MemoryStream[(String, Long)]
+    val q2 = EventStreams.gapFillStream(mem2.toDS(), hourUs)
+      .toDF("event_type", "bucket", "n")
+      .writeStream.format("memory").queryName("gapf_eq").outputMode("append").start()
+    try {
+      mem2.addData(events.toSeq)
+      q2.processAllAvailable()
+      val streamed = spark.table("gapf_eq")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.EventsMore.eventsGapFill(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getAs[Long]("hour_bucket"), r.getAs[Long]("n_events"))).toSet
+      assert(streamed == batch)
+    } finally q2.stop()
+  }
+
   test("stream_sessionize: 30-min gap splits sessions per user") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
