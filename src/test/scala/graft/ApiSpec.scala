@@ -476,6 +476,33 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("EventOps.decayScore: exactly additive over any split of the stream") {
+    import spark.implicits._
+    // the integer-units design makes the score ORDER-INVARIANT
+    // bit-exactly (any row order sums to the same BIGINT units before
+    // the single division) — the property that makes retries and
+    // speculative attempts safe. Additivity over a split holds to an
+    // ulp (the one final division rounds once per operand).
+    val rnd = new scala.util.Random(7)
+    val hour = 3600L * 1000000
+    val evs = (1 to 120).map { _ =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(72).toLong * hour,
+        (rnd.nextInt(20000) + 1) / 100.0)
+    }
+    def scores(rows: Seq[(Long, Long, Double)]) =
+      api.EventOps.decayScore(rows.toDF("uid", "ts_us", "v"),
+          "uid", "ts_us", "v", anchorUs = 72L * hour, unitUs = hour, maxAge = 40)
+        .collect().map(r => r.getAs[Long]("uid") -> r.getAs[Double]("decayed_score")).toMap
+    val sAll = scores(evs)
+    assert(sAll == scores(rnd.shuffle(evs)), "row order changed the score — not order-invariant")
+    val (a, b) = evs.splitAt(47)
+    val (sA, sB) = (scores(a), scores(b))
+    sAll.foreach { case (uid, s) =>
+      val sum = sA.getOrElse(uid, 0.0) + sB.getOrElse(uid, 0.0)
+      assert(math.abs(s - sum) <= 4 * Math.ulp(s), s"user $uid drifted beyond rounding: $s vs $sum")
+    }
+  }
+
   test("canonicalizeUrls: idempotent and noise-invariant over 300 fuzzed URLs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
