@@ -316,8 +316,14 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source")
       .orderBy(col("rank"), col("doc_id"))
+    // pre-reduce doc_id mod the prime BEFORE the Knuth multiply: the
+    // product then stays ≤ 1e6·2.65e9 ≈ 2.7e15 on both engines, where a
+    // raw doc_id·C wraps Spark's Long (silently) and overflows DuckDB's
+    // BIGINT (loudly) at doc_id ≳ 3.5e9 — same residue by modular
+    // arithmetic, so ranks are unchanged
     Tables.documents(s, dir)
-      .withColumn("rank", pmod(col("doc_id") * lit(2654435761L), lit(1000003L)))
+      .withColumn("rank",
+        pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000003L)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= SampleTopK)
       .select(col("source"), col("doc_id"), col("rank"))
@@ -325,10 +331,10 @@ object Corpus {
   }
 
   val sampleTopkSql: String =
-    s"""SELECT source, doc_id, (doc_id * 2654435761) % 1000003 AS rank
+    s"""SELECT source, doc_id, ((doc_id % 1000003) * 2654435761) % 1000003 AS rank
        |FROM documents
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
-       |  ORDER BY (doc_id * 2654435761) % 1000003, doc_id) <= $SampleTopK
+       |  ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id) <= $SampleTopK
        |ORDER BY source, rank, doc_id""".stripMargin
 
   /** Deterministic train/val/test split (80/10/10 by hash bucket) with
@@ -342,7 +348,9 @@ object Corpus {
     // hash collapses against any regular id stride (doc_id % 20 sources
     // made every source land wholly in ONE split — gcd arithmetic, not
     // randomness); the prime reduction destroys the stride structure
-    val b = pmod(pmod(col("doc_id") * lit(2654435761L), lit(1000003L)), lit(100L))
+    // same pre-reduction as sampleTopk: keeps the product inside BIGINT
+    // on both engines at any doc_id
+    val b = pmod(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000003L)), lit(100L))
     Tables.documents(s, dir)
       .withColumn("split",
         when(b < 80, "train").when(b < 90, "val").otherwise("test"))
@@ -353,8 +361,8 @@ object Corpus {
 
   val corpusSplitSql: String =
     """SELECT source,
-      |  CASE WHEN ((doc_id * 2654435761) % 1000003) % 100 < 80 THEN 'train'
-      |       WHEN ((doc_id * 2654435761) % 1000003) % 100 < 90 THEN 'val'
+      |  CASE WHEN (((doc_id % 1000003) * 2654435761) % 1000003) % 100 < 80 THEN 'train'
+      |       WHEN (((doc_id % 1000003) * 2654435761) % 1000003) % 100 < 90 THEN 'val'
       |       ELSE 'test' END AS split,
       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

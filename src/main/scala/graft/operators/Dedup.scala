@@ -159,11 +159,20 @@ object Dedup {
     val shs = Materialize.stable(Tables.documents(s, dir)
       .select(col("doc_id"), expr(sparkShingleHashes("text")).as("sh"))
       .withColumn("n_sh", expr("size(sh)")))
-    val maxDf = math.max(NgramMaxDf.toLong, shs.count() / NgramDfFraction)
+    // the corpus-relative df ceiling is derived INSIDE the job: a
+    // one-row doc-count aggregate broadcast onto the df frame — no
+    // standalone driver-side .count() action (one fewer corpus pass;
+    // at 100 TB a ceiling should be plan state, not driver state)
+    val nDocs = shs.agg(count(lit(1)).as("n_docs"))
+    val rare = shs.select(col("doc_id"),
+        explode(expr(s"slice(array_sort(sh), 1, $NgramPrefixK)")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df").between(2,
+        greatest(lit(NgramMaxDf.toLong), expr(s"n_docs div $NgramDfFraction"))))
+      .select("h")
     val ex = shs.select(col("doc_id"),
       explode(expr(s"slice(array_sort(sh), 1, $NgramPrefixK)")).as("h"))
-    val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
     val rareEx = ex.join(rare, Seq("h"))
     val cand = rareEx.as("x").join(rareEx.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -311,12 +320,17 @@ object Dedup {
     val shs = Materialize.stable(Tables.documents(s, dir)
       .select(col("doc_id"), expr(sparkShingleHashes("text")).as("sh"))
       .withColumn("n_sh", expr("CAST(size(sh) AS BIGINT)")))
-    val maxDf = math.max(NgramMaxDf.toLong, shs.count() / NgramDfFraction)
     val isEval = pmod(col("doc_id"), lit(ContamEvalMod)) === 7
     val trainEx = shs.filter(!isEval)
       .select(col("doc_id").as("train_doc"), col("n_sh"), explode(col("sh")).as("h"))
+    // same in-plan ceiling derivation as dedupNgram: one-row doc count
+    // broadcast onto the df frame, no driver-side corpus action
+    val nDocs = shs.agg(count(lit(1)).as("n_docs"))
     val informative = trainEx.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("h")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <=
+        greatest(lit(NgramMaxDf.toLong), expr(s"n_docs div $NgramDfFraction")))
+      .select("h")
     val evalEx = shs.filter(isEval)
       .select(col("doc_id").as("eval_doc"), explode(col("sh")).as("h"))
       .join(informative, Seq("h"))

@@ -615,11 +615,19 @@ object Similarity {
 
   /** [[knnJoin]] over ANY (vec_id, v) frame with a caller-chosen k —
     * the library entry point (api.CorpusOps.neighborGraph). Requires
-    * at least one seed id (`vec_id % CentroidMod == 7`) in the frame.
+    * at least one seed id (`vec_id % CentroidMod == 7`) in the frame;
+    * a seedless frame fails LOUDLY here rather than returning an empty
+    * graph a caller would misread as "no neighbors".
     */
   def knnJoinFor(vecs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = Materialize.stable(refineCents(vecs))
+    // the emptiness probe runs against the just-persisted (tiny)
+    // centroid frame, so it costs one lookup of state the join below
+    // materializes anyway — not an extra corpus scan
+    require(cents.head(1).nonEmpty,
+      s"knnJoinFor: no seed centroids (no vec_id % $CentroidMod == 7 in the frame) — " +
+        "IVF cells cannot be built; an empty result here would be wrong, not 'no neighbors'")
     val assign = Materialize.stable(cellAssign(vecs, cents))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     assign

@@ -65,12 +65,21 @@ object WebCorpus {
     * trailing slash. Chained `regexp_replace` with patterns valid in
     * both Java regex and RE2 — pure codegen'd column math, usable on
     * any url column.
+    *
+    * The port strip is ANCHORED TO THE HOST (`^host:port`), so a
+    * `:80`/`:443` appearing later in the path is never touched, and
+    * anchoring makes Spark's replace-all and DuckDB's replace-first
+    * semantics coincide (at most one match). Deliberately
+    * scheme-INSENSITIVE: by the time the port is stripped the scheme is
+    * gone, so `http://h:443` also collapses to `h` — acceptable for
+    * dedup canonicalization (the goal is a stable key, not a resolvable
+    * URL), noted here for `CorpusOps.canonicalizeUrls` callers.
     */
   def canonicalize(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val c1 = lower(url)
     val c2 = regexp_replace(c1, "^[a-z]+://", "")
     val c3 = regexp_replace(c2, "^www\\.", "")
-    val c4 = regexp_replace(c3, ":(443|80)(/|\\?|$)", "$2")
+    val c4 = regexp_replace(c3, "^([^/:?]+):(443|80)(/|\\?|$)", "$1$3")
     val c5 = regexp_replace(c4, "\\?.*$", "")
     regexp_replace(c5, "/$", "")
   }
@@ -79,7 +88,7 @@ object WebCorpus {
   def duckCanon(expr: String): String =
     s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
        |  lower($expr),
-       |  '^[a-z]+://', ''), '^www\\.', ''), ':(443|80)(/|\\?|$$)', '\\2'), '\\?.*$$', ''), '/$$', '')""".stripMargin
+       |  '^[a-z]+://', ''), '^www\\.', ''), '^([^/:?]+):(443|80)(/|\\?|$$)', '\\1\\3'), '\\?.*$$', ''), '/$$', '')""".stripMargin
 
   /** URL-canonicalization dedup: group by canonical URL, keep the
     * min-doc_id variant, report the variant count. With the planted

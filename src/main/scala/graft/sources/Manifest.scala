@@ -37,8 +37,11 @@ object Manifest {
         lit("/part-"), col("event_id").cast("string"),
         lit("."), ext
       ).as("key"),
-      (lit(1024L) + pmod(col("event_id") * lit(2654435761L), lit(4194304L))).as("size"),
-      pmod(col("event_id") * lit(1103515245L) + lit(12345L), lit(2147483647L))
+      // event_id is pre-reduced mod the modulus before each multiply so
+      // the product never wraps Long / overflows DuckDB BIGINT at very
+      // large ids — identical residues by modular arithmetic
+      (lit(1024L) + pmod(pmod(col("event_id"), lit(4194304L)) * lit(2654435761L), lit(4194304L))).as("size"),
+      pmod(pmod(col("event_id"), lit(2147483647L)) * lit(1103515245L) + lit(12345L), lit(2147483647L))
         .cast("string").as("etag"),
       (col("ts_us").divide(lit(1000000L)).cast("long") * lit(1000000L)).as("last_modified_us")
     )
@@ -53,8 +56,8 @@ object Manifest {
       |  '/event_type=' || event_type ||
       |  '/part-' || CAST(event_id AS VARCHAR) || '.' ||
       |  (['parquet','json','csv','txt','log','png','jpg','gz','bin','html'])[CAST(event_id % 10 + 1 AS INT)] AS key,
-      |  1024 + (event_id * 2654435761) % 4194304 AS size,
-      |  CAST((event_id * 1103515245 + 12345) % 2147483647 AS VARCHAR) AS etag,
+      |  1024 + ((event_id % 4194304) * 2654435761) % 4194304 AS size,
+      |  CAST(((event_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS VARCHAR) AS etag,
       |  (epoch_us(ts) // 1000000) * 1000000 AS last_modified_us
       |FROM events""".stripMargin
 

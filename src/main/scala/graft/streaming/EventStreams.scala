@@ -71,21 +71,28 @@ object EventStreams {
       "leftOuter")
   }
 
-  case class GapState(lastBucket: Long)
+  case class GapState(lastBucket: Long, recent: Map[Long, Long])
 
   /** Streaming gap fill: dense per-type bucket counts with explicit
     * zero rows for silent buckets — the streaming twin of the batch
-    * events_gap_fill / EventOps.gapFill. State per type is ONE long
-    * (the last emitted bucket); when a batch advances a type's max
-    * bucket, the silent buckets in between are emitted as zeros, so
-    * the UNION of all batch outputs is the same dense series no matter
-    * where the micro-batch boundaries fall. Rows for buckets at or
-    * below the high-water mark (late data) re-emit as correction rows
-    * — downstream either overwrites by (type, bucket) key or bounds
-    * lateness with a watermark upstream.
+    * events_gap_fill / EventOps.gapFill. State per type is the last
+    * emitted bucket plus RUNNING counts for the trailing
+    * `retainBuckets` buckets, so every emitted row — dense or late
+    * correction — carries the CUMULATIVE count for its bucket, and the
+    * last-write-wins view of the union of batch outputs (downstream
+    * upserts by (type, bucket) key) is the same dense series no matter
+    * where the micro-batch boundaries fall — including when one
+    * bucket's events straddle a batch boundary (batch 1 emits (b, c1),
+    * batch 2 re-emits (b, c1+c2), and the overwrite is correct; a
+    * bare per-batch count here would silently undercount to c2).
+    * State is bounded: `retainBuckets` longs per type, independent of
+    * stream length. A correction OLDER than the retention horizon
+    * falls back to a batch-local partial count — bound lateness with
+    * an upstream watermark (or widen `retainBuckets`) if that matters.
     */
   def gapFillStream(events: Dataset[(String, Long)],
-      bucketUs: Long = 3600000000L): Dataset[(String, Long, Long)] = {
+      bucketUs: Long = 3600000000L,
+      retainBuckets: Int = 168): Dataset[(String, Long, Long)] = {
     import events.sparkSession.implicits._
     events
       .map { case (tpe, tsUs) => (tpe, tsUs / bucketUs) }
@@ -93,18 +100,23 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (tpe: String, rows: Iterator[(String, Long)], state: GroupState[GapState]) =>
           val counts = rows.map(_._2).toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val prev = state.getOption.getOrElse(GapState(Long.MinValue, Map.empty))
           val batchMax = counts.keys.max
-          val emitFrom = state.getOption match {
-            case Some(GapState(last)) if last < batchMax => last + 1
-            case None => counts.keys.min
-            case _ => Long.MaxValue // late-only batch: corrections below
+          val newLast = math.max(prev.lastBucket, batchMax)
+          val merged = counts.foldLeft(prev.recent) { case (m, (b, c)) =>
+            m.updated(b, m.getOrElse(b, 0L) + c)
           }
+          val emitFrom =
+            if (prev.lastBucket == Long.MinValue) counts.keys.min
+            else prev.lastBucket + 1
           val dense =
-            if (emitFrom == Long.MaxValue) Iterator.empty
-            else (emitFrom to batchMax).iterator.map(b => (tpe, b, counts.getOrElse(b, 0L)))
+            if (batchMax < emitFrom) Iterator.empty
+            else (emitFrom to batchMax).iterator.map(b => (tpe, b, merged.getOrElse(b, 0L)))
+          // late buckets: emit the cumulative count when the retention
+          // window still holds it, the batch-local partial otherwise
           val corrections = counts.keys.filter(_ < emitFrom).toSeq.sorted.iterator
-            .map(b => (tpe, b, counts(b)))
-          state.update(GapState(math.max(batchMax, state.getOption.map(_.lastBucket).getOrElse(Long.MinValue))))
+            .map(b => (tpe, b, merged.getOrElse(b, counts(b))))
+          state.update(GapState(newLast, merged.filter(_._1 > newLast - retainBuckets)))
           corrections ++ dense
       }
   }

@@ -77,9 +77,12 @@ class PlanSpec extends SparkSpec {
     // customer scan (the decorrelated scalar subquery — 1×n, not n×m)
     // web_domains broadcasts its ONE-ROW (n_domains, Σchars) totals
     // back onto the per-domain frame (same 1×n shape as q22)
+    // dedup_ngram / text_contamination broadcast their ONE-ROW corpus
+    // doc-count aggregate onto the shingle-df frame (the in-plan df
+    // ceiling — 1×n, replaces a driver-side .count())
     val intendedCross = Set("knn_bruteforce", "knn_ivf", "knn_join", "events_funnel",
       "tfidf_topterms", "sketch_hll_setops", "dedup_semantic", "q22_antijoin",
-      "web_domains", "partition_skew")
+      "web_domains", "partition_skew", "dedup_ngram", "text_contamination")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

@@ -102,6 +102,30 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((0L, 1L), (1L, 0L), (2L, 0L), (3L, 2L), (4L, 0L), (5L, 1L)))
     } finally q.stop()
 
+    // one bucket's events STRADDLE a batch boundary: bucket 2 gets 3
+    // events in batch 1 and 2 more in batch 2. The correction row must
+    // carry the CUMULATIVE count (5), so a downstream upsert by
+    // (type, bucket) — last write wins — lands on the true total, not
+    // the second batch's partial.
+    val mem3 = MemoryStream[(String, Long)]
+    val q3 = EventStreams.gapFillStream(mem3.toDS(), hourUs)
+      .toDF("event_type", "bucket", "n")
+      .writeStream.format("memory").queryName("gapf_straddle").outputMode("append").start()
+    try {
+      mem3.addData(("a", 2L * hourUs), ("a", 2L * hourUs + 1), ("a", 2L * hourUs + 2))
+      q3.processAllAvailable()
+      mem3.addData(("a", 2L * hourUs + 3), ("a", 2L * hourUs + 4))
+      q3.processAllAvailable()
+      val rows3 = spark.table("gapf_straddle")
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      // batch 1 emitted (2,3); batch 2's correction re-emitted (2,5)
+      assert(rows3.toSet == Set((2L, 3L), (2L, 5L)))
+      // the upsert view: MAX per bucket here equals last-write-wins
+      // (counts only grow) — and equals the true total
+      val upserted = rows3.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(upserted == Map(2L -> 5L))
+    } finally q3.stop()
+
     // equivalence with the batch operator on the real events table
     val events = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_type"), col("ts_us")).as[(String, Long)].collect()
