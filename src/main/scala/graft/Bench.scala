@@ -31,6 +31,13 @@ object Bench {
     sources.Tables.events(spark, sfDir).count()
     sources.Tables.documents(spark, sfDir).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // drop the PREVIOUS query's Materialize.stable blocks before this
+      // query starts: across 100+ queries the CacheManager otherwise
+      // accumulates every persisted plan in one JVM, and each later query
+      // pays plan-cache lookup + disk-cache pressure for all of them
+      // (round-4's 12-query "regression" on untouched code was exactly
+      // this accumulation, not any plan change)
+      spark.catalog.clearCache()
       // one UNTIMED warmup per query: codegen compilation and the
       // CacheManager materialization of any Materialize.stable state
       // land here, so the timed runs measure steady-state throughput —
@@ -60,15 +67,17 @@ object Bench {
     val spreads = results.map { case (k, (_, sp)) => s"\"" + k + "\":" + f"$sp%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
+    val failed = results.values.count(_._1 < 0)
     // Full-precision record (+ per-query spread) goes to bench.json — the
-    // durable artifact. STDOUT gets a compact line (2-decimal medians, no
-    // spread map): the harness captures only the tail of the run output,
-    // and at 100+ queries the full line overflows that window and parses
-    // as nothing (round-3's BENCH parsed:null was exactly this).
+    // durable artifact. STDOUT gets a TOTAL-ONLY line (~150 bytes): the
+    // harness captures only the last 2000 bytes of run output, and any
+    // per-query map at 100+ queries overflows that window and parses as
+    // nothing (rounds 3 AND 4 had BENCH parsed:null from exactly this).
+    // The line stays parse-able at any future query count by construction.
     val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"stat":"median","queries":${qmap("%.6f")},"spread":$spreads,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val compact = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","runs":$Runs,"stat":"median","queries":${qmap("%.2f")},"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","runs":$Runs,"stat":"median","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -25,15 +25,16 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("bench stdout line stays inside the harness tail-capture window") {
-    // the harness parses the bench JSON out of the LAST ~3 KB of run
-    // output; round 3's BENCH artifact parsed as null because the line
-    // outgrew that window. Reconstruct the compact line Bench prints
-    // (2-decimal medians) with worst-case 6-char values and assert
-    // headroom for the sbt success trailer (~100 bytes).
-    val qmap = SparkEntry.queries.keys.map(k => s"\"$k\":999.99").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","runs":5,"stat":"median","queries":$qmap,"sf":"/root/testdata/sf0.1"}"""
-    assert(line.length <= 2700,
-      s"bench stdout line would be ${line.length} bytes — trim precision or move detail to bench.json")
+    // the harness parses the bench JSON out of the LAST 2000 bytes of run
+    // output (measured: every BENCH_r0N tail is exactly 2000 chars), and
+    // sbt appends a ~73-byte [success] trailer inside that window — so
+    // the line must stay ≤1900 bytes. Rounds 3 and 4 both shipped
+    // parsed:null because a per-query map outgrew the window; Bench now
+    // prints a TOTAL-ONLY line whose length is independent of query
+    // count. Reconstruct it with worst-case field widths and assert.
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","runs":5,"stat":"median","n_queries":${SparkEntry.queries.size},"failed":999,"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length <= 1900,
+      s"bench stdout line would be ${line.length} bytes — must stay under the 2000-byte tail window minus sbt trailer")
   }
 
   test("oracle SQL never contains an uncast integer SUM (HUGEINT trap)") {

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Cross-round bench adjudicator: joins two bench.json files and flags
+per-query regressions that are SIGNAL, not jitter.
+
+A delta counts as a regression only when BOTH hold:
+  - ratio new/old > RATIO_MIN (default 1.5), and
+  - the absolute delta exceeds the query's own emitted relative spread
+    (max-min)/median from EITHER round, scaled to seconds.
+
+Usage: python3 tools/benchdiff.py OLD.json NEW.json [--ratio 1.5]
+Prints a markdown table (paste into SCALE.md) plus a one-line summary.
+Exit code 0 always — this is an adjudication aid, not a gate.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    return d
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ratio_min = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--ratio"):
+            ratio_min = float(a.split("=", 1)[1]) if "=" in a else ratio_min
+    old, new = load(args[0]), load(args[1])
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    osp, nsp = old.get("spread", {}), new.get("spread", {})
+    common = sorted(set(oq) & set(nq))
+    rows, improved = [], []
+    for k in common:
+        o, n = oq[k], nq[k]
+        if o <= 0 or n <= 0:
+            continue
+        ratio = n / o
+        # spread is relative (max-min)/median; convert to an absolute
+        # seconds band around each round's own median
+        band = max(osp.get(k, 0.0) * o, nsp.get(k, 0.0) * n)
+        if ratio > ratio_min and (n - o) > band:
+            rows.append((k, o, n, ratio, band))
+        elif ratio < 1.0 / ratio_min and (o - n) > band:
+            improved.append((k, o, n, ratio))
+    rows.sort(key=lambda r: -r[3])
+    tot_o = sum(v for v in oq.values() if v > 0)
+    tot_n = sum(v for v in nq.values() if v > 0)
+    print(f"## benchdiff: {args[0]} -> {args[1]}")
+    print(f"common keys: {len(common)}; old total {tot_o:.2f}s, "
+          f"new total {tot_n:.2f}s ({tot_n/tot_o:.2f}x); "
+          f"regressions (ratio>{ratio_min} and delta>spread): {len(rows)}; "
+          f"improvements: {len(improved)}")
+    if rows:
+        print("\n| query | old s | new s | ratio | spread band s |")
+        print("| --- | --- | --- | --- | --- |")
+        for k, o, n, r, b in rows:
+            print(f"| {k} | {o:.3f} | {n:.3f} | {r:.2f}x | {b:.3f} |")
+    if improved:
+        print("\nimproved >%.1fx beyond spread: %s" % (
+            ratio_min, ", ".join(f"{k} ({o:.2f}->{n:.2f})" for k, o, n, _ in improved)))
+    only_new = sorted(set(nq) - set(oq))
+    if only_new:
+        print(f"\nnew-only keys ({len(only_new)}): {', '.join(only_new)}")
+
+
+if __name__ == "__main__":
+    main()
