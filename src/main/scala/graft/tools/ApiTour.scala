@@ -1,0 +1,268 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.api._
+import graft.sources.{Manifest, Tables}
+
+/** The executable form of API_MAP.md: every public `graft.api` entry
+  * point invoked once on real sf data, each stage asserting a
+  * non-degenerate result — so the documented library surface cannot
+  * silently rot while the contract queries stay green.
+  *
+  *   sbt "runMain graft.tools.ApiTour /root/testdata/sf0.01"
+  *
+  * Exit 0 = every entry point ran and produced sane output. Unlike
+  * Demo (a narrative pipeline), this is breadth coverage: one call per
+  * export, reference twins per API_MAP.md.
+  */
+object ApiTour {
+  private var checks = 0
+  private def check(name: String)(cond: Boolean): Unit = {
+    checks += 1
+    require(cond, s"ApiTour: $name failed")
+    println(s"[apitour] ok $name")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = GraftSession.build("graft-api-tour")
+    import spark.implicits._
+
+    val docs = Tables.documents(spark, sfDir).cache()
+    val manifest = Manifest.manifest(spark, sfDir).cache()
+
+    // ---- Graft.matcher / PathMatcher (reference: minimatch surface) ----
+    val pm = Graft.matcher()
+    check("matcher.getRegex")(pm.getRegex("data/**/*.parquet").nonEmpty)
+    check("matcher.isMatch")(
+      manifest.filter(pm.isMatch(col("key"), "**/*.parquet")).count() > 0)
+    check("matcher.all")(
+      manifest.filter(pm.all(col("key"), "data/**", "**/part-*")).count() > 0)
+    check("matcher.filterMatching strict subset")({
+      val n = pm.filterMatching(manifest, Seq("**/event_type=click/*")).count()
+      n > 0 && n < manifest.count()
+    })
+    check("matcher.filterNot complements filterMatching")(
+      pm.filterNot(manifest, Seq("**/event_type=click/*")).count()
+        == manifest.count() - pm.filterMatching(manifest, Seq("**/event_type=click/*")).count())
+    check("matcher.capture")(
+      manifest.select(pm.capture("data/:y/:m/:d/:t/*", col("key")).as("c"))
+        .filter(col("c").isNotNull).count() > 0)
+    check("matcher.captureStruct")(
+      manifest.select(pm.captureStruct("data/:y/:m/:d/:t/*", col("key")).as("c"))
+        .filter(col("c.y").startsWith("year=")).count() > 0)
+    check("matcher nocase")(Graft.matcher(nocase = true)
+      .filterMatching(manifest.select(upper(col("key")).as("key")), Seq("data/**"))
+      .count() == manifest.count())
+
+    // ---- Graft.partition / HivePartitionParser ----
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val parser = Graft.partition.create(
+      PartitionField("year", IntegerType), PartitionField("month", IntegerType),
+      PartitionField("day", IntegerType), PartitionField("event_type", StringType))
+    val parsed = manifest.select(col("key"), parser.parse(col("key")).as("p"))
+    check("partitions.parse")(parsed.filter(col("p.year").isNotNull).count() == manifest.count())
+    check("partitions.isValid")(
+      manifest.filter(parser.isValid(col("key"))).count() == manifest.count())
+    check("partitions.validationErrors empty on valid paths")(
+      manifest.select(parser.validationErrors(col("key")).as("e"))
+        .filter(size(col("e")) === 0).count() == manifest.count())
+    check("partitions.missingKeys flags truncated path")(
+      spark.range(1).select(parser.missingKeys(lit("data/year=2024/month=01")).as("m"))
+        .filter(array_contains(col("m"), "day")).count() == 1)
+    check("partitions.format round-trips")(
+      spark.range(1).select(parser.format(Map(
+        "year" -> lit(2024), "month" -> lit(1), "day" -> lit(2),
+        "event_type" -> lit("click"))).as("p"))
+        .filter(col("p") === "year=2024/month=1/day=2/event_type=click").count() == 1)
+    check("partitions.createGlobPattern")(
+      parser.createGlobPattern(Map("year" -> 2024)) == "year=2024/month=*/day=*/event_type=*")
+    check("partitions.matchesGlob")(
+      manifest.filter(parser.matchesGlob(col("key"),
+        "data/year=*/month=*/day=*/event_type=click/*")).count() > 0)
+    check("partitions.extractKeys")(
+      manifest.select(parser.extractKeys(col("key"), Seq("year", "event_type")).as("k"))
+        .filter(col("k.year").isNotNull && col("k.event_type").isNotNull)
+        .count() == manifest.count())
+    check("partitions.transform rewrites a key in place")(
+      // bump year by one; the re-formatted path's parsed year must track
+      manifest.select(col("key"),
+          parser.transform(col("key"), Map("year" -> (y => y + 1))).as("t"))
+        .filter(parser.parse(col("t")).getField("year")
+          =!= parser.parse(col("key")).getField("year") + 1)
+        .count() == 0)
+
+    // ---- Graft.time / TimePartitionGenerator ----
+    val daily = Graft.time.daily()
+    check("time.daily.generatePath")(
+      docs.limit(1).select(daily.generatePath(lit("2024-03-05").cast("timestamp")).as("p"))
+        .head().getString(0) == "year=2024/month=03/day=05")
+    check("time.hourly.generatePath has hour segment")(
+      docs.limit(1).select(Graft.time.hourly()
+        .generatePath(lit("2024-03-05 07:00:00").cast("timestamp")).as("p"))
+        .head().getString(0).contains("hour=07"))
+    check("time.monthly/yearly")(
+      docs.limit(1).select(
+        Graft.time.monthly().generatePath(lit("2024-03-05").cast("timestamp")).as("m"),
+        Graft.time.yearly().generatePath(lit("2024-03-05").cast("timestamp")).as("y"))
+        .head() match { case r => r.getString(0) == "year=2024/month=03" && r.getString(1) == "year=2024" })
+    check("time.custom path format drops key=")(
+      docs.limit(1).select(Graft.time.custom(
+        TimePartitionConfig(TimeGranularity.Daily, format = "path"))
+        .generatePath(lit("2024-03-05").cast("timestamp")).as("p"))
+        .head().getString(0) == "2024/03/05")
+    check("time.generateCurrentPath(clock)")(
+      daily.generateCurrentPath(java.time.Clock.fixed(
+        java.time.Instant.parse("2024-03-05T00:00:00Z"), java.time.ZoneOffset.UTC))
+        == "year=2024/month=03/day=05")
+    check("time.generatePathsForRange")(
+      daily.generatePathsForRange(spark, "2024-03-01", "2024-03-05").count() == 5)
+
+    // ---- Graft.changes / ChangeDetector ----
+    val cd = Graft.changes.detect()
+    val prev = Manifest.snapshotPrev(spark, sfDir)
+    val cur = Manifest.snapshotCur(spark, sfDir)
+    val changes = cd.detectChanges(prev, cur).cache()
+    check("changes.detectChanges finds all four types")(
+      changes.select("change_type").distinct().count() == 4)
+    check("changes.filterChangesByType")(
+      cd.filterChangesByType(changes, "added").select("change_type").distinct().count() == 1)
+    val stateDir = java.nio.file.Files.createTempDirectory("apitour-state").toString
+    val statePath = s"$stateDir/state"
+    cd.snapshot(cur, statePath)
+    check("changes.snapshot/loadSnapshot round-trip")(
+      cd.loadSnapshot(spark, statePath).count() == cur.count())
+    cd.commitChanges(cur, statePath)
+    check("changes.commitChanges -> no diffs vs committed state")(
+      cd.detectChanges(cd.loadSnapshot(spark, statePath), cur)
+        .filter(col("change_type") =!= "unchanged").count() == 0)
+    cd.resetState(spark, statePath)
+    check("changes.resetState clears the snapshot")(
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(statePath)))
+
+    // ---- ContentTypes ----
+    check("contentTypes.detect/extension/charset/isText/isBinary")({
+      val ct = manifest.select(ContentTypes.detect(col("key")).as("ct"))
+      ct.filter(col("ct").isNotNull).count() == manifest.count() &&
+        ct.select(ContentTypes.extension(col("ct")).as("e")).filter(col("e").isNotNull).count() > 0 &&
+        ct.filter(ContentTypes.charset(col("ct")).isNotNull).count() > 0 &&
+        ct.filter(ContentTypes.isText(col("ct"))).count() > 0 &&
+        ct.filter(ContentTypes.isBinary(col("ct"))).count() > 0
+    })
+
+    // ---- S3Keys ----
+    check("s3keys.encode/decode round-trip (Column)")(
+      manifest.select(S3Keys.decodeS3Key(S3Keys.encodeS3Key(col("key"))).as("k"), col("key"))
+        .filter(col("k") =!= col("key")).count() == 0)
+    check("s3keys.encode/decode round-trip (String)")(
+      S3Keys.decodeS3Key(S3Keys.encodeS3Key("a b/c+d&e.txt")) == "a b/c+d&e.txt")
+    check("s3keys.isValidBucketName")(
+      spark.createDataset(Seq("valid-bucket", "Invalid_Bucket", "ab")).toDF("b")
+        .filter(S3Keys.isValidBucketName(col("b"))).count() == 1)
+
+    // ---- CorpusOps: dedup family ----
+    check("corpus.fingerprint")(
+      docs.select(CorpusOps.fingerprint().as("fp")).distinct().count() > 1)
+    check("corpus.exactDupGroups collapse")({
+      // the corpus has no byte-identical docs; plant copies (the same
+      // shape the dedup_exact contract query uses) and find them
+      val planted = docs.select("doc_id", "text").union(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      CorpusOps.exactDupGroups(planted).filter(col("n_copies") =!= 2).count() == 0 &&
+        CorpusOps.exactDupGroups(planted).count() > 0
+    })
+    check("corpus.nearDupPairs")(CorpusOps.nearDupPairs(docs).count() > 0)
+    check("corpus.dedupKeepList drops non-representatives")({
+      val kl = CorpusOps.dedupKeepList(docs)
+      kl.count() == docs.count() && kl.filter(col("keep") === false).count() > 0
+    })
+    check("corpus.spanDedupStats")(
+      CorpusOps.spanDedupStats(docs).filter(col("dup_frac") > 0).count() > 0)
+    check("corpus.semanticKeepList")({
+      val kl = CorpusOps.semanticKeepList(Tables.embeddings(spark, sfDir))
+      kl.count() > 0 && kl.filter(col("keep") === false).count() >= 0
+    })
+    check("corpus.neighborGraph")({
+      val g = CorpusOps.neighborGraph(Tables.embeddings(spark, sfDir), k = 2)
+      g.groupBy("vec_id").count().filter(col("count") > 2).count() == 0 && g.count() > 0
+    })
+
+    // ---- CorpusOps: quality / text family ----
+    check("corpus.qualityScore in [0,1]")(
+      CorpusOps.qualityScore(docs)
+        .filter(col("score") < 0 || col("score") > 1).count() == 0)
+    check("corpus.chunk covers every doc")(
+      CorpusOps.chunk(docs, words = 64, stride = 48)
+        .select("doc_id").distinct().count() == docs.count())
+    check("corpus.repetitionMetrics")(
+      CorpusOps.repetitionMetrics(docs)
+        .filter(col("top_share") >= 0 && col("dup_frac") >= 0).count() == docs.count())
+    check("corpus.lmScore")(
+      CorpusOps.lmScore(docs).filter(col("lm_score").isNotNull).count() == docs.count())
+    check("corpus.piiScrub redacts")({
+      val scrubbed = CorpusOps.piiScrub(
+        Seq((1L, "mail me at a@b.com or ping 10.0.0.1")).toDF("doc_id", "text"))
+      scrubbed.filter(col("n_emails") === 1 && col("n_ips") === 1 &&
+        col("text").contains("<EMAIL>") && col("text").contains("<IP>")).count() == 1
+    })
+
+    // ---- CorpusOps: sampling / packing / mixing ----
+    check("corpus.sampleStratified respects rates")({
+      val sampled = CorpusOps.sampleStratified(docs, "doc_id", "source",
+        Map("src0" -> 1000000L), defaultPpm = 0L)
+      sampled.select("source").distinct().count() == 1
+    })
+    check("corpus.packBins: greedy bound sum(bin) ≤ budget + largest doc")({
+      val packed = CorpusOps.packBins(docs, budgetTokens = 4096L)
+      packed.groupBy("shard", "bin")
+        .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
+        .filter(col("t") - col("m") > 4096L).count() == 0
+    })
+    check("corpus.mixPlan serves every requested source")(
+      CorpusOps.mixPlan(docs, "source", Map("src0" -> 500000L, "src1" -> 500000L))
+        .filter(col("n_take") > 0).count() == 2)
+
+    // ---- CorpusOps: web/url family ----
+    val withUrl = docs.withColumn("url", graft.operators.WebCorpus.urlCol)
+    check("corpus.canonicalizeUrls strips scheme/www/port")(
+      CorpusOps.canonicalizeUrls(withUrl)
+        .filter(col("canonical_url").rlike("^[a-z]+://|^www\\.|:(443|80)/")).count() == 0)
+    check("corpus.urlDedupGroups collapses variants")(
+      CorpusOps.urlDedupGroups(withUrl).filter(col("n_variants") > 1).count() > 0)
+    check("corpus.blocklistFilter removes blocked domains")({
+      val dom = CorpusOps.canonicalizeUrls(withUrl).select("domain").head().getString(0)
+      CorpusOps.blocklistFilter(withUrl, Seq(dom))
+        .filter(col("domain") === dom).count() == 0
+    })
+
+    // ---- EventOps ----
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"), col("value"))
+      .cache()
+    val anchor = ev.agg(max("ts_us")).head().getLong(0)
+    check("events.decayScore bounded by undecayed mean")({
+      val d = EventOps.decayScore(ev, "user_id", "ts_us", "value", anchorUs = anchor)
+      d.count() > 0 && d.filter(col("decayed_score") < 0).count() == 0
+    })
+    check("events.gapFill dense per group")({
+      val g = EventOps.gapFill(ev, "event_type", "ts_us")
+      g.count() > 0 && g.groupBy("event_type")
+        .agg((max("bucket") - min("bucket") + 1).as("span"), count(lit(1)).as("n"))
+        .filter(col("span") =!= col("n")).count() == 0
+    })
+    check("events.hopWindow multiplies coverage")(
+      EventOps.hopWindow(ev, "event_type", "ts_us", hops = 4)
+        .count() > ev.select(expr("ts_us div 900000000")).distinct().count())
+    check("events.markovTransitions includes start state")(
+      EventOps.markovTransitions(ev, "user_id", "event_type", "ts_us", "event_id")
+        .filter(col("from_state") === "<start>").count() > 0)
+    check("events.cohortMatrix age-0 diagonal present")(
+      EventOps.cohortMatrix(ev, "user_id", "ts_us")
+        .filter(col("age") === 0).count() > 0)
+
+    println(s"[apitour] PASS $checks checks on $sfDir")
+    spark.stop()
+  }
+}

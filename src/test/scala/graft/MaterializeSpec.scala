@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Dedup, Materialize}
+
+/** `spark.graft.materialize` is load-bearing for the 1000-executor
+  * story (persist keeps lineage so lost blocks recompute;
+  * localCheckpoint truncates it for single-JVM speed) — so the switch
+  * must be exercised, not just documented: the SAME dedup query under
+  * both settings must produce bit-identical output.
+  */
+class MaterializeSpec extends SparkSpec {
+
+  private def withMaterialize[A](mode: Option[String])(body: => A): A = {
+    val key = "spark.graft.materialize"
+    val prev = spark.conf.getOption(key)
+    mode match {
+      case Some(m) => spark.conf.set(key, m)
+      case None => spark.conf.unset(key)
+    }
+    try body
+    finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("dedup_minhash output is identical under persist and localCheckpoint") {
+    val underPersist = withMaterialize(None) {
+      Dedup.dedupMinhash(spark, sfDir).collect().map(_.toString).toSeq
+    }
+    val underCheckpoint = withMaterialize(Some("localCheckpoint")) {
+      Dedup.dedupMinhash(spark, sfDir).collect().map(_.toString).toSeq
+    }
+    assert(underPersist.nonEmpty, "materialize probe query returned no rows")
+    assert(underPersist == underCheckpoint,
+      "persist vs localCheckpoint diverged — Materialize.stable must be semantically invisible")
+  }
+
+  test("stable() honors the switch: localCheckpoint truncates lineage, persist keeps it") {
+    import spark.implicits._
+    val base = (1 to 10).toDF("x")
+    withMaterialize(Some("localCheckpoint")) {
+      val m = Materialize.stable(base)
+      // a localCheckpoint plan is a LogicalRDD scan — the parquet/local
+      // lineage is gone
+      assert(m.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+        m.queryExecution.optimizedPlan.toString)
+    }
+    withMaterialize(None) {
+      val m = Materialize.stable(base)
+      // persist keeps the original logical plan (InMemoryRelation wraps
+      // it at execution; the analyzed tree still shows the source)
+      assert(!m.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+        m.queryExecution.optimizedPlan.toString)
+      m.unpersist()
+    }
+  }
+}

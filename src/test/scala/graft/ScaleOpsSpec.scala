@@ -75,6 +75,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"pq recall $recall collapsed")
   }
 
+  test("IVF cell balance survives ×10 replication (the Σ|cell|² contract)") {
+    // dedup_semantic / knn_join bound their quadratic pair term by
+    // Σ|cell|² — the contract only holds if no cell becomes a skew
+    // magnet as the corpus grows. Replicate sf0.01's embeddings ×10
+    // (the ScaleSmoke shift) and assert the max cell stays within a
+    // constant factor of the mean, so a future centroid-refinement
+    // regression fails HERE, loudly, instead of as a silent 100 TB
+    // straggler stage.
+    val embs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val big = (0 until 10).map(i =>
+      embs.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))).reduce(_ union _)
+    val cells = graft.api.CorpusOps.semanticKeepList(big)
+      .groupBy("cell").count()
+      .agg(max("count").as("mx"), avg("count").as("mean"), count(lit(1)).as("n_cells"))
+      .head()
+    val (mx, mean, nCells) = (cells.getLong(0), cells.getDouble(1), cells.getLong(2))
+    info(f"cells=$nCells max=$mx mean=$mean%.1f ratio=${mx / mean}%.2f")
+    // identical replicas are the DEGENERATE corpus: every copy of a
+    // seed is the same vector, assignment tie-breaks to min cent_id,
+    // so occupied cells = the 10 distinct seed vectors (cell count
+    // growth needs vector DIVERSITY, which replication can't fake —
+    // measured here so the degeneracy is pinned, not hidden)
+    assert(nCells == 10, s"occupied cells: expected the 10 distinct seed vectors, got $nCells")
+    // the load-bearing assertion: even at ×10 no cell becomes a skew
+    // magnet (measured ratio 1.28; 8× headroom catches collapse only)
+    assert(mx <= 8 * mean,
+      f"IVF cell skew: max cell $mx vs mean $mean%.1f — Σ|cell|² bound is broken")
+  }
+
   test("connectedComponents: diameter-20 chain converges (pointer doubling)") {
     import spark.implicits._
     // a path graph is the propagation worst case: plain min-label
