@@ -207,13 +207,52 @@ object CorpusQuality {
        |FROM agg ORDER BY source""".stripMargin
   }
 
+  /** Corpus-wide top-k word bigrams with document frequency — the
+    * boilerplate detector's raw signal ("click here to", "all rights
+    * reserved"): a bigram occurring across MANY documents marks
+    * template text that repetition metrics (within-doc) can't see.
+    *
+    * Scale shape: explode to (doc, bigram) map-side, ONE
+    * partial-aggregated groupBy carrying (occurrences, distinct docs)
+    * per bigram — vocabulary-sized, ≪ corpus — then a global top-k
+    * that ships as TakeOrdered (each partition contributes its local
+    * top 20, no global sort). Count-distinct per bigram is a two-level
+    * aggregate over the (bigram, doc) grid, partial on both levels.
+    */
+  val BigramTopK = 20
+
+  def corpusBigrams(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .select(col("doc_id"), explode(expr(sparkWordBigrams)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    grid.groupBy("bg")
+      .agg(sum("c").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("bg"))
+      .limit(BigramTopK)
+  }
+
+  val corpusBigramsSql: String =
+    s"""WITH grid AS (
+       |  SELECT doc_id, bg, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest($duckWordBigrams) AS bg FROM (
+       |      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |      FROM documents) w) t
+       |  GROUP BY 1, 2
+       |)
+       |SELECT bg, CAST(SUM(c) AS BIGINT) AS n_occurrences, COUNT(*) AS n_docs
+       |FROM grid GROUP BY bg
+       |ORDER BY n_occurrences DESC, bg LIMIT $BigramTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "text_ngram_lm" -> (textNgramLm _),
-    "corpus_source_stats" -> (corpusSourceStats _))
+    "corpus_source_stats" -> (corpusSourceStats _),
+    "corpus_bigrams" -> (corpusBigrams _))
 
   val oracles: Map[String, String] = Map(
     "text_repetition" -> textRepetitionSql,
     "text_ngram_lm" -> textNgramLmSql,
-    "corpus_source_stats" -> corpusSourceStatsSql)
+    "corpus_source_stats" -> corpusSourceStatsSql,
+    "corpus_bigrams" -> corpusBigramsSql)
 }

@@ -214,13 +214,112 @@ object EventsMore {
       |  COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events
       |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands: distinct (user, day), island id = day − the
+    * day's per-user dense rank (constant within a run of consecutive
+    * days), one aggregate per island, then the per-user max. Top 20
+    * streaks with a total order (len desc, user, start).
+    *
+    * Scale shape: the corpus collapses to the (user, day) grid in ONE
+    * partial-aggregated distinct before any window; the rank window
+    * partitions by user (the grid's natural key, no global sort), and
+    * the final top-20 is a TakeOrdered over per-user rows. Integer day
+    * arithmetic end to end.
+    */
+  def eventsStreaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000
+    val grid = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $dayUs").as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val streaks = grid
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("streak_days"), min("day").as("start_day"))
+    val best = Window.partitionBy("user_id")
+      .orderBy(col("streak_days").desc, col("start_day"))
+    streaks
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select("user_id", "streak_days", "start_day")
+      .orderBy(col("streak_days").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val eventsStreaksSql: String =
+    """WITH grid AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), islands AS (
+      |  SELECT user_id, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM grid
+      |), streaks AS (
+      |  SELECT user_id, island, COUNT(*) AS streak_days, MIN(day) AS start_day
+      |  FROM islands GROUP BY 1, 2
+      |), best AS (
+      |  SELECT user_id, streak_days, start_day,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY streak_days DESC, start_day) AS rn
+      |  FROM streaks
+      |)
+      |SELECT user_id, streak_days, start_day FROM best WHERE rn = 1
+      |ORDER BY streak_days DESC, user_id LIMIT 20""".stripMargin
+
+  /** Audience overlap between event types: Jaccard of the user sets of
+    * every type pair — the co-engagement matrix behind "users who click
+    * also purchase" dashboards. The corpus collapses to the distinct
+    * (type, user) grid FIRST (one partial-agg distinct); the pair join
+    * is keyed on user over that grid, so its volume is Σ_user
+    * |types(user)|² — bounded by the type-count square per user (≤ 25
+    * here), never corpus². Counts stay integers; one floored division
+    * at output.
+    */
+  def eventsTypeOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grid = Materialize.stable(
+      Tables.events(s, dir).select(col("event_type"), col("user_id")).distinct())
+    val sizes = grid.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val pairs = grid.as("a")
+      .join(grid.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("event_type").as("type_a"), col("n_users").as("n_a")), Seq("type_a"))
+      .join(sizes.select(col("event_type").as("type_b"), col("n_users").as("n_b")), Seq("type_b"))
+      .withColumn("jaccard", expr(
+        "floor(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .select("type_a", "type_b", "n_a", "n_b", "n_common", "jaccard")
+      .orderBy("type_a", "type_b")
+  }
+
+  val eventsTypeOverlapSql: String =
+    """WITH grid AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |), sizes AS (
+      |  SELECT event_type, COUNT(*) AS n_users FROM grid GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_common
+      |  FROM grid a JOIN grid b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.type_a, p.type_b, sa.n_users AS n_a, sb.n_users AS n_b, p.n_common,
+      |  floor(CAST(p.n_common AS DOUBLE) / CAST(sa.n_users + sb.n_users - p.n_common AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON sa.event_type = p.type_a
+      |JOIN sizes sb ON sb.event_type = p.type_b
+      |ORDER BY p.type_a, p.type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_decay" -> (eventsDecay _),
     "events_gap_fill" -> (eventsGapFill _),
     "events_hop_window" -> (eventsHopWindow _),
     "events_markov" -> (eventsMarkov _),
     "events_median_exact" -> (eventsMedianExact _),
-    "events_activity_hist" -> (eventsActivityHist _)
+    "events_activity_hist" -> (eventsActivityHist _),
+    "events_streaks" -> (eventsStreaks _),
+    "events_type_overlap" -> (eventsTypeOverlap _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -229,6 +328,8 @@ object EventsMore {
     "events_hop_window" -> eventsHopWindowSql,
     "events_markov" -> eventsMarkovSql,
     "events_median_exact" -> eventsMedianExactSql,
-    "events_activity_hist" -> eventsActivityHistSql
+    "events_activity_hist" -> eventsActivityHistSql,
+    "events_streaks" -> eventsStreaksSql,
+    "events_type_overlap" -> eventsTypeOverlapSql
   )
 }

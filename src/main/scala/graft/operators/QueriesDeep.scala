@@ -302,6 +302,59 @@ object QueriesDeep {
        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20)
        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** Unshipped line items per day over 1995 (ordered, not yet shipped)
+    * — the interval-concurrency question ("how many orders are open /
+    * parcels in flight / sessions active at time t") answered as a
+    * SWEEP LINE, not a range join: +1 at each line's order day, −1 at
+    * its ship day, one partial-aggregated groupBy per endpoint, then a
+    * running sum over the DAY-GRANULAR delta frame. The corpus never
+    * joins an axis — the window runs over ~2500 aggregate rows, so the
+    * 100 TB cost is the one orderkey equi-join (the interval's two
+    * endpoints live in different tables) + two partial aggs + a
+    * tiny-frame window, where the naive day⋈interval range join is
+    * |days|×|lineitem|. The year filter applies to the OUTPUT days;
+    * deltas accumulate from all of history via the window (the backlog
+    * carried into Jan 1 is counted, not zeroed).
+    */
+  def lineitemTransit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    def dayOf(c: String) = expr(s"unix_micros(CAST($c AS TIMESTAMP)) div $dayUs")
+    val opens = li.groupBy(dayOf("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n")).select(col("day"), col("n").as("delta"))
+    val ships = li.groupBy(dayOf("l_shipdate").as("day"))
+      .agg(count(lit(1)).as("n")).select(col("day"), (-col("n")).as("delta"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opens.union(ships)
+      .groupBy("day").agg(sum("delta").as("delta"))
+      .withColumn("open_lines", sum("delta").over(w))
+      .filter(col("day").between(9131L, 9495L)) // 1995-01-01 .. 1995-12-31
+      .select("day", "delta", "open_lines")
+      .orderBy("day")
+  }
+
+  val lineitemTransitSql: String =
+    """WITH li AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS open_day,
+      |    epoch_us(l_shipdate) // 86400000000 AS ship_day
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), deltas AS (
+      |  SELECT open_day AS day, COUNT(*) AS delta FROM li GROUP BY 1
+      |  UNION ALL
+      |  SELECT ship_day AS day, -COUNT(*) AS delta FROM li GROUP BY 1
+      |), merged AS (
+      |  SELECT day, CAST(SUM(delta) AS BIGINT) AS delta FROM deltas GROUP BY 1
+      |)
+      |SELECT day, delta,
+      |  CAST(SUM(delta) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_lines
+      |FROM merged QUALIFY day BETWEEN 9131 AND 9495
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q7_volume" -> (q7Volume _),
     "q8_marketshare" -> (q8MarketShare _),
@@ -309,7 +362,8 @@ object QueriesDeep {
     "q14_promo" -> (q14Promo _),
     "q15_topsupplier" -> (q15TopSupplier _),
     "q18_bigorders" -> (q18BigOrders _),
-    "q19_disjunct" -> (q19Disjunct _)
+    "q19_disjunct" -> (q19Disjunct _),
+    "lineitem_transit" -> (lineitemTransit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -319,6 +373,7 @@ object QueriesDeep {
     "q14_promo" -> q14PromoSql,
     "q15_topsupplier" -> q15TopSupplierSql,
     "q18_bigorders" -> q18BigOrdersSql,
-    "q19_disjunct" -> q19DisjunctSql
+    "q19_disjunct" -> q19DisjunctSql,
+    "lineitem_transit" -> lineitemTransitSql
   )
 }

@@ -656,7 +656,104 @@ object Similarity {
        |  floor(cosine * 1000000) / CAST(1000000 AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
 
+  /** Label-noise audit via k-nearest-neighbor voting: every vector's
+    * within-cell top-k neighbors vote with their labels (majority,
+    * count-then-min-label tiebreak); per true label, how many vectors'
+    * neighborhoods agree with their own label. Low agreement for a
+    * label = mislabeled or boundary-heavy slice — the cheap pass every
+    * labeled-training-set intake runs.
+    *
+    * Scale shape: the expensive part IS [[knnJoin]] (cell-bounded, see
+    * there); everything after is two label equi-joins against the
+    * (vec_id, label) projection and label-cardinality aggregates. The
+    * vote mode is a max(struct(count, −label)) — one partial-aggregate
+    * pass, no per-vector sort.
+    */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = knnJoin(s, dir)
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
+        Seq("neighbor_id"))
+      .groupBy("vec_id", "nlabel").agg(count(lit(1)).as("c"))
+    val pred = votes
+      .groupBy("vec_id")
+      .agg(max(struct(col("c"), (-col("nlabel")).as("neg"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg")).as("predicted"))
+    pred.join(labels, Seq("vec_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agree_frac", expr(
+        "floor(CAST(n_agree AS DOUBLE) / CAST(n_vecs AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .orderBy("label")
+  }
+
+  val knnClassifySql: String =
+    s"""$knnAssignCte, scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    ${duckCosine("a.v", "b.v")} AS cosine
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+       |), ranked AS (
+       |  SELECT vec_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |), votes AS (
+       |  SELECT r.vec_id, e.label AS nlabel, COUNT(*) AS c
+       |  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+       |  WHERE r.rank <= $KnnK GROUP BY 1, 2
+       |), pred AS (
+       |  SELECT vec_id, nlabel AS predicted FROM (
+       |    SELECT vec_id, nlabel,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, nlabel) AS vr
+       |    FROM votes) t
+       |  WHERE vr = 1
+       |)
+       |SELECT CAST(e.label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  floor(CAST(SUM(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS agree_frac
+       |FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
+       |GROUP BY e.label ORDER BY 1""".stripMargin
+
+  /** Per-label integer centroid table: for every (label, dimension),
+    * the vector count, the exact BIGINT sum of milli-quantized
+    * components, and the integer-division mean — the class-prototype
+    * summary behind drift dashboards and the seed for label-conditioned
+    * clustering. Quantize-then-sum keeps the aggregate
+    * order-independent (IEEE double sums are not), so the oracle is
+    * bit-exact. Map-side posexplode → ONE partial aggregate; the
+    * shuffle carries labels×dims rows, never the corpus.
+    */
+  def embedCentroid(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(expr(sparkToDouble("embedding"))).as(Seq("pos", "x")))
+      .withColumn("milli", expr("CAST(floor(x * 1000) AS BIGINT)"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"), sum("milli").as("sum_milli"))
+      .withColumn("centroid_milli", expr("sum_milli div n_vecs"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("n_vecs"), col("sum_milli"), col("centroid_milli"))
+      .orderBy("label", "pos")
+  }
+
+  val embedCentroidSql: String =
+    s"""WITH vecs AS (
+       |  SELECT CAST(label AS BIGINT) AS label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), grid AS (
+       |  SELECT label, p.pos AS pos, CAST(floor(v[p.pos + 1] * 1000) AS BIGINT) AS milli
+       |  FROM vecs CROSS JOIN (SELECT unnest(range(0, ${graft.functions.VectorFns.Dim})) AS pos) p
+       |)
+       |SELECT label, pos, COUNT(*) AS n_vecs,
+       |  CAST(SUM(milli) AS BIGINT) AS sum_milli,
+       |  CAST(SUM(milli) AS BIGINT) // COUNT(*) AS centroid_milli
+       |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_classify" -> (knnClassify _),
+    "embed_centroid" -> (embedCentroid _),
     "dedup_semantic" -> (dedupSemantic _),
     "knn_pq" -> (knnPq _),
     "embed_neardup" -> (embedNeardup _),
@@ -667,6 +764,8 @@ object Similarity {
     "embed_project" -> (embedProject _))
 
   val oracles: Map[String, String] = Map(
+    "knn_classify" -> knnClassifySql,
+    "embed_centroid" -> embedCentroidSql,
     "dedup_semantic" -> dedupSemanticSql,
     "knn_pq" -> knnPqSql,
     "embed_neardup" -> embedNeardupSql,

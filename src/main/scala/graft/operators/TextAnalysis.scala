@@ -245,12 +245,51 @@ object TextAnalysis {
        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n) t
        |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
 
+  /** Character-class profile per document: alpha / digit / whitespace /
+    * other counts plus the floored alpha fraction — the cheap "is this
+    * text or line noise" gate (high digit/other share flags tables,
+    * code dumps, binary spill). Pure map-side column math: each count
+    * is `length(text) − length(regexp_replace(text, class, ''))`, all
+    * integers until one floored division, so the oracle is bit-exact
+    * and the 100 TB plan is a projection over the scan — no shuffle
+    * before the final output sort.
+    */
+  def textCharclass(s: SparkSession, dir: String): DataFrame = {
+    def nOf(cls: String) =
+      expr(s"CAST(length(text) - length(regexp_replace(text, '$cls', '')) AS BIGINT)")
+    Tables.documents(s, dir)
+      .withColumn("n_total", expr("CAST(length(text) AS BIGINT)"))
+      .withColumn("n_alpha", nOf("[A-Za-z]"))
+      .withColumn("n_digit", nOf("[0-9]"))
+      .withColumn("n_space", nOf("[ \\\\t\\\\n]"))
+      .withColumn("n_other",
+        col("n_total") - col("n_alpha") - col("n_digit") - col("n_space"))
+      .withColumn("alpha_frac", expr(
+        "CASE WHEN n_total = 0 THEN CAST(0 AS DOUBLE) ELSE floor(CAST(n_alpha AS DOUBLE) / CAST(n_total AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) END"))
+      .select("doc_id", "n_total", "n_alpha", "n_digit", "n_space", "n_other", "alpha_frac")
+      .orderBy("doc_id")
+  }
+
+  val textCharclassSql: String =
+    """SELECT doc_id, n_total, n_alpha, n_digit, n_space,
+      |  n_total - n_alpha - n_digit - n_space AS n_other,
+      |  CASE WHEN n_total = 0 THEN CAST(0 AS DOUBLE)
+      |       ELSE floor(CAST(n_alpha AS DOUBLE) / CAST(n_total AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) END AS alpha_frac
+      |FROM (
+      |  SELECT doc_id, length(text) AS n_total,
+      |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+      |    length(text) - length(regexp_replace(text, '[ \t\n]', '', 'g')) AS n_space
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_charclass" -> (textCharclass _),
     "tfidf_topterms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
@@ -259,5 +298,6 @@ object TextAnalysis {
     "text_tokens" -> textTokensSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_charclass" -> textCharclassSql,
     "tfidf_topterms" -> tfidfTopTermsSql)
 }

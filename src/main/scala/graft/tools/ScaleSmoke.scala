@@ -70,7 +70,12 @@ object ScaleSmoke {
       "events_markov", "events_cohort_matrix",
       "dedup_url", "web_domains", "corpus_blocklist", "video_meta",
       "partition_skew", "sample_topk", "corpus_split", "events_median_exact",
-      "knn_join")
+      "knn_join",
+      // round 5: streaks/overlap grids, charclass map math, bigram agg,
+      // label voting + centroid table (lineitem_transit is TPC-H-fed —
+      // covered by bench + PLANS like the other un-replicated ops)
+      "events_streaks", "events_type_overlap", "text_charclass",
+      "corpus_bigrams", "knn_classify", "embed_centroid")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

@@ -80,9 +80,11 @@ class PlanSpec extends SparkSpec {
     // dedup_ngram / text_contamination broadcast their ONE-ROW corpus
     // doc-count aggregate onto the shingle-df frame (the in-plan df
     // ceiling — 1×n, replaces a driver-side .count())
+    // knn_classify inherits knn_join's centroid-broadcast cross
     val intendedCross = Set("knn_bruteforce", "knn_ivf", "knn_join", "events_funnel",
       "tfidf_topterms", "sketch_hll_setops", "dedup_semantic", "q22_antijoin",
-      "web_domains", "partition_skew", "dedup_ngram", "text_contamination")
+      "web_domains", "partition_skew", "dedup_ngram", "text_contamination",
+      "knn_classify")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
