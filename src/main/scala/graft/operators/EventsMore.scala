@@ -311,7 +311,49 @@ object EventsMore {
       |JOIN sizes sb ON sb.event_type = p.type_b
       |ORDER BY p.type_a, p.type_b""".stripMargin
 
+  /** Inter-event dwell-time histogram: the gap between each user's
+    * consecutive events, bucketed log2 by seconds — the
+    * think-time/bot-cadence distribution (sub-second spikes flag
+    * automation; the heavy tail sizes session timeouts). Bucket −1
+    * collects same-microsecond bursts.
+    *
+    * Scale shape: ONE user-keyed shuffle + in-partition (ts, id) sort
+    * for the lag (the same shape as events_markov), map-side log2
+    * bucket via length(bin(n))−1 integer math (no libm), then a
+    * partial agg onto the ~40-row histogram. Deterministic: the
+    * (ts_us, event_id) order key makes every gap identical on both
+    * engines.
+    */
+  def eventsDwell(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_s", expr("(ts_us - prev_us) div 1000000"))
+      .withColumn("bucket",
+        expr("CASE WHEN gap_s <= 0 THEN -1 ELSE CAST(length(bin(gap_s)) - 1 AS INT) END"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_s").as("sum_gap_s"))
+      .orderBy("bucket")
+  }
+
+  val eventsDwellSql: String =
+    """WITH gaps AS (
+      |  SELECT (ts_us - prev_us) // 1000000 AS gap_s FROM (
+      |    SELECT epoch_us(ts) AS ts_us,
+      |      LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts), event_id) AS prev_us
+      |    FROM events) t
+      |  WHERE prev_us IS NOT NULL
+      |)
+      |SELECT CASE WHEN gap_s <= 0 THEN -1
+      |            ELSE CAST(length(bin(gap_s)) - 1 AS INT) END AS bucket,
+      |  COUNT(*) AS n_gaps, CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s
+      |FROM gaps GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dwell" -> (eventsDwell _),
     "events_decay" -> (eventsDecay _),
     "events_gap_fill" -> (eventsGapFill _),
     "events_hop_window" -> (eventsHopWindow _),
@@ -323,6 +365,7 @@ object EventsMore {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_dwell" -> eventsDwellSql,
     "events_decay" -> eventsDecaySql,
     "events_gap_fill" -> eventsGapFillSql,
     "events_hop_window" -> eventsHopWindowSql,

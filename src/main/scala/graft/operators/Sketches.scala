@@ -423,17 +423,107 @@ object Sketches {
        |ORDER BY u.type_a, u.type_b""".stripMargin
   }
 
+  // ---- source vocabulary similarity: MinHash estimate vs exact ----------
+
+  /** Slots in the source-level MinHash signature — more than the doc
+    * dedup signature (12) because source vocabularies are large and
+    * the estimate is graded against the exact answer in the output.
+    */
+  val SourceSimK = 24
+
+  /** Pairwise vocabulary similarity between sources — "which corpus
+    * slices say the same things" — as BOTH the exact Jaccard and a
+    * [[SourceSimK]]-slot MinHash estimate side by side (the sketch
+    * audit shape sketch_hll_setops uses for distinct counts).
+    *
+    * Scale shape: the corpus collapses to the distinct (source,
+    * word-hash) vocabulary grid map-side; the exact pair pass is an
+    * inverted-index join on the hash (volume Σ_word |sources(word)|² ≤
+    * |sources|²/word); the sketch pass carries |sources|×K signature
+    * rows — at 100 TB you keep the sketch pass and sample the exact
+    * one, and the estimate column is the evidence you can. Integer
+    * mins end to end; two floored divisions at output.
+    */
+  def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val grid = Materialize.stable(Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .select(col("source"), expr(PortableHash.sparkWordHash("w")).as("wh"))
+      .distinct())
+    val sizes = grid.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+    val exact = grid.as("a").join(grid.as("b"),
+        col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sig = grid
+      .withColumn("i", explode(expr(s"sequence(0, ${SourceSimK - 1})")))
+      .groupBy("source", "i")
+      .agg(min(expr(s"(${PortableHash.aCoef("i")} * wh + ${PortableHash.bCoef("i")}) % $P")).as("mh"))
+    val est = sig.as("x").join(sig.as("y"),
+        col("x.i") === col("y.i") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(sum(when(col("x.mh") === col("y.mh"), 1L).otherwise(0L)).as("n_slots_match"))
+    est
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .join(sizes.select(col("source").as("source_a"), col("n_vocab").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n_vocab").as("n_b")), Seq("source_b"))
+      .withColumn("jaccard_exact", expr(
+        "floor(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .withColumn("jaccard_est", expr(
+        s"floor(CAST(n_slots_match AS DOUBLE) / CAST($SourceSimK AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .select("source_a", "source_b", "n_a", "n_b", "n_common",
+        "jaccard_exact", "n_slots_match", "jaccard_est")
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceSimilaritySql: String =
+    s"""WITH grid AS (
+       |  SELECT DISTINCT source, ${PortableHash.duckWordHash("w")} AS wh FROM (
+       |    SELECT source, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+       |    FROM documents) t
+       |), sizes AS (
+       |  SELECT source, COUNT(*) AS n_vocab FROM grid GROUP BY 1
+       |), exact AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+       |  FROM grid a JOIN grid b ON a.wh = b.wh AND a.source < b.source
+       |  GROUP BY 1, 2
+       |), sig AS (
+       |  SELECT source, i.i AS i,
+       |    MIN((${PortableHash.aCoef("i.i")} * wh + ${PortableHash.bCoef("i.i")}) % $P) AS mh
+       |  FROM grid CROSS JOIN (SELECT unnest(range(0, $SourceSimK)) AS i) i
+       |  GROUP BY 1, 2
+       |), est AS (
+       |  SELECT x.source AS source_a, y.source AS source_b,
+       |    CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_slots_match
+       |  FROM sig x JOIN sig y ON x.i = y.i AND x.source < y.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT e.source_a, e.source_b, sa.n_vocab AS n_a, sb.n_vocab AS n_b,
+       |  COALESCE(x.n_common, 0) AS n_common,
+       |  floor(CAST(COALESCE(x.n_common, 0) AS DOUBLE)
+       |    / CAST(sa.n_vocab + sb.n_vocab - COALESCE(x.n_common, 0) AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS jaccard_exact,
+       |  e.n_slots_match,
+       |  floor(CAST(e.n_slots_match AS DOUBLE) / CAST($SourceSimK AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS jaccard_est
+       |FROM est e
+       |LEFT JOIN exact x ON x.source_a = e.source_a AND x.source_b = e.source_b
+       |JOIN sizes sa ON sa.source = e.source_a
+       |JOIN sizes sb ON sb.source = e.source_b
+       |ORDER BY e.source_a, e.source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_setops" -> (sketchHllSetops _),
     "sketch_hll" -> (sketchHll _),
     "sketch_cms" -> (sketchCms _),
     "sketch_bloom" -> (sketchBloom _),
-    "sketch_quantile" -> (sketchQuantile _))
+    "sketch_quantile" -> (sketchQuantile _),
+    "source_similarity" -> (sourceSimilarity _))
 
   val oracles: Map[String, String] = Map(
     "sketch_hll_setops" -> sketchHllSetopsSql,
     "sketch_hll" -> sketchHllSql,
     "sketch_cms" -> sketchCmsSql,
     "sketch_bloom" -> sketchBloomSql,
-    "sketch_quantile" -> sketchQuantileSql)
+    "sketch_quantile" -> sketchQuantileSql,
+    "source_similarity" -> sourceSimilaritySql)
 }

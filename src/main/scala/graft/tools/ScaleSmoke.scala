@@ -75,7 +75,8 @@ object ScaleSmoke {
       // label voting + centroid table (lineitem_transit is TPC-H-fed —
       // covered by bench + PLANS like the other un-replicated ops)
       "events_streaks", "events_type_overlap", "text_charclass",
-      "corpus_bigrams", "knn_classify", "embed_centroid")
+      "corpus_bigrams", "knn_classify", "embed_centroid",
+      "events_dwell", "source_similarity")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
