@@ -289,6 +289,19 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_variants"), min(idCol).as("keeper"))
   }
 
+  /** Pairwise group vocabulary similarity over ANY (group, text)
+    * frame: exact word-set Jaccard AND a k-slot MinHash estimate side
+    * by side — see operators/Sketches.sourceSimilarity for the scale
+    * analysis (the sketch pass is the one that survives 100 TB; the
+    * exact column is its in-row audit).
+    */
+  def groupSimilarity(df: DataFrame, groupCol: String,
+      textCol: String = "text", k: Int = graft.operators.Sketches.SourceSimK): DataFrame =
+    graft.operators.Sketches.sourceSimilarityFor(
+        df.select(col(groupCol).as("source"), col(textCol).as("text")), k)
+      .withColumnRenamed("source_a", s"${groupCol}_a")
+      .withColumnRenamed("source_b", s"${groupCol}_b")
+
   /** Domain-blocklist gate over ANY frame with a `urlCol`: keeps only
     * rows whose URL domain is absent from `blocked` — a LEFT ANTI
     * against the blocklist TABLE, which broadcasts at any scale while

@@ -76,6 +76,25 @@ object EventOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Inter-event dwell-time histogram over ANY frame: gaps between a
+    * key's consecutive events, log2-bucketed by `gap div unitUs` units
+    * (bucket −1 = zero-unit bursts). One key-partitioned lag window +
+    * a partial agg onto the ~log2(range) histogram; integer
+    * length(bin)−1 bucketing, no libm.
+    */
+  def dwellHistogram(df: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, unitUs: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(tsUsCol, tieCol)
+    df.withColumn("__prev", lag(tsUsCol, 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__gap", expr(s"($tsUsCol - __prev) div $unitUs"))
+      .withColumn("bucket",
+        expr("CASE WHEN __gap <= 0 THEN -1 ELSE CAST(length(bin(__gap)) - 1 AS INT) END"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_gaps"), sum("__gap").as("sum_gap_units"))
+  }
+
   /** Cohort retention triangle: keys bucketed by first-seen period,
     * counted in each later period they appear. The frame collapses to
     * the (key, period) grid BEFORE any join.

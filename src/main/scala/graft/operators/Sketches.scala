@@ -444,8 +444,16 @@ object Sketches {
     * one, and the estimate column is the evidence you can. Integer
     * mins end to end; two floored divisions at output.
     */
-  def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
-    val grid = Materialize.stable(Tables.documents(s, dir)
+  def sourceSimilarity(s: SparkSession, dir: String): DataFrame =
+    sourceSimilarityFor(Tables.documents(s, dir).select("source", "text"), SourceSimK)
+      .orderBy("source_a", "source_b")
+
+  /** [[sourceSimilarity]] over ANY (source, text) frame with a
+    * caller-chosen signature width — the library entry point
+    * (api.CorpusOps.groupSimilarity).
+    */
+  def sourceSimilarityFor(docs: DataFrame, k: Int): DataFrame = {
+    val grid = Materialize.stable(docs
       .select(col("source"),
         explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
       .select(col("source"), expr(PortableHash.sparkWordHash("w")).as("wh"))
@@ -456,7 +464,7 @@ object Sketches {
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_common"))
     val sig = grid
-      .withColumn("i", explode(expr(s"sequence(0, ${SourceSimK - 1})")))
+      .withColumn("i", explode(expr(s"sequence(0, ${k - 1})")))
       .groupBy("source", "i")
       .agg(min(expr(s"(${PortableHash.aCoef("i")} * wh + ${PortableHash.bCoef("i")}) % $P")).as("mh"))
     val est = sig.as("x").join(sig.as("y"),
@@ -471,10 +479,9 @@ object Sketches {
       .withColumn("jaccard_exact", expr(
         "floor(CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
       .withColumn("jaccard_est", expr(
-        s"floor(CAST(n_slots_match AS DOUBLE) / CAST($SourceSimK AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
+        s"floor(CAST(n_slots_match AS DOUBLE) / CAST($k AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
       .select("source_a", "source_b", "n_a", "n_b", "n_common",
         "jaccard_exact", "n_slots_match", "jaccard_est")
-      .orderBy("source_a", "source_b")
   }
 
   val sourceSimilaritySql: String =

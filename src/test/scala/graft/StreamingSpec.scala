@@ -144,6 +144,50 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_dwell: boundary gaps survive the batch split, == batch events_dwell") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: user 1 events at 0s, 3s (batch 1) then 10s, 10s (batch 2)
+    // — the 3s→10s gap SPANS the batch boundary and must come from state
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = EventStreams.dwellStream(mem.toDS())
+      .toDF("user_id", "bucket", "gap_s")
+      .writeStream.format("memory").queryName("dwell").outputMode("append").start()
+    try {
+      mem.addData((1L, 0L, 1L), (1L, 3000000L, 2L))
+      q.processAllAvailable()
+      mem.addData((1L, 10000000L, 3L), (1L, 10000000L, 4L))
+      q.processAllAvailable()
+      val got = spark.table("dwell")
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq.sorted
+      // gaps: 3s (bucket 1), 7s (bucket 2, ACROSS the boundary), 0s (bucket -1)
+      assert(got == Seq((-1, 0L), (1, 3L), (2, 7L)), s"got $got")
+    } finally q.stop()
+
+    // equivalence with the batch operator: real events split into TWO
+    // micro-batches at the median timestamp; the aggregated stream
+    // output must equal events_dwell's histogram exactly
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(Long, Long, Long)]
+    val q2 = EventStreams.dwellStream(mem2.toDS())
+      .toDF("user_id", "bucket", "gap_s")
+      .writeStream.format("memory").queryName("dwell_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val streamed = spark.table("dwell_eq")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap_s").as("sum_gap_s"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.EventsMore.eventsDwell(spark, sfDir)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q2.stop()
+  }
+
   test("stream_sessionize: 30-min gap splits sessions per user") {
     implicit val s = spark
     implicit val sq = spark.sqlContext
