@@ -367,7 +367,43 @@ object Corpus {
       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Exact per-source document-length deciles — the distribution audit
+    * behind curation thresholds ("where does the p90 length sit per
+    * source"), as exact order statistics, not a sketch: rank + group
+    * size off ONE source-partitioned sort, then each row derives the
+    * decile indices it IS (rn = ⌈d·n/10⌉) via a 9-element HOF filter —
+    * no day⋈decile cross join, no second pass. A source with < 10 docs
+    * emits one row per decile that lands on it (both engines explode
+    * the same index list). sketch_quantile is the scaling path; this
+    * is its audit, per group.
+    */
+  def sourceDeciles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    Tables.documents(s, dir)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("decile",
+        explode(expr("filter(sequence(1L, 9L), d -> rn = (d * n + 9) div 10)")))
+      .select("source", "decile", "n_chars", "doc_id")
+      .orderBy("source", "decile", "doc_id")
+  }
+
+  val sourceDecilesSql: String =
+    """WITH ranked AS (
+      |  SELECT source, n_chars, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents
+      |)
+      |SELECT source, CAST(unnest(list_filter(range(1, 10), d -> rn = (d * n + 9) // 10)) AS BIGINT) AS decile,
+      |  n_chars, doc_id
+      |FROM ranked
+      |ORDER BY source, decile, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_deciles" -> (sourceDeciles _),
     "sample_stratified" -> (sampleStratified _),
     "sample_topk" -> (sampleTopk _),
     "corpus_split" -> (corpusSplit _),
@@ -377,6 +413,7 @@ object Corpus {
     "corpus_mix" -> (corpusMix _))
 
   val oracles: Map[String, String] = Map(
+    "source_deciles" -> sourceDecilesSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_topk" -> sampleTopkSql,
     "corpus_split" -> corpusSplitSql,
