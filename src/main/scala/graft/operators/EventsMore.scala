@@ -352,7 +352,81 @@ object EventsMore {
       |  COUNT(*) AS n_gaps, CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s
       |FROM gaps GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Traffic seasonality heatmap: event counts and exact-cents value
+    * by (day-of-week, hour-of-day) — the 168-cell load profile behind
+    * capacity planning and anomaly baselines. Both axes are pure
+    * integer epoch arithmetic (day 0 = Thursday 1970-01-01, so
+    * dow = (epoch_days + 4) % 7 puts Monday at 0 on both engines —
+    * no locale-sensitive date functions), one partial agg onto 168
+    * rows.
+    */
+  def eventsSeasonality(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("dow", expr(s"((ts_us div ${86400L * 1000000}) + 4) % 7"))
+      .withColumn("hod", expr(s"(ts_us div ${3600L * 1000000}) % 24"))
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .groupBy("dow", "hod")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      .orderBy("dow", "hod")
+  }
+
+  val eventsSeasonalitySql: String =
+    s"""SELECT (epoch_us(ts) // ${86400L * 1000000} + 4) % 7 AS dow,
+       |  (epoch_us(ts) // ${3600L * 1000000}) % 24 AS hod,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Value-concentration (whale) curve: users ranked by exact-cents
+    * total spend, bucketed into spend deciles, with each decile's
+    * share of total value — "the top 10% of users drive X% of value".
+    * The corpus collapses to the user-cardinality spend frame in ONE
+    * partial agg; the rank window and the one-row total broadcast run
+    * on that frame, never the events. Integer cents end to end; two
+    * floored divisions at output.
+    */
+  def eventsValuePareto(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .groupBy("user_id").agg(sum("cents").as("user_cents"))
+    val w = Window.orderBy(col("user_cents").desc, col("user_id"))
+    val nAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spend
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_users", count(lit(1)).over(nAll))
+      .withColumn("total_cents", sum("user_cents").over(nAll))
+      .withColumn("decile", expr("(rn - 1) * 10 div n_users + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("user_cents").as("decile_cents"),
+        max("total_cents").as("total_cents"))
+      .withColumn("value_share", expr(
+        "floor(CAST(decile_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .select("decile", "n_users", "decile_cents", "value_share")
+      .orderBy("decile")
+  }
+
+  val eventsValueParetoSql: String =
+    """WITH spend AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS user_cents
+      |  FROM events GROUP BY 1
+      |), ranked AS (
+      |  SELECT user_cents,
+      |    ROW_NUMBER() OVER (ORDER BY user_cents DESC, user_id) AS rn,
+      |    COUNT(*) OVER () AS n_all,
+      |    CAST(SUM(user_cents) OVER () AS BIGINT) AS total_cents
+      |  FROM spend
+      |)
+      |SELECT (rn - 1) * 10 // n_all + 1 AS decile,
+      |  COUNT(*) AS n_users,
+      |  CAST(SUM(user_cents) AS BIGINT) AS decile_cents,
+      |  floor(CAST(CAST(SUM(user_cents) AS BIGINT) AS DOUBLE) / CAST(MAX(total_cents) AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS value_share
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_seasonality" -> (eventsSeasonality _),
+    "events_value_pareto" -> (eventsValuePareto _),
     "events_dwell" -> (eventsDwell _),
     "events_decay" -> (eventsDecay _),
     "events_gap_fill" -> (eventsGapFill _),
@@ -365,6 +439,8 @@ object EventsMore {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_seasonality" -> eventsSeasonalitySql,
+    "events_value_pareto" -> eventsValueParetoSql,
     "events_dwell" -> eventsDwellSql,
     "events_decay" -> eventsDecaySql,
     "events_gap_fill" -> eventsGapFillSql,

@@ -76,7 +76,8 @@ object ScaleSmoke {
       // covered by bench + PLANS like the other un-replicated ops)
       "events_streaks", "events_type_overlap", "text_charclass",
       "corpus_bigrams", "knn_classify", "embed_centroid",
-      "events_dwell", "source_similarity", "source_deciles")
+      "events_dwell", "source_similarity", "source_deciles",
+      "events_seasonality", "events_value_pareto")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
