@@ -156,15 +156,96 @@ object AnalyticsPlus {
   /** Oracle: PLAIN Q3 — equality proves the Bloom pass dropped nothing. */
   val q3BloomPrejoinSql: String = Queries.q3JoinSql
 
+  /** Last-touch revenue attribution: every purchase's exact cents
+    * credited to the channel (event type) of the user's most recent
+    * PRIOR non-purchase event, 'direct' when none exists — the
+    * marketing-attribution pass, built on the same O(n) carry-forward
+    * window as events_asof (never an inequality join: ONE user-keyed
+    * shuffle + in-partition sort, then a channel-cardinality partial
+    * agg). Integer cents; one floored share division at output.
+    */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .withColumn("touch", when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel", coalesce(col("last_touch"), lit("direct")))
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("attributed_cents"))
+      .withColumn("total_cents", sum("attributed_cents").over(all))
+      .withColumn("cents_share", expr(
+        "floor(CAST(attributed_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .select("channel", "n_purchases", "attributed_cents", "cents_share")
+      .orderBy("channel")
+  }
+
+  val eventsAttributionSql: String =
+    """WITH touched AS (
+      |  SELECT event_type, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch
+      |  FROM events
+      |), per AS (
+      |  SELECT COALESCE(last_touch, 'direct') AS channel,
+      |    COUNT(*) AS n_purchases,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS attributed_cents
+      |  FROM touched WHERE event_type = 'purchase' GROUP BY 1
+      |)
+      |SELECT channel, n_purchases, attributed_cents,
+      |  floor(CAST(attributed_cents AS DOUBLE)
+      |    / CAST(CAST(SUM(attributed_cents) OVER () AS BIGINT) AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS cents_share
+      |FROM per ORDER BY channel""".stripMargin
+
+  /** Customer-cohort lifetime value: customers bucketed by FIRST-order
+    * year, exact-cents revenue summed by (cohort, years-since-first) —
+    * the LTV triangle behind payback dashboards. First year via a
+    * custkey-partitioned window min (one scan, no self-join, same
+    * trick as events_cohort_matrix); the shuffle carries the
+    * (custkey, year) grid, the output is the |years|² triangle.
+    */
+  def ordersCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(s, dir)
+      .withColumn("yr", expr("CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)"))
+      .withColumn("cents", expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+      .withColumn("cohort_yr", min("yr").over(Window.partitionBy("o_custkey")))
+      .groupBy(col("cohort_yr"), (col("yr") - col("cohort_yr")).as("age_years"))
+      .agg(countDistinct("o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"), sum("cents").as("ltv_cents"))
+      .orderBy("cohort_yr", "age_years")
+  }
+
+  val ordersCohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, year(o_orderdate) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+      |    MIN(year(o_orderdate)) OVER (PARTITION BY o_custkey) AS cohort_yr
+      |  FROM orders
+      |)
+      |SELECT cohort_yr, yr - cohort_yr AS age_years,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS ltv_cents
+      |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_rfm" -> (ordersRfm _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
-    "q3_bloom_prejoin" -> (q3BloomPrejoin _)
+    "q3_bloom_prejoin" -> (q3BloomPrejoin _),
+    "events_attribution" -> (eventsAttribution _),
+    "orders_cohort_ltv" -> (ordersCohortLtv _)
   )
 
   val oracles: Map[String, String] = Map(
     "orders_rfm" -> ordersRfmSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,
-    "q3_bloom_prejoin" -> q3BloomPrejoinSql
+    "q3_bloom_prejoin" -> q3BloomPrejoinSql,
+    "events_attribution" -> eventsAttributionSql,
+    "orders_cohort_ltv" -> ordersCohortLtvSql
   )
 }

@@ -283,7 +283,54 @@ object TextAnalysis {
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  /** Readability profile per document: sentence count (terminator
+    * census), words-per-sentence, long-word (≥7 chars) fraction, and a
+    * Flesch-style readable flag — the grade-level gate a curation
+    * pipeline applies after the charclass/quality passes. Pure
+    * map-side column math: integer counts until two floored divisions;
+    * the flag's thresholds are cross-multiplied in integers so no
+    * double mean enters the predicate.
+    */
+  def textReadability(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+      .withColumn("n_sentences", expr(
+        "CAST(length(text) - length(regexp_replace(text, '[.!?]', '')) AS BIGINT)"))
+      .withColumn("n_longwords", expr(
+        "CAST(size(filter(words, w -> length(w) >= 7)) AS BIGINT)"))
+      .withColumn("words_per_sentence", expr(
+        "CASE WHEN n_sentences = 0 THEN CAST(n_words AS DOUBLE) ELSE floor(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) END"))
+      .withColumn("longword_frac", expr(
+        "CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE) ELSE floor(CAST(n_longwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) END"))
+      // readable ⟺ wps < 25 ∧ longword share < 40% — integers only
+      .withColumn("readable",
+        col("n_words") < col("n_sentences") * 25 &&
+          col("n_longwords") * 10 < col("n_words") * 4)
+      .select("doc_id", "n_words", "n_sentences", "n_longwords",
+        "words_per_sentence", "longword_frac", "readable")
+      .orderBy("doc_id")
+  }
+
+  val textReadabilitySql: String =
+    """SELECT doc_id, n_words, n_sentences, n_longwords,
+      |  CASE WHEN n_sentences = 0 THEN CAST(n_words AS DOUBLE)
+      |       ELSE floor(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) END AS words_per_sentence,
+      |  CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
+      |       ELSE floor(CAST(n_longwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) END AS longword_frac,
+      |  n_words < n_sentences * 25 AND n_longwords * 10 < n_words * 4 AS readable
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(words) AS BIGINT) AS n_words,
+      |    CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+      |    CAST(len(list_filter(words, w -> length(w) >= 7)) AS BIGINT) AS n_longwords
+      |  FROM (
+      |    SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS words
+      |    FROM documents) w) t
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (textReadability _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -293,6 +340,7 @@ object TextAnalysis {
     "tfidf_topterms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "text_readability" -> textReadabilitySql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,

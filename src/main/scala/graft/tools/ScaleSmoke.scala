@@ -77,7 +77,8 @@ object ScaleSmoke {
       "events_streaks", "events_type_overlap", "text_charclass",
       "corpus_bigrams", "knn_classify", "embed_centroid",
       "events_dwell", "source_similarity", "source_deciles",
-      "events_seasonality", "events_value_pareto")
+      "events_seasonality", "events_value_pareto",
+      "events_attribution", "text_readability")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
