@@ -145,17 +145,20 @@ object CorpusOps {
     * rate = n_take·1e6/n_avail per source.
     */
   def mixPlan(df: DataFrame, sourceCol: String, targetsPpm: Map[String, Long]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(targetsPpm.nonEmpty && targetsPpm.values.forall(p => p > 0 && p <= 1000000L),
       "target shares are parts-per-million: 1..1000000")
     val target = targetsPpm.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0L))) {
       case (acc, (src, ppm)) => acc.when(col(sourceCol) === src, lit(ppm))
     }.otherwise(lit(0L))
-    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    df.groupBy(sourceCol).agg(count(lit(1)).as("n_avail"))
-      .withColumn("target_ppm", target)
-      .filter(col("target_ppm") > 0)
-      .withColumn("m", min(expr("n_avail * 1000000 div target_ppm")).over(all))
+    // the frame-wide min re-attaches via crossJoin(broadcast(one-row
+    // agg)) — same idiom as the corpus_mix contract query, so no
+    // unpartitioned window appears anywhere in the api surface either
+    val avail = graft.operators.Materialize.stable(
+      df.groupBy(sourceCol).agg(count(lit(1)).as("n_avail"))
+        .withColumn("target_ppm", target)
+        .filter(col("target_ppm") > 0))
+    avail.crossJoin(broadcast(avail.agg(
+        min(expr("n_avail * 1000000 div target_ppm")).as("m"))))
       .withColumn("n_take", expr("m * target_ppm div 1000000"))
       .select(col(sourceCol), col("target_ppm"), col("n_avail"), col("n_take"))
   }

@@ -162,22 +162,27 @@ object AnalyticsPlus {
     * marketing-attribution pass, built on the same O(n) carry-forward
     * window as events_asof (never an inequality join: ONE user-keyed
     * shuffle + in-partition sort, then a channel-cardinality partial
-    * agg). Integer cents; one floored share division at output.
+    * agg). The grand total re-attaches via the q22
+    * `crossJoin(broadcast(one-row agg))` idiom — not an unpartitioned
+    * window — so a `WindowExec: No Partition Defined` warning anywhere
+    * in this engine always means a real single-task sort, never a
+    * benign totals pass; the channel frame is materialized once so the
+    * events scan is not repeated. Integer cents; one floored share
+    * division at output.
     */
   def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables.events(s, dir)
+    val per = Materialize.stable(Tables.events(s, dir)
       .withColumn("touch", when(col("event_type") =!= "purchase", col("event_type")))
       .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase")
       .withColumn("channel", coalesce(col("last_touch"), lit("direct")))
       .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
       .groupBy("channel")
-      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("attributed_cents"))
-      .withColumn("total_cents", sum("attributed_cents").over(all))
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("attributed_cents")))
+    per.crossJoin(broadcast(per.agg(sum("attributed_cents").as("total_cents"))))
       .withColumn("cents_share", expr(
         "floor(CAST(attributed_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
       .select("channel", "n_purchases", "attributed_cents", "cents_share")

@@ -356,9 +356,9 @@ object EventsMore {
     * by (day-of-week, hour-of-day) — the 168-cell load profile behind
     * capacity planning and anomaly baselines. Both axes are pure
     * integer epoch arithmetic (day 0 = Thursday 1970-01-01, so
-    * dow = (epoch_days + 4) % 7 puts Monday at 0 on both engines —
-    * no locale-sensitive date functions), one partial agg onto 168
-    * rows.
+    * dow = (epoch_days + 4) % 7 puts Sunday at 0, Monday at 1 on both
+    * engines — no locale-sensitive date functions), one partial agg
+    * onto 168 rows.
     */
   def eventsSeasonality(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
@@ -381,25 +381,25 @@ object EventsMore {
     * total spend, bucketed into spend deciles, with each decile's
     * share of total value — "the top 10% of users drive X% of value".
     * The corpus collapses to the user-cardinality spend frame in ONE
-    * partial agg; the rank window and the one-row total broadcast run
-    * on that frame, never the events. Integer cents end to end; two
+    * partial agg; the rank is [[Ranks.distributedRank]] — a
+    * range-repartitioned two-level rank, because the spend frame is
+    * user-cardinality (UNBOUNDED: a global `Window.orderBy` here plans
+    * as an Exchange SinglePartition and one task sorts ~10⁸ rows at
+    * 100×); the (n_users, total) pair is a one-row aggregate broadcast
+    * back with the q22 crossJoin idiom. Integer cents end to end; two
     * floored divisions at output.
     */
   def eventsValuePareto(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spend = Tables.events(s, dir)
       .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
       .groupBy("user_id").agg(sum("cents").as("user_cents"))
-    val w = Window.orderBy(col("user_cents").desc, col("user_id"))
-    val nAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    spend
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n_users", count(lit(1)).over(nAll))
-      .withColumn("total_cents", sum("user_cents").over(nAll))
-      .withColumn("decile", expr("(rn - 1) * 10 div n_users + 1"))
+    val ranked = Ranks.distributedRank(spend, "rn", col("user_cents").desc, col("user_id"))
+    val totals = ranked.agg(count(lit(1)).as("n_all"), sum("user_cents").as("total_all"))
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("decile", expr("(rn - 1) * 10 div n_all + 1"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum("user_cents").as("decile_cents"),
-        max("total_cents").as("total_cents"))
+        max("total_all").as("total_cents"))
       .withColumn("value_share", expr(
         "floor(CAST(decile_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
       .select("decile", "n_users", "decile_cents", "value_share")

@@ -308,16 +308,17 @@ object QueriesDeep {
     * SWEEP LINE, not a range join: +1 at each line's order day, −1 at
     * its ship day, one partial-aggregated groupBy per endpoint, then a
     * running sum over the DAY-GRANULAR delta frame. The corpus never
-    * joins an axis — the window runs over ~2500 aggregate rows, so the
+    * joins an axis — the cumulative pass is [[Ranks.boundedRunningSum]]
+    * over ~2500 calendar-bounded aggregate rows (one-row fold +
+    * explode, no global-order window, no SinglePartition sort), so the
     * 100 TB cost is the one orderkey equi-join (the interval's two
     * endpoints live in different tables) + two partial aggs + a
-    * tiny-frame window, where the naive day⋈interval range join is
+    * calendar-sized fold, where the naive day⋈interval range join is
     * |days|×|lineitem|. The year filter applies to the OUTPUT days;
-    * deltas accumulate from all of history via the window (the backlog
+    * deltas accumulate from all of history via the fold (the backlog
     * carried into Jan 1 is counted, not zeroed).
     */
   def lineitemTransit(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dayUs = 86400L * 1000000
     val li = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
@@ -327,11 +328,9 @@ object QueriesDeep {
       .agg(count(lit(1)).as("n")).select(col("day"), col("n").as("delta"))
     val ships = li.groupBy(dayOf("l_shipdate").as("day"))
       .agg(count(lit(1)).as("n")).select(col("day"), (-col("n")).as("delta"))
-    val w = Window.orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    opens.union(ships)
+    val merged = opens.union(ships)
       .groupBy("day").agg(sum("delta").as("delta"))
-      .withColumn("open_lines", sum("delta").over(w))
+    Ranks.boundedRunningSum(merged, "day", "delta", "open_lines")
       .filter(col("day").between(9131L, 9495L)) // 1995-01-01 .. 1995-12-31
       .select("day", "delta", "open_lines")
       .orderBy("day")

@@ -81,10 +81,14 @@ class PlanSpec extends SparkSpec {
     // doc-count aggregate onto the shingle-df frame (the in-plan df
     // ceiling — 1×n, replaces a driver-side .count())
     // knn_classify inherits knn_join's centroid-broadcast cross
+    // events_value_pareto / events_attribution / corpus_mix attach
+    // their ONE-ROW totals via crossJoin(broadcast) — the q22 idiom,
+    // adopted engine-wide in round 6 so that the WindowExec
+    // "No Partition Defined" warning always means a real defect
     val intendedCross = Set("knn_bruteforce", "knn_ivf", "knn_join", "events_funnel",
       "tfidf_topterms", "sketch_hll_setops", "dedup_semantic", "q22_antijoin",
       "web_domains", "partition_skew", "dedup_ngram", "text_contamination",
-      "knn_classify")
+      "knn_classify", "events_value_pareto", "events_attribution", "corpus_mix")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
@@ -94,5 +98,42 @@ class PlanSpec extends SparkSpec {
       if (cartesian || bnlj) Some(name) else None
     }
     assert(offenders.isEmpty, s"unscalable join shapes in: $offenders")
+  }
+
+  test("sweep: no global-order window (empty partitionSpec) in ANY query") {
+    // A window with no partition spec plans as Exchange SinglePartition
+    // + a ONE-TASK sort of the whole frame — fine at 10⁵ rows, fatal at
+    // 10⁸ (round-5 verdict: events_value_pareto's rank). Round 6
+    // removed every such window: unbounded frames use
+    // Ranks.distributedRank, bounded running sums use
+    // Ranks.boundedRunningSum, and one-row totals use
+    // crossJoin(broadcast). The whitelist is EMPTY by design — a new
+    // global-order window must either justify itself here or use those
+    // helpers. (Global aggregates still exchange SinglePartition over
+    // per-partition PARTIALS — bounded by cluster size, not data size —
+    // which is why this sweep keys on window nodes, not exchanges.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ extra).flatMap(flatten)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      df.count() // finalize AQE
+      val globalWindows = flatten(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+      if (globalWindows.nonEmpty) Some(s"$name: ${globalWindows.mkString(",")}") else None
+    }
+    assert(offenders.isEmpty, s"single-task global-order windows in: $offenders")
   }
 }
