@@ -5,9 +5,10 @@ per-query regressions that are SIGNAL, not jitter.
 A delta counts as a regression only when BOTH hold:
   - ratio new/old > RATIO_MIN (default 1.5), and
   - the absolute delta exceeds the query's own emitted relative spread
-    (max-min)/median from EITHER round, scaled to seconds.
+    (trimmed: 2nd-highest minus 2nd-lowest over median since round 6;
+    raw (max-min)/median before) from EITHER round, scaled to seconds.
 
-Usage: python3 tools/benchdiff.py OLD.json NEW.json [--ratio 1.5]
+Usage: python3 tools/benchdiff.py OLD.json NEW.json [--ratio 1.5 | --ratio=1.5]
 Prints a markdown table (paste into SCALE.md) plus a one-line summary.
 Exit code 0 always — this is an adjudication aid, not a gate.
 """
@@ -22,11 +23,19 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    ratio_min = 1.5
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args, ratio_min, i = [], 1.5, 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--ratio"):
-            ratio_min = float(a.split("=", 1)[1]) if "=" in a else ratio_min
+            if "=" in a:
+                ratio_min = float(a.split("=", 1)[1])
+            else:  # space-separated form: consume the next token
+                i += 1
+                ratio_min = float(argv[i])
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     old, new = load(args[0]), load(args[1])
     oq, nq = old.get("queries", {}), new.get("queries", {})
     osp, nsp = old.get("spread", {}), new.get("spread", {})
