@@ -86,9 +86,13 @@ object EventStreams {
     * batch 2 re-emits (b, c1+c2), and the overwrite is correct; a
     * bare per-batch count here would silently undercount to c2).
     * State is bounded: `retainBuckets` longs per type, independent of
-    * stream length. A correction OLDER than the retention horizon
-    * falls back to a batch-local partial count — bound lateness with
-    * an upstream watermark (or widen `retainBuckets`) if that matters.
+    * stream length. A correction OLDER than the retention horizon is
+    * DROPPED, not emitted: the cumulative count for that bucket is
+    * gone from state, and emitting the batch-local partial instead
+    * would last-write-wins OVERWRITE a previously-correct value with a
+    * smaller one — a silent regression, strictly worse than a gap.
+    * Bound lateness with an upstream watermark (or widen
+    * `retainBuckets`) when beyond-horizon data is possible.
     */
   def gapFillStream(events: Dataset[(String, Long)],
       bucketUs: Long = 3600000000L,
@@ -113,9 +117,14 @@ object EventStreams {
             if (batchMax < emitFrom) Iterator.empty
             else (emitFrom to batchMax).iterator.map(b => (tpe, b, merged.getOrElse(b, 0L)))
           // late buckets: emit the cumulative count when the retention
-          // window still holds it, the batch-local partial otherwise
-          val corrections = counts.keys.filter(_ < emitFrom).toSeq.sorted.iterator
-            .map(b => (tpe, b, merged.getOrElse(b, counts(b))))
+          // window still holds it; DROP beyond-horizon corrections
+          // (their cumulative is lost — a batch-local partial would
+          // overwrite a correct earlier emission under last-write-wins)
+          val horizon =
+            if (prev.lastBucket == Long.MinValue) Long.MinValue
+            else prev.lastBucket - retainBuckets
+          val corrections = counts.keys.filter(b => b < emitFrom && b > horizon)
+            .toSeq.sorted.iterator.map(b => (tpe, b, merged(b)))
           state.update(GapState(newLast, merged.filter(_._1 > newLast - retainBuckets)))
           corrections ++ dense
       }
@@ -153,6 +162,43 @@ object EventStreams {
             last = ts
           }
           state.update(DwellState(last))
+          out.result().iterator
+      }
+  }
+
+  case class TouchState(lastTouch: String)
+
+  /** Streaming twin of the batch `events_attribution`: last-touch
+    * revenue attribution with ONE string of state per user — the
+    * channel of the user's most recent non-purchase event. Each
+    * purchase emits (user, channel, cents) the moment it arrives;
+    * non-purchases only update state. In-batch events are processed in
+    * (ts, event_id) order, and the carried state makes the union of
+    * batch outputs equal the batch operator's per-purchase attribution
+    * no matter where micro-batch boundaries fall (a purchase whose
+    * qualifying touch landed in an earlier batch is credited from
+    * state, not lost to "direct"). Downstream aggregates channels
+    * incrementally; cents arrive pre-converted (same DECIMAL(12,2)→
+    * cents cast as the batch operator) so stream and batch agree
+    * bit-exactly.
+    */
+  def attributionStream(events: Dataset[(Long, Long, Long, String, Long)])
+      : Dataset[(Long, String, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Long)],
+            state: GroupState[TouchState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var last = state.getOption.map(_.lastTouch).orNull
+          val out = Seq.newBuilder[(Long, String, Long)]
+          sorted.foreach { case (_, _, _, tpe, cents) =>
+            if (tpe == "purchase")
+              out += ((user, if (last == null) "direct" else last, cents))
+            else last = tpe
+          }
+          if (last != null) state.update(TouchState(last))
           out.result().iterator
       }
   }

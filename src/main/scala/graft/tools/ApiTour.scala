@@ -14,7 +14,9 @@ import graft.sources.{Manifest, Tables}
   *
   * Exit 0 = every entry point ran and produced sane output. Unlike
   * Demo (a narrative pipeline), this is breadth coverage: one call per
-  * export, reference twins per API_MAP.md.
+  * export, reference twins per API_MAP.md. ApiTourSpec runs [[run]]
+  * inside `sbt test`, so the surface is exercised every round, not
+  * only when someone remembers to invoke the main.
   */
 object ApiTour {
   private var checks = 0
@@ -27,6 +29,13 @@ object ApiTour {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val spark = GraftSession.build("graft-api-tour")
+    run(spark, sfDir)
+    spark.stop()
+  }
+
+  /** Executes every check; returns how many ran (all passed, or threw). */
+  def run(spark: org.apache.spark.sql.SparkSession, sfDir: String): Int = {
+    checks = 0
     import spark.implicits._
 
     val docs = Tables.documents(spark, sfDir).cache()
@@ -180,9 +189,21 @@ object ApiTour {
     })
     check("corpus.spanDedupStats")(
       CorpusOps.spanDedupStats(docs).filter(col("dup_frac") > 0).count() > 0)
-    check("corpus.semanticKeepList")({
-      val kl = CorpusOps.semanticKeepList(Tables.embeddings(spark, sfDir))
-      kl.count() > 0 && kl.filter(col("keep") === false).count() >= 0
+    check("corpus.semanticKeepList drops planted near-duplicates")({
+      // the embeddings have no semantic near-dups at the default tau;
+      // plant exact copies under fresh ids (offset ≡ 0 mod 50 so the
+      // IVF seed residues are preserved) — the keep list must flag
+      // them, and must keep at least one representative per pair
+      val emb = Tables.embeddings(spark, sfDir)
+      val planted = emb.union(emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      val kl = CorpusOps.semanticKeepList(planted)
+      // a planted copy can never be its component's min-label
+      // representative (its original has the smaller id), so EVERY
+      // planted id must be keep=false — a falsifiable drop assertion
+      kl.count() == planted.count() &&
+        kl.filter(col("vec_id") >= 1000000L && col("keep") === true).count() == 0 &&
+        kl.filter(col("vec_id") >= 1000000L).count() > 0
     })
     check("corpus.neighborGraph")({
       val g = CorpusOps.neighborGraph(Tables.embeddings(spark, sfDir), k = 2)
@@ -276,6 +297,6 @@ object ApiTour {
     })
 
     println(s"[apitour] PASS $checks checks on $sfDir")
-    spark.stop()
+    checks
   }
 }

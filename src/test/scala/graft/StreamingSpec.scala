@@ -560,4 +560,79 @@ class StreamingSpec extends SparkSpec {
         s"maintained aggregate drifted: $agg")
     } finally q.stop()
   }
+
+  test("stream_gap_fill: beyond-horizon correction is DROPPED, not a partial overwrite") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val hourUs = 3600000000L
+    // retainBuckets=3: after batch 1 advances to bucket 10, the horizon
+    // is bucket 7; a late event for bucket 5 has lost its cumulative
+    // (batch 1 emitted (5, 2)) and MUST NOT re-emit a partial (5, 1) —
+    // last-write-wins downstream would regress 2 -> 1
+    val mem = MemoryStream[(String, Long)]
+    val q = EventStreams.gapFillStream(mem.toDS(), hourUs, retainBuckets = 3)
+      .toDF("event_type", "bucket", "n")
+      .writeStream.format("memory").queryName("gapf_hzn").outputMode("append").start()
+    try {
+      mem.addData(("a", 5L * hourUs), ("a", 5L * hourUs + 1), ("a", 10L * hourUs))
+      q.processAllAvailable()
+      mem.addData(("a", 5L * hourUs + 2), ("a", 9L * hourUs)) // 5: beyond horizon; 9: within
+      q.processAllAvailable()
+      val rows = spark.table("gapf_hzn")
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      // batch 2 emitted ONLY the in-horizon correction (9, 1) — nothing
+      // for bucket 5, so the upsert view keeps the correct (5, 2)
+      assert(rows.count(_._1 == 5L) == 1 && rows.contains((5L, 2L)), s"got ${rows.toSeq}")
+      assert(rows.contains((9L, 1L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("stream_attribution: cross-batch last touch, == batch events_attribution") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: user 1's click lands in batch 1, the purchase in batch
+    // 2 — the credit must come from carried state, not fall to 'direct';
+    // user 2 purchases with no prior touch at all -> 'direct'
+    val mem = MemoryStream[(Long, Long, Long, String, Long)]
+    val q = EventStreams.attributionStream(mem.toDS())
+      .toDF("user_id", "channel", "cents")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      mem.addData((1L, 0L, 1L, "click", 0L), (2L, 1L, 2L, "purchase", 500L))
+      q.processAllAvailable()
+      mem.addData((1L, 2L, 3L, "purchase", 900L), (1L, 3L, 4L, "view", 0L),
+        (1L, 4L, 5L, "purchase", 100L))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((2L, "direct", 500L), (1L, "click", 900L), (1L, "view", 100L)),
+        s"got $got")
+    } finally q.stop()
+
+    // equivalence with the batch operator: real events split into TWO
+    // micro-batches at the median timestamp; aggregating the streamed
+    // per-purchase rows must reproduce events_attribution exactly
+    // (cents pre-converted with the SAME decimal cast the batch uses)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+      .as[(Long, Long, Long, String, Long)].collect().sortBy(_._2)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(Long, Long, Long, String, Long)]
+    val q2 = EventStreams.attributionStream(mem2.toDS())
+      .toDF("user_id", "channel", "cents")
+      .writeStream.format("memory").queryName("attr_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val streamed = spark.table("attr_eq")
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"), sum("cents").as("attributed_cents"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.AnalyticsPlus.eventsAttribution(spark, sfDir)
+        .select("channel", "n_purchases", "attributed_cents")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q2.stop()
+  }
 }
