@@ -238,7 +238,38 @@ object AnalyticsPlus {
       |  COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS ltv_cents
       |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Market-basket co-occurrence: the top part pairs ordered together
+    * (association-rule support mining on the order⋈part bipartite
+    * graph). Pair generation is an orderkey equi-self-join over the
+    * DISTINCT (order, part) projection, so the quadratic term is
+    * Σ C(parts-per-order, 2) — basket-bounded (TPC-H ≤ 7 lines/order ⇒
+    * ≤ 21 pairs/order), never corpus². The pair-keyed partial agg lands
+    * on the co-occurrence frame; top-20 ships as TakeOrdered with a
+    * full (count, part, part) tiebreak.
+    */
+  def ordersBasket(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    lp.as("a").join(lp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val ordersBasketSql: String =
+    """WITH lp AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |)
+      |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+      |FROM lp a JOIN lp b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_basket" -> (ordersBasket _),
     "orders_rfm" -> (ordersRfm _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
     "q3_bloom_prejoin" -> (q3BloomPrejoin _),
@@ -247,6 +278,7 @@ object AnalyticsPlus {
   )
 
   val oracles: Map[String, String] = Map(
+    "orders_basket" -> ordersBasketSql,
     "orders_rfm" -> ordersRfmSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,
     "q3_bloom_prejoin" -> q3BloomPrejoinSql,

@@ -244,15 +244,96 @@ object CorpusQuality {
        |FROM grid GROUP BY bg
        |ORDER BY n_occurrences DESC, bg LIMIT $BigramTopK""".stripMargin
 
+  /** The Zipf head: the corpus's top [[ZipfTopK]] tokens with exact
+    * global rank and frequency (ppm of all token occurrences) — the
+    * vocabulary sanity check run before tokenizer training ("is the
+    * head dominated by boilerplate?"). The corpus collapses to the
+    * VOCABULARY frame in one partial agg; the exact rank is
+    * [[Ranks.distributedRank]] (the vocabulary is data-sized at 100 TB
+    * — tens of millions of types — so a global rank window is exactly
+    * the single-task sort the plan sweep bans), and the grand total
+    * re-attaches with the one-row broadcast idiom, reusing the frame
+    * the rank already materialized.
+    */
+  val ZipfTopK = 40
+
+  def textZipf(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val ranked = Ranks.distributedRank(counts, "rank", col("n").desc, col("token"))
+    val totals = ranked.agg(sum("n").as("n_total"))
+    ranked.filter(col("rank") <= ZipfTopK)
+      .crossJoin(broadcast(totals))
+      .withColumn("freq_ppm", expr("n * 1000000 div n_total"))
+      .select("rank", "token", "n", "freq_ppm")
+      .orderBy("rank")
+  }
+
+  val textZipfSql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+       |  FROM documents
+       |), counts AS (
+       |  SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+       |), ranked AS (
+       |  SELECT token, n,
+       |    ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank,
+       |    CAST(SUM(n) OVER () AS BIGINT) AS n_total
+       |  FROM counts
+       |)
+       |SELECT rank, token, n, n * 1000000 // n_total AS freq_ppm
+       |FROM ranked WHERE rank <= $ZipfTopK ORDER BY rank""".stripMargin
+
+  /** Per-source lexical diversity: vocabulary size, token count, and
+    * the Simpson repeat-probability (the chance two token draws from
+    * the source are the same type — high = templated/boilerplate
+    * source, the corpus-curation diversity gate). Σnᵢ(nᵢ−1)/(N(N−1))
+    * stays in exact BIGINT arithmetic until ONE IEEE double division,
+    * floor-quantized to 6dp — bit-identical cross-engine. Two-level
+    * partial agg: (source, token) grid, then source-cardinality rows.
+    */
+  def sourceDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vocab"), sum("n").as("n_tokens"),
+        sum(expr("n * (n - 1)")).as("rep_pairs"))
+      .withColumn("simpson", expr(
+        "floor(CAST(rep_pairs AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .select("source", "n_vocab", "n_tokens", "simpson")
+      .orderBy("source")
+
+  val sourceDiversitySql: String =
+    """WITH grid AS (
+      |  SELECT source, token, COUNT(*) AS n FROM (
+      |    SELECT source, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+      |    FROM documents) t
+      |  GROUP BY 1, 2
+      |), per_source AS (
+      |  SELECT source, COUNT(*) AS n_vocab, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n * (n - 1)) AS BIGINT) AS rep_pairs
+      |  FROM grid GROUP BY 1
+      |)
+      |SELECT source, n_vocab, n_tokens,
+      |  floor(CAST(rep_pairs AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS simpson
+      |FROM per_source ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "text_ngram_lm" -> (textNgramLm _),
     "corpus_source_stats" -> (corpusSourceStats _),
-    "corpus_bigrams" -> (corpusBigrams _))
+    "corpus_bigrams" -> (corpusBigrams _),
+    "text_zipf" -> (textZipf _),
+    "source_diversity" -> (sourceDiversity _))
 
   val oracles: Map[String, String] = Map(
     "text_repetition" -> textRepetitionSql,
     "text_ngram_lm" -> textNgramLmSql,
     "corpus_source_stats" -> corpusSourceStatsSql,
-    "corpus_bigrams" -> corpusBigramsSql)
+    "corpus_bigrams" -> corpusBigramsSql,
+    "text_zipf" -> textZipfSql,
+    "source_diversity" -> sourceDiversitySql)
 }

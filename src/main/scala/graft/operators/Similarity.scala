@@ -751,7 +751,130 @@ object Similarity {
        |  CAST(SUM(milli) AS BIGINT) // COUNT(*) AS centroid_milli
        |FROM grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** ANN quality audit: recall@k of the IVF index against the exact
+    * brute-force neighbors, per query — the acceptance gate every
+    * approximate index needs before it replaces the exact path at
+    * scale (the same estimate-vs-exact in-row grading shape as
+    * source_similarity for MinHash). Reuses both contract operators
+    * verbatim: the exact side is broadcast-query brute force (bounded
+    * by the query set), the approximate side probes Nprobe cells —
+    * recall is then a query-cardinality join + agg, costless next to
+    * either input. Integer hit counts; one floored ppm division.
+    */
+  def knnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = knnBruteforce(s, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnIvf(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      .orderBy("query_id")
+  }
+
+  val knnRecallSql: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($knnBruteforceSql) e
+       |), approx AS (SELECT query_id, neighbor_id FROM ($knnIvfSql) a
+       |)
+       |SELECT exact.query_id, COUNT(*) AS n_exact,
+       |  COUNT(approx.neighbor_id) AS n_hit,
+       |  COUNT(approx.neighbor_id) * 1000000 // COUNT(*) AS recall_ppm
+       |FROM exact LEFT JOIN approx
+       |  ON exact.query_id = approx.query_id AND exact.neighbor_id = approx.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** knn_recall's twin for the PQ index: recall@k of the
+    * quantized-shortlist+rerank path against exact brute force — the
+    * second half of the ANN acceptance gate (IVF audited by
+    * knn_recall, PQ audited here; an index that loses recall in the
+    * ADC shortlist shows up as recall_ppm < 10⁶ per query). Same
+    * query-cardinality join+agg grading shape; both inputs reused
+    * verbatim.
+    */
+  def knnPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = knnBruteforce(s, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnPq(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      .orderBy("query_id")
+  }
+
+  val knnPqRecallSql: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($knnBruteforceSql) e
+       |), approx AS (SELECT query_id, neighbor_id FROM ($knnPqSql) a
+       |)
+       |SELECT exact.query_id, COUNT(*) AS n_exact,
+       |  COUNT(approx.neighbor_id) AS n_hit,
+       |  COUNT(approx.neighbor_id) * 1000000 // COUNT(*) AS recall_ppm
+       |FROM exact LEFT JOIN approx
+       |  ON exact.query_id = approx.query_id AND exact.neighbor_id = approx.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Farthest-from-centroid outliers per label: the label-noise /
+    * drift audit over embed_centroid's prototype table ("which vectors
+    * least belong to their assigned class"). Distances stay exact
+    * BIGINT end to end — vectors quantize to milli (embed_centroid's
+    * convention), the centroid joins back as a BROADCAST (labels×dims
+    * rows), and Σ(milli−c)² folds in ONE vector-keyed partial agg; the
+    * per-label top-k is a rank-filtered label-partitioned window, which
+    * plans as WindowGroupLimit (per-partition local top-k, no per-label
+    * full sort materialized).
+    */
+  val OutlierTopK = 5
+
+  def embedOutlier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        posexplode(expr(sparkToDouble("embedding"))).as(Seq("pos", "x")))
+      .withColumn("milli", expr("CAST(floor(x * 1000) AS BIGINT)"))
+    val cent = grid.groupBy("label", "pos")
+      .agg(sum("milli").as("sum_milli"), count(lit(1)).as("n_vecs"))
+      .withColumn("c_milli", expr("sum_milli div n_vecs"))
+      .select("label", "pos", "c_milli")
+    val byLabel = Window.partitionBy("label").orderBy(col("dist_sq").desc, col("vec_id"))
+    grid.join(broadcast(cent), Seq("label", "pos"))
+      .withColumn("d", col("milli") - col("c_milli"))
+      .groupBy("label", "vec_id")
+      .agg(sum(expr("d * d")).as("dist_sq"))
+      .withColumn("rank", row_number().over(byLabel).cast("long"))
+      .filter(col("rank") <= OutlierTopK)
+      .select("label", "rank", "vec_id", "dist_sq")
+      .orderBy("label", "rank")
+  }
+
+  val embedOutlierSql: String =
+    s"""WITH vecs AS (
+       |  SELECT CAST(label AS BIGINT) AS label, vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), grid AS (
+       |  SELECT label, vec_id, p.pos AS pos,
+       |    CAST(floor(v[p.pos + 1] * 1000) AS BIGINT) AS milli
+       |  FROM vecs CROSS JOIN (SELECT unnest(range(0, ${graft.functions.VectorFns.Dim})) AS pos) p
+       |), cent AS (
+       |  SELECT label, pos, CAST(SUM(milli) AS BIGINT) // COUNT(*) AS c_milli
+       |  FROM grid GROUP BY 1, 2
+       |), dist AS (
+       |  SELECT g.label, g.vec_id,
+       |    CAST(SUM((g.milli - c.c_milli) * (g.milli - c.c_milli)) AS BIGINT) AS dist_sq
+       |  FROM grid g JOIN cent c ON g.label = c.label AND g.pos = c.pos
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT label, vec_id, dist_sq,
+       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist_sq DESC, vec_id) AS rank
+       |  FROM dist
+       |)
+       |SELECT label, rank, vec_id, dist_sq FROM ranked
+       |WHERE rank <= $OutlierTopK ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_recall" -> (knnRecall _),
+    "knn_pq_recall" -> (knnPqRecall _),
+    "embed_outlier" -> (embedOutlier _),
     "knn_classify" -> (knnClassify _),
     "embed_centroid" -> (embedCentroid _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -764,6 +887,9 @@ object Similarity {
     "embed_project" -> (embedProject _))
 
   val oracles: Map[String, String] = Map(
+    "knn_recall" -> knnRecallSql,
+    "knn_pq_recall" -> knnPqRecallSql,
+    "embed_outlier" -> embedOutlierSql,
     "knn_classify" -> knnClassifySql,
     "embed_centroid" -> embedCentroidSql,
     "dedup_semantic" -> dedupSemanticSql,

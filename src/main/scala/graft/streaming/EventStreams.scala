@@ -203,6 +203,43 @@ object EventStreams {
       }
   }
 
+  case class LifeState(lastDay: Long)
+
+  /** Streaming twin of the batch `events_lifecycle` growth accounting:
+    * classifies each (user, active-day) as new / retained /
+    * resurrected with ONE long of state per user — the user's last
+    * active day. In-batch rows sort+dedupe by day; cross-batch
+    * continuity comes from the carried last-day, so the union of batch
+    * outputs equals the batch operator's per-(user, day) classification
+    * no matter where micro-batch boundaries fall (a user whose
+    * previous active day landed in an earlier batch is classified from
+    * state, not re-counted as new). A day equal to the carried day is
+    * a redelivered duplicate (already classified — emitted nothing); a
+    * day BELOW the carried day is out-of-order beyond the advertised
+    * in-order-per-user contract and is dropped rather than
+    * misclassified — the same drop-don't-corrupt policy as
+    * gapFillStream's beyond-horizon corrections.
+    */
+  def lifecycleStream(events: Dataset[(Long, Long)]): Dataset[(Long, Long, String)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[LifeState]) =>
+          val days = rows.map(_._2).toSeq.distinct.sorted
+          var last = state.getOption.map(_.lastDay).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[(Long, Long, String)]
+          days.foreach { d =>
+            if (last == Long.MinValue) { out += ((d, user, "new")); last = d }
+            else if (d == last + 1) { out += ((d, user, "retained")); last = d }
+            else if (d > last) { out += ((d, user, "resurrected")); last = d }
+            // d <= last: duplicate or late out-of-order — no emission
+          }
+          if (last != Long.MinValue) state.update(LifeState(last))
+          out.result().iterator
+      }
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,

@@ -78,7 +78,12 @@ object ScaleSmoke {
       "corpus_bigrams", "knn_classify", "embed_centroid",
       "events_dwell", "source_similarity", "source_deciles",
       "events_seasonality", "events_value_pareto",
-      "events_attribution", "text_readability")
+      "events_attribution", "text_readability",
+      // round 6: lifecycle grids, ANN recall audit, vocabulary stats
+      // (orders_reorder_gap uses un-replicated orders — bench + PLANS)
+      "events_lifecycle", "user_tenure", "events_cum_share",
+      "knn_recall", "text_zipf", "source_diversity",
+      "events_gini", "knn_pq_recall", "embed_outlier")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

@@ -85,10 +85,14 @@ class PlanSpec extends SparkSpec {
     // their ONE-ROW totals via crossJoin(broadcast) — the q22 idiom,
     // adopted engine-wide in round 6 so that the WindowExec
     // "No Partition Defined" warning always means a real defect
+    // knn_recall / knn_pq_recall compose knn_bruteforce + the indexed
+    // path, inheriting their broadcast crosses; text_zipf attaches its
+    // one-row token total
     val intendedCross = Set("knn_bruteforce", "knn_ivf", "knn_join", "events_funnel",
       "tfidf_topterms", "sketch_hll_setops", "dedup_semantic", "q22_antijoin",
       "web_domains", "partition_skew", "dedup_ngram", "text_contamination",
-      "knn_classify", "events_value_pareto", "events_attribution", "corpus_mix")
+      "knn_classify", "events_value_pareto", "events_attribution", "corpus_mix",
+      "knn_recall", "text_zipf", "knn_pq_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

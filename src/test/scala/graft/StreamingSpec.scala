@@ -635,4 +635,57 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q2.stop()
   }
+
+  test("stream_lifecycle: cross-batch day continuity, == batch events_lifecycle") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: user 1 active days 10, 11 land in batch 1; day 13 in
+    // batch 2 — the gap classification must come from carried state
+    // (resurrected), NOT restart as new; a redelivered day 11 in batch
+    // 2 must emit nothing
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.lifecycleStream(mem.toDS())
+      .toDF("day", "user_id", "status")
+      .writeStream.format("memory").queryName("life").outputMode("append").start()
+    try {
+      mem.addData((1L, 10L), (1L, 11L), (1L, 10L))
+      q.processAllAvailable()
+      mem.addData((1L, 13L), (1L, 11L), (2L, 13L))
+      q.processAllAvailable()
+      val got = spark.table("life")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == Set((10L, 1L, "new"), (11L, 1L, "retained"),
+        (13L, 1L, "resurrected"), (13L, 2L, "new")), s"got $got")
+    } finally q.stop()
+
+    // equivalence with the batch operator: real events' (user, day)
+    // stream split into TWO micro-batches at the median timestamp;
+    // aggregating streamed classifications must reproduce
+    // events_lifecycle exactly (days arrive in ts order per user, so
+    // the split never reorders a user's days)
+    val dayUs = 86400L * 1000000
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+      .map { case (u, ts) => (u, ts / dayUs) }
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = EventStreams.lifecycleStream(mem2.toDS())
+      .toDF("day", "user_id", "status")
+      .writeStream.format("memory").queryName("life_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val streamed = spark.table("life_eq")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val batch = graft.operators.Growth.eventsLifecycle(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(streamed == batch)
+    } finally q2.stop()
+  }
 }
