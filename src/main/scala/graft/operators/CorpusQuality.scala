@@ -116,11 +116,15 @@ object CorpusQuality {
     * broadcasts back onto the same grouped frame. Zero corpus-sized
     * shuffles, and the text is scanned once.
     */
-  def textNgramLm(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc unigram-LM fit (shared by text_ngram_lm and
+    * corpus_lm_buckets): ONE explode pass — the (doc, bigram, c)
+    * partial aggregate both feeds the corpus frequency table
+    * (freq = Σ c over docs) and carries the per-doc counts —
+    * Σ_occurrences freq ≡ Σ_bg c·freq. lm_score is floor-quantized to
+    * 6dp, so downstream ORDER BY on it is engine-independent.
+    */
+  private def lmScores(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // ONE explode pass: the (doc, bigram, c) partial aggregate both
-    // feeds the corpus frequency table (freq = Σ c over docs) and
-    // carries the per-doc counts — Σ_occurrences freq ≡ Σ_bg c·freq
     val grouped = Materialize.stable(
       docs.select(col("doc_id"), explode(expr(sparkCharBigrams)).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c")))
@@ -130,8 +134,10 @@ object CorpusQuality {
       .agg(sum("c").as("n_bigrams"), sum(expr("c * freq")).as("freq_sum"))
       .select(col("doc_id"), col("n_bigrams"),
         expr(q6("CAST(freq_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)")).as("lm_score"))
-      .orderBy("doc_id")
   }
+
+  def textNgramLm(s: SparkSession, dir: String): DataFrame =
+    lmScores(s, dir).orderBy("doc_id")
 
   val textNgramLmSql: String =
     s"""WITH bg AS (
@@ -321,7 +327,52 @@ object CorpusQuality {
       |  floor(CAST(rep_pairs AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS simpson
       |FROM per_source ORDER BY 1""".stripMargin
 
+  /** CCNet-style quality bucketing: every document assigned to the
+    * head / middle / tail tercile of the corpus's unigram-LM fit
+    * distribution (bucket 1 = worst fit — the slice you drop or
+    * down-weight before pre-training). The global tercile assignment is
+    * the exact rank of each doc's lm_score via [[Ranks.distributedRank]]
+    * (a corpus-sized frame — the single-task global sort the plan
+    * sweep bans), the doc count re-attaches as a one-row broadcast, and
+    * the output collapses to 3 rows. Bucket boundaries are
+    * rank-arithmetic ((rn−1)·3 div n), not score thresholds, so ties
+    * split deterministically by doc_id on both engines.
+    */
+  def corpusLmBuckets(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Ranks.distributedRank(lmScores(s, dir), "rn",
+      col("lm_score").asc, col("doc_id").asc)
+    val totals = ranked.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("bucket", expr("(rn - 1) * 3 div n_total + 1"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("sum_bigrams"),
+        min("lm_score").as("min_score"), max("lm_score").as("max_score"))
+      .orderBy("bucket")
+  }
+
+  val corpusLmBucketsSql: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest($duckCharBigrams) AS bg FROM documents
+       |), freq AS (
+       |  SELECT bg, COUNT(*) AS freq FROM bg GROUP BY 1
+       |), scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    ${q6("CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS lm_score
+       |  FROM bg JOIN freq USING (bg)
+       |  GROUP BY doc_id
+       |), ranked AS (
+       |  SELECT n_bigrams, lm_score,
+       |    ROW_NUMBER() OVER (ORDER BY lm_score, doc_id) AS rn,
+       |    COUNT(*) OVER () AS n_total
+       |  FROM scored
+       |)
+       |SELECT (rn - 1) * 3 // n_total + 1 AS bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+       |  MIN(lm_score) AS min_score, MAX(lm_score) AS max_score
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_lm_buckets" -> (corpusLmBuckets _),
     "text_repetition" -> (textRepetition _),
     "text_ngram_lm" -> (textNgramLm _),
     "corpus_source_stats" -> (corpusSourceStats _),
@@ -330,6 +381,7 @@ object CorpusQuality {
     "source_diversity" -> (sourceDiversity _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_lm_buckets" -> corpusLmBucketsSql,
     "text_repetition" -> textRepetitionSql,
     "text_ngram_lm" -> textNgramLmSql,
     "corpus_source_stats" -> corpusSourceStatsSql,

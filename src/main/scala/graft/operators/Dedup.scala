@@ -474,7 +474,41 @@ object Dedup {
        |LEFT JOIN idx USING (fp)
        |ORDER BY new_id""".stripMargin
 
+  /** Cross-source contamination matrix: MinHash near-dup pairs rolled
+    * up by unordered source pair — "which origins copy from each
+    * other", the per-source overlap audit run before mixing corpora
+    * (off-diagonal mass = cross-source contamination; diagonal =
+    * within-source duplication). Reuses [[minhashPairs]] verbatim (the
+    * LSH band-bucket join bounds the pair term); the rollup is two
+    * source equi-joins on the doc-id projection + ONE pair-keyed
+    * partial agg onto the \|sources\|²-bounded frame — the text column
+    * never moves.
+    */
+  def dedupCrossSource(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashPairs(docs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val dedupCrossSourceSql: String =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql) p)
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  COUNT(*) AS n_pairs
+       |FROM pairs
+       |JOIN documents da ON pairs.doc_a = da.doc_id
+       |JOIN documents db ON pairs.doc_b = db.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_exact" -> (dedupExact _),
@@ -485,6 +519,7 @@ object Dedup {
     "text_contamination" -> (textContamination _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_exact" -> dedupExactSql,

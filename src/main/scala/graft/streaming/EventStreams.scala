@@ -240,6 +240,50 @@ object EventStreams {
       }
   }
 
+  case class CumShareState(lastDay: Long, dayCents: Long, cumBefore: Long)
+
+  /** Streaming twin of the batch `events_cum_share` cumulative revenue
+    * curve: per (event_type, day) emits the day's cents-so-far and the
+    * running cumulative, with THREE longs of state per type (current
+    * day, its accumulated cents, cumulative through the previous day).
+    * A day that straddles a micro-batch boundary re-emits the SAME
+    * (type, day) key with monotonically larger values — deliberate
+    * upsert semantics: a last-write-wins (or max-merge) consumer holds
+    * exactly the batch operator's row once the day closes, and never
+    * sees a partial that overwrites a larger value (the gapFillStream
+    * correction lesson). Days below the carried day are out-of-order
+    * beyond the advertised per-type contract and are dropped, not
+    * misaccumulated.
+    */
+  def cumShareStream(rows: Dataset[(String, Long, Long)])
+      : Dataset[(String, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[(String, Long, Long)],
+            state: GroupState[CumShareState]) =>
+          val byDay = it.toSeq.groupBy(_._2).view
+            .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+          var st = state.getOption.getOrElse(CumShareState(Long.MinValue, 0L, 0L))
+          val out = Seq.newBuilder[(String, Long, Long, Long)]
+          byDay.foreach { case (d, c) =>
+            if (d == st.lastDay) {
+              st = st.copy(dayCents = st.dayCents + c)
+              out += ((tpe, d, st.dayCents, st.cumBefore + st.dayCents))
+            } else if (d > st.lastDay) {
+              val cum = if (st.lastDay == Long.MinValue) 0L
+                else st.cumBefore + st.dayCents
+              st = CumShareState(d, c, cum)
+              out += ((tpe, d, c, cum + c))
+            }
+            // d < lastDay: late out-of-order — dropped (see scaladoc)
+          }
+          if (st.lastDay != Long.MinValue) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,

@@ -83,7 +83,9 @@ object ScaleSmoke {
       // (orders_reorder_gap uses un-replicated orders — bench + PLANS)
       "events_lifecycle", "user_tenure", "events_cum_share",
       "knn_recall", "text_zipf", "source_diversity",
-      "events_gini", "knn_pq_recall", "embed_outlier")
+      "events_gini", "knn_pq_recall", "embed_outlier",
+      "events_stickiness", "events_paths", "corpus_lm_buckets",
+      "dedup_cross_source")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

@@ -92,7 +92,9 @@ class PlanSpec extends SparkSpec {
       "tfidf_topterms", "sketch_hll_setops", "dedup_semantic", "q22_antijoin",
       "web_domains", "partition_skew", "dedup_ngram", "text_contamination",
       "knn_classify", "events_value_pareto", "events_attribution", "corpus_mix",
-      "knn_recall", "text_zipf", "knn_pq_recall")
+      "knn_recall", "text_zipf", "knn_pq_recall",
+      // corpus_lm_buckets attaches its one-row doc-count total
+      "corpus_lm_buckets")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

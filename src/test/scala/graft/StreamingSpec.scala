@@ -688,4 +688,78 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q2.stop()
   }
+
+  test("stream_cum_share: straddled day upserts monotonically, == batch events_cum_share") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: type A's day 5 straddles the batch boundary — the
+    // second emission must carry the FULL day (30+12) and the larger
+    // cumulative, so a last-write-wins consumer never regresses; day 4
+    // arriving after day 5 is late out-of-order and must be dropped
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = EventStreams.cumShareStream(mem.toDS())
+      .toDF("event_type", "day", "day_cents", "cum_cents")
+      .writeStream.format("memory").queryName("cum").outputMode("append").start()
+    try {
+      mem.addData(("A", 5L, 30L), ("A", 6L, 7L))
+      q.processAllAvailable()
+      mem.addData(("A", 5L, 12L), ("A", 4L, 99L), ("A", 7L, 1L))
+      q.processAllAvailable()
+      val got = spark.table("cum")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // batch 1: day 5 -> (30, 30), day 6 -> (7, 37)
+      // batch 2: day 5 re-emitted only if it is still the carried day —
+      // it is NOT (day 6 closed it), so the late 12 is dropped with the
+      // late 99; day 7 -> (1, 38)
+      assert(got == Set(("A", 5L, 30L, 30L), ("A", 6L, 7L, 37L), ("A", 7L, 1L, 38L)),
+        s"got $got")
+    } finally q.stop()
+
+    // straddle WITHIN the carried day: day 5 still open when its second
+    // half arrives -> upsert with the full total
+    val mem2 = MemoryStream[(String, Long, Long)]
+    val q2 = EventStreams.cumShareStream(mem2.toDS())
+      .toDF("event_type", "day", "day_cents", "cum_cents")
+      .writeStream.format("memory").queryName("cum2").outputMode("append").start()
+    try {
+      mem2.addData(("A", 5L, 30L)); q2.processAllAvailable()
+      mem2.addData(("A", 5L, 12L), ("A", 6L, 7L)); q2.processAllAvailable()
+      val got = spark.table("cum2")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(("A", 5L, 30L, 30L), ("A", 5L, 42L, 42L), ("A", 6L, 7L, 49L)),
+        s"got $got")
+      // last-write-wins view of the upserts == the closed-day rows
+      val lww = spark.table("cum2").groupBy("event_type", "day")
+        .agg(max("day_cents").as("day_cents"), max("cum_cents").as("cum_cents"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(lww == Set(("A", 5L, 42L, 42L), ("A", 6L, 7L, 49L)))
+    } finally q2.stop()
+
+    // equivalence with the batch operator: real events split into TWO
+    // micro-batches at the median timestamp (cents pre-converted with
+    // the batch operator's DECIMAL cast; days arrive in ts order per
+    // type, so only the straddled day upserts) — the last-write-wins
+    // view must equal events_cum_share's (type, day, day_cents,
+    // cum_cents) exactly
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem3 = MemoryStream[(String, Long, Long)]
+    val q3 = EventStreams.cumShareStream(mem3.toDS())
+      .toDF("event_type", "day", "day_cents", "cum_cents")
+      .writeStream.format("memory").queryName("cum_eq").outputMode("append").start()
+    try {
+      mem3.addData(first.toSeq); q3.processAllAvailable()
+      mem3.addData(second.toSeq); q3.processAllAvailable()
+      val streamed = spark.table("cum_eq").groupBy("event_type", "day")
+        .agg(max("day_cents").as("day_cents"), max("cum_cents").as("cum_cents"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.operators.Growth.eventsCumShare(spark, sfDir)
+        .select("event_type", "day", "day_cents", "cum_cents")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally q3.stop()
+  }
 }
