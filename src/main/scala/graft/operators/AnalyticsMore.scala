@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Second-order analytics over the star schema and the event stream:
+  * market-basket affinity, daily-series autocorrelation, the full CUBE
+  * lattice, and a robust (median/MAD) outlier gate.
+  *
+  * Reference scope: rehiver (TimMikeladze/rehiver, src/index.ts) serves
+  * partitioned lake data to exactly these downstream consumers; the
+  * operators here are the next ring of queries an analytics stack runs
+  * on what it serves, in shapes that survive a 100 TB fact table.
+  *
+  * Scale shapes: the basket self-join is equi-keyed on the order and
+  * its fanout is bounded by basket size squared (≤13 lines/order in
+  * TPC-H, a constant); the autocorrelation join lives on the
+  * day×type frame (calendar-bounded, not data-bounded); the CUBE
+  * expands BEFORE the partial aggregate so the shuffle carries lattice
+  * partials, never the fact rows; the MAD pass pays two type-
+  * partitioned sorts — the documented price of exact order statistics
+  * (the events_median_exact audit-path contract).
+  */
+object AnalyticsMore {
+
+  private val DayUs = 86400L * 1000000
+
+  /** Market-basket brand affinity: for every unordered pair of part
+    * brands co-purchased in one order, the co-occurrence count, each
+    * brand's order reach, support and lift. The classic association
+    * signal (lift > 1 = brands bought together more than chance).
+    *
+    * Scale shape: lineitem joins the broadcast part projection, then
+    * collapses to the distinct (order, brand) grid — the pair self-join
+    * is equi-keyed on the order and fans out at most |basket|² ≈ 13²
+    * rows per order, a constant multiple of the fact scan, never n².
+    * The aggregate lands on the |brands|²-bounded pair frame; per-brand
+    * reach and the ONE-ROW order total attach as broadcasts (the q22
+    * idiom). Lift's cross term n_co·n_orders can pass 2⁶³ at 100 TB, so
+    * it is evaluated in IEEE doubles (identical op order on both
+    * engines) and floor-quantized once to ppm.
+    */
+  def ordersBasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    val ob = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val totals = ob.agg(countDistinct("okey").as("n_orders"))
+    val brandN = ob.groupBy("brand").agg(count(lit(1)).as("n_brand"))
+    ob.join(ob.select(col("okey"), col("brand").as("brand_b")), Seq("okey"))
+      .filter(col("brand") < col("brand_b"))
+      .groupBy(col("brand").as("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .join(broadcast(brandN.select(col("brand").as("brand_a"), col("n_brand").as("n_a"))),
+        Seq("brand_a"))
+      .join(broadcast(brandN.select(col("brand").as("brand_b"), col("n_brand").as("n_b"))),
+        Seq("brand_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("support_ppm", expr("n_co * 1000000 div n_orders"))
+      .withColumn("lift_ppm", expr(
+        "CAST(floor(CAST(n_co AS DOUBLE) * CAST(n_orders AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .select("brand_a", "brand_b", "n_co", "n_a", "n_b", "support_ppm", "lift_ppm")
+      .orderBy("brand_a", "brand_b")
+  }
+
+  val ordersBasketPairsSql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), totals AS (
+      |  SELECT COUNT(DISTINCT okey) AS n_orders FROM ob
+      |), brandn AS (
+      |  SELECT brand, COUNT(*) AS n_brand FROM ob GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_co
+      |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      |  GROUP BY 1, 2
+      |)
+      |SELECT brand_a, brand_b, n_co, na.n_brand AS n_a, nb.n_brand AS n_b,
+      |  n_co * 1000000 // n_orders AS support_ppm,
+      |  CAST(floor(CAST(n_co AS DOUBLE) * CAST(n_orders AS DOUBLE)
+      |    / (CAST(na.n_brand AS DOUBLE) * CAST(nb.n_brand AS DOUBLE)) * 1000000) AS BIGINT) AS lift_ppm
+      |FROM pairs
+      |JOIN brandn na ON pairs.brand_a = na.brand
+      |JOIN brandn nb ON pairs.brand_b = nb.brand
+      |CROSS JOIN totals
+      |ORDER BY brand_a, brand_b""".stripMargin
+
+  /** Daily-count autocorrelation per event type at lags 1 and 7 — the
+    * "is this series weekly-periodic" probe behind seasonality-aware
+    * anomaly baselines (a high lag-7 r on traffic means Monday predicts
+    * Monday). Pearson r over (count(d), count(d+lag)) pairs on observed
+    * days.
+    *
+    * Scale shape: the raw stream collapses to the (type, day) frame in
+    * ONE partial agg; the lag pairing is a self-equi-join on
+    * (type, day+lag) over that calendar-bounded frame; moment sums are
+    * exact BIGINTs. The Pearson quotient mixes n·Σxy-scale products
+    * that can pass 2⁶³ at 10⁸-event days, so the final arithmetic runs
+    * in IEEE doubles with an identical op order on both engines, and is
+    * floor-quantized once to ppm; a zero-variance series yields NULL,
+    * not a NaN cast.
+    */
+  def eventsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val paired = Seq(1, 7).map { lag =>
+      daily.join(
+          daily.select(col("event_type"), (col("day") - lag).as("day"), col("n").as("n_lead")),
+          Seq("event_type", "day"))
+        .withColumn("lag", lit(lag.toLong))
+    }.reduce(_ unionByName _)
+    paired.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("n").as("sx"), sum("n_lead").as("sy"),
+        sum(expr("n * n_lead")).as("sxy"),
+        sum(expr("n * n")).as("sxx"),
+        sum(expr("n_lead * n_lead")).as("syy"))
+      .withColumn("r_ppm", expr(
+        """CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+          |       OR CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+          |  THEN NULL
+          |  ELSE CAST(floor(
+          |    (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |    / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          |    * 1000000) AS BIGINT) END""".stripMargin))
+      .select("event_type", "lag", "n_pairs", "sx", "sy", "sxy", "r_ppm")
+      .orderBy("event_type", "lag")
+  }
+
+  val eventsAutocorrSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // $DayUs AS day, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), paired AS (
+       |  SELECT a.event_type, CAST(1 AS BIGINT) AS lag, a.n, b.n AS n_lead
+       |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.day = a.day + 1
+       |  UNION ALL
+       |  SELECT a.event_type, CAST(7 AS BIGINT) AS lag, a.n, b.n AS n_lead
+       |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.day = a.day + 7
+       |), m AS (
+       |  SELECT event_type, lag, COUNT(*) AS n_pairs,
+       |    CAST(SUM(n) AS BIGINT) AS sx, CAST(SUM(n_lead) AS BIGINT) AS sy,
+       |    CAST(SUM(n * n_lead) AS BIGINT) AS sxy,
+       |    CAST(SUM(n * n) AS BIGINT) AS sxx,
+       |    CAST(SUM(n_lead * n_lead) AS BIGINT) AS syy
+       |  FROM paired GROUP BY 1, 2
+       |)
+       |SELECT event_type, lag, n_pairs, sx, sy, sxy,
+       |  CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+       |         OR CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+       |    THEN NULL
+       |    ELSE CAST(floor(
+       |      (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |           * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |      * 1000000) AS BIGINT) END AS r_ppm
+       |FROM m ORDER BY event_type, lag""".stripMargin
+
+  /** Traffic/value CUBE over (event_type, day-of-week): all four
+    * lattice levels — per cell, per type, per dow, grand total — in ONE
+    * fact pass. The q_rollup contract extended to the full CUBE: Spark
+    * Expands the lattice BEFORE the partial aggregate, so the shuffle
+    * carries one partial row per (group, level) — 4× the cell
+    * cardinality (≤ 4·|types|·7 rows), never 4 scans. dow uses the
+    * events_seasonality convention: (epoch_days + 4) % 7, Sunday = 0.
+    */
+  def eventsCube(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .withColumn("dow", expr(s"CAST((ts_us div $DayUs + 4) % 7 AS INT)"))
+      .cube(col("event_type"), col("dow"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow"), lit(-1)).as("dow"),
+        col("gid"), col("n_events"), col("sum_cents"))
+      .orderBy("gid", "event_type", "dow")
+  }
+
+  val eventsCubeSql: String =
+    s"""SELECT COALESCE(event_type, 'ALL') AS event_type,
+       |  COALESCE(dow, -1) AS dow,
+       |  CAST(GROUPING(event_type, dow) AS BIGINT) AS gid,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+       |FROM (
+       |  SELECT event_type,
+       |    CAST((epoch_us(ts) // $DayUs + 4) % 7 AS INTEGER) AS dow,
+       |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       |  FROM events) t
+       |GROUP BY CUBE (event_type, dow)
+       |ORDER BY gid, event_type, dow""".stripMargin
+
+  /** Robust outlier gate per event type: exact lower median of the
+    * value, exact MAD (median absolute deviation), and the count of
+    * events beyond 3·MAD — the outlier rule that, unlike
+    * events_anomaly's z-score, a few extreme values cannot drag (the
+    * median and MAD are insensitive to the tail they're gating).
+    *
+    * Scale shape: two type-partitioned sort windows (value rank, then
+    * deviation rank) — the documented price of EXACT order statistics,
+    * same contract as events_median_exact, the audit path for the
+    * sketch_quantile estimates you'd run at full scale. Both medians
+    * ride back onto the stream as type-cardinality broadcasts; ties
+    * break on (value, event_id) so both engines pick the identical row.
+    * Integer cents end to end; the 3·MAD threshold compares in BIGINT.
+    */
+  def eventsMad(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+    val all = Window.partitionBy("event_type")
+    val byVal = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    val med = ev.withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(all))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("cents").as("med_cents"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val byDev = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    val mad = dev.withColumn("rn", row_number().over(byDev))
+      .withColumn("n", count(lit(1)).over(all))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad_cents"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max("med_cents").as("med_cents"),
+        max("mad_cents").as("mad_cents"),
+        sum(when(col("dev") > col("mad_cents") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val eventsMadSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events
+      |), med AS (
+      |  SELECT event_type, cents AS med_cents FROM (
+      |    SELECT event_type, cents,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM ev) t WHERE rn = (n + 1) // 2
+      |), dv AS (
+      |  SELECT ev.event_type, ev.event_id, med_cents,
+      |    abs(ev.cents - med_cents) AS dev
+      |  FROM ev JOIN med USING (event_type)
+      |), mad AS (
+      |  SELECT event_type, dev AS mad_cents FROM (
+      |    SELECT event_type, dev, event_id,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+      |      COUNT(*) OVER (PARTITION BY event_type) AS n
+      |    FROM dv) t WHERE rn = (n + 1) // 2
+      |)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents,
+      |  CAST(SUM(CASE WHEN dev > mad_cents * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dv JOIN mad USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_basket_pairs" -> (ordersBasketPairs _),
+    "events_autocorr" -> (eventsAutocorr _),
+    "events_cube" -> (eventsCube _),
+    "events_mad" -> (eventsMad _))
+
+  val oracles: Map[String, String] = Map(
+    "orders_basket_pairs" -> ordersBasketPairsSql,
+    "events_autocorr" -> eventsAutocorrSql,
+    "events_cube" -> eventsCubeSql,
+    "events_mad" -> eventsMadSql)
+}

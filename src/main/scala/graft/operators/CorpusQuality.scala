@@ -327,6 +327,39 @@ object CorpusQuality {
       |  floor(CAST(rep_pairs AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS simpson
       |FROM per_source ORDER BY 1""".stripMargin
 
+  /** Per-source hapax share: how much of each source's vocabulary
+    * occurs exactly once (hapax legomena). The tokenizer-health /
+    * OCR-noise probe next to [[sourceDiversity]]'s Simpson index — a
+    * hapax share near 1 means the source is mostly unique strings
+    * (noise, IDs, mangled encodings) and will bloat a learned
+    * vocabulary. Same two-level partial-agg shape: the (source, token)
+    * grid is the only shuffle, the hapax slice is a conditional sum on
+    * the grid row's count, and the output is source-cardinality.
+    * Integer ppm — no doubles anywhere.
+    */
+  def textHapax(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_ppm", expr("n_hapax * 1000000 div n_vocab"))
+      .orderBy("source")
+
+  val textHapaxSql: String =
+    """WITH grid AS (
+      |  SELECT source, token, COUNT(*) AS n FROM (
+      |    SELECT source, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+      |    FROM documents) t
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_vocab,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS hapax_ppm
+      |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** CCNet-style quality bucketing: every document assigned to the
     * head / middle / tail tercile of the corpus's unigram-LM fit
     * distribution (bucket 1 = worst fit — the slice you drop or
@@ -378,7 +411,8 @@ object CorpusQuality {
     "corpus_source_stats" -> (corpusSourceStats _),
     "corpus_bigrams" -> (corpusBigrams _),
     "text_zipf" -> (textZipf _),
-    "source_diversity" -> (sourceDiversity _))
+    "source_diversity" -> (sourceDiversity _),
+    "text_hapax" -> (textHapax _))
 
   val oracles: Map[String, String] = Map(
     "corpus_lm_buckets" -> corpusLmBucketsSql,
@@ -387,5 +421,6 @@ object CorpusQuality {
     "corpus_source_stats" -> corpusSourceStatsSql,
     "corpus_bigrams" -> corpusBigramsSql,
     "text_zipf" -> textZipfSql,
-    "source_diversity" -> sourceDiversitySql)
+    "source_diversity" -> sourceDiversitySql,
+    "text_hapax" -> textHapaxSql)
 }

@@ -656,6 +656,41 @@ object Similarity {
        |  floor(cosine * 1000000) / CAST(1000000 AS DOUBLE) AS cosine
        |FROM ranked WHERE rank <= $KnnK ORDER BY vec_id, rank""".stripMargin
 
+  /** In-degree distribution of the [[knnJoin]] similarity graph: for
+    * every vector, how many OTHER vectors list it among their top-k
+    * neighbors, histogrammed. The hubness audit every ANN index needs —
+    * a fat right tail (hub vectors referenced by thousands) means the
+    * graph's neighborhoods collapse onto a few centroids and
+    * downstream dedup/retrieval quality degrades; a spike at 0 means
+    * orphan vectors no search will ever surface.
+    *
+    * Scale shape: the cost IS [[knnJoin]] (cell-bounded, see there);
+    * the rollup is one neighbor-keyed partial agg on the k·n edge list,
+    * a LEFT join against the (vec_id) projection to restore zero-degree
+    * vectors, and a histogram-bounded final agg. Nothing here adds a
+    * vector shuffle.
+    */
+  def knnDegree(s: SparkSession, dir: String): DataFrame = {
+    val deg = knnJoin(s, dir)
+      .groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("indeg"))
+    Tables.embeddings(s, dir).select("vec_id")
+      .join(deg, Seq("vec_id"), "left_outer")
+      .withColumn("indeg", coalesce(col("indeg"), lit(0L)))
+      .groupBy("indeg").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("indeg")
+  }
+
+  val knnDegreeSql: String =
+    s"""WITH knn AS (
+       |$knnJoinSql
+       |), deg AS (
+       |  SELECT neighbor_id AS vec_id, COUNT(*) AS indeg FROM knn GROUP BY 1
+       |)
+       |SELECT COALESCE(indeg, 0) AS indeg, COUNT(*) AS n_vectors
+       |FROM embeddings e LEFT JOIN deg d ON e.vec_id = d.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Label-noise audit via k-nearest-neighbor voting: every vector's
     * within-cell top-k neighbors vote with their labels (majority,
     * count-then-min-label tiebreak); per true label, how many vectors'
@@ -883,6 +918,7 @@ object Similarity {
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_ivf" -> (knnIvf _),
     "knn_join" -> (knnJoin _),
+    "knn_degree" -> (knnDegree _),
     "embed_quantize" -> (embedQuantize _),
     "embed_project" -> (embedProject _))
 
@@ -898,6 +934,7 @@ object Similarity {
     "knn_bruteforce" -> knnBruteforceSql,
     "knn_ivf" -> knnIvfSql,
     "knn_join" -> knnJoinSql,
+    "knn_degree" -> knnDegreeSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_project" -> embedProjectSql)
 }

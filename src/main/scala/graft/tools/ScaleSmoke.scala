@@ -85,7 +85,11 @@ object ScaleSmoke {
       "knn_recall", "text_zipf", "source_diversity",
       "events_gini", "knn_pq_recall", "embed_outlier",
       "events_stickiness", "events_paths", "corpus_lm_buckets",
-      "dedup_cross_source")
+      "dedup_cross_source",
+      // round 6 cont.: series stats, robust gate, graph + vocab audits
+      // (orders_basket_pairs uses un-replicated lineitem/part — bench + PLANS)
+      "events_autocorr", "events_cube", "events_mad",
+      "text_hapax", "knn_degree")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

@@ -94,7 +94,11 @@ class PlanSpec extends SparkSpec {
       "knn_classify", "events_value_pareto", "events_attribution", "corpus_mix",
       "knn_recall", "text_zipf", "knn_pq_recall",
       // corpus_lm_buckets attaches its one-row doc-count total
-      "corpus_lm_buckets")
+      "corpus_lm_buckets",
+      // orders_basket_pairs attaches its ONE-ROW order-count total via
+      // crossJoin(broadcast); knn_degree inherits knn_join's
+      // centroid-broadcast cross
+      "orders_basket_pairs", "knn_degree")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
