@@ -284,6 +284,76 @@ object EventStreams {
       }
   }
 
+  case class MarkovState(lastType: String)
+
+  /** Streaming twin of the batch `events_markov` transition matrix:
+    * emits one (from_type, to_type) transition row per event, with ONE
+    * string of state per user — the user's most recent event type. A
+    * user's first-ever event emits the '<start>' source state, exactly
+    * like the batch operator's coalesced lag. In-batch events process
+    * in (ts, event_id) order; the carried state makes the union of
+    * batch outputs aggregate to the batch matrix no matter where
+    * micro-batch boundaries fall (the first event of a new batch
+    * transitions FROM the carried type, not from '<start>' again).
+    * Downstream maintains the matrix incrementally with a count
+    * aggregate keyed on the \|types\|²-bounded pair.
+    */
+  def markovStream(events: Dataset[(Long, Long, Long, String)])
+      : Dataset[(String, String)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[MarkovState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var last = state.getOption.map(_.lastType).orNull
+          val out = Seq.newBuilder[(String, String)]
+          sorted.foreach { case (_, _, _, tpe) =>
+            out += ((if (last == null) "<start>" else last, tpe))
+            last = tpe
+          }
+          if (last != null) state.update(MarkovState(last))
+          out.result().iterator
+      }
+  }
+
+  /** prev2 is the older of the two carried types; null until the user
+    * has seen two events.
+    */
+  case class PathState(prev2: String, prev1: String)
+
+  /** Streaming twin of the batch `events_paths` trigram miner: emits
+    * one (user, e1, e2, e3) row per completed consecutive 3-event
+    * window, carrying TWO strings of state per user (the last two
+    * event types). Windows that straddle a micro-batch boundary
+    * complete from carried state — the streamed rows aggregate to the
+    * batch operator's exact path counts and user reach under any
+    * batch split. Downstream keeps the \|types\|³-bounded count frame
+    * and re-ranks incrementally.
+    */
+  def pathsStream(events: Dataset[(Long, Long, Long, String)])
+      : Dataset[(Long, String, String, String)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[PathState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var p2 = state.getOption.map(_.prev2).orNull
+          var p1 = state.getOption.map(_.prev1).orNull
+          val out = Seq.newBuilder[(Long, String, String, String)]
+          sorted.foreach { case (_, _, _, tpe) =>
+            if (p1 != null && p2 != null) out += ((user, p2, p1, tpe))
+            p2 = p1
+            p1 = tpe
+          }
+          if (p1 != null) state.update(PathState(p2, p1))
+          out.result().iterator
+      }
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,

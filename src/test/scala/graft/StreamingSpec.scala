@@ -689,6 +689,97 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_markov: cross-batch transition from carried state, == batch events_markov") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: user 1's "click" closes batch 1; the "view" opening
+    // batch 2 must transition FROM click (carried state), not from
+    // '<start>' again; user 2's first event is '<start>' -> purchase
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStreams.markovStream(mem.toDS())
+      .toDF("from_type", "to_type")
+      .writeStream.format("memory").queryName("markov").outputMode("append").start()
+    try {
+      mem.addData((1L, 0L, 1L, "click"))
+      q.processAllAvailable()
+      mem.addData((1L, 1L, 2L, "view"), (2L, 2L, 3L, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("markov")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(got == Seq(("<start>", "click"), ("<start>", "purchase"), ("click", "view")),
+        s"got $got")
+    } finally q.stop()
+
+    // equivalence with the batch operator: real events split into TWO
+    // micro-batches at the median timestamp; counting the streamed
+    // transition rows must reproduce events_markov exactly
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(Long, Long, Long, String)]
+    val q2 = EventStreams.markovStream(mem2.toDS())
+      .toDF("from_type", "to_type")
+      .writeStream.format("memory").queryName("markov_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val streamed = spark.table("markov_eq")
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n_transitions"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.operators.EventsMore.eventsMarkov(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q2.stop()
+  }
+
+  test("stream_paths: straddled trigram completes from carried state, == batch events_paths") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: user 1 sees a, b in batch 1 and c, d in batch 2 — the
+    // (a,b,c) trigram straddles the boundary and must complete from the
+    // two carried types; (b,c,d) follows in-batch
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStreams.pathsStream(mem.toDS())
+      .toDF("user_id", "e1", "e2", "e3")
+      .writeStream.format("memory").queryName("paths").outputMode("append").start()
+    try {
+      mem.addData((1L, 0L, 1L, "a"), (1L, 1L, 2L, "b"))
+      q.processAllAvailable()
+      mem.addData((1L, 2L, 3L, "c"), (1L, 3L, 4L, "d"))
+      q.processAllAvailable()
+      val got = spark.table("paths")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(got == Set((1L, "a", "b", "c"), (1L, "b", "c", "d")), s"got $got")
+    } finally q.stop()
+
+    // equivalence with the batch operator: aggregating the streamed
+    // trigram rows (count + distinct-user reach, batch's exact ordering
+    // and top-20 cut) must reproduce events_paths under a median split
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(Long, Long, Long, String)]
+    val q2 = EventStreams.pathsStream(mem2.toDS())
+      .toDF("user_id", "e1", "e2", "e3")
+      .writeStream.format("memory").queryName("paths_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val streamed = spark.table("paths_eq")
+        .groupBy("e1", "e2", "e3")
+        .agg(count(lit(1)).as("n_paths"), countDistinct("user_id").as("n_users"))
+        .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+      val batch = graft.operators.Growth.eventsPaths(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+      assert(streamed == batch)
+    } finally q2.stop()
+  }
+
   test("stream_cum_share: straddled day upserts monotonically, == batch events_cum_share") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
