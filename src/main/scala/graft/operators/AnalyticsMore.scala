@@ -266,15 +266,125 @@ object AnalyticsMore {
       |FROM dv JOIN mad USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Inter-arrival burstiness per event type: the Goh–Barabási index
+    * B = (σ−μ)/(σ+μ) over within-user gap minutes, plus the coefficient
+    * of variation. B → −1 is a metronome (bot cadence), B ≈ 0 is
+    * Poisson, B → +1 is bursty human traffic — the standard
+    * temporal-fingerprint gate next to events_dwell's histogram.
+    *
+    * Scale shape: ONE (type, user)-keyed shuffle + in-partition sort
+    * for the lag (events_dwell's shape), then a partial agg onto the
+    * |types|-bounded moment frame (n, Σx, Σx²) in exact BIGINT minutes
+    * (Σx² stays < 2⁶³ through petabyte-scale gap counts; widen to
+    * DECIMAL(38,0) past ~10¹² gaps/type). The quotient runs once per
+    * type in IEEE doubles with identical op order on both engines —
+    * σ/μ = √(nΣx²−(Σx)²)/Σx after the 1/n cancels — then
+    * floor-quantizes to ppm.
+    */
+  def eventsBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type", "user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_min", expr("(ts_us - prev_us) div 60000000"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_min").as("s1"),
+        sum(expr("gap_min * gap_min")).as("s2"))
+      .withColumn("sd_n", expr(
+        "sqrt(greatest(CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0))"))
+      .withColumn("mean_gap_min", expr("s1 div n_gaps"))
+      .withColumn("cv_ppm", expr(
+        "CASE WHEN s1 > 0 THEN CAST(floor(sd_n / CAST(s1 AS DOUBLE) * 1000000) AS BIGINT) ELSE NULL END"))
+      .withColumn("burst_ppm", expr(
+        "CASE WHEN s1 > 0 THEN CAST(floor((sd_n - CAST(s1 AS DOUBLE)) / (sd_n + CAST(s1 AS DOUBLE)) * 1000000) AS BIGINT) ELSE NULL END"))
+      .select("event_type", "n_gaps", "mean_gap_min", "cv_ppm", "burst_ppm")
+      .orderBy("event_type")
+  }
+
+  val eventsBurstinessSql: String =
+    """WITH gaps AS (
+      |  SELECT event_type, (ts_us - prev_us) // 60000000 AS gap_min FROM (
+      |    SELECT event_type, epoch_us(ts) AS ts_us,
+      |      LAG(epoch_us(ts)) OVER (PARTITION BY event_type, user_id
+      |        ORDER BY epoch_us(ts), event_id) AS prev_us
+      |    FROM events) t
+      |  WHERE prev_us IS NOT NULL
+      |), m AS (
+      |  SELECT event_type, COUNT(*) AS n_gaps,
+      |    CAST(SUM(gap_min) AS BIGINT) AS s1,
+      |    CAST(SUM(gap_min * gap_min) AS BIGINT) AS s2
+      |  FROM gaps GROUP BY 1
+      |), sd AS (
+      |  SELECT event_type, n_gaps, s1, s2,
+      |    sqrt(greatest(CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)) AS sd_n
+      |  FROM m
+      |)
+      |SELECT event_type, n_gaps, s1 // n_gaps AS mean_gap_min,
+      |  CASE WHEN s1 > 0 THEN CAST(floor(sd_n / CAST(s1 AS DOUBLE) * 1000000) AS BIGINT)
+      |       ELSE NULL END AS cv_ppm,
+      |  CASE WHEN s1 > 0 THEN CAST(floor((sd_n - CAST(s1 AS DOUBLE))
+      |         / (sd_n + CAST(s1 AS DOUBLE)) * 1000000) AS BIGINT)
+      |       ELSE NULL END AS burst_ppm
+      |FROM sd ORDER BY 1""".stripMargin
+
+  /** Behavioural-diversity histogram: Shannon entropy of each user's
+    * event-type distribution, binned to quarter-bits — the audience
+    * segmentation between single-purpose users (H≈0) and full-surface
+    * users (H≈log2|types|). Bot farms show up as mass at exactly one
+    * bin; the histogram is the monitor.
+    *
+    * Scale shape: the corpus collapses to the (user, type) grid in ONE
+    * partial agg, then to user-cardinality rows, then to the ≤14-bin
+    * histogram — no windows, no sort. Determinism: per-cell terms
+    * floor-quantize c·log2(c) to ppm BIGINTs FIRST, so the per-user sum
+    * is integer (order-free under shuffle); H_ppm = floor(log2(n)·10⁶)
+    * − T div n is then pure integer arithmetic (provably ≥ 0: floor(ny)
+    * div n ≤ floor(y)). The only cross-engine float surface is log2 of
+    * a bare integer — identical-input single calls, no accumulation.
+    */
+  def eventsEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .withColumn("term", expr("CAST(floor(log2(c) * c * 1000000) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n"), sum("term").as("t"))
+      .withColumn("h_ppm", expr("CAST(floor(log2(n) * 1000000) AS BIGINT) - t div n"))
+      .groupBy(expr("h_ppm div 250000").as("ent_bin"))
+      .agg(count(lit(1)).as("n_users"), sum("h_ppm").as("sum_h_ppm"))
+      .orderBy("ent_bin")
+
+  val eventsEntropySql: String =
+    """WITH grid AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+      |), u AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(floor(log2(c) * c * 1000000) AS BIGINT)) AS BIGINT) AS t
+      |  FROM grid GROUP BY 1
+      |), h AS (
+      |  SELECT user_id,
+      |    CAST(floor(log2(n) * 1000000) AS BIGINT) - t // n AS h_ppm
+      |  FROM u
+      |)
+      |SELECT h_ppm // 250000 AS ent_bin, COUNT(*) AS n_users,
+      |  CAST(SUM(h_ppm) AS BIGINT) AS sum_h_ppm
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_basket_pairs" -> (ordersBasketPairs _),
     "events_autocorr" -> (eventsAutocorr _),
     "events_cube" -> (eventsCube _),
-    "events_mad" -> (eventsMad _))
+    "events_mad" -> (eventsMad _),
+    "events_burstiness" -> (eventsBurstiness _),
+    "events_entropy" -> (eventsEntropy _))
 
   val oracles: Map[String, String] = Map(
     "orders_basket_pairs" -> ordersBasketPairsSql,
     "events_autocorr" -> eventsAutocorrSql,
     "events_cube" -> eventsCubeSql,
-    "events_mad" -> eventsMadSql)
+    "events_mad" -> eventsMadSql,
+    "events_burstiness" -> eventsBurstinessSql,
+    "events_entropy" -> eventsEntropySql)
 }

@@ -404,6 +404,85 @@ object CorpusQuality {
        |  MIN(lm_score) AS min_score, MAX(lm_score) AS max_score
        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-source Zipf-law fit: least-squares slope (and r²) of
+    * ln(freq) vs ln(rank) over each source's top [[ZipfFitK]] tokens —
+    * the one-number tokenizer-health / natural-language check next to
+    * text_zipf's head listing (natural text ≈ −1.0; templated or
+    * machine-generated sources run shallower, OCR noise steeper).
+    *
+    * Scale shape: corpus → (source, token) grid in one partial agg; the
+    * rank≤K filter collapses the per-source window into a top-K group
+    * limit (each source keeps a K-row heap, never materializing the
+    * ranked vocabulary). Determinism: per-row ln products
+    * floor-quantize to ppm BIGINTs so the moment sums are integer
+    * (order-free); the slope/r² quotients run once per source in
+    * identical-order IEEE doubles and floor-quantize to milli.
+    */
+  val ZipfFitK = 64
+
+  def textZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n").desc, col("token"))
+    val num = "CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    val den = "CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    val deny = "CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ZipfFitK)
+      .withColumn("lx", expr("ln(CAST(rank AS DOUBLE))"))
+      .withColumn("ly", expr("ln(CAST(n AS DOUBLE))"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("CAST(floor(lx * 1000000) AS BIGINT)")).as("sx"),
+        sum(expr("CAST(floor(ly * 1000000) AS BIGINT)")).as("sy"),
+        sum(expr("CAST(floor(lx * ly * 1000000) AS BIGINT)")).as("sxy"),
+        sum(expr("CAST(floor(lx * lx * 1000000) AS BIGINT)")).as("sxx"),
+        sum(expr("CAST(floor(ly * ly * 1000000) AS BIGINT)")).as("syy"))
+      .withColumn("slope_milli", expr(
+        s"CASE WHEN $den > 0 THEN CAST(floor(($num) / ($den) * 1000) AS BIGINT) ELSE NULL END"))
+      .withColumn("r2_milli", expr(
+        s"CASE WHEN $den > 0 AND $deny > 0 THEN CAST(floor(($num) * ($num) / (($den) * ($deny)) * 1000) AS BIGINT) ELSE NULL END"))
+      .select("source", "n_terms", "slope_milli", "r2_milli")
+      .orderBy("source")
+  }
+
+  val textZipfSlopeSql: String = {
+    val num = "CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    val den = "CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    val deny = "CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    s"""WITH counts AS (
+       |  SELECT source, token, COUNT(*) AS n FROM (
+       |    SELECT source, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+       |    FROM documents) t
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT source, token, n,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token) AS rank
+       |  FROM counts
+       |), terms AS (
+       |  SELECT source, ln(CAST(rank AS DOUBLE)) AS lx, ln(CAST(n AS DOUBLE)) AS ly
+       |  FROM ranked WHERE rank <= $ZipfFitK
+       |), m AS (
+       |  SELECT source, COUNT(*) AS n_terms,
+       |    CAST(SUM(CAST(floor(lx * 1000000) AS BIGINT)) AS BIGINT) AS sx,
+       |    CAST(SUM(CAST(floor(ly * 1000000) AS BIGINT)) AS BIGINT) AS sy,
+       |    CAST(SUM(CAST(floor(lx * ly * 1000000) AS BIGINT)) AS BIGINT) AS sxy,
+       |    CAST(SUM(CAST(floor(lx * lx * 1000000) AS BIGINT)) AS BIGINT) AS sxx,
+       |    CAST(SUM(CAST(floor(ly * ly * 1000000) AS BIGINT)) AS BIGINT) AS syy
+       |  FROM terms GROUP BY 1
+       |)
+       |SELECT source, n_terms,
+       |  CASE WHEN $den > 0 THEN CAST(floor(($num) / ($den) * 1000) AS BIGINT)
+       |       ELSE NULL END AS slope_milli,
+       |  CASE WHEN $den > 0 AND $deny > 0
+       |       THEN CAST(floor(($num) * ($num) / (($den) * ($deny)) * 1000) AS BIGINT)
+       |       ELSE NULL END AS r2_milli
+       |FROM m ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_lm_buckets" -> (corpusLmBuckets _),
     "text_repetition" -> (textRepetition _),
@@ -412,7 +491,8 @@ object CorpusQuality {
     "corpus_bigrams" -> (corpusBigrams _),
     "text_zipf" -> (textZipf _),
     "source_diversity" -> (sourceDiversity _),
-    "text_hapax" -> (textHapax _))
+    "text_hapax" -> (textHapax _),
+    "text_zipf_slope" -> (textZipfSlope _))
 
   val oracles: Map[String, String] = Map(
     "corpus_lm_buckets" -> corpusLmBucketsSql,
@@ -422,5 +502,6 @@ object CorpusQuality {
     "corpus_bigrams" -> corpusBigramsSql,
     "text_zipf" -> textZipfSql,
     "source_diversity" -> sourceDiversitySql,
-    "text_hapax" -> textHapaxSql)
+    "text_hapax" -> textHapaxSql,
+    "text_zipf_slope" -> textZipfSlopeSql)
 }

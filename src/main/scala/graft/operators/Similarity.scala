@@ -906,8 +906,63 @@ object Similarity {
        |SELECT label, rank, vec_id, dist_sq FROM ranked
        |WHERE rank <= $OutlierTopK ORDER BY 1, 2""".stripMargin
 
+  /** Per-dimension embedding health audit: mean, spread, range and a
+    * near-zero count for every coordinate of the embedding space — the
+    * pre-index check that catches dead dimensions (sd ≈ 0 wastes index
+    * bits), scale drift between batches, and clipped coordinates
+    * (min/max pinned at a bound). Run before building IVF/PQ structures:
+    * a dead or degenerate dimension silently halves their recall.
+    *
+    * Scale shape: map-side posexplode → ONE partial aggregate; the
+    * shuffle carries dims-bounded moment rows, never the corpus.
+    * Determinism: coordinates floor-quantize to milli BIGINTs first
+    * (embed_centroid's convention) so every sum is exact; Σq² stays
+    * < 2⁶³ through ~10⁹ unit-norm vectors; the sd quotient runs once
+    * per dimension in identical-order IEEE doubles, floored to ppm.
+    */
+  def embedDimStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(expr(sparkToDouble("embedding"))).as(Seq("pos", "x")))
+      .withColumn("milli", expr("CAST(floor(x * 1000) AS BIGINT)"))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("milli").as("s1"),
+        sum(expr("milli * milli")).as("s2"),
+        min("milli").as("min_milli"),
+        max("milli").as("max_milli"),
+        sum(when(col("milli") === 0L, 1L).otherwise(0L)).as("n_nearzero"))
+      .withColumn("mean_ppm", expr("s1 * 1000 div n_vecs"))
+      .withColumn("sd_ppm", expr(
+        """CAST(floor(sqrt(greatest(CAST(n_vecs AS DOUBLE) * CAST(s2 AS DOUBLE)
+          |  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0))
+          |  / CAST(n_vecs AS DOUBLE) * 1000) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")))
+      .select("pos", "n_vecs", "mean_ppm", "sd_ppm", "min_milli", "max_milli", "n_nearzero")
+      .orderBy("pos")
+
+  val embedDimStatsSql: String =
+    s"""WITH grid AS (
+       |  SELECT p.pos AS pos,
+       |    CAST(floor(v[p.pos + 1] * 1000) AS BIGINT) AS milli
+       |  FROM (SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings) t
+       |  CROSS JOIN (SELECT unnest(range(0, ${graft.functions.VectorFns.Dim})) AS pos) p
+       |), m AS (
+       |  SELECT pos, COUNT(*) AS n_vecs,
+       |    CAST(SUM(milli) AS BIGINT) AS s1,
+       |    CAST(SUM(milli * milli) AS BIGINT) AS s2,
+       |    MIN(milli) AS min_milli, MAX(milli) AS max_milli,
+       |    CAST(SUM(CASE WHEN milli = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nearzero
+       |  FROM grid GROUP BY 1
+       |)
+       |SELECT pos, n_vecs, s1 * 1000 // n_vecs AS mean_ppm,
+       |  CAST(floor(sqrt(greatest(CAST(n_vecs AS DOUBLE) * CAST(s2 AS DOUBLE)
+       |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0))
+       |    / CAST(n_vecs AS DOUBLE) * 1000) AS BIGINT) AS sd_ppm,
+       |  min_milli, max_milli, n_nearzero
+       |FROM m ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_recall" -> (knnRecall _),
+    "embed_dim_stats" -> (embedDimStats _),
     "knn_pq_recall" -> (knnPqRecall _),
     "embed_outlier" -> (embedOutlier _),
     "knn_classify" -> (knnClassify _),
@@ -924,6 +979,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "knn_recall" -> knnRecallSql,
+    "embed_dim_stats" -> embedDimStatsSql,
     "knn_pq_recall" -> knnPqRecallSql,
     "embed_outlier" -> embedOutlierSql,
     "knn_classify" -> knnClassifySql,

@@ -89,7 +89,9 @@ object ScaleSmoke {
       // round 6 cont.: series stats, robust gate, graph + vocab audits
       // (orders_basket_pairs uses un-replicated lineitem/part — bench + PLANS)
       "events_autocorr", "events_cube", "events_mad",
-      "text_hapax", "knn_degree")
+      "text_hapax", "knn_degree",
+      // round 6 cont.: temporal fingerprint + diversity histogram
+      "events_burstiness", "events_entropy")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
