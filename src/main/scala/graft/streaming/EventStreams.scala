@@ -354,6 +354,46 @@ object EventStreams {
       }
   }
 
+  /** lastDay = most recent active day seen; runLen = length of the
+    * consecutive-day run ending at lastDay.
+    */
+  case class StreakState(lastDay: Long, runLen: Long)
+
+  /** Streaming twin of the batch `events_streaks` island detector:
+    * consumes (user_id, day) activity and emits one
+    * (user_id, start_day, streak_days) row each time a user's current
+    * streak EXTENDS (or a new streak opens), carrying two longs of
+    * state per user. A run that straddles a micro-batch boundary
+    * continues from the carried (lastDay, runLen) — max-aggregating the
+    * emitted rows per (user, start_day) reproduces the batch operator's
+    * island frame under any batch split. Same-day repeats are no-ops;
+    * days older than the carried frontier are dropped (bound lateness
+    * with an upstream watermark if the source can regress).
+    */
+  def streaksStream(events: Dataset[(Long, Long)]): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[StreakState]) =>
+          val days = rows.map(_._2).toSeq.distinct.sorted
+          var last = state.getOption.map(_.lastDay).getOrElse(Long.MinValue)
+          var run = state.getOption.map(_.runLen).getOrElse(0L)
+          val out = Seq.newBuilder[(Long, Long, Long)]
+          days.foreach { d =>
+            if (d == last + 1 && run > 0L) {
+              run += 1; last = d
+              out += ((user, d - run + 1, run))
+            } else if (d > last) {
+              run = 1L; last = d
+              out += ((user, d, 1L))
+            } // d <= last: duplicate or beyond-frontier late row — drop
+          }
+          if (run > 0L) state.update(StreakState(last, run))
+          out.result().iterator
+      }
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,

@@ -780,6 +780,60 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_streaks: straddled run continues from carried state, == batch events_streaks") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: user 1 active days 10, 11 in batch 1 and 12, 14 in
+    // batch 2 — day 12 must EXTEND the carried (11, run=2) streak to 3
+    // with the original start day 10, then day 14 opens a fresh streak
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.streaksStream(mem.toDS())
+      .toDF("user_id", "start_day", "streak_days")
+      .writeStream.format("memory").queryName("streaks").outputMode("append").start()
+    try {
+      mem.addData((1L, 10L), (1L, 11L))
+      q.processAllAvailable()
+      mem.addData((1L, 12L), (1L, 14L))
+      q.processAllAvailable()
+      val got = spark.table("streaks")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 10L, 1L), (1L, 10L, 2L), (1L, 10L, 3L), (1L, 14L, 1L)),
+        s"got $got")
+    } finally q.stop()
+
+    // equivalence with the batch operator: max-aggregating streamed
+    // rows per (user, start_day) rebuilds the island frame; applying
+    // batch's best-streak pick and top-20 cut must equal events_streaks
+    // under a median-day split (per-user days are monotone across it)
+    val dayUs = 86400L * 1000000
+    val ud = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    val (first, second) = ud.splitAt(ud.length / 2)
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = EventStreams.streaksStream(mem2.toDS())
+      .toDF("user_id", "start_day", "streak_days")
+      .writeStream.format("memory").queryName("streaks_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val islands = spark.table("streaks_eq")
+        .groupBy("user_id", "start_day")
+        .agg(max("streak_days").as("streak_days"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("streak_days").desc, col("start_day"))
+      val streamed = islands
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "streak_days", "start_day")
+        .orderBy(col("streak_days").desc, col("user_id"))
+        .limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val batch = graft.operators.EventsMore.eventsStreaks(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(streamed == batch)
+    } finally q2.stop()
+  }
+
   test("stream_cum_share: straddled day upserts monotonically, == batch events_cum_share") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
