@@ -284,7 +284,7 @@ object AnalyticsMore {
   def eventsBurstiness(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type", "user_id").orderBy("ts_us", "event_id")
-    Tables.events(s, dir)
+    val moments = Tables.events(s, dir)
       .withColumn("prev_us", lag("ts_us", 1).over(w))
       .filter(col("prev_us").isNotNull)
       .withColumn("gap_min", expr("(ts_us - prev_us) div 60000000"))
@@ -292,6 +292,17 @@ object AnalyticsMore {
       .agg(count(lit(1)).as("n_gaps"),
         sum("gap_min").as("s1"),
         sum(expr("gap_min * gap_min")).as("s2"))
+    burstinessStats(moments)
+  }
+
+  /** the moment frame → (CV, burstiness) tail, shared by the batch
+    * operator and the streaming twin's equivalence check — the
+    * quotients are a pure function of the (n, Σx, Σx²) BIGINTs, so any
+    * path that accumulates the same integer moments (batch lag window,
+    * streamed per-gap rows) lands on identical output.
+    */
+  private[graft] def burstinessStats(moments: DataFrame): DataFrame =
+    moments
       .withColumn("sd_n", expr(
         "sqrt(greatest(CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0))"))
       .withColumn("mean_gap_min", expr("s1 div n_gaps"))
@@ -301,7 +312,6 @@ object AnalyticsMore {
         "CASE WHEN s1 > 0 THEN CAST(floor((sd_n - CAST(s1 AS DOUBLE)) / (sd_n + CAST(s1 AS DOUBLE)) * 1000000) AS BIGINT) ELSE NULL END"))
       .select("event_type", "n_gaps", "mean_gap_min", "cv_ppm", "burst_ppm")
       .orderBy("event_type")
-  }
 
   val eventsBurstinessSql: String =
     """WITH gaps AS (

@@ -394,6 +394,40 @@ object EventStreams {
       }
   }
 
+  case class IatState(lastUs: Long)
+
+  /** Streaming twin of the batch `events_burstiness` gap miner: keyed
+    * by (event_type, user), carries one timestamp of state, and emits
+    * one (event_type, gap_min) row per inter-arrival gap — a gap that
+    * straddles a micro-batch boundary is computed from the carried
+    * last-event time, exactly like the batch lag window. Because the
+    * downstream moment sums (n, Σx, Σx²) are INTEGER minute sums,
+    * aggregation is associative: accumulating the streamed gaps per
+    * type reproduces the batch operator's moment frame — and therefore
+    * its CV/burstiness quotients bit-for-bit — under any batch split.
+    * State is two longs per (type, user); expire it with a timeout in
+    * production if the key space churns.
+    */
+  def burstinessStream(events: Dataset[(String, Long, Long, Long)])
+      : Dataset[(String, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, Long, Long)],
+            state: GroupState[IatState]) =>
+          val sorted = rows.map { case (_, _, ts, tie) => (ts, tie) }.toSeq.sorted
+          var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[(String, Long)]
+          sorted.foreach { case (ts, _) =>
+            if (last != Long.MinValue) out += ((key._1, (ts - last) / 60000000L))
+            last = ts
+          }
+          state.update(IatState(last))
+          out.result().iterator
+      }
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,

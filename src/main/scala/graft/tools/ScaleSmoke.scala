@@ -90,8 +90,10 @@ object ScaleSmoke {
       // (orders_basket_pairs uses un-replicated lineitem/part — bench + PLANS)
       "events_autocorr", "events_cube", "events_mad",
       "text_hapax", "knn_degree",
-      // round 6 cont.: temporal fingerprint + diversity histogram
-      "events_burstiness", "events_entropy")
+      // round 6 cont.: temporal fingerprint + diversity histogram,
+      // Zipf fit and the per-dimension embedding audit
+      "events_burstiness", "events_entropy",
+      "text_zipf_slope", "embed_dim_stats")
     val times = targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

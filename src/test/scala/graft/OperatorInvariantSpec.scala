@@ -321,6 +321,79 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("events_burstiness: B and CV bounded, gap counts tie to the (type, user) census") {
+    val out = operators.AnalyticsMore.eventsBurstiness(spark, sf).collect()
+    assert(out.nonEmpty)
+    // n_gaps per type must equal Σ_users (events − 1) = n_events − n_users
+    val census = sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    out.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getAs[Long]("n_gaps") == census(t),
+        s"$t: n_gaps ${r.getAs[Long]("n_gaps")} != census ${census(t)}")
+      val b = r.getAs[Long]("burst_ppm")
+      // (σ−μ)/(σ+μ) is bounded to (−1, 1] for non-negative gaps
+      assert(b >= -1000000L && b <= 1000000L, s"$t: burst_ppm $b out of bounds")
+      assert(r.getAs[Long]("cv_ppm") >= 0L, s"$t: negative CV")
+      assert(r.getAs[Long]("mean_gap_min") >= 0L, s"$t: negative mean gap")
+    }
+  }
+
+  test("events_entropy: histogram covers every user, H bounded by log2 of the type count") {
+    val out = operators.AnalyticsMore.eventsEntropy(spark, sf).collect()
+    val ev = sources.Tables.events(spark, sf)
+    val nUsers = ev.select(countDistinct("user_id")).head().getLong(0)
+    val nTypes = ev.select(countDistinct("event_type")).head().getLong(0)
+    assert(out.map(_.getAs[Long]("n_users")).sum == nUsers,
+      "histogram mass must equal the distinct-user count")
+    val maxBin = (math.log(nTypes.toDouble) / math.log(2.0) * 1e6 / 250000).toLong
+    out.foreach { r =>
+      val bin = r.getAs[Long]("ent_bin")
+      // scaladoc claim: H_ppm provably ≥ 0, and H ≤ log2(|types|)
+      assert(bin >= 0L && bin <= maxBin, s"ent_bin $bin outside [0, $maxBin]")
+      val n = r.getAs[Long]("n_users"); val s = r.getAs[Long]("sum_h_ppm")
+      assert(s >= bin * 250000L * n && s < (bin + 1) * 250000L * n,
+        s"bin $bin: sum_h_ppm $s inconsistent with $n members")
+    }
+  }
+
+  test("text_zipf_slope: slope non-positive on rank-sorted frequencies, r2 in [0,1]") {
+    val out = operators.CorpusQuality.textZipfSlope(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getAs[Long]("n_terms") <= operators.CorpusQuality.ZipfFitK)
+      // y = ln(freq) is non-increasing in x = ln(rank) by construction,
+      // so the least-squares slope cannot be positive
+      assert(r.getAs[Long]("slope_milli") <= 0L, s"$src: positive Zipf slope")
+      val r2 = r.getAs[Long]("r2_milli")
+      // Cauchy–Schwarz bounds r² ≤ 1 on exact moments; per-term floor
+      // quantization can nudge the quotient a few milli past it
+      assert(r2 >= 0L && r2 <= 1005L, s"$src: r2_milli $r2 out of bounds")
+    }
+  }
+
+  test("embed_dim_stats: one row per dimension, moments consistent with the quantized range") {
+    val out = operators.Similarity.embedDimStats(spark, sf).collect()
+    assert(out.length == functions.VectorFns.Dim, "one row per embedding dimension")
+    val nVecs = sources.Tables.embeddings(spark, sf).count()
+    out.foreach { r =>
+      val pos = r.getAs[Long]("pos")
+      assert(r.getAs[Long]("n_vecs") == nVecs, s"dim $pos: row count drift")
+      val mn = r.getAs[Long]("min_milli"); val mx = r.getAs[Long]("max_milli")
+      val mean = r.getAs[Long]("mean_ppm"); val sd = r.getAs[Long]("sd_ppm")
+      assert(mn <= mx, s"dim $pos: min > max")
+      // mean_ppm = 1000·mean_milli must sit inside the quantized range
+      assert(mean >= mn * 1000L - 1000L && mean <= mx * 1000L + 1000L,
+        s"dim $pos: mean_ppm $mean outside [$mn, $mx] milli")
+      // population sd is at most half the range (Popoviciu)
+      assert(sd >= 0L && sd <= (mx - mn) * 500L + 1000L,
+        s"dim $pos: sd_ppm $sd exceeds the Popoviciu bound for range [$mn, $mx]")
+    }
+  }
+
   test("embed_project: projections deterministic and norm ratios sane") {
     val out = operators.Similarity.embedProject(spark, sf)
     val a = out.collect(); val b = operators.Similarity.embedProject(spark, sf).collect()

@@ -834,6 +834,52 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_burstiness: straddled gap computed from carried state, == batch events_burstiness") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: the click 3 minutes into batch 2 must produce ONE gap
+    // of 3 min from the carried batch-1 timestamp, not re-seed at zero;
+    // an independent (type, user) key seeds without emitting
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val q = EventStreams.burstinessStream(mem.toDS())
+      .toDF("event_type", "gap_min")
+      .writeStream.format("memory").queryName("burst").outputMode("append").start()
+    try {
+      mem.addData(("click", 1L, 0L, 1L))
+      q.processAllAvailable()
+      mem.addData(("click", 1L, 180000000L, 2L), ("view", 2L, 60000000L, 3L))
+      q.processAllAvailable()
+      val got = spark.table("burst")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(got == Seq(("click", 3L)), s"got $got")
+    } finally q.stop()
+
+    // equivalence: integer moment sums over the streamed gaps, fed to
+    // the SAME stats tail as the batch operator, must reproduce
+    // events_burstiness exactly under a median split
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("ts_us"), col("event_id"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._3)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(String, Long, Long, Long)]
+    val q2 = EventStreams.burstinessStream(mem2.toDS())
+      .toDF("event_type", "gap_min")
+      .writeStream.format("memory").queryName("burst_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val moments = spark.table("burst_eq")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap_min").as("s1"),
+          sum(expr("gap_min * gap_min")).as("s2"))
+      val streamed = graft.operators.AnalyticsMore.burstinessStats(moments)
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.operators.AnalyticsMore.eventsBurstiness(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    } finally q2.stop()
+  }
+
   test("stream_cum_share: straddled day upserts monotonically, == batch events_cum_share") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
