@@ -356,8 +356,18 @@ object AnalyticsMore {
     * a bare integer — identical-input single calls, no accumulation.
     */
   def eventsEntropy(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    entropyHistogram(Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c")))
+
+  /** the (user, type, c) grid → entropy-histogram tail, shared by the
+    * batch operator and the streaming twin's equivalence check: H is a
+    * pure function of the per-user count multiset, and the twin's
+    * last-write-wins (user, type) count upserts rebuild exactly this
+    * grid — so both paths land on the identical histogram, with every
+    * log2 evaluated by the same engine expression.
+    */
+  private[graft] def entropyHistogram(grid: DataFrame): DataFrame =
+    grid
       .withColumn("term", expr("CAST(floor(log2(c) * c * 1000000) AS BIGINT)"))
       .groupBy("user_id")
       .agg(sum("c").as("n"), sum("term").as("t"))
@@ -382,13 +392,71 @@ object AnalyticsMore {
       |  CAST(SUM(h_ppm) AS BIGINT) AS sum_h_ppm
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Supply-chain concentration: the Herfindahl–Hirschman index of
+    * supplier revenue share within each nation, plus the top supplier's
+    * share — the antitrust-style single-point-of-failure audit (HHI
+    * above ~0.25 = a nation's supply hangs on one or two suppliers).
+    *
+    * Scale shape: ONE fact shuffle — lineitem partial-aggregates to the
+    * supplier revenue frame map-side; everything after is
+    * supplier-cardinality with broadcast dimension joins, and nation
+    * totals re-attach by the q22 broadcast idiom. Determinism is
+    * scale-FREE: revenue stays exact DECIMAL→BIGINT 10⁻⁴-dollar units,
+    * each share floors once to ppm (one IEEE division of exact
+    * integers), and because shares sum to ≤10⁶ per nation,
+    * Σ share_ppm² ≤ 10¹² — the HHI sum can never overflow BIGINT at
+    * any corpus size.
+    */
+  def supplierHhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT)").as("rev_u"))
+    val sup = rev
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("rev_u"))
+    val totals = sup.groupBy("n_name").agg(sum("rev_u").as("total_u"))
+    sup.join(broadcast(totals), Seq("n_name"))
+      .withColumn("share_ppm", expr(
+        "CAST(floor(CAST(rev_u AS DOUBLE) / CAST(total_u AS DOUBLE) * 1000000) AS BIGINT)"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        max("share_ppm").as("top_share_ppm"),
+        expr("SUM(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))
+      .orderBy("n_name")
+  }
+
+  val supplierHhiSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS rev_u
+      |  FROM lineitem GROUP BY 1
+      |), sup AS (
+      |  SELECT n_name, rev_u
+      |  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |), tot AS (
+      |  SELECT n_name, CAST(SUM(rev_u) AS BIGINT) AS total_u FROM sup GROUP BY 1
+      |), shares AS (
+      |  SELECT s.n_name,
+      |    CAST(floor(CAST(rev_u AS DOUBLE) / CAST(total_u AS DOUBLE) * 1000000) AS BIGINT) AS share_ppm
+      |  FROM sup s JOIN tot t ON s.n_name = t.n_name
+      |)
+      |SELECT n_name, COUNT(*) AS n_suppliers, MAX(share_ppm) AS top_share_ppm,
+      |  CAST(SUM(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi_ppm
+      |FROM shares GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_basket_pairs" -> (ordersBasketPairs _),
     "events_autocorr" -> (eventsAutocorr _),
     "events_cube" -> (eventsCube _),
     "events_mad" -> (eventsMad _),
     "events_burstiness" -> (eventsBurstiness _),
-    "events_entropy" -> (eventsEntropy _))
+    "events_entropy" -> (eventsEntropy _),
+    "supplier_hhi" -> (supplierHhi _))
 
   val oracles: Map[String, String] = Map(
     "orders_basket_pairs" -> ordersBasketPairsSql,
@@ -396,5 +464,6 @@ object AnalyticsMore {
     "events_cube" -> eventsCubeSql,
     "events_mad" -> eventsMadSql,
     "events_burstiness" -> eventsBurstinessSql,
-    "events_entropy" -> eventsEntropySql)
+    "events_entropy" -> eventsEntropySql,
+    "supplier_hhi" -> supplierHhiSql)
 }

@@ -394,6 +394,38 @@ object EventStreams {
       }
   }
 
+  /** counts = the user's full event-type census so far —
+    * |types|-bounded, the first map-valued state in the twin family.
+    */
+  case class TypeCounts(counts: Map[String, Long])
+
+  /** Streaming twin of the batch `events_entropy` diversity histogram:
+    * carries each user's per-type count map (|types|-bounded — ~10
+    * entries, never event-history-sized) and emits the CUMULATIVE
+    * (user_id, event_type, count) for every type touched in the batch.
+    * Counts are monotone per key, so a last-write-wins upsert (or a
+    * max-aggregate) over the emitted rows rebuilds the exact
+    * (user, type, c) grid the batch operator aggregates — downstream
+    * recomputes H per user from ≤|types| rows on each upsert, with
+    * every log2 evaluated engine-side (the twin never computes floats,
+    * so JVM-vs-engine libm ulps can't split stream from batch).
+    */
+  def entropyStream(events: Dataset[(Long, String)]): Dataset[(Long, String, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String)], state: GroupState[TypeCounts]) =>
+          val prev = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          val batch = rows.map(_._2).toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val merged = batch.foldLeft(prev) { case (m, (t, c)) =>
+            m.updated(t, m.getOrElse(t, 0L) + c)
+          }
+          state.update(TypeCounts(merged))
+          batch.keys.toSeq.sorted.iterator.map(t => (user, t, merged(t)))
+      }
+  }
+
   case class IatState(lastUs: Long)
 
   /** Streaming twin of the batch `events_burstiness` gap miner: keyed

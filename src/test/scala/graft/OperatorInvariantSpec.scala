@@ -394,6 +394,25 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("supplier_hhi: index bounded by the uniform floor and the top-share square") {
+    val out = operators.AnalyticsMore.supplierHhi(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nat = r.getString(0)
+      val n = r.getAs[Long]("n_suppliers")
+      val top = r.getAs[Long]("top_share_ppm")
+      val hhi = r.getAs[Long]("hhi_ppm")
+      assert(top <= 1000000L && top * n >= 1000000L - n,
+        s"$nat: top share $top impossible for $n suppliers")
+      // HHI lives between the uniform minimum 1/n and the monopoly 1,
+      // and must cover at least the top supplier's own square
+      assert(hhi <= 1000000L, s"$nat: hhi_ppm $hhi > 1")
+      assert(hhi >= 1000000L / n - 2L, s"$nat: hhi_ppm $hhi below the uniform floor for n=$n")
+      assert(hhi >= top * top / 1000000L - 1L,
+        s"$nat: hhi_ppm $hhi smaller than top share's own square")
+    }
+  }
+
   test("embed_project: projections deterministic and norm ratios sane") {
     val out = operators.Similarity.embedProject(spark, sf)
     val a = out.collect(); val b = operators.Similarity.embedProject(spark, sf).collect()

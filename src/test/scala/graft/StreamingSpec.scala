@@ -880,6 +880,51 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_entropy: cumulative count upserts rebuild the grid, == batch events_entropy") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: user 1's second "click" in batch 2 must emit the
+    // CUMULATIVE count 2 (not a batch-local 1) — the carried map is
+    // what makes last-write-wins rebuild the census
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.entropyStream(mem.toDS())
+      .toDF("user_id", "event_type", "c")
+      .writeStream.format("memory").queryName("entropy").outputMode("append").start()
+    try {
+      mem.addData((1L, "click"), (1L, "view"))
+      q.processAllAvailable()
+      mem.addData((1L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("entropy")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((1L, "click", 1L), (1L, "view", 1L), (1L, "click", 2L)),
+        s"got $got")
+    } finally q.stop()
+
+    // equivalence: max-aggregating the monotone upserts per (user, type)
+    // rebuilds the grid; the SAME histogram tail as the batch operator
+    // must then reproduce events_entropy exactly under a median split
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+      .collect().sortBy(_.getLong(1)).map(r => (r.getLong(0), r.getString(2)))
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.entropyStream(mem2.toDS())
+      .toDF("user_id", "event_type", "c")
+      .writeStream.format("memory").queryName("entropy_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val grid = spark.table("entropy_eq")
+        .groupBy("user_id", "event_type").agg(max("c").as("c"))
+      val streamed = graft.operators.AnalyticsMore.entropyHistogram(grid)
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.operators.AnalyticsMore.eventsEntropy(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    } finally q2.stop()
+  }
+
   test("stream_cum_share: straddled day upserts monotonically, == batch events_cum_share") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
