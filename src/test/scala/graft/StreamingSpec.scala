@@ -366,6 +366,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.sorted == batch.sorted, "stream admissions == batch first-per-fingerprint")
   }
 
+  test("stream_entropy: restart from checkpoint recovers the count-map state") {
+    // the map-valued state (the only one in the twin family) must
+    // survive the state store round trip: stop between batches, feed
+    // repeat events, restart — the recovered run must emit counts that
+    // CONTINUE from the pre-crash census, not re-seed at 1
+    import spark.implicits._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-entropy-restart").toString
+    val (inDir, outDir, ckDir) = (s"$root/in", s"$root/out", s"$root/ck")
+    val schema = "user_id LONG, event_type STRING"
+    def start() = EventStreams.entropyStream(
+      spark.readStream.schema(schema).json(inDir).as[(Long, String)])
+      .toDF("user_id", "event_type", "c")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir).outputMode("append").start()
+
+    Seq((1L, "click"), (1L, "view"), (2L, "click"))
+      .toDF("user_id", "event_type").coalesce(1).write.mode("append").json(inDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // "crash" between batches
+
+    Seq((1L, "click"), (2L, "purchase"))
+      .toDF("user_id", "event_type").coalesce(1).write.mode("append").json(inDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val finalCounts = spark.read.parquet(outDir)
+      .groupBy("user_id", "event_type").agg(max("c").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(finalCounts == Set((1L, "click", 2L), (1L, "view", 1L),
+      (2L, "click", 1L), (2L, "purchase", 1L)),
+      s"recovered census must continue from pre-crash state; got $finalCounts")
+  }
+
   test("streamMatchingObjects onProgress twin: StreamingQueryListener batch stats") {
     // The reference's onProgress({processed, total, matched}) callback
     // (src/index.ts:1390) maps to Spark's StreamingQueryListener:
