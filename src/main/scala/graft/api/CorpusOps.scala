@@ -318,4 +318,60 @@ object CorpusOps {
       .join(broadcast(blocked.toDF("blocked_domain")),
         col("domain") === col("blocked_domain"), "left_anti")
   }
+
+  /** Per-group Zipf-law fit over whitespace tokens: least-squares
+    * slope and r² of ln(freq) vs ln(rank) over each group's top `topK`
+    * tokens — the generic twin of the text_zipf_slope contract query
+    * (natural text ≈ −1.0; templated sources run shallower). The
+    * rank≤K filter plans as a top-K group limit; ln products
+    * floor-quantize to ppm BIGINTs so the moment sums are order-free.
+    */
+  def zipfSlope(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", topK: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__n").desc, col("__token"))
+    val num = "CAST(n_terms AS DOUBLE) * CAST(__sxy AS DOUBLE) - CAST(__sx AS DOUBLE) * CAST(__sy AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    val den = "CAST(n_terms AS DOUBLE) * CAST(__sxx AS DOUBLE) - CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    val deny = "CAST(n_terms AS DOUBLE) * CAST(__syy AS DOUBLE) - CAST(__sy AS DOUBLE) * CAST(__sy AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    docs
+      .select(col(groupCol),
+        explode(expr(s"filter(split($textCol, ' '), w -> w <> '')")).as("__token"))
+      .groupBy(col(groupCol), col("__token")).agg(count(lit(1)).as("__n"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= topK)
+      .withColumn("__lx", expr("ln(CAST(__rank AS DOUBLE))"))
+      .withColumn("__ly", expr("ln(CAST(__n AS DOUBLE))"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("CAST(floor(__lx * 1000000) AS BIGINT)")).as("__sx"),
+        sum(expr("CAST(floor(__ly * 1000000) AS BIGINT)")).as("__sy"),
+        sum(expr("CAST(floor(__lx * __ly * 1000000) AS BIGINT)")).as("__sxy"),
+        sum(expr("CAST(floor(__lx * __lx * 1000000) AS BIGINT)")).as("__sxx"),
+        sum(expr("CAST(floor(__ly * __ly * 1000000) AS BIGINT)")).as("__syy"))
+      .select(col(groupCol), col("n_terms"),
+        expr(s"CASE WHEN $den > 0 THEN CAST(floor(($num) / ($den) * 1000) AS BIGINT) ELSE NULL END").as("slope_milli"),
+        expr(s"CASE WHEN $den > 0 AND $deny > 0 THEN CAST(floor(($num) * ($num) / (($den) * ($deny)) * 1000) AS BIGINT) ELSE NULL END").as("r2_milli"))
+  }
+
+  /** Per-dimension embedding health audit: mean/sd/range/near-zero
+    * count for every coordinate — the generic twin of embed_dim_stats.
+    * Map-side posexplode, ONE partial agg onto dims-bounded moment
+    * rows; run before any IVF/PQ build (a dead dimension silently
+    * halves index recall).
+    */
+  def embeddingDimStats(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.select(posexplode(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+        .as(Seq("pos", "__x")))
+      .withColumn("__milli", expr("CAST(floor(__x * 1000) AS BIGINT)"))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("__milli").as("__s1"), sum(expr("__milli * __milli")).as("__s2"),
+        min("__milli").as("min_milli"), max("__milli").as("max_milli"),
+        sum(when(col("__milli") === 0L, 1L).otherwise(0L)).as("n_nearzero"))
+      .select(col("pos"), col("n_vecs"),
+        expr("__s1 * 1000 div n_vecs").as("mean_ppm"),
+        expr("""CAST(floor(sqrt(greatest(CAST(n_vecs AS DOUBLE) * CAST(__s2 AS DOUBLE)
+          | - CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE), 0.0))
+          | / CAST(n_vecs AS DOUBLE) * 1000) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")).as("sd_ppm"),
+        col("min_milli"), col("max_milli"), col("n_nearzero"))
 }

@@ -109,4 +109,66 @@ object EventOps {
       .groupBy(col("cohort_period"), (col("period") - col("cohort_period")).as("age"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Inter-arrival burstiness per group: the Goh–Barabási index
+    * (σ−μ)/(σ+μ) and CV over within-key gaps in `unitUs` units — the
+    * generic twin of the events_burstiness contract query. ONE
+    * (group, key) exchange + in-partition sort for the lag, partial
+    * agg onto the |groups|-bounded BIGINT moment frame, one IEEE
+    * quotient per group.
+    */
+  def burstiness(df: DataFrame, groupCol: String, keyCol: String,
+      tsUsCol: String, tieCol: String, unitUs: Long = 60000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol, keyCol).orderBy(tsUsCol, tieCol)
+    df.withColumn("__prev", lag(tsUsCol, 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__gap", expr(s"($tsUsCol - __prev) div $unitUs"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("__gap").as("s1"), sum(expr("__gap * __gap")).as("s2"))
+      .withColumn("__sd_n", expr(
+        "sqrt(greatest(CAST(n_gaps AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0))"))
+      .select(col(groupCol), col("n_gaps"),
+        expr("s1 div n_gaps").as("mean_gap_units"),
+        expr("CASE WHEN s1 > 0 THEN CAST(floor(__sd_n / CAST(s1 AS DOUBLE) * 1000000) AS BIGINT) ELSE NULL END").as("cv_ppm"),
+        expr("CASE WHEN s1 > 0 THEN CAST(floor((__sd_n - CAST(s1 AS DOUBLE)) / (__sd_n + CAST(s1 AS DOUBLE)) * 1000000) AS BIGINT) ELSE NULL END").as("burst_ppm"))
+  }
+
+  /** Behavioural-diversity histogram: Shannon entropy of each key's
+    * category distribution, floor-quantized per cell so every sum is
+    * integer (order-free), binned by `binPpm` — the generic twin of
+    * events_entropy. Three partial aggs, no windows; output ≤
+    * log2(|categories|)·10⁶ / binPpm + 1 rows.
+    */
+  def entropyHistogram(df: DataFrame, keyCol: String, categoryCol: String,
+      binPpm: Long = 250000L): DataFrame =
+    df.groupBy(col(keyCol), col(categoryCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__term", expr("CAST(floor(log2(__c) * __c * 1000000) AS BIGINT)"))
+      .groupBy(keyCol)
+      .agg(sum("__c").as("__n"), sum("__term").as("__t"))
+      .withColumn("__h", expr("CAST(floor(log2(__n) * 1000000) AS BIGINT) - __t div __n"))
+      .groupBy(expr(s"__h div $binPpm").as("ent_bin"))
+      .agg(count(lit(1)).as("n_keys"), sum("__h").as("sum_h_ppm"))
+
+  /** Herfindahl–Hirschman concentration of `weightCol` (exact BIGINT
+    * units) across members of each group — the generic twin of
+    * supplier_hhi, equally at home on revenue per supplier, documents
+    * per source, or traffic per user. Shares floor once to ppm, and
+    * because they sum to ≤10⁶ per group the Σ share² sum is
+    * overflow-free at any scale.
+    */
+  def concentration(df: DataFrame, groupCol: String, memberCol: String,
+      weightCol: String): DataFrame = {
+    val weights = df.groupBy(groupCol, memberCol)
+      .agg(sum(weightCol).as("__w"))
+    val totals = weights.groupBy(groupCol).agg(sum("__w").as("__total"))
+    weights.join(broadcast(totals), Seq(groupCol))
+      .withColumn("__share_ppm", expr(
+        "CAST(floor(CAST(__w AS DOUBLE) / CAST(__total AS DOUBLE) * 1000000) AS BIGINT)"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_members"),
+        max("__share_ppm").as("top_share_ppm"),
+        expr("SUM(__share_ppm * __share_ppm) div 1000000").as("hhi_ppm"))
+  }
 }

@@ -295,6 +295,40 @@ object ApiTour {
       val nUsers = ev.select("user_id").distinct().count()
       h.count() > 0 && nGaps == nEvents - nUsers // one gap per event after each user's first
     })
+    check("events.burstiness gap census ties out, B bounded")({
+      val b = EventOps.burstiness(ev, "event_type", "user_id", "ts_us", "event_id")
+      val nGaps = b.agg(sum("n_gaps")).head().getLong(0)
+      val census = ev.groupBy("event_type", "user_id").count()
+        .agg(sum(expr("count - 1"))).head().getLong(0)
+      nGaps == census &&
+        b.filter(col("burst_ppm") < -1000000L || col("burst_ppm") > 1000000L).count() == 0
+    })
+    check("events.entropyHistogram mass equals the key count")({
+      val h = EventOps.entropyHistogram(ev, "user_id", "event_type")
+      h.agg(sum("n_keys")).head().getLong(0) ==
+        ev.select("user_id").distinct().count() &&
+        h.filter(col("ent_bin") < 0).count() == 0
+    })
+    check("events.concentration: monopoly group hits hhi 1e6")({
+      // every user's traffic concentrated on itself → per-user HHI is
+      // exactly 10⁶; across types HHI must sit strictly below
+      val mono = EventOps.concentration(ev.withColumn("one", lit(1L)),
+        "user_id", "user_id", "one")
+      val spread = EventOps.concentration(ev.withColumn("one", lit(1L)),
+        "event_type", "user_id", "one")
+      mono.filter(col("hhi_ppm") =!= 1000000L).count() == 0 &&
+        spread.filter(col("hhi_ppm") >= 1000000L).count() == 0
+    })
+    check("corpus.zipfSlope non-positive with r2 in [0,1]")({
+      val z = CorpusOps.zipfSlope(docs, "source", "text")
+      z.count() > 0 && z.filter(col("slope_milli") > 0).count() == 0 &&
+        z.filter(col("r2_milli") < 0 || col("r2_milli") > 1005).count() == 0
+    })
+    check("corpus.embeddingDimStats one row per dim, sd within range")({
+      val s = CorpusOps.embeddingDimStats(Tables.embeddings(spark, sfDir))
+      s.count() == graft.functions.VectorFns.Dim &&
+        s.filter(col("sd_ppm") > (col("max_milli") - col("min_milli")) * 500 + 1000).count() == 0
+    })
 
     println(s"[apitour] PASS $checks checks on $sfDir")
     checks
