@@ -96,9 +96,15 @@ object AnalyticsMore {
     *
     * Scale shape: the raw stream collapses to the (type, day) frame in
     * ONE partial agg; the lag pairing is a self-equi-join on
-    * (type, day+lag) over that calendar-bounded frame; moment sums are
-    * exact BIGINTs. The Pearson quotient mixes n·Σxy-scale products
-    * that can pass 2⁶³ at 10⁸-event days, so the final arithmetic runs
+    * (type, day+lag) over that calendar-bounded frame; linear moments
+    * stay exact BIGINT (Σn ≤ 3.65×10¹¹ at 10⁹-event days × 365 days,
+    * 2.5×10⁷× under 2⁶³) while the SQUARED moments accumulate in
+    * DECIMAL(38,0): Σn² reaches 3.65×10²⁰ at the same design point —
+    * 40× past 2⁶³, where a BIGINT sum wraps silently (DuckDB promotes
+    * to int128, so the engines would diverge without the widening).
+    * That is also why no raw cross-moment appears in the OUTPUT: sxy's
+    * true value is not BIGINT-representable at scale, so the contract
+    * carries the linear sums and r_ppm only. The Pearson quotient runs
     * in IEEE doubles with an identical op order on both engines, and is
     * floor-quantized once to ppm; a zero-variance series yields NULL,
     * not a NaN cast.
@@ -116,9 +122,9 @@ object AnalyticsMore {
     paired.groupBy("event_type", "lag")
       .agg(count(lit(1)).as("n_pairs"),
         sum("n").as("sx"), sum("n_lead").as("sy"),
-        sum(expr("n * n_lead")).as("sxy"),
-        sum(expr("n * n")).as("sxx"),
-        sum(expr("n_lead * n_lead")).as("syy"))
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n_lead")).as("sxy"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("sxx"),
+        sum(expr("CAST(n_lead AS DECIMAL(38,0)) * n_lead")).as("syy"))
       .withColumn("r_ppm", expr(
         """CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
           |       OR CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
@@ -128,7 +134,7 @@ object AnalyticsMore {
           |    / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
           |    * 1000000) AS BIGINT) END""".stripMargin))
-      .select("event_type", "lag", "n_pairs", "sx", "sy", "sxy", "r_ppm")
+      .select("event_type", "lag", "n_pairs", "sx", "sy", "r_ppm")
       .orderBy("event_type", "lag")
   }
 
@@ -145,12 +151,12 @@ object AnalyticsMore {
        |), m AS (
        |  SELECT event_type, lag, COUNT(*) AS n_pairs,
        |    CAST(SUM(n) AS BIGINT) AS sx, CAST(SUM(n_lead) AS BIGINT) AS sy,
-       |    CAST(SUM(n * n_lead) AS BIGINT) AS sxy,
-       |    CAST(SUM(n * n) AS BIGINT) AS sxx,
-       |    CAST(SUM(n_lead * n_lead) AS BIGINT) AS syy
+       |    SUM(CAST(n AS HUGEINT) * n_lead) AS sxy,
+       |    SUM(CAST(n AS HUGEINT) * n) AS sxx,
+       |    SUM(CAST(n_lead AS HUGEINT) * n_lead) AS syy
        |  FROM paired GROUP BY 1, 2
        |)
-       |SELECT event_type, lag, n_pairs, sx, sy, sxy,
+       |SELECT event_type, lag, n_pairs, sx, sy,
        |  CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
        |         OR CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
        |    THEN NULL
@@ -274,9 +280,15 @@ object AnalyticsMore {
     *
     * Scale shape: ONE (type, user)-keyed shuffle + in-partition sort
     * for the lag (events_dwell's shape), then a partial agg onto the
-    * |types|-bounded moment frame (n, Σx, Σx²) in exact BIGINT minutes
-    * (Σx² stays < 2⁶³ through petabyte-scale gap counts; widen to
-    * DECIMAL(38,0) past ~10¹² gaps/type). The quotient runs once per
+    * |types|-bounded moment frame (n, Σx, Σx²). Σx stays exact BIGINT
+    * by a telescoping bound — each user's gaps sum to at most the
+    * observation window, so Σx ≤ 10⁹ users × 5×10⁵ min ≈ 5×10¹⁴ —
+    * but no such bound exists for Σx²: Σx² ≤ max_gap·Σx ≈ 2.5×10²⁰
+    * at the same design point, 27× past 2⁶³, so the squared moment
+    * accumulates in DECIMAL(38,0) (matching DuckDB's int128
+    * promotion; the streaming twin's incremental state stays LONG —
+    * its per-restart micro-batch volumes sit far below the wrap
+    * point). The quotient runs once per
     * type in IEEE doubles with identical op order on both engines —
     * σ/μ = √(nΣx²−(Σx)²)/Σx after the 1/n cancels — then
     * floor-quantizes to ppm.
@@ -291,7 +303,7 @@ object AnalyticsMore {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_gaps"),
         sum("gap_min").as("s1"),
-        sum(expr("gap_min * gap_min")).as("s2"))
+        sum(expr("CAST(gap_min AS DECIMAL(38,0)) * gap_min")).as("s2"))
     burstinessStats(moments)
   }
 
@@ -324,7 +336,7 @@ object AnalyticsMore {
       |), m AS (
       |  SELECT event_type, COUNT(*) AS n_gaps,
       |    CAST(SUM(gap_min) AS BIGINT) AS s1,
-      |    CAST(SUM(gap_min * gap_min) AS BIGINT) AS s2
+      |    SUM(CAST(gap_min AS HUGEINT) * gap_min) AS s2
       |  FROM gaps GROUP BY 1
       |), sd AS (
       |  SELECT event_type, n_gaps, s1, s2,

@@ -122,6 +122,12 @@ object CorpusQuality {
     * (freq = Σ c over docs) and carries the per-doc counts —
     * Σ_occurrences freq ≡ Σ_bg c·freq. lm_score is floor-quantized to
     * 6dp, so downstream ORDER BY on it is engine-independent.
+    *
+    * Overflow bound: freq is corpus-sized (≤ 2×10¹³ bigrams at 100 TB
+    * of text), so one c·freq term reaches 10⁵·2×10¹³ = 2×10¹⁸ and the
+    * per-doc Σ c·freq can pass 10²² — far over 2⁶³ — so freq_sum
+    * accumulates in DECIMAL(38,0) (DuckDB reaches the same value via
+    * HUGEINT SUM) and only the final mean is cast to DOUBLE.
     */
   private def lmScores(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -131,7 +137,7 @@ object CorpusQuality {
     val freq = grouped.groupBy("bg").agg(sum("c").as("freq"))
     grouped.join(broadcast(freq), Seq("bg"))
       .groupBy("doc_id")
-      .agg(sum("c").as("n_bigrams"), sum(expr("c * freq")).as("freq_sum"))
+      .agg(sum("c").as("n_bigrams"), sum(expr("CAST(c AS DECIMAL(38,0)) * freq")).as("freq_sum"))
       .select(col("doc_id"), col("n_bigrams"),
         expr(q6("CAST(freq_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)")).as("lm_score"))
   }
@@ -146,7 +152,7 @@ object CorpusQuality {
        |  SELECT bg, COUNT(*) AS freq FROM bg GROUP BY 1
        |)
        |SELECT doc_id, COUNT(*) AS n_bigrams,
-       |  ${q6("CAST(CAST(SUM(freq) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS lm_score
+       |  ${q6("CAST(SUM(freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS lm_score
        |FROM bg JOIN freq USING (bg)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -271,7 +277,9 @@ object CorpusQuality {
     val totals = ranked.agg(sum("n").as("n_total"))
     ranked.filter(col("rank") <= ZipfTopK)
       .crossJoin(broadcast(totals))
-      .withColumn("freq_ppm", expr("n * 1000000 div n_total"))
+      // n·10⁶ passes 2⁶³ once a token type exceeds ~9.2×10¹² occurrences
+      // (plausible for "the" at 100 TB of text) — widen before the div.
+      .withColumn("freq_ppm", expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div n_total AS BIGINT)"))
       .select("rank", "token", "n", "freq_ppm")
       .orderBy("rank")
   }
@@ -288,7 +296,7 @@ object CorpusQuality {
        |    CAST(SUM(n) OVER () AS BIGINT) AS n_total
        |  FROM counts
        |)
-       |SELECT rank, token, n, n * 1000000 // n_total AS freq_ppm
+       |SELECT rank, token, n, CAST(CAST(n AS HUGEINT) * 1000000 // n_total AS BIGINT) AS freq_ppm
        |FROM ranked WHERE rank <= $ZipfTopK ORDER BY rank""".stripMargin
 
   /** Per-source lexical diversity: vocabulary size, token count, and

@@ -137,6 +137,12 @@ object Growth {
     * (type × day) frame in ONE partial agg; both windows are
     * type-partitioned (calendar-bounded frames), so nothing here is a
     * global sort. Cents stay integral; one floored division at output.
+    *
+    * Overflow bound: cum_cents itself is safe BIGINT (≤ total type
+    * revenue ≈ 10¹⁶ cents at 10¹² events × $100), but cum_cents·10⁶
+    * reaches 10²² — past 2⁶³ — so the ppm numerator widens to
+    * DECIMAL(38,0) before the floored division; the quotient (< 10⁶)
+    * casts back to BIGINT. DuckDB mirrors via HUGEINT.
     */
   def eventsCumShare(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -149,7 +155,8 @@ object Growth {
       .agg(sum("cents").as("day_cents"))
       .withColumn("cum_cents", sum("day_cents").over(byDay))
       .withColumn("total_cents", sum("day_cents").over(whole))
-      .withColumn("cum_ppm", expr("cum_cents * 1000000 div total_cents"))
+      .withColumn("cum_ppm", expr(
+        "CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000 div total_cents AS BIGINT)"))
       .select("event_type", "day", "day_cents", "cum_cents", "cum_ppm")
       .orderBy("event_type", "day")
   }
@@ -167,7 +174,7 @@ object Growth {
        |  FROM daily
        |)
        |SELECT event_type, day, day_cents, cum_cents,
-       |  cum_cents * 1000000 // total_cents AS cum_ppm
+       |  CAST(CAST(cum_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT) AS cum_ppm
        |FROM cum ORDER BY 1, 2""".stripMargin
 
   /** Gini coefficient of user value concentration — the single-number
@@ -178,18 +185,28 @@ object Growth {
     * [[Ranks.distributedRank]] over the user-cardinality frame (the
     * exact shape a global `Window.orderBy` would single-task at 10⁸
     * users), and everything after is ONE single-row aggregate.
-    * Numerator/denominator stay exact BIGINT; one floor-quantized IEEE
-    * division at output (the events_value_pareto idiom).
+    *
+    * Overflow bound: rn·user_cents ≈ 10⁹ · 10⁹ = 10¹⁸ per row at 10⁹
+    * users × $10M lifetime spend, and the SUM of those terms reaches
+    * ~10²⁷ — far past 2⁶³ ≈ 9.2×10¹⁸ — so `wsum_cents` and the Gini
+    * numerator `2W − (n+1)T` accumulate in DECIMAL(38,0) (exact to
+    * 10³⁸, headroom ≥10¹⁰× at the design point; DuckDB reaches the
+    * same values via HUGEINT promotion). `total_cents` itself is safe
+    * BIGINT: 10⁹ users × 10⁹ cents = 10¹⁸ < 2⁶³. Only the final ratio
+    * is IEEE, floor-quantized to ppm (the events_value_pareto idiom).
     */
   def eventsGini(s: SparkSession, dir: String): DataFrame = {
     val spend = Tables.events(s, dir)
       .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
       .groupBy("user_id").agg(sum("cents").as("user_cents"))
     val ranked = Ranks.distributedRank(spend, "rn", col("user_cents").asc, col("user_id").asc)
+    // rn·cents ≈ 10¹⁴ per row at the 10⁸-user design point; the sum crosses
+    // 2⁶³ around 10⁴ such rows, so the weighted sum and the Gini numerator
+    // stay in DECIMAL(38,0) (exact to 10³⁸) and only the final ratio is IEEE.
     ranked.agg(count(lit(1)).as("n_users"), sum("user_cents").as("total_cents"),
-        sum(expr("rn * user_cents")).as("wsum_cents"))
+        sum(expr("CAST(rn AS DECIMAL(38,0)) * user_cents")).as("wsum_cents"))
       .withColumn("gini", expr(
-        "floor(CAST(2 * wsum_cents - (n_users + 1) * total_cents AS DOUBLE) / CAST(n_users * total_cents AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"))
+        "floor(CAST(2 * wsum_cents - (CAST(n_users AS DECIMAL(38,0)) + 1) * total_cents AS DOUBLE) / (CAST(n_users AS DOUBLE) * CAST(total_cents AS DOUBLE)) * 1000000) / CAST(1000000 AS DOUBLE)"))
       .select("n_users", "total_cents", "gini")
   }
 

@@ -916,9 +916,15 @@ object Similarity {
     * Scale shape: map-side posexplode → ONE partial aggregate; the
     * shuffle carries dims-bounded moment rows, never the corpus.
     * Determinism: coordinates floor-quantize to milli BIGINTs first
-    * (embed_centroid's convention) so every sum is exact; Σq² stays
-    * < 2⁶³ through ~10⁹ unit-norm vectors; the sd quotient runs once
-    * per dimension in identical-order IEEE doubles, floored to ppm.
+    * (embed_centroid's convention) so every sum is exact. Overflow
+    * bounds: |milli| ≤ ~4×10³ keeps the linear sum s1 safe BIGINT up
+    * to 10¹⁵ vectors (s1·10³ ≈ 4×10²¹ would wrap, so the mean's ppm
+    * numerator widens to DECIMAL(38,0) first), while milli² ≈ 1.6×10⁷
+    * per row pushes Σq² past 2⁶³ at ~6×10¹¹ vectors — exactly the
+    * 100 TB design point — so s2 accumulates in DECIMAL(38,0)
+    * (DuckDB: HUGEINT). Both stay internal; outputs are ppm/milli
+    * BIGINTs. The sd quotient runs once per dimension in
+    * identical-order IEEE doubles, floored to ppm.
     */
   def embedDimStats(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -927,11 +933,11 @@ object Similarity {
       .groupBy(col("pos").cast("long").as("pos"))
       .agg(count(lit(1)).as("n_vecs"),
         sum("milli").as("s1"),
-        sum(expr("milli * milli")).as("s2"),
+        sum(expr("CAST(milli AS DECIMAL(38,0)) * milli")).as("s2"),
         min("milli").as("min_milli"),
         max("milli").as("max_milli"),
         sum(when(col("milli") === 0L, 1L).otherwise(0L)).as("n_nearzero"))
-      .withColumn("mean_ppm", expr("s1 * 1000 div n_vecs"))
+      .withColumn("mean_ppm", expr("CAST(CAST(s1 AS DECIMAL(38,0)) * 1000 div n_vecs AS BIGINT)"))
       .withColumn("sd_ppm", expr(
         """CAST(floor(sqrt(greatest(CAST(n_vecs AS DOUBLE) * CAST(s2 AS DOUBLE)
           |  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0))
@@ -948,12 +954,12 @@ object Similarity {
        |), m AS (
        |  SELECT pos, COUNT(*) AS n_vecs,
        |    CAST(SUM(milli) AS BIGINT) AS s1,
-       |    CAST(SUM(milli * milli) AS BIGINT) AS s2,
+       |    SUM(CAST(milli AS HUGEINT) * milli) AS s2,
        |    MIN(milli) AS min_milli, MAX(milli) AS max_milli,
        |    CAST(SUM(CASE WHEN milli = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nearzero
        |  FROM grid GROUP BY 1
        |)
-       |SELECT pos, n_vecs, s1 * 1000 // n_vecs AS mean_ppm,
+       |SELECT pos, n_vecs, CAST(CAST(s1 AS HUGEINT) * 1000 // n_vecs AS BIGINT) AS mean_ppm,
        |  CAST(floor(sqrt(greatest(CAST(n_vecs AS DOUBLE) * CAST(s2 AS DOUBLE)
        |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0))
        |    / CAST(n_vecs AS DOUBLE) * 1000) AS BIGINT) AS sd_ppm,

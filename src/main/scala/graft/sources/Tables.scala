@@ -16,18 +16,30 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw long (`spark.sql.legacy.parquet.nanosAsLong`). Expose both the
-    * exact integer epoch-micros (`ts_us`, used by every oracle-checked
-    * computation) and a usable timestamp column (`ts`).
+  /** `events.ts` has shipped in two parquet layouts: TIMESTAMP(NANOS),
+    * which Spark only reads as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`), and plain TIMESTAMP(MICROS)
+    * (read as TIMESTAMP/TIMESTAMP_NTZ). Branch on the decoded type and
+    * expose the same contract either way: exact integer epoch-micros
+    * (`ts_us`/`ts_ns`, used by every oracle-checked computation — the
+    * DuckDB twin is `epoch_us(ts)`) and a usable timestamp column (`ts`).
+    * The micros extraction uses the same `unix_micros(CAST(… AS
+    * TIMESTAMP))` idiom as the orders/lineitem date math (UTC session,
+    * GraftSession.scala:27), so both engines see identical integers.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.col("ts_us")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ =>
+        raw.withColumn("ts_us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+          .withColumn("ts_ns", expr("ts_us * 1000"))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -39,8 +39,9 @@ object ScaleSmoke {
     bigEmbs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     // events replicate with offset ids too (user population grows ×N,
     // timestamps stay — the time-series ops see N× traffic density).
-    // Raw read keeps ts as the nano long (plain INT64 on write, which
-    // Tables.events reads identically).
+    // Raw read passes ts through untouched in whichever layout the
+    // testdata ships (nano INT64 or TIMESTAMP_NTZ micros) —
+    // Tables.events branches on the decoded type either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$srcDir/events.parquet")
     (0 until factor).map(i => ev
