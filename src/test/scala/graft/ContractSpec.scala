@@ -24,6 +24,18 @@ class ContractSpec extends AnyFunSuite {
     assert(rows == q, s"drift: survey-only=${rows -- q}, queries-only=${q -- rows}")
   }
 
+  test("PLANS.md section set matches the query map exactly") {
+    // PLANS.md is the reviewable evidence that every contract query's
+    // final AQE plan was audited; the round-6 verdict caught it stale at
+    // 143 sections after a 144th operator landed. Regenerate with
+    //   sbt "runMain graft.tools.ExplainDump /root/testdata/sf0.01"
+    val sections = scala.io.Source.fromFile("PLANS.md", "UTF-8").getLines()
+      .collect { case l if l.startsWith("## ") => l.drop(3).trim }.toSet
+    val q = SparkEntry.queries.keySet
+    assert(sections == q,
+      s"PLANS.md stale: plans-only=${sections -- q}, queries-only=${q -- sections} — re-run graft.tools.ExplainDump")
+  }
+
   test("bench stdout line stays inside the harness tail-capture window") {
     // the harness parses the bench JSON out of the LAST 2000 bytes of run
     // output (measured: every BENCH_r0N tail is exactly 2000 chars), and
