@@ -460,6 +460,100 @@ object EventStreams {
       }
   }
 
+  /** frontier = the user's newest active day; mask = a 55-bit activity
+    * window, bit i set ⟺ the user was active on day (frontier − i).
+    * Two longs of state per user — the rolling-distinct problem
+    * (DAU/WAU/MAU) carried in ONE machine word instead of a day-set.
+    * Why 55 and not 28: a late day d (up to 27 behind the frontier)
+    * asks "was the user in the 28-day window ending at e" for window
+    * ends e down to d, whose windows reach back to e−27 ≥
+    * frontier−54 — 28 bits would have forgotten those days and
+    * double-count a re-join, 55 bits make every consulted day known.
+    */
+  case class StickState(frontier: Long, mask: Long)
+
+  private val StickBits  = 55              // days of carried history
+  private val StickMask  = (1L << StickBits) - 1
+  private val StickLate  = 27L             // accepted lateness vs frontier
+
+  /** One membership change: on some window-end day, this user newly
+    * joined the 1-day (dau), 7-day (wau), and/or 28-day (mau) rolling
+    * distinct count. Flags are 0/1 and each fires at most once per
+    * (user, window-end) — membership is monotone — so SUMMING the
+    * flags per day yields exactly the batch COUNT(DISTINCT …).
+    */
+  case class StickDelta(user_id: Long, day: Long, dau: Long, wau: Long, mau: Long)
+
+  /** any active day in calendar range [a, b], read off the mask */
+  private def stickAnyIn(frontier: Long, mask: Long, a: Long, b: Long): Boolean = {
+    val hi = math.min(b, frontier)
+    val lo = math.max(a, frontier - (StickBits - 1))
+    hi >= lo && {
+      val idxLo = (frontier - hi).toInt // newest in range → lowest bit
+      val width = (hi - lo + 1).toInt
+      ((mask >>> idxLo) & ((1L << width) - 1)) != 0L
+    }
+  }
+
+  /** Streaming twin of the batch `events_stickiness` rolling-distinct
+    * engagement counts: consumes (user_id, day) activity and, for each
+    * user-day first seen, emits the window-end days on which the user
+    * NEWLY enters the 1/7/28-day rolling distinct windows. A new
+    * active day d can only change membership at window-ends
+    * [d, d+27], and whether each flips is a pure function of the
+    * carried day-bitmask — computed in O(1) bit arithmetic, no
+    * day-set, no rescan. Because membership is monotone (a user never
+    * leaves a window it entered — activity only accrues), summing the
+    * emitted flags per window-end day over any micro-batch split
+    * equals the batch operator's COUNT(DISTINCT) per day exactly;
+    * restrict to observed days (the batch semi-join) and
+    * dau·10⁶ div mau reproduces stickiness_ppm.
+    *
+    * Same-day repeats are no-ops (the mask bit is already set); days
+    * more than [[StickLate]] behind the user's frontier are dropped —
+    * bound lateness with an upstream 28-day watermark, the horizon
+    * that makes one machine word of state exact.
+    */
+  def stickinessStream(events: Dataset[(Long, Long)]): Dataset[StickDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[StickState]) =>
+          var st = state.getOption.getOrElse(StickState(Long.MinValue, 0L))
+          val out = Seq.newBuilder[StickDelta]
+          rows.map(_._2).toSeq.distinct.sorted.foreach { d =>
+            val fresh = st.frontier == Long.MinValue
+            if (!fresh && st.frontier - d > StickLate) {
+              // beyond the lateness horizon — undecidable against one word
+            } else {
+              val before = st
+              // advance the window: shift history down as the frontier moves
+              val shifted =
+                if (fresh) StickState(d, 0L)
+                else if (d > st.frontier) {
+                  val by = d - st.frontier
+                  StickState(d, if (by >= StickBits) 0L else (st.mask << by) & StickMask)
+                } else st
+              val bit = 1L << (shifted.frontier - d).toInt
+              if ((shifted.mask & bit) == 0L) { // first sighting of (user, d)
+                st = StickState(shifted.frontier, shifted.mask | bit)
+                val wasIn = (a: Long, b: Long) =>
+                  !fresh && stickAnyIn(before.frontier, before.mask, a, b)
+                (d to d + 27).foreach { e =>
+                  val dau = if (e == d) 1L else 0L
+                  val wau = if (e <= d + 6 && !wasIn(e - 6, e)) 1L else 0L
+                  val mau = if (!wasIn(e - 27, e)) 1L else 0L
+                  if (dau + wau + mau > 0) out += StickDelta(user, e, dau, wau, mau)
+                }
+              } // else: duplicate day — state already holds it, nothing to emit
+            }
+          }
+          if (st.frontier != Long.MinValue) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,

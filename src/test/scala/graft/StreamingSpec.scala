@@ -447,6 +447,62 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("stream_stickiness: bitmask deltas across batches == batch events_stickiness") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: user 1 active days 3 (batch 1) then 3 (dup), 5, 40 (batch 2).
+    // Day 3 re-arriving must be a state-carried no-op; day 5's WAU/MAU joins
+    // must see day 3 in the carried mask (e.g. no new MAU join at e=5..30);
+    // day 40 is >27 past day 5's window so it re-joins everything.
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.stickinessStream(mem.toDS())
+      .writeStream.format("memory").queryName("stick").outputMode("append").start()
+    try {
+      mem.addData((1L, 3L)); q.processAllAvailable()
+      mem.addData((1L, 3L), (1L, 5L), (1L, 40L)); q.processAllAvailable()
+      val rows = spark.table("stick").as[EventStreams.StickDelta].collect()
+      val mauJoins = rows.filter(_.mau == 1L).map(_.day).sorted
+      // day 3 joins MAU(3..30); day 5 extends coverage only at 31, 32
+      // (day 3 already covers 5..30); day 40 re-joins everything
+      assert(mauJoins.toSeq == ((3L to 32L) ++ (40L to 67L)), s"mau joins: ${mauJoins.toSeq}")
+      val wauJoins = rows.filter(_.wau == 1L).map(_.day).sorted
+      // day 3 joins WAU(3..9); day 5 extends coverage only at 10, 11
+      assert(wauJoins.toSeq == Seq(3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L) ++ (40L to 46L),
+        s"wau joins: ${wauJoins.toSeq}")
+      assert(rows.filter(_.dau == 1L).map(_.day).sorted.toSeq == Seq(3L, 5L, 40L))
+    } finally q.stop()
+
+    // equivalence with the batch operator: the real (user, day) activity
+    // split into TWO micro-batches at the median timestamp; summing the
+    // monotone membership deltas per observed day must equal the batch
+    // DAU/WAU/MAU (and hence stickiness_ppm) exactly
+    val dayUs = 86400L * 1000000
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts_us div $dayUs").as("day"), col("ts_us"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = EventStreams.stickinessStream(mem2.toDS())
+      .writeStream.format("memory").queryName("stick_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.map(r => (r._1, r._2)).toSeq); q2.processAllAvailable()
+      mem2.addData(second.map(r => (r._1, r._2)).toSeq); q2.processAllAvailable()
+      val observed = ev.map(_._2).distinct.toSet
+      val streamed = spark.table("stick_eq")
+        .groupBy("day")
+        .agg(sum("dau").as("dau"), sum("wau").as("wau"), sum("mau").as("mau"))
+        .collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("mau")))
+        .filter(t => observed(t._1)).toSet
+      val batch = graft.operators.Growth.eventsStickiness(spark, sfDir)
+        .select("day", "dau", "wau", "mau")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"stream-only=${(streamed -- batch).take(3)}, batch-only=${(batch -- streamed).take(3)}")
+    } finally q2.stop()
+  }
+
   test("contamination stream: static eval index flags arriving dup docs") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
