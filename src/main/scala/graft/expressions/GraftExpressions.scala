@@ -142,7 +142,7 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
   * touches a graft table can parse the expressions.
   */
 object GraftFunctions {
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_polyhash" -> (es => PolyHash(es.head)),
     "graft_minhash" -> (es => MinhashSig(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
@@ -161,4 +161,22 @@ object GraftFunctions {
         reg.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
+
+  /** The same kernels as `SparkSessionExtensions.injectFunction`
+    * descriptions — the cluster-wide path: with
+    * `spark.sql.extensions=graft.plans.GraftExtensions` every session
+    * (including plain SQL / Thrift / connect clients that never touch
+    * the Scala API) can call `graft_minhash(...)` etc. from SQL text,
+    * and the functions survive `newSession()` where temp functions
+    * don't.
+    */
+  def injectable: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    builders.map { case (name, b) =>
+      (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.expressions.GraftExpressions", name),
+        b)
+    }
 }

@@ -110,9 +110,15 @@ object GlobPrefixPushdown extends Rule[LogicalPlan] {
 
 /** `SparkSessionExtensions` installer — usable as
   * `spark.sql.extensions=graft.plans.GraftExtensions` on any cluster;
-  * GraftSession wires it in for local sessions.
+  * GraftSession wires it in for local sessions. Installs the optimizer
+  * rule AND registers every `graft_*` kernel expression in the
+  * session-independent function registry, so a SQL-only client (Thrift
+  * / connect / `spark.sql` text) can call `graft_minhash(...)`,
+  * `graft_cosine(...)` etc. without ever importing the Scala API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => GlobPrefixPushdown)
+    graft.expressions.GraftFunctions.injectable.foreach(ext.injectFunction)
+  }
 }

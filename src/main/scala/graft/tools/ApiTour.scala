@@ -330,6 +330,47 @@ object ApiTour {
         s.filter(col("sd_ppm") > (col("max_milli") - col("min_milli")) * 500 + 1000).count() == 0
     })
 
+    // ---- graft_* kernels from pure SQL text (the injectFunction path:
+    // a SQL-only user on a cluster with
+    // spark.sql.extensions=graft.plans.GraftExtensions, no Scala API) ----
+    docs.limit(200).select(col("doc_id"), col("text")).createOrReplaceTempView("tour_docs")
+    Tables.embeddings(spark, sfDir).limit(200)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .createOrReplaceTempView("tour_vecs")
+    def sql1(q: String): Long = spark.sql(q).head().getLong(0)
+    check("sql graft_polyhash: deterministic non-null hash per doc")(
+      sql1("SELECT COUNT(DISTINCT graft_polyhash(text)) FROM tour_docs") > 100)
+    check("sql graft_shingle_hashes: distinct 3-gram hashes, ≤ |text| per doc")(
+      sql1("""SELECT COUNT(*) FROM tour_docs
+             |WHERE size(graft_shingle_hashes(text)) <= 0
+             |   OR size(graft_shingle_hashes(text)) > length(text)""".stripMargin) == 0)
+    check("sql graft_minhash: 12-long signature")(
+      sql1("SELECT COUNT(*) FROM tour_docs WHERE size(graft_minhash(graft_shingle_hashes(text))) != 12") == 0)
+    check("sql graft_simhash_bands: 4 bands, each < 2^16")(
+      sql1("""SELECT COUNT(*) FROM tour_docs
+             |WHERE size(graft_simhash_bands(graft_shingle_hashes(text))) != 4
+             |   OR exists(graft_simhash_bands(graft_shingle_hashes(text)),
+             |             b -> b < 0 OR b >= 65536)""".stripMargin) == 0)
+    check("sql graft_jaccard: self-similarity is 1, range [0,1]")(
+      sql1("""SELECT COUNT(*) FROM tour_docs
+             |WHERE graft_jaccard(graft_shingle_hashes(text), graft_shingle_hashes(text)) != 1.0D""".stripMargin) == 0)
+    check("sql graft_cosine: self-similarity ≈ 1 for nonzero vectors")(
+      sql1("""SELECT COUNT(*) FROM tour_vecs
+             |WHERE abs(graft_cosine(v, v) - 1.0D) > 1e-9D""".stripMargin) == 0)
+    check("sql graft_lsh_buckets: 16 buckets per vector")(
+      sql1("SELECT COUNT(*) FROM tour_vecs WHERE size(graft_lsh_buckets(v)) != 16") == 0)
+    check("sql graft_project: 16-dim projection, finite")(
+      sql1("""SELECT COUNT(*) FROM tour_vecs
+             |WHERE size(graft_project(v)) != 16
+             |   OR exists(graft_project(v), x -> isnan(x))""".stripMargin) == 0)
+    check("sql kernels survive newSession (injected, not temp-registered)")({
+      // a temp-function-only registration dies with the session; the
+      // extensions-injected one is part of the cloned function registry
+      val fresh = spark.newSession()
+      fresh.sql("SELECT graft_polyhash('abc')").head().getLong(0) ==
+        spark.sql("SELECT graft_polyhash('abc')").head().getLong(0)
+    })
+
     println(s"[apitour] PASS $checks checks on $sfDir")
     checks
   }

@@ -16,6 +16,8 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
+    // "glob-only": skip the query sweep, run just the pushdown probe
+    val globOnly = args.contains("glob-only")
     val outDir = s"/tmp/graft_scale_x$factor"
     val spark = GraftSession.build("graft-scale-smoke")
     // partitions track DATA VOLUME (≈128 MB targets), not the raw
@@ -29,26 +31,28 @@ object ScaleSmoke {
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(32, 32 * factor / 15).toString)
 
-    val docs = Tables.documents(spark, srcDir)
-    val embs = Tables.embeddings(spark, srcDir)
-    val bigDocs = (0 until factor).map(i =>
-      docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ union _)
-    val bigEmbs = (0 until factor).map(i =>
-      embs.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))).reduce(_ union _)
-    bigDocs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    bigEmbs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    // events replicate with offset ids too (user population grows ×N,
-    // timestamps stay — the time-series ops see N× traffic density).
-    // Raw read passes ts through untouched in whichever layout the
-    // testdata ships (nano INT64 or TIMESTAMP_NTZ micros) —
-    // Tables.events branches on the decoded type either way.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$srcDir/events.parquet")
-    (0 until factor).map(i => ev
-      .withColumn("event_id", col("event_id") + lit(i * 100000000L))
-      .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
-      .reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    if (!globOnly) {
+      val docs = Tables.documents(spark, srcDir)
+      val embs = Tables.embeddings(spark, srcDir)
+      val bigDocs = (0 until factor).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))).reduce(_ union _)
+      val bigEmbs = (0 until factor).map(i =>
+        embs.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))).reduce(_ union _)
+      bigDocs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      bigEmbs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      // events replicate with offset ids too (user population grows ×N,
+      // timestamps stay — the time-series ops see N× traffic density).
+      // Raw read passes ts through untouched in whichever layout the
+      // testdata ships (nano INT64 or TIMESTAMP_NTZ micros) —
+      // Tables.events branches on the decoded type either way.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$srcDir/events.parquet")
+      (0 until factor).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
 
     val targets = Seq("dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_clusters", "embed_neardup", "knn_bruteforce", "knn_ivf",
@@ -95,12 +99,38 @@ object ScaleSmoke {
       // Zipf fit and the per-dimension embedding audit
       "events_burstiness", "events_entropy",
       "text_zipf_slope", "embed_dim_stats")
-    val times = targets.map { name =>
+    val times: Seq[(String, Double)] = if (globOnly) Seq.empty else targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scale x$factor] $name%-16s $sec%8.2fs  rows=$n")
       name -> sec
+    }
+    // glob prefix pushdown at scale: a key-SORTED replicated manifest in
+    // ONE file with ~64 KB row groups (hundreds of groups), filtered by a
+    // compiled user glob. GlobPrefixPushdown turns the rlike into
+    // StartsWith ∧ rlike; the StartsWith reaches the parquet reader as
+    // StringStartsWith and row groups outside the prefix's min/max range
+    // never decompress — scan_rows << total_rows is the evidence.
+    locally {
+      val man = graft.sources.Manifest.manifest(spark, srcDir)
+      val bigMan = (0 until factor).map(i =>
+        man.withColumn("key", concat(lit(f"rep=$i%02d/"), col("key")))).reduce(_ union _)
+      val manDir = s"$outDir/manifest_sorted.parquet"
+      bigMan.orderBy("key").coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024).parquet(manDir)
+      val re = "^(?:" + graft.functions.Globs.compile(
+        f"rep=${factor / 2}%02d/data/year=2024/month=01/**") + ")$"
+      val fdf = spark.read.parquet(manDir).filter(col("key").rlike(re))
+      // execute THIS queryExecution (count() would plan a metrics-less
+      // copy), then read the scan's row metric off the executed plan
+      val matched = fdf.queryExecution.toRdd.count()
+      val scanRows = fdf.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.headOption.getOrElse(-1L)
+      val total = spark.read.parquet(manDir).count()
+      println(s"""{"glob_pushdown":{"total_rows":$total,"scan_rows":$scanRows,"matched":$matched}}""")
     }
     println(s"""{"scale_factor":$factor,"total_sec":${times.map(_._2).sum}}""")
     spark.stop()

@@ -11,6 +11,6 @@ package graft
 class ApiTourSpec extends SparkSpec {
   test("ApiTour: every api entry point runs and asserts on real data") {
     val n = graft.tools.ApiTour.run(spark, sfDir)
-    assert(n >= 57, s"api tour ran only $n checks — tour truncated?")
+    assert(n >= 71, s"api tour ran only $n checks — tour truncated?")
   }
 }

@@ -25,9 +25,10 @@ class GlobPrefixPushdownSpec extends SparkSpec {
     assert(p("^\\d+x").isEmpty)
   }
 
-  /** the shared test session has no extensions — inject the rule via
-    * the public per-session hook (GraftSession.build wires it through
-    * SparkSessionExtensions for fresh sessions).
+  /** the shared test session now installs GraftExtensions (the
+    * string-conf path), so the rule is always active; withRule is kept
+    * to document the per-session hook and to prove idempotence when
+    * the rule is registered TWICE (extensions + experimental).
     */
   private def withRule[T](body: => T): T = {
     spark.experimental.extraOptimizations = Seq(GlobPrefixPushdown)
@@ -48,6 +49,26 @@ class GlobPrefixPushdownSpec extends SparkSpec {
     // semantics unchanged vs the rule-less session
     val plainN = spark.read.parquet(dir).filter(col("key").rlike(re)).count()
     assert(n == plainN && n > 0)
+  }
+
+  test("glob_match-shaped query over a sorted manifest: compiled glob prefix reaches PushedFilters") {
+    // end-to-end: a USER glob (not a hand regex) through the actual glob
+    // compiler, filtered over a key-SORTED manifest parquet — the layout
+    // where parquet column statistics make StringStartsWith prune whole
+    // row groups at 100 TB. The assert reads the SCAN line itself: the
+    // prefix must appear as a pushed data filter, not only as a post-scan
+    // Filter conjunct.
+    val dir = Files.createTempDirectory("graft_push3").toString
+    Manifest.manifest(spark, sfDir).orderBy("key").write.mode("overwrite").parquet(dir)
+    // the glob_match anchoring idiom (PathMatching.globMatch)
+    val re = "^(?:" + graft.functions.Globs.compile("data/year=2024/month=01/**") + ")$"
+    val df = spark.read.parquet(dir).filter(col("key").rlike(re))
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(l => l.contains("FileScan parquet")).getOrElse("")
+    assert(scanLine.contains("PushedFilters:") &&
+      scanLine.contains("StringStartsWith(key,data/year=2024/month=01/"),
+      s"prefix not pushed to the scan: $scanLine")
+    assert(df.count() > 0)
   }
 
   test("no rewrite for alternation regexes; no infinite re-wrapping") {

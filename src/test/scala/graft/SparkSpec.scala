@@ -17,6 +17,10 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the string-conf form a SQL-only cluster uses (GraftSession uses
+      // the instance form) — tests prove the reflective path injects the
+      // optimizer rule + graft_* functions into every derived session
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
