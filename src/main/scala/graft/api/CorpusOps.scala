@@ -76,6 +76,84 @@ object CorpusOps {
       .drop("words")
   }
 
+  /** The end-to-end curation chain over ANY (doc_id, text) frame as ONE
+    * composed Spark job: signature pass → exact-dup rep → near-dup
+    * connected-component keep-list → quality gate → eval-set
+    * decontamination → train/val/test split → token-budget packing,
+    * returning one row per input doc carrying every gate's verdict
+    * (`fp_rep`, `keep_neardup`, `score`, `contaminated`, `split`,
+    * `shard`/`bin`).
+    *
+    * Composition cost: exactly ONE corpus-sized materialization — the
+    * signature frame (fingerprint + minhash + shingle set + token
+    * count, all from one scan of `text`). Every later stage either
+    * joins a doc-count-sized derivative back on doc_id (dup groups,
+    * component labels, contamination flags) or is pure scan-side
+    * column math on the original frame (quality, split, packing);
+    * connectedComponents' internal checkpoints are pair-frame-sized,
+    * never the corpus. This is the shape that survives 100 TB: the
+    * text is read once, the signatures are the only thing persisted,
+    * and no stage re-shuffles the corpus except the shard-keyed
+    * packing window at the very end.
+    */
+  def curationPipeline(docs0: DataFrame, evalDocs0: DataFrame,
+      budgetTokens: Long = 8192L, shardDocs: Long = 125L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = prepared(docs0)
+    val D = graft.operators.Dedup
+    val sigs = graft.operators.Materialize.stable(docs.select(
+      col("doc_id"),
+      fingerprint().as("fp"),
+      expr(sparkMinhash(sparkShingleHashes("text"))).as("mh"),
+      expr(sparkShingleHashes("text")).as("sh"),
+      expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)").as("n_tokens")))
+    // exact dups: representative (min doc_id) per fingerprint
+    val fpRep = sigs.groupBy("fp").agg(min("doc_id").as("fp_rep"))
+    // near dups: LSH pairs from the SAME signatures → components → keep
+    val labels = D.connectedComponents(
+      D.minhashPairsFromSigs(sigs.select("doc_id", "mh")).select("doc_a", "doc_b"))
+    // decontamination: benchmark-sized eval shingle set, df-ceiled
+    // against the train corpus (one stop-shingle in an eval doc must
+    // not pull in the whole corpus), broadcast onto the train side
+    val trainEx = sigs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val nDocs = sigs.agg(count(lit(1)).as("n_docs"))
+    val informative = trainEx.groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <=
+        greatest(lit(D.NgramMaxDf.toLong), expr(s"n_docs div ${D.NgramDfFraction}")))
+      .select("h")
+    val evalSh = prepared(evalDocs0)
+      .select(explode(expr(sparkShingleHashes("text"))).as("h")).distinct()
+      .join(informative, Seq("h"))
+    val contaminated = trainEx.join(broadcast(evalSh), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= D.ContamMinShared)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    // assemble: doc-sized joins back on doc_id, then scan-side split +
+    // the shard-keyed packing window (the chain's only corpus shuffle)
+    val b = pmod(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000003L)), lit(100L))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    qualityScore(docs)
+      .join(sigs.select("doc_id", "fp", "n_tokens"), Seq("doc_id"))
+      // fpRep is distinct-fingerprint-sized (≈ corpus at low dup rates):
+      // a plain equi-join — AQE broadcasts it at test scale, shuffles the
+      // slim projection at 100 TB; never force a corpus-sized broadcast
+      .join(fpRep, Seq("fp"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("keep_neardup",
+        col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+      .drop("cluster_id")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .withColumn("shard", expr(s"doc_id div $shardDocs"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(__cum - n_tokens) div $budgetTokens"))
+      .drop("__cum", "text")
+  }
+
   /** fixed-size overlapping context-window chunks; one output row per
     * chunk with an arithmetic chunk id (no ordering shuffle).
     */

@@ -59,8 +59,16 @@ object Dedup {
     // the self-join + verification joins reuse them instead of
     // re-evaluating the HOF tree per reference — at scale you persist
     // signatures before any LSH pipeline for exactly this reason
-    val sig = Materialize.stable(docs
-      .select(col("doc_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("mh")))
+    minhashPairsFromSigs(Materialize.stable(docs
+      .select(col("doc_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("mh"))))
+  }
+
+  /** the LSH band join + verification over an ALREADY-materialized
+    * (doc_id, mh) signature frame — the composition point for pipelines
+    * that compute signatures once and feed several dedup stages
+    * (CorpusOps.curationPipeline): no second corpus materialization.
+    */
+  def minhashPairsFromSigs(sig: DataFrame): DataFrame = {
     val bands = sig
       .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mh"))
       .select(col("doc_id"), col("b"), expr(sparkBandValue("mh", "b")).as("bv"))

@@ -363,6 +363,18 @@ object ApiTour {
       sql1("""SELECT COUNT(*) FROM tour_vecs
              |WHERE size(graft_project(v)) != 16
              |   OR exists(graft_project(v), x -> isnan(x))""".stripMargin) == 0)
+    check("corpus.curationPipeline: one row per doc, every gate populated")({
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(10L)) === 7)
+        .select("doc_id", "text").limit(50)
+      val out = CorpusOps.curationPipeline(docs.select("doc_id", "text"), evalSet).cache()
+      val total = docs.count()
+      out.count() == total &&
+        out.filter(col("keep_neardup")).count() > 0 &&
+        out.filter(col("contaminated")).count() > 0 && // eval ⊂ corpus → self-hits
+        out.filter(col("split").isin("train", "val", "test")).count() == total &&
+        out.filter(col("bin") < 0 || col("score") < 0 || col("score") > 1).count() == 0
+    })
+
     check("sql kernels survive newSession (injected, not temp-registered)")({
       // a temp-function-only registration dies with the session; the
       // extensions-injected one is part of the cloned function registry

@@ -106,6 +106,37 @@ object ScaleSmoke {
       println(f"[scale x$factor] $name%-16s $sec%8.2fs  rows=$n")
       name -> sec
     }
+    // composed curation pipeline at ×N: the whole chain (signatures →
+    // exact/near dup → quality → decontamination → split → pack) as ONE
+    // job, timed against the sum of its stages run separately — the
+    // composition must cost ≈ the signature pass + cheap joins, not a
+    // re-materialization per stage.
+    if (!globOnly) {
+      import graft.api.CorpusOps
+      val big = spark.read.parquet(s"$outDir/documents.parquet")
+      val evalSet = big.filter(pmod(col("doc_id"), lit(10L)) === 7)
+        .select("doc_id", "text").limit(500)
+      def time[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      spark.catalog.clearCache()
+      val (nComposed, composedSec) = time(CorpusOps.curationPipeline(big, evalSet).count())
+      spark.catalog.clearCache()
+      val (_, s1) = time(CorpusOps.exactDupGroups(big).count())
+      spark.catalog.clearCache()
+      val (_, s2) = time(CorpusOps.dedupKeepList(big).count())
+      spark.catalog.clearCache()
+      val (_, s3) = time(CorpusOps.qualityScore(big).count())
+      spark.catalog.clearCache()
+      val (_, s4) = time(graft.SparkEntry.queries("text_contamination")(spark, outDir).count())
+      spark.catalog.clearCache()
+      val (_, s5) = time(graft.SparkEntry.queries("corpus_split")(spark, outDir).count())
+      spark.catalog.clearCache()
+      val (_, s6) = time(CorpusOps.packBins(big).count())
+      val stagesSec = s1 + s2 + s3 + s4 + s5 + s6
+      println(f"""{"curation_pipeline":{"rows":$nComposed,"composed_sec":$composedSec%.2f,"stages_sum_sec":$stagesSec%.2f}}""")
+    }
+
     // glob prefix pushdown at scale: a key-SORTED replicated manifest in
     // ONE file with ~64 KB row groups (hundreds of groups), filtered by a
     // compiled user glob. GlobPrefixPushdown turns the rlike into

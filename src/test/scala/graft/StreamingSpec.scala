@@ -400,6 +400,82 @@ class StreamingSpec extends SparkSpec {
       s"recovered census must continue from pre-crash state; got $finalCounts")
   }
 
+  test("restart harness: every per-user stateful twin recovers its state from checkpoint") {
+    // one parameterized harness for the whole flatMapGroupsWithState
+    // family: run each twin over the SAME two real-event waves twice —
+    // once in a single uninterrupted query, once stopping the query
+    // between waves and restarting from the checkpoint — and assert the
+    // emitted row multisets are identical. Any state-recovery defect
+    // (missed carry, re-seeded state, double emission) diverges the two.
+    import spark.implicits._
+    import java.nio.file.Files
+    import org.apache.spark.sql.DataFrame
+    val dayUs = 86400L * 1000000
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .orderBy("ts_us", "event_id").limit(3000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val (w1, w2) = ev.splitAt(ev.length / 2)
+    def full(rows: Array[(Long, Long, Long, String)]): DataFrame =
+      rows.toSeq.toDF("user_id", "ts_us", "event_id", "event_type")
+    def typed(rows: Array[(Long, Long, Long, String)]): DataFrame =
+      rows.map(r => (r._4, r._1, r._2, r._3)).toSeq.toDF("event_type", "user_id", "ts_us", "event_id")
+    def userDay(rows: Array[(Long, Long, Long, String)]): DataFrame =
+      rows.map(r => (r._1, r._2 / dayUs)).toSeq.toDF("user_id", "day")
+
+    val fullSchema = "user_id LONG, ts_us LONG, event_id LONG, event_type STRING"
+    val typedSchema = "event_type STRING, user_id LONG, ts_us LONG, event_id LONG"
+    val daySchema = "user_id LONG, day LONG"
+    val cases: Seq[(String, String, DataFrame, DataFrame, DataFrame => DataFrame)] = Seq(
+      ("markov", fullSchema, full(w1), full(w2),
+        (df: DataFrame) => EventStreams.markovStream(
+          df.as[(Long, Long, Long, String)]).toDF("from_type", "to_type")),
+      ("paths", fullSchema, full(w1), full(w2),
+        (df: DataFrame) => EventStreams.pathsStream(
+          df.as[(Long, Long, Long, String)]).toDF("user_id", "e1", "e2", "e3")),
+      ("burstiness", typedSchema, typed(w1), typed(w2),
+        (df: DataFrame) => EventStreams.burstinessStream(
+          df.as[(String, Long, Long, Long)]).toDF("event_type", "gap_min")),
+      ("streaks", daySchema, userDay(w1), userDay(w2),
+        (df: DataFrame) => EventStreams.streaksStream(
+          df.as[(Long, Long)]).toDF("user_id", "start_day", "streak_days")),
+      ("lifecycle", daySchema, userDay(w1), userDay(w2),
+        (df: DataFrame) => EventStreams.lifecycleStream(
+          df.as[(Long, Long)]).toDF("day", "user_id", "cls")),
+      ("stickiness", daySchema, userDay(w1), userDay(w2),
+        (df: DataFrame) => EventStreams.stickinessStream(
+          df.as[(Long, Long)]).toDF()))
+
+    cases.foreach { case (name, schema, b1, b2, twin) =>
+      val root = Files.createTempDirectory(s"graft-restart-$name").toString
+      def run(in: String, out: String, ck: String) =
+        twin(spark.readStream.schema(schema).json(in))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck).outputMode("append").start()
+      // A: both waves inside one query lifetime
+      b1.coalesce(1).write.mode("append").json(s"$root/inA")
+      val qa = run(s"$root/inA", s"$root/outA", s"$root/ckA")
+      try {
+        qa.processAllAvailable()
+        b2.coalesce(1).write.mode("append").json(s"$root/inA")
+        qa.processAllAvailable()
+      } finally qa.stop()
+      // B: "crash" between the waves, restart from checkpoint
+      b1.coalesce(1).write.mode("append").json(s"$root/inB")
+      val qb1 = run(s"$root/inB", s"$root/outB", s"$root/ckB")
+      try qb1.processAllAvailable() finally qb1.stop()
+      b2.coalesce(1).write.mode("append").json(s"$root/inB")
+      val qb2 = run(s"$root/inB", s"$root/outB", s"$root/ckB")
+      try qb2.processAllAvailable() finally qb2.stop()
+
+      val a = spark.read.parquet(s"$root/outA").collect().map(_.toString).sorted.toSeq
+      val b = spark.read.parquet(s"$root/outB").collect().map(_.toString).sorted.toSeq
+      assert(a.nonEmpty, s"$name: harness produced no rows")
+      assert(a == b,
+        s"$name: restarted run diverges from uninterrupted run (${a.length} vs ${b.length} rows)")
+    }
+  }
+
   test("streamMatchingObjects onProgress twin: StreamingQueryListener batch stats") {
     // The reference's onProgress({processed, total, matched}) callback
     // (src/index.ts:1390) maps to Spark's StreamingQueryListener:
