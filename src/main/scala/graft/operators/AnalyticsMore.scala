@@ -461,7 +461,77 @@ object AnalyticsMore {
       |  CAST(SUM(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi_ppm
       |FROM shares GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ABC (Pareto-band) inventory classification of parts by revenue:
+    * rank every part by revenue descending, sweep the cumulative
+    * revenue share, and band A = parts inside the first 80% of
+    * revenue, B = 80–95%, C = the tail — the classic "20% of SKUs are
+    * 80% of the business" cut that decides which parts get premium
+    * treatment. Output is the 3-row class summary (count, revenue,
+    * share, rank range).
+    *
+    * Scale shape: ONE fact shuffle (lineitem → part revenue frame,
+    * map-side partials), then [[Ranks.distributedRankSum]] — the
+    * part frame is DATA-sized (10⁸ parts), so the rank AND the
+    * cumulative-revenue sweep both run as the two-level
+    * range-partitioned pass, never a global-order window. The grand
+    * total re-attaches via the one-row broadcast idiom.
+    *
+    * Overflow bounds: revenue stays exact 10⁻⁴-dollar BIGINTs
+    * (supplier_hhi's idiom); the cumulative sweep accumulates
+    * DECIMAL(38,0) (at 10¹² lineitems the grand total ≈ 3×10¹⁶ u is
+    * BIGINT-safe, but cum·100 for the band test would wrap, so the
+    * comparison runs in DECIMAL).
+    */
+  def ordersAbc(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT)").as("rev_u"))
+    val swept = Ranks.distributedRankSum(rev, "rnk", "rev_u", "cum_u",
+      col("rev_u").desc, col("l_partkey").asc)
+    val totals = rev.agg(sum("rev_u").as("total_u"))
+    swept.crossJoin(broadcast(totals))
+      .withColumn("abc_class", expr(
+        """CASE WHEN cum_u * 100 <= CAST(total_u AS DECIMAL(38,0)) * 80 THEN 'A'
+          |     WHEN cum_u * 100 <= CAST(total_u AS DECIMAL(38,0)) * 95 THEN 'B'
+          |     ELSE 'C' END""".stripMargin))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("rev_u").as("class_rev_u"),
+        min("rnk").as("min_rank"), max("rnk").as("max_rank"))
+      .crossJoin(broadcast(totals))
+      .withColumn("rev_share_ppm", expr(
+        "CAST(floor(CAST(class_rev_u AS DOUBLE) / CAST(total_u AS DOUBLE) * 1000000) AS BIGINT)"))
+      .select("abc_class", "n_parts", "class_rev_u", "rev_share_ppm", "min_rank", "max_rank")
+      .orderBy("abc_class")
+  }
+
+  val ordersAbcSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS rev_u
+      |  FROM lineitem GROUP BY 1
+      |), swept AS (
+      |  SELECT l_partkey, rev_u,
+      |    ROW_NUMBER() OVER (ORDER BY rev_u DESC, l_partkey) AS rnk,
+      |    CAST(SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum_u,
+      |    CAST(SUM(rev_u) OVER () AS BIGINT) AS total_u
+      |  FROM rev
+      |), banded AS (
+      |  SELECT rnk, rev_u, total_u,
+      |    CASE WHEN cum_u * 100 <= CAST(total_u AS HUGEINT) * 80 THEN 'A'
+      |         WHEN cum_u * 100 <= CAST(total_u AS HUGEINT) * 95 THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM swept
+      |)
+      |SELECT abc_class, COUNT(*) AS n_parts,
+      |  CAST(SUM(rev_u) AS BIGINT) AS class_rev_u,
+      |  CAST(floor(CAST(CAST(SUM(rev_u) AS BIGINT) AS DOUBLE) / CAST(MAX(total_u) AS DOUBLE) * 1000000) AS BIGINT) AS rev_share_ppm,
+      |  MIN(rnk) AS min_rank, MAX(rnk) AS max_rank
+      |FROM banded GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_abc" -> (ordersAbc _),
     "orders_basket_pairs" -> (ordersBasketPairs _),
     "events_autocorr" -> (eventsAutocorr _),
     "events_cube" -> (eventsCube _),
@@ -471,6 +541,7 @@ object AnalyticsMore {
     "supplier_hhi" -> (supplierHhi _))
 
   val oracles: Map[String, String] = Map(
+    "orders_abc" -> ordersAbcSql,
     "orders_basket_pairs" -> ordersBasketPairsSql,
     "events_autocorr" -> eventsAutocorrSql,
     "events_cube" -> eventsCubeSql,

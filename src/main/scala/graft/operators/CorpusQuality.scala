@@ -491,7 +491,50 @@ object CorpusQuality {
        |FROM m ORDER BY 1""".stripMargin
   }
 
+  /** Shingle novelty per document in doc_id order — "how much of this
+    * doc's content is first seen HERE": for every doc, the fraction of
+    * its distinct 3-gram shingles whose earliest owner (min doc_id
+    * corpus-wide) is the doc itself. A crawl's novelty curve decays as
+    * the corpus saturates; docs with novelty ≈ 0 are recombinations of
+    * already-seen text (the incremental-crawl dedup gate, one level
+    * softer than near-dup pairs).
+    *
+    * Scale shape: the exploded (shingle → doc) postings shuffle ONCE on
+    * the shingle hash to find each shingle's min owner, then re-join
+    * the postings on the same key (exchange reuse) and partial-agg per
+    * doc — the dedup_ngram index family. n_novel·10⁶ ≤ |sh|·10⁶ ≤
+    * ~10¹² per doc — BIGINT-safe by the doc-size bound.
+    */
+  def corpusNovelty(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash.sparkShingleHashes
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(sparkShingleHashes("text"))).as("h"))
+    val firstOwner = postings.groupBy("h").agg(min("doc_id").as("first_doc"))
+    postings.join(firstOwner, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_sh"))
+      .orderBy("doc_id")
+  }
+
+  val corpusNoveltySql: String = {
+    import graft.functions.PortableHash.duckShingleHashes
+    s"""WITH postings AS (
+       |  SELECT doc_id, unnest(${duckShingleHashes("text")}) AS h FROM documents
+       |), first_owner AS (
+       |  SELECT h, MIN(doc_id) AS first_doc FROM postings GROUP BY 1
+       |)
+       |SELECT p.doc_id, COUNT(*) AS n_sh,
+       |  CAST(SUM(CASE WHEN p.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN p.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |    // COUNT(*) AS novelty_ppm
+       |FROM postings p JOIN first_owner f USING (h)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_novelty" -> (corpusNovelty _),
     "corpus_lm_buckets" -> (corpusLmBuckets _),
     "text_repetition" -> (textRepetition _),
     "text_ngram_lm" -> (textNgramLm _),
@@ -503,6 +546,7 @@ object CorpusQuality {
     "text_zipf_slope" -> (textZipfSlope _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_novelty" -> corpusNoveltySql,
     "corpus_lm_buckets" -> corpusLmBucketsSql,
     "text_repetition" -> textRepetitionSql,
     "text_ngram_lm" -> textNgramLmSql,

@@ -15,6 +15,8 @@ import graft.sources.Tables
   */
 object EventsMore {
 
+  private val dayUs = 86400L * 1000000
+
   /** Anchor for decay age: one day past the last event (the "as of"
     * time a caller would pass as now()). Fixed so the oracle can
     * restate it; day 0 = 2024-01-31 back to day 30 = 2024-01-01.
@@ -424,7 +426,61 @@ object EventsMore {
       |  floor(CAST(CAST(SUM(user_cents) AS BIGINT) AS DOUBLE) / CAST(MAX(total_cents) AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE) AS value_share
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Largest day-over-day level shift per event type — the single-point
+    * changepoint detector behind "did the pipeline break / launch land
+    * on this day" triage: for each type, the CONSECUTIVE-day pair with
+    * the biggest absolute count change (ties → earliest day), with the
+    * before/after counts and the signed delta. Gap days (no traffic)
+    * are not treated as zero — the probe asks "when traffic flowed,
+    * when did its level jump", the same observed-day frame as
+    * events_autocorr.
+    *
+    * Scale shape: the corpus collapses to the (type, day) frame in ONE
+    * partial agg; the lag is a type-partitioned calendar-bounded
+    * window (never global); the argmax is ONE more partial agg via
+    * min(struct(-|Δ|, day, …)) — lexicographic struct ordering encodes
+    * "largest |Δ|, then earliest day" without any sort of the frame.
+    * |Δ| ≤ daily count ≤ 10¹² — every field BIGINT-safe.
+    */
+  def eventsChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_day", lag("day", 1).over(w))
+      .withColumn("prev_n", lag("n", 1).over(w))
+      .filter(col("prev_day") === col("day") - 1)
+      .groupBy("event_type")
+      .agg(min(struct(expr("-abs(n - prev_n)").as("neg"), col("day"),
+        col("prev_n"), col("n"))).as("best"))
+      .select(col("event_type"), col("best.day").as("day"),
+        col("best.prev_n").as("before_n"), col("best.n").as("after_n"),
+        expr("best.n - best.prev_n").as("delta"))
+      .orderBy("event_type")
+  }
+
+  val eventsChangepointSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // $dayUs AS day, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), lagged AS (
+       |  SELECT event_type, day, n,
+       |    LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day,
+       |    LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+       |  FROM daily
+       |), best AS (
+       |  SELECT event_type, day, prev_n, n,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY abs(n - prev_n) DESC, day) AS r
+       |  FROM lagged WHERE prev_day = day - 1
+       |)
+       |SELECT event_type, day, prev_n AS before_n, n AS after_n,
+       |  n - prev_n AS delta
+       |FROM best WHERE r = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_changepoint" -> (eventsChangepoint _),
     "events_seasonality" -> (eventsSeasonality _),
     "events_value_pareto" -> (eventsValuePareto _),
     "events_dwell" -> (eventsDwell _),
@@ -439,6 +495,7 @@ object EventsMore {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_changepoint" -> eventsChangepointSql,
     "events_seasonality" -> eventsSeasonalitySql,
     "events_value_pareto" -> eventsValueParetoSql,
     "events_dwell" -> eventsDwellSql,

@@ -63,6 +63,54 @@ object Ranks {
       .drop("_rank_pid", "_rank_lrn", "_rank_off")
   }
 
+  /** [[distributedRank]] extended with an exact running SUM: appends
+    * both `rankCol` (global 1-based row number) and `cumCol` (inclusive
+    * cumulative sum of `valueCol`, a BIGINT column) under the total
+    * order `order` — the distributed sweep-line for Pareto/ABC curves
+    * over DATA-SIZED frames, where a global-order window would
+    * single-task the sort. Same two-level shape as distributedRank:
+    * partition-local running sums, then per-partition (count, sum)
+    * prefix offsets folded from P metadata rows. The fold accumulates
+    * in BigDecimal and the offset column is DECIMAL(38,0): at 10¹²
+    * lineitems × 10⁸ 10⁻⁴-dollar units the grand total passes 2⁶³
+    * mid-fold even though each LOCAL sum stays bounded.
+    */
+  def distributedRankSum(df: DataFrame, rankCol: String, valueCol: String,
+      cumCol: String, order: Column*): DataFrame = {
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema2 = sorted.schema
+      .add("_rank_pid", IntegerType, nullable = false)
+      .add("_rank_lrn", LongType, nullable = false)
+      .add("_rank_lcs", org.apache.spark.sql.types.DecimalType(38, 0), nullable = false)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val local = sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var i = 0L
+      var s = java.math.BigDecimal.ZERO
+      it.map { r =>
+        i += 1; s = s.add(java.math.BigDecimal.valueOf(r.getLong(vIdx)))
+        Row.fromSeq(r.toSeq :+ pid :+ i :+ new java.math.BigDecimal(s.toBigInteger))
+      }
+    }(Encoders.row(schema2))
+    val pinned = Materialize.stable(local)
+    val counts = pinned.groupBy(col("_rank_pid"))
+      .agg(count(lit(1)).as("c"), max("_rank_lcs").as("t"))
+    val offsets = counts
+      .agg(sort_array(collect_list(struct(col("_rank_pid").as("p"), col("c"), col("t")))).as("cs"))
+      .select(explode(expr(
+        "aggregate(cs, " +
+          "named_struct('acc', CAST(0 AS BIGINT), 'accs', CAST(0 AS DECIMAL(38,0)), " +
+          "  'out', CAST(array() AS ARRAY<STRUCT<p: INT, o: BIGINT, os: DECIMAL(38,0)>>)), " +
+          "(s, x) -> named_struct('acc', s.acc + x.c, 'accs', CAST(s.accs + x.t AS DECIMAL(38,0)), " +
+          "  'out', array_append(s.out, named_struct('p', x.p, 'o', s.acc, 'os', s.accs))), " +
+          "s -> s.out)")).as("e"))
+      .select(col("e.p").as("_rank_pid"), col("e.o").as("_rank_off"), col("e.os").as("_rank_soff"))
+    pinned.join(broadcast(offsets), Seq("_rank_pid"))
+      .withColumn(rankCol, col("_rank_off") + col("_rank_lrn"))
+      .withColumn(cumCol, expr("CAST(_rank_soff + _rank_lcs AS DECIMAL(38,0))"))
+      .drop("_rank_pid", "_rank_lrn", "_rank_lcs", "_rank_off", "_rank_soff")
+  }
+
   /** Running (inclusive) cumulative sum over a PROVABLY BOUNDED frame —
     * day-granular sweep lines, source-cardinality shares: frames whose
     * row count is calendar- or vocabulary-bounded, not data-bounded.

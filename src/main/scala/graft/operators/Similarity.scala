@@ -966,7 +966,146 @@ object Similarity {
        |  min_milli, max_milli, n_nearzero
        |FROM m ORDER BY 1""".stripMargin
 
+  /** One exact Lloyd (k-means) iteration from deterministic seeds: the
+    * K lowest-vec_id vectors seed the clusters, every vector assigns to
+    * its nearest seed (squared milli distance, ties → lowest seed), and
+    * the step emits the reassigned centroid table — the building block
+    * an IVF coarse quantizer trains with, made oracle-checkable by
+    * fixing the seeds and quantizing to milli BIGINTs (embed_centroid's
+    * convention; IEEE mean sums would be partition-order-dependent).
+    *
+    * Scale shape: the K×dims seed grid BROADCASTS onto the map-side
+    * posexplode, distances partial-agg per (vector, seed) — K-bounded
+    * fanout, never corpus² — argmin folds via lexicographic
+    * min(struct(dist, seed)), and the recompute is ONE (cluster, pos)
+    * partial agg. Σ milli per cell ≤ 4×10³·10¹² = 4×10¹⁵ — BIGINT-safe.
+    */
+  val KmeansK = 8
+
+  def embedKmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(expr(sparkToDouble("embedding"))).as(Seq("pos", "x")))
+      .withColumn("milli", expr("CAST(floor(x * 1000) AS BIGINT)"))
+    val seeds = grid.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("seed"), col("pos"), col("milli").as("s_milli"))
+    val assign = grid.join(broadcast(seeds), Seq("pos"))
+      .withColumn("d", col("milli") - col("s_milli"))
+      .groupBy("vec_id", "seed")
+      .agg(sum(expr("d * d")).as("dist_sq"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist_sq"), col("seed"))).as("best"))
+      .select(col("vec_id"), col("best.seed").as("cluster"))
+    grid.join(assign, Seq("vec_id"))
+      .groupBy("cluster", "pos")
+      .agg(count(lit(1)).as("n_assigned"), sum("milli").as("sum_milli"))
+      .withColumn("centroid_milli", expr("sum_milli div n_assigned"))
+      .select(col("cluster"), col("pos").cast("long").as("pos"),
+        col("n_assigned"), col("centroid_milli"))
+      .orderBy("cluster", "pos")
+  }
+
+  val embedKmeansStepSql: String =
+    s"""WITH grid AS (
+       |  SELECT vec_id, p.pos AS pos,
+       |    CAST(floor(list_transform(embedding, x -> x::DOUBLE)[p.pos + 1] * 1000) AS BIGINT) AS milli
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, ${graft.functions.VectorFns.Dim})) AS pos) p
+       |), seeds AS (
+       |  SELECT vec_id AS seed, pos, milli AS s_milli FROM grid WHERE vec_id < $KmeansK
+       |), dists AS (
+       |  SELECT g.vec_id, s.seed, CAST(SUM((g.milli - s.s_milli) * (g.milli - s.s_milli)) AS BIGINT) AS dist_sq
+       |  FROM grid g JOIN seeds s ON g.pos = s.pos
+       |  GROUP BY 1, 2
+       |), assign AS (
+       |  SELECT vec_id, seed AS cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_sq, seed) AS r
+       |  FROM dists
+       |)
+       |SELECT a.cluster, g.pos, COUNT(*) AS n_assigned,
+       |  CAST(SUM(g.milli) AS BIGINT) // COUNT(*) AS centroid_milli
+       |FROM grid g JOIN assign a ON g.vec_id = a.vec_id AND a.r = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Squared-distance silhouette per label over the labeled embedding
+    * table: for every vector, a = distance² to its OWN label centroid,
+    * b = distance² to the nearest OTHER centroid; the per-point
+    * silhouette (b−a)/max(a,b) floor-quantizes to ppm and averages per
+    * label — the clustering-quality audit (mean s → 1 = labels well
+    * separated, → 0 = touching, < 0 = misassigned) run before trusting
+    * labels for stratified sampling or IVF seeding.
+    *
+    * Scale shape: centroids (labels×dims rows) BROADCAST onto the
+    * map-side grid; per-(vector, candidate-label) distances partial-agg
+    * with |labels|-bounded fanout; everything after is per-vector
+    * arithmetic + ONE label-cardinality agg. The per-label Σa/Σb sums
+    * accumulate DECIMAL(38,0): dist² ≤ 4×10⁹ per vector × 10¹² vectors
+    * passes 2⁶³ (the numeric-bounds rule); means divide back to safe
+    * BIGINTs, and the s quotient is per-point IEEE with identical op
+    * order on both engines.
+    */
+  def knnSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        posexplode(expr(sparkToDouble("embedding"))).as(Seq("pos", "x")))
+      .withColumn("milli", expr("CAST(floor(x * 1000) AS BIGINT)"))
+    val cent = grid.groupBy("label", "pos")
+      .agg(sum("milli").as("sum_milli"), count(lit(1)).as("n_vecs"))
+      .withColumn("c_milli", expr("sum_milli div n_vecs"))
+      .select(col("label").as("cand"), col("pos"), col("c_milli"))
+    val dists = grid.join(broadcast(cent), Seq("pos"))
+      .withColumn("d", col("milli") - col("c_milli"))
+      .groupBy("label", "vec_id", "cand")
+      .agg(sum(expr("d * d")).as("dist_sq"))
+    val ab = dists.groupBy("label", "vec_id")
+      .agg(min(when(col("cand") === col("label"), col("dist_sq"))).as("a"),
+        min(when(col("cand") =!= col("label"), col("dist_sq"))).as("b"))
+      .withColumn("s_ppm", expr(
+        """CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(floor(CAST(b - a AS DOUBLE) / CAST(greatest(a, b) AS DOUBLE) * 1000000) AS BIGINT) END""".stripMargin))
+    ab.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(a AS DECIMAL(38,0))")).as("sa"),
+        sum(expr("CAST(b AS DECIMAL(38,0))")).as("sb"),
+        sum("s_ppm").as("ss"))
+      .select(col("label"), col("n_vecs"),
+        expr("CAST(sa div n_vecs AS BIGINT)").as("mean_own_sq"),
+        expr("CAST(sb div n_vecs AS BIGINT)").as("mean_other_sq"),
+        expr("ss div n_vecs").as("mean_s_ppm"))
+      .orderBy("label")
+  }
+
+  val knnSilhouetteSql: String =
+    s"""WITH grid AS (
+       |  SELECT CAST(label AS BIGINT) AS label, vec_id, p.pos AS pos,
+       |    CAST(floor(list_transform(embedding, x -> x::DOUBLE)[p.pos + 1] * 1000) AS BIGINT) AS milli
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, ${graft.functions.VectorFns.Dim})) AS pos) p
+       |), cent AS (
+       |  SELECT label AS cand, pos, CAST(SUM(milli) AS BIGINT) // COUNT(*) AS c_milli
+       |  FROM grid GROUP BY 1, 2
+       |), dists AS (
+       |  SELECT g.label, g.vec_id, c.cand,
+       |    CAST(SUM((g.milli - c.c_milli) * (g.milli - c.c_milli)) AS BIGINT) AS dist_sq
+       |  FROM grid g JOIN cent c ON g.pos = c.pos
+       |  GROUP BY 1, 2, 3
+       |), ab AS (
+       |  SELECT label, vec_id,
+       |    MIN(CASE WHEN cand = label THEN dist_sq END) AS a,
+       |    MIN(CASE WHEN cand <> label THEN dist_sq END) AS b
+       |  FROM dists GROUP BY 1, 2
+       |), pts AS (
+       |  SELECT label, a, b,
+       |    CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(floor(CAST(b - a AS DOUBLE) / CAST(greatest(a, b) AS DOUBLE) * 1000000) AS BIGINT) END AS s_ppm
+       |  FROM ab
+       |)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(a) // COUNT(*) AS BIGINT) AS mean_own_sq,
+       |  CAST(SUM(b) // COUNT(*) AS BIGINT) AS mean_other_sq,
+       |  CAST(SUM(s_ppm) AS BIGINT) // COUNT(*) AS mean_s_ppm
+       |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_kmeans_step" -> (embedKmeansStep _),
+    "knn_silhouette" -> (knnSilhouette _),
     "knn_recall" -> (knnRecall _),
     "embed_dim_stats" -> (embedDimStats _),
     "knn_pq_recall" -> (knnPqRecall _),
@@ -984,6 +1123,8 @@ object Similarity {
     "embed_project" -> (embedProject _))
 
   val oracles: Map[String, String] = Map(
+    "embed_kmeans_step" -> embedKmeansStepSql,
+    "knn_silhouette" -> knnSilhouetteSql,
     "knn_recall" -> knnRecallSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "knn_pq_recall" -> knnPqRecallSql,

@@ -98,7 +98,12 @@ object ScaleSmoke {
       // round 6 cont.: temporal fingerprint + diversity histogram,
       // Zipf fit and the per-dimension embedding audit
       "events_burstiness", "events_entropy",
-      "text_zipf_slope", "embed_dim_stats")
+      "text_zipf_slope", "embed_dim_stats",
+      // round 8: changepoint triage, crawl novelty, Lloyd step,
+      // silhouette audit (orders_abc uses un-replicated lineitem —
+      // covered by bench + PLANS)
+      "events_changepoint", "corpus_novelty",
+      "embed_kmeans_step", "knn_silhouette")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty else targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

@@ -98,7 +98,11 @@ class PlanSpec extends SparkSpec {
       // orders_basket_pairs attaches its ONE-ROW order-count total via
       // crossJoin(broadcast); knn_degree inherits knn_join's
       // centroid-broadcast cross
-      "orders_basket_pairs", "knn_degree")
+      "orders_basket_pairs", "knn_degree",
+      // orders_abc attaches its ONE-ROW revenue grand total twice (once
+      // on the swept frame for the band test, once on the 3-row class
+      // summary for the share) — both the q22 idiom
+      "orders_abc")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
