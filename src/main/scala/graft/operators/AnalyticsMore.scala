@@ -488,7 +488,9 @@ object AnalyticsMore {
       .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT)").as("rev_u"))
     val swept = Ranks.distributedRankSum(rev, "rnk", "rev_u", "cum_u",
       col("rev_u").desc, col("l_partkey").asc)
-    val totals = rev.agg(sum("rev_u").as("total_u"))
+    // grand total off the SWEPT (already-materialized) frame — reading
+    // it from `rev` would re-scan lineitem and re-run the fact agg
+    val totals = swept.agg(sum("rev_u").as("total_u"))
     swept.crossJoin(broadcast(totals))
       .withColumn("abc_class", expr(
         """CASE WHEN cum_u * 100 <= CAST(total_u AS DECIMAL(38,0)) * 80 THEN 'A'

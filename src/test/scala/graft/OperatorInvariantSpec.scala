@@ -413,6 +413,103 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("orders_abc: classes partition the rank line in order, shares sum to ~1") {
+    val out = operators.AnalyticsMore.ordersAbc(spark, sf).collect()
+    val classes = out.map(_.getString(0)).toSeq
+    assert(classes == classes.sorted && classes.toSet.subsetOf(Set("A", "B", "C")))
+    val nParts = sources.Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_parts")).sum == nParts,
+      "classes must partition the part universe")
+    // rank ranges tile [1, nParts] contiguously in class order
+    val ranges = out.map(r => (r.getAs[Long]("min_rank"), r.getAs[Long]("max_rank")))
+    assert(ranges.head._1 == 1L && ranges.last._2 == nParts)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(lo == hi + 1, s"rank ranges must tile: $hi then $lo")
+    case _ => () }
+    val shares = out.map(_.getAs[Long]("rev_share_ppm"))
+    assert(shares.sum >= 999997L && shares.sum <= 1000000L, s"shares sum ${shares.sum}")
+    // A is the head of the Pareto curve: fewer parts than C, more revenue
+    val byClass = out.map(r => r.getString(0) -> r).toMap
+    for (a <- byClass.get("A"); c <- byClass.get("C")) {
+      assert(a.getAs[Long]("rev_share_ppm") > c.getAs[Long]("rev_share_ppm"))
+    }
+  }
+
+  test("events_changepoint: the reported shift is a real consecutive-day delta") {
+    val out = operators.EventsMore.eventsChangepoint(spark, sf).collect()
+    assert(out.nonEmpty)
+    // recount the daily frame and check each reported shift is the max
+    val daily = sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    out.foreach { r =>
+      val (t, day) = (r.getString(0), r.getAs[Long]("day"))
+      val counts = daily(t)
+      assert(counts(day) == r.getAs[Long]("after_n") &&
+        counts(day - 1) == r.getAs[Long]("before_n"),
+        s"$t: reported counts must match the daily frame")
+      val best = counts.keys.filter(d => counts.contains(d - 1))
+        .map(d => math.abs(counts(d) - counts(d - 1))).max
+      assert(math.abs(r.getAs[Long]("delta")) == best,
+        s"$t: reported |delta| must be the maximum consecutive-day shift")
+    }
+  }
+
+  test("corpus_novelty: monotone-seeded — the lowest doc_id is fully novel, ppm bounded") {
+    val out = operators.CorpusQuality.corpusNovelty(spark, sf).collect()
+    assert(out.nonEmpty)
+    val first = out.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("novelty_ppm") == 1000000L,
+      "the earliest doc owns every one of its shingles")
+    out.foreach { r =>
+      val (n, nov, ppm) = (r.getAs[Long]("n_sh"), r.getAs[Long]("n_novel"),
+        r.getAs[Long]("novelty_ppm"))
+      assert(nov >= 0L && nov <= n && ppm == nov * 1000000L / n)
+    }
+  }
+
+  test("embed_kmeans_step: assignment is total and centroids stay in the data range") {
+    val out = operators.Similarity.embedKmeansStep(spark, sf).collect()
+    val nVecs = sources.Tables.embeddings(spark, sf).count()
+    // every dimension of every non-empty cluster is present, and each
+    // cluster's n_assigned is constant across its dims
+    val perCluster = out.groupBy(_.getAs[Long]("cluster"))
+    perCluster.foreach { case (c, rows) =>
+      assert(rows.length == functions.VectorFns.Dim, s"cluster $c: dims missing")
+      assert(rows.map(_.getAs[Long]("n_assigned")).distinct.length == 1)
+    }
+    assert(perCluster.map(_._2.head.getAs[Long]("n_assigned")).sum == nVecs,
+      "assignment must cover every vector exactly once")
+    // each seed vector belongs to its own cluster, so no cluster is empty
+    assert(perCluster.size == operators.Similarity.KmeansK)
+  }
+
+  test("knn_silhouette: s bounded, own-centroid distance below nearest-other on sane labels") {
+    val out = operators.Similarity.knnSilhouette(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nVecs = sources.Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == nVecs)
+    out.foreach { r =>
+      val s = r.getAs[Long]("mean_s_ppm")
+      assert(s >= -1000000L && s <= 1000000L, s"silhouette out of [-1, 1]: $s")
+      assert(r.getAs[Long]("mean_own_sq") >= 0L && r.getAs[Long]("mean_other_sq") >= 0L)
+    }
+    // the synthetic labels are NOT geometric clusters (labels assigned
+    // independently of position), so the audit must read ≈ 0: slightly
+    // NEGATIVE in expectation, because b = min over 15 other centroids
+    // undershoots the own-centroid distance a on exchangeable labels.
+    // A confidently positive or strongly negative reading here would
+    // mean the distance math is wrong, not the data.
+    out.foreach { r =>
+      val s = r.getAs[Long]("mean_s_ppm")
+      assert(s > -100000L && s < 50000L,
+        s"label ${r.getAs[Long]("label")}: s_ppm $s inconsistent with exchangeable labels")
+    }
+  }
+
   test("embed_project: projections deterministic and norm ratios sane") {
     val out = operators.Similarity.embedProject(spark, sf)
     val a = out.collect(); val b = operators.Similarity.embedProject(spark, sf).collect()
