@@ -265,8 +265,62 @@ object Audio {
       |FROM params p JOIN acoustics a USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
 
+  /** 16-window loudness envelope per decoded track — the banding
+    * feature audio fingerprinting keys on (same windows as the
+    * synth's amplitude staircase, so the envelope SHAPE is the doc's
+    * acoustic identity): per (doc, window), the exact sample count and
+    * Σ|x| in integers off the REAL decoded PCM. No floats anywhere, so
+    * the closed-form SQL twin reproduces the decoder bit-for-bit.
+    *
+    * Scale shape: one typed mapPartitions decode pass per track
+    * (audio_meta's shape, zero shuffles before the final order);
+    * output is 16×tracks rows. Σ|x| ≤ 2×10⁴ per sample × 10⁹ samples
+    * per track stays far under 2⁶³.
+    */
+  def audioEnvelope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    encodeAudio(s, dir).mapPartitions { rows =>
+      rows.flatMap { p =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p.payload))
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val cnt = new Array[Long](16)
+        val sum = new Array[Long](16)
+        var t = 0
+        while (t < n) {
+          val x = ((bytes(2 * t + 1) << 8) | (bytes(2 * t) & 0xFF)).toLong
+          val w = (t.toLong * 16 / n).toInt
+          cnt(w) += 1; sum(w) += math.abs(x)
+          t += 1
+        }
+        (0 until 16).map(w => (p.doc_id, w.toLong, cnt(w), sum(w)))
+      }
+    }.toDF("doc_id", "window", "n_in_window", "sum_abs")
+      .orderBy("doc_id", "window")
+  }
+
+  val audioEnvelopeSql: String =
+    s"""WITH params AS (
+       |  SELECT doc_id, 1600 + doc_id % 800 AS n,
+       |    1667 + doc_id % 64 * 13 AS f
+       |  FROM documents),
+       |samples AS (
+       |  SELECT doc_id, i * 16 // n AS w,
+       |    ((i * f + doc_id * 7) % 20000) * a // 8 - 10000 * a // 8 AS x
+       |  FROM (
+       |    SELECT doc_id, n, f, i,
+       |      1 + (doc_id + 7) * ([${AmpMix.mkString(", ")}][(i * 16 // n) + 1]) % 251 % 8 AS a
+       |    FROM params, UNNEST(generate_series(0, CAST(n - 1 AS BIGINT))) AS t(i)) m)
+       |SELECT doc_id, CAST(w AS BIGINT) AS window,
+       |  COUNT(*) AS n_in_window,
+       |  CAST(SUM(ABS(x)) AS BIGINT) AS sum_abs
+       |FROM samples GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audio_envelope" -> (audioEnvelope _),
     "audio_meta" -> (audioMeta _))
   val oracles: Map[String, String] = Map(
+    "audio_envelope" -> audioEnvelopeSql,
     "audio_meta" -> audioMetaSql)
 }

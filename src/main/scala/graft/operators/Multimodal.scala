@@ -207,6 +207,19 @@ object Multimodal {
     * bit-identically across JVMs.
     */
   def lumaGridFeature(img: java.awt.image.BufferedImage, grid: Int): Array[Float] = {
+    val (sums, counts) = lumaGridSums(img, grid)
+    val means = Array.tabulate(grid * grid)(c =>
+      if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
+    val norm = math.sqrt(means.map(m => m * m).sum)
+    means.map(m => if (norm == 0) 0f else (m / norm).toFloat)
+  }
+
+  /** the EXACT-INTEGER inner fold of [[lumaGridFeature]]: per-cell luma
+    * sums and pixel counts. Exposed so integer perceptual hashes
+    * (video_ahash) can stay float-free end to end — the oracle then
+    * replicates the whole pipeline in integer SQL with zero ulp risk.
+    */
+  def lumaGridSums(img: java.awt.image.BufferedImage, grid: Int): (Array[Long], Array[Long]) = {
     val (w, h) = (img.getWidth, img.getHeight)
     val sums = new Array[Long](grid * grid)
     val counts = new Array[Long](grid * grid)
@@ -225,10 +238,7 @@ object Multimodal {
       }
       y += 1
     }
-    val means = Array.tabulate(grid * grid)(c =>
-      if (counts(c) == 0) 0.0 else sums(c).toDouble / counts(c))
-    val norm = math.sqrt(means.map(m => m * m).sum)
-    means.map(m => if (norm == 0) 0f else (m / norm).toFloat)
+    (sums, counts)
   }
 
   val AHashBands = 16         // 16 bands × 4 bits over the 64-bit hash

@@ -217,9 +217,71 @@ object Video {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Integer average-hash per decoded frame — the perceptual signature
+    * the visual-dedup band join buckets on, emitted as two 32-bit
+    * halves so BOTH engines stay in safe signed-BIGINT arithmetic
+    * (bit 63 of a single 64-bit hash would need unsigned folds). Bit c
+    * is set iff cell c's luma sum × 64 exceeds the frame total — the
+    * classical aHash with the mean comparison cleared of floats
+    * entirely (equal 3×2-pixel cells make cellmean > framemean ⟺
+    * 64·cellsum > total in exact integers), which is what lets a SQL
+    * oracle replicate the whole codec→hash pipeline bit-for-bit.
+    *
+    * Scale shape: demux + PNG decode + hash fold all inside one typed
+    * mapPartitions pass per container (video_meta's shape, zero
+    * shuffles before the final order); output is frames-sized.
+    */
+  def videoAhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    encodeVideos(s, dir).mapPartitions { rows =>
+      rows.flatMap { v =>
+        decodedFrames(v, 1).map { case (f, img) =>
+          val (sums, _) = Multimodal.lumaGridSums(img, 8)
+          val total = sums.sum
+          var lo = 0L; var hi = 0L
+          var c = 0
+          while (c < 64) {
+            if (sums(c) * 64L > total) {
+              if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+            }
+            c += 1
+          }
+          (v.doc_id, f, lo, hi)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "ahash_lo", "ahash_hi")
+      .withColumn("frame_idx", col("frame_idx").cast("int"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val videoAhashSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, UNNEST(generate_series(0, 1 + doc_id % 3)) AS frame_idx
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, frame_idx,
+       |    ((i // $W) // ${H / 8}) * 8 + (i % $W) // ${W / 8} AS cell,
+       |    (doc_id * 1000003 + frame_idx * 8191 + i * 2654435761) % 256 AS v
+       |  FROM f, UNNEST(generate_series(0, ${W * H - 1})) AS t(i)),
+       |cells AS (
+       |  SELECT doc_id, frame_idx, cell, CAST(SUM(v) AS BIGINT) AS cs
+       |  FROM px GROUP BY 1, 2, 3),
+       |tot AS (
+       |  SELECT doc_id, frame_idx, CAST(SUM(cs) AS BIGINT) AS total
+       |  FROM cells GROUP BY 1, 2)
+       |SELECT c.doc_id, CAST(c.frame_idx AS INT) AS frame_idx,
+       |  CAST(SUM(CASE WHEN c.cs * 64 > t.total AND c.cell < 32
+       |    THEN (CAST(1 AS BIGINT) << CAST(c.cell AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo,
+       |  CAST(SUM(CASE WHEN c.cs * 64 > t.total AND c.cell >= 32
+       |    THEN (CAST(1 AS BIGINT) << CAST(c.cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi
+       |FROM cells c JOIN tot t USING (doc_id, frame_idx)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "video_meta" -> (videoMeta _))
+    "video_meta" -> (videoMeta _),
+    "video_ahash" -> (videoAhash _))
 
   val oracles: Map[String, String] = Map(
-    "video_meta" -> videoMetaSql)
+    "video_meta" -> videoMetaSql,
+    "video_ahash" -> videoAhashSql)
 }

@@ -103,7 +103,8 @@ object ScaleSmoke {
       // silhouette audit (orders_abc uses un-replicated lineitem —
       // covered by bench + PLANS)
       "events_changepoint", "corpus_novelty",
-      "embed_kmeans_step", "knn_silhouette")
+      "embed_kmeans_step", "knn_silhouette",
+      "audio_envelope", "video_ahash")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty else targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
