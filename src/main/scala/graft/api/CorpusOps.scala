@@ -452,4 +452,98 @@ object CorpusOps {
           | - CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE), 0.0))
           | / CAST(n_vecs AS DOUBLE) * 1000) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")).as("sd_ppm"),
         col("min_milli"), col("max_milli"), col("n_nearzero"))
+
+  /** Top adjacent character pairs by corpus frequency — one BPE
+    * merge-selection scan, the generic twin of bpe_pair_step. Counts
+    * over the (word, count) vocab, never the raw corpus: the classic
+    * BPE-trainer scale trick.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String = "text",
+      topK: Int = 20): DataFrame =
+    docs
+      .select(explode(expr(s"filter(split($textCol, ' '), w -> w <> '')")).as("__word"))
+      .groupBy("__word").agg(count(lit(1)).as("__cnt"))
+      .filter(length(col("__word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(__word) - 1), i -> substring(__word, i, 2))"))
+        .as("pair"), col("__cnt"))
+      .groupBy("pair")
+      .agg(sum("__cnt").as("n_pairs"), count(lit(1)).as("n_types"))
+      .orderBy(col("n_pairs").desc, col("pair")).limit(topK)
+
+  /** Per-group unigram KL(group ‖ corpus) in ppb — the generic twin of
+    * source_kl_drift, pointable at any (group, text) frame. Each
+    * token's term floor-quantizes to a ppb BIGINT before summation, so
+    * shuffle order can never move a bit.
+    */
+  def sourceDrift(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val grid = graft.operators.Materialize.stable(docs
+      .select(col(groupCol),
+        explode(expr(s"filter(split($textCol, ' '), w -> w <> '')")).as("__token"))
+      .groupBy(col(groupCol), col("__token")).agg(count(lit(1)).as("__nst")))
+    val byGroup = grid.groupBy(groupCol)
+      .agg(sum("__nst").as("__ns"), count(lit(1)).as("n_vocab"))
+    val byToken = grid.groupBy("__token").agg(sum("__nst").as("__nt"))
+    val total = byGroup.agg(sum("__ns").as("__ntot"))
+    grid.join(byToken, Seq("__token"))
+      .join(broadcast(byGroup), Seq(groupCol))
+      .join(broadcast(total))
+      .withColumn("__term", expr(
+        """CAST(floor(CAST(__nst AS DOUBLE) / CAST(__ns AS DOUBLE)
+          |  * log2(CAST(__nst AS DOUBLE) * CAST(__ntot AS DOUBLE)
+          |         / (CAST(__ns AS DOUBLE) * CAST(__nt AS DOUBLE)))
+          |  * 1000000000) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")))
+      .groupBy(groupCol)
+      .agg(max("__ns").as("n_tokens"), max("n_vocab").as("n_vocab"),
+        sum("__term").as("kl_ppb"))
+  }
+
+  /** One damped PageRank power-iteration over an arbitrary edge frame:
+    * `edges` (srcCol, dstCol) + current `ranks` (idCol, rank ppb) →
+    * next ranks — the generic twin of web_pagerank_step, fed by real
+    * href extraction at crawl scale. All ppb fixed point: Σ rank mass
+    * stays ≤ 10⁹, so inflow sums are BIGINT-safe at any graph size;
+    * out-degrees come from ONE edge partial agg and re-attach by a
+    * co-partitioned src equi-join.
+    */
+  def pageRankStep(edges: DataFrame, ranks: DataFrame, srcCol: String,
+      dstCol: String, idCol: String, rankCol: String,
+      dampingPct: Int = 85): DataFrame = {
+    val outdeg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("__deg"))
+    val contrib = edges.join(outdeg, Seq(srcCol))
+      .join(ranks.select(col(idCol).as(srcCol), col(rankCol).as("__r")), Seq(srcCol))
+      .select(col(dstCol).as(idCol), expr(s"__r div __deg").as("__c"))
+      .groupBy(idCol).agg(sum("__c").as("inflow_ppb"))
+    val n = ranks.agg(count(lit(1)).as("__n"))
+    ranks.select(col(idCol)).join(contrib, Seq(idCol), "left")
+      .withColumn("inflow_ppb", coalesce(col("inflow_ppb"), lit(0L)))
+      .join(broadcast(n))
+      .withColumn(rankCol, expr(
+        s"${(100 - dampingPct) * 10000000L} div __n + inflow_ppb * $dampingPct div 100"))
+      .select(col(idCol), col(rankCol), col("inflow_ppb"))
+  }
+
+  /** One PCA power-iteration step over an embedding frame — the generic
+    * twin of embed_pca_power: w = Xᵀ(Xv₀) from the all-ones seed on the
+    * milli-quantized grid, components L∞-normalized to integer ppm.
+    */
+  def pcaPowerStep(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val grid = graft.operators.Materialize.stable(df
+      .select(col(idCol).as("__id"),
+        posexplode(expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")).as(Seq("pos", "__x")))
+      .withColumn("__milli", expr("CAST(floor(__x * 1000) AS BIGINT)"))
+      .select("__id", "pos", "__milli"))
+    val dots = grid.groupBy("__id").agg(sum("__milli").as("__dot"))
+    val w = grid.join(dots, Seq("__id"))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(__milli AS DECIMAL(38,0)) * __dot")).as("__w"))
+    val wmax = w.agg(max(expr("abs(__w)")).as("__wmax"))
+    w.join(broadcast(wmax))
+      .withColumn("w_unit", expr("CAST(__w div 1000000 AS BIGINT)"))
+      .withColumn("comp_ppm", expr("CAST(__w * 1000000 div __wmax AS BIGINT)"))
+      .select("pos", "n_vecs", "w_unit", "comp_ppm")
+  }
 }

@@ -171,4 +171,48 @@ object EventOps {
         max("__share_ppm").as("top_share_ppm"),
         expr("SUM(__share_ppm * __share_ppm) div 1000000").as("hhi_ppm"))
   }
+
+  /** Seasonal-naive forecast skill per group: predict each bucket's
+    * event count with the count `season` buckets earlier and report the
+    * error mass (MAE + WAPE, ppm) — the generic twin of events_forecast.
+    * Only buckets with an observed lag-`season` partner score. The ppm
+    * numerators accumulate DECIMAL(38,0): Σ|err| is bounded by the
+    * event count, which times 10⁶ passes 2⁶³ at 10¹³ rows.
+    */
+  def forecastSkill(df: DataFrame, groupCol: String, tsUsCol: String,
+      bucketUs: Long = 86400L * 1000000, season: Int = 7): DataFrame = {
+    val frame = df.withColumn("__bucket", expr(s"$tsUsCol div $bucketUs"))
+      .groupBy(col(groupCol), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+    val pred = frame.select(col(groupCol),
+      (col("__bucket") + season).as("__bucket"), col("__n").as("__np"))
+    frame.join(pred, Seq(groupCol, "__bucket"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("__n").as("sum_actual"),
+        sum(expr("abs(__n - __np)")).as("sum_abs_err"))
+      .withColumn("mae_ppm", expr(
+        "CAST(CAST(sum_abs_err AS DECIMAL(38,0)) * 1000000 div n_buckets AS BIGINT)"))
+      .withColumn("wape_ppm", expr(
+        "CAST(CAST(sum_abs_err AS DECIMAL(38,0)) * 1000000 div sum_actual AS BIGINT)"))
+  }
+
+  /** Open/close sweep line: per day, how many `opens` rows started, how
+    * many `closes` rows finished, and the running count still open —
+    * the generic twin of orders_backlog (tickets, sessions, orders —
+    * any entity with a start and end event stream). The running sum
+    * uses [[graft.operators.Ranks.boundedRunningSum]]'s one-row fold;
+    * the day frame must be calendar-bounded (it is, by definition).
+    */
+  def backlogSweep(opens: DataFrame, closes: DataFrame, dayCol: String): DataFrame = {
+    val o = opens.groupBy(col(dayCol).as("day")).agg(count(lit(1)).as("opened"))
+    val c = closes.groupBy(col(dayCol).as("day")).agg(count(lit(1)).as("closed"))
+    val perDay = graft.operators.Materialize.stable(o.join(c, Seq("day"), "full_outer")
+      .select(col("day"), coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("closed"), lit(0L)).as("closed")))
+    val run = graft.operators.Ranks.boundedRunningSum(
+      perDay.select(col("day"), (col("opened") - col("closed")).as("net")),
+      "day", "net", "backlog")
+    perDay.join(run.select("day", "backlog"), Seq("day"))
+  }
 }

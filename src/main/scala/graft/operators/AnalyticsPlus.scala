@@ -268,7 +268,63 @@ object AnalyticsPlus {
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  /** Open-order backlog sweep line: per day, orders opened (by order
+    * date), orders completed (an order closes on its LAST line-item
+    * ship day), and the running count still open — the fulfillment-
+    * health series an ops dashboard tracks (a rising backlog = shipping
+    * is falling behind intake).
+    *
+    * Scale shape: intake is ONE orders partial agg to the calendar
+    * frame; completion is ONE lineitem shuffle on orderkey (max
+    * shipdate per order) then a calendar partial agg; the running sum
+    * over the ~10³-row day frame uses [[Ranks.boundedRunningSum]]
+    * (one-row fold) — never a global-order window, so the plan shape
+    * is identical at 10¹² orders, where the day frame is STILL
+    * calendar-bounded. All integer: epoch-day keys, BIGINT counts;
+    * backlog ≤ total orders — no overflow at any scale.
+    */
+  def ordersBacklog(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000
+    val opened = Tables.orders(s, dir)
+      .groupBy(expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("opened"))
+    val closed = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(max(expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div $dayUs")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("closed"))
+    val perDay = Materialize.stable(opened.join(closed, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("closed"), lit(0L)).as("closed")))
+    val run = Ranks.boundedRunningSum(
+      perDay.select(col("day"), (col("opened") - col("closed")).as("net")),
+      "day", "net", "backlog")
+    perDay.join(run.select("day", "backlog"), Seq("day"))
+      .select("day", "opened", "closed", "backlog")
+      .orderBy("day")
+  }
+
+  val ordersBacklogSql: String =
+    """WITH opened AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day, COUNT(*) AS opened
+      |  FROM orders GROUP BY 1
+      |), closed AS (
+      |  SELECT day, COUNT(*) AS closed FROM (
+      |    SELECT l_orderkey, MAX(epoch_us(l_shipdate) // 86400000000) AS day
+      |    FROM lineitem GROUP BY 1) t
+      |  GROUP BY 1
+      |), per_day AS (
+      |  SELECT COALESCE(o.day, c.day) AS day,
+      |    COALESCE(opened, 0) AS opened, COALESCE(closed, 0) AS closed
+      |  FROM opened o FULL OUTER JOIN closed c ON o.day = c.day
+      |)
+      |SELECT day, opened, closed,
+      |  CAST(SUM(opened - closed) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+      |FROM per_day ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_backlog" -> (ordersBacklog _),
     "orders_basket" -> (ordersBasket _),
     "orders_rfm" -> (ordersRfm _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
@@ -278,6 +334,7 @@ object AnalyticsPlus {
   )
 
   val oracles: Map[String, String] = Map(
+    "orders_backlog" -> ordersBacklogSql,
     "orders_basket" -> ordersBasketSql,
     "orders_rfm" -> ordersRfmSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,

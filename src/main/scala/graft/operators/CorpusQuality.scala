@@ -533,7 +533,117 @@ object CorpusQuality {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** One BPE merge-selection step: the top-20 adjacent CHARACTER pairs
+    * by corpus frequency — the argmax scan a byte-pair-encoding
+    * tokenizer trainer runs once per merge. Distinct from
+    * [[corpusBigrams]] (word-level collocations): BPE operates inside
+    * words, and its classic scale trick is counting over the VOCAB
+    * (distinct words weighted by frequency), never the raw corpus —
+    * a 10¹³-token corpus has only ~10⁷ distinct words, so the pair scan
+    * after the first partial agg is vocabulary-bounded.
+    *
+    * Scale shape: ONE corpus partial agg to the (word, count) vocab;
+    * pair explosion is a map-side ≤\|word\|-fanout transform over that
+    * vocab frame; the pair rollup is an alphabet²-bounded partial agg
+    * and the top-20 is TakeOrdered. n_pairs ≤ total corpus tokens ×
+    * avg word length ≤ 10¹⁴ — BIGINT-safe; n_types ≤ vocab size.
+    */
+  def bpePairStep(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), col("cnt"))
+      .groupBy("pair")
+      .agg(sum("cnt").as("n_pairs"), count(lit(1)).as("n_types"))
+      .orderBy(col("n_pairs").desc, col("pair")).limit(20)
+
+  val bpePairStepSql: String =
+    """WITH vocab AS (
+      |  SELECT token AS word, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+      |    FROM documents) t
+      |  GROUP BY 1
+      |), pairs AS (
+      |  SELECT unnest(list_transform(range(1, length(word)),
+      |           i -> substr(word, CAST(i AS INT), 2))) AS pair, cnt
+      |  FROM vocab WHERE length(word) >= 2
+      |)
+      |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types
+      |FROM pairs GROUP BY 1 ORDER BY n_pairs DESC, pair LIMIT 20""".stripMargin
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * token distributions, in ppb — the "did this source's language
+    * shift away from the mix" gate a corpus refresh runs before
+    * re-weighting ([[sourceDiversity]] measures concentration WITHIN a
+    * source; this measures divergence BETWEEN a source and the blend).
+    *
+    * Determinism: each token's contribution
+    * (n_st/n_s)·log2(n_st·n_tot/(n_s·n_t)) is ONE fixed-shape double
+    * expression (identical op order both engines, events_entropy's
+    * log2 convention) floor-quantized to a ppb BIGINT per token —
+    * summation is then exact integer math, so shuffle order can never
+    * move a bit. \|term\| ≤ 10⁹·64 per token ≪ 2⁶³; the sum is
+    * vocab-bounded × that, safe to 10⁸ vocab.
+    *
+    * Scale shape: ONE (source, token) corpus partial agg; token
+    * marginals partial-agg over that grid and re-attach by a
+    * co-partitioned token equi-join; source marginals and the one-row
+    * corpus total ride back as broadcasts; final rollup is
+    * sources-bounded.
+    */
+  def sourceKlDrift(s: SparkSession, dir: String): DataFrame = {
+    val grid = Materialize.stable(Tables.documents(s, dir)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n_st")))
+    val bySource = grid.groupBy("source")
+      .agg(sum("n_st").as("n_s"), count(lit(1)).as("n_vocab"))
+    val byToken = grid.groupBy("token").agg(sum("n_st").as("n_t"))
+    val total = bySource.agg(sum("n_s").as("n_tot"))
+    grid.join(byToken, Seq("token"))
+      .join(broadcast(bySource), Seq("source"))
+      .join(broadcast(total))
+      .withColumn("term_ppb", expr(
+        """CAST(floor(CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+          |  * log2(CAST(n_st AS DOUBLE) * CAST(n_tot AS DOUBLE)
+          |         / (CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)))
+          |  * 1000000000) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), max("n_vocab").as("n_vocab"),
+        sum("term_ppb").as("kl_ppb"))
+      .orderBy("source")
+  }
+
+  val sourceKlDriftSql: String =
+    """WITH grid AS (
+      |  SELECT source, token, COUNT(*) AS n_st FROM (
+      |    SELECT source, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+      |    FROM documents) t
+      |  GROUP BY 1, 2
+      |), by_source AS (
+      |  SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s, COUNT(*) AS n_vocab
+      |  FROM grid GROUP BY 1
+      |), by_token AS (
+      |  SELECT token, CAST(SUM(n_st) AS BIGINT) AS n_t FROM grid GROUP BY 1
+      |), t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM by_source)
+      |SELECT g.source, MAX(s.n_s) AS n_tokens, MAX(s.n_vocab) AS n_vocab,
+      |  CAST(SUM(CAST(floor(CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+      |    * log2(CAST(n_st AS DOUBLE) * CAST(n_tot AS DOUBLE)
+      |           / (CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE)))
+      |    * 1000000000) AS BIGINT)) AS BIGINT) AS kl_ppb
+      |FROM grid g
+      |JOIN by_token k ON g.token = k.token
+      |JOIN by_source s ON g.source = s.source
+      |CROSS JOIN t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_pair_step" -> (bpePairStep _),
+    "source_kl_drift" -> (sourceKlDrift _),
     "corpus_novelty" -> (corpusNovelty _),
     "corpus_lm_buckets" -> (corpusLmBuckets _),
     "text_repetition" -> (textRepetition _),
@@ -546,6 +656,8 @@ object CorpusQuality {
     "text_zipf_slope" -> (textZipfSlope _))
 
   val oracles: Map[String, String] = Map(
+    "bpe_pair_step" -> bpePairStepSql,
+    "source_kl_drift" -> sourceKlDriftSql,
     "corpus_novelty" -> corpusNoveltySql,
     "corpus_lm_buckets" -> corpusLmBucketsSql,
     "text_repetition" -> textRepetitionSql,

@@ -479,7 +479,64 @@ object EventsMore {
        |  n - prev_n AS delta
        |FROM best WHERE r = 1 ORDER BY event_type""".stripMargin
 
+  /** Seasonal-naive forecast skill score per event type: predict each
+    * day's event count with the count from 7 days earlier (the
+    * strongest trivial baseline for weekly-seasonal traffic) and report
+    * the error mass — MAE and WAPE, both in ppm. This is the capacity-
+    * planning / alerting-threshold calibration query: a type whose
+    * WAPE is small is predictable enough for threshold alerts, a large
+    * one needs anomaly scoring instead (events_anomaly). Only days with
+    * an observed lag-7 partner are scored (observed-day frame, same
+    * convention as events_autocorr — silence is not zero traffic).
+    *
+    * Scale shape: the corpus collapses to the calendar-bounded
+    * (type, day) frame in ONE partial agg; the forecast pairing is a
+    * co-partitioned self-equi-join on (type, day+7) over that frame;
+    * the rollup is a types-bounded partial agg. Numeric bounds:
+    * Σ|err| ≤ total event count, so the ppm numerator is accumulated
+    * in DECIMAL(38,0) (10¹³ events × 10⁶ passes 2⁶³; BIGINT would wrap
+    * where DuckDB's HUGEINT does not) and divides back to BIGINT ppm.
+    */
+  def eventsForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val pred = daily.select(col("event_type"), (col("day") + 7).as("day"),
+      col("n").as("n_pred"))
+    daily.join(pred, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("n").as("sum_actual"),
+        sum(expr("abs(n - n_pred)")).as("sum_abs_err"))
+      .withColumn("mae_ppm", expr(
+        "CAST(CAST(sum_abs_err AS DECIMAL(38,0)) * 1000000 div n_days AS BIGINT)"))
+      .withColumn("wape_ppm", expr(
+        "CAST(CAST(sum_abs_err AS DECIMAL(38,0)) * 1000000 div sum_actual AS BIGINT)"))
+      .select("event_type", "n_days", "sum_actual", "sum_abs_err", "mae_ppm", "wape_ppm")
+      .orderBy("event_type")
+  }
+
+  val eventsForecastSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // $dayUs AS day, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT a.event_type, a.n, f.n AS n_pred
+       |  FROM daily a JOIN daily f
+       |    ON a.event_type = f.event_type AND f.day = a.day - 7
+       |), m AS (
+       |  SELECT event_type, COUNT(*) AS n_days,
+       |    CAST(SUM(n) AS BIGINT) AS sum_actual,
+       |    CAST(SUM(abs(n - n_pred)) AS BIGINT) AS sum_abs_err
+       |  FROM scored GROUP BY 1
+       |)
+       |SELECT event_type, n_days, sum_actual, sum_abs_err,
+       |  CAST(CAST(sum_abs_err AS HUGEINT) * 1000000 // n_days AS BIGINT) AS mae_ppm,
+       |  CAST(CAST(sum_abs_err AS HUGEINT) * 1000000 // sum_actual AS BIGINT) AS wape_ppm
+       |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_forecast" -> (eventsForecast _),
     "events_changepoint" -> (eventsChangepoint _),
     "events_seasonality" -> (eventsSeasonality _),
     "events_value_pareto" -> (eventsValuePareto _),
@@ -495,6 +552,7 @@ object EventsMore {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_forecast" -> eventsForecastSql,
     "events_changepoint" -> eventsChangepointSql,
     "events_seasonality" -> eventsSeasonalitySql,
     "events_value_pareto" -> eventsValueParetoSql,

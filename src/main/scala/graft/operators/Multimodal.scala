@@ -20,6 +20,18 @@ import graft.sources.Tables
   */
 object Multimodal {
 
+  /** ImageIO defaults to FILE-backed stream caches: every static
+    * read/write spins up a FileCache stream that hits executor-local
+    * disk once per codec round trip — measured as the dominant cost of
+    * the video family at sf0.1 (45k tiny-frame round trips serialized
+    * on temp-file IO). Our frames are ≤ KB, so the in-memory cache is
+    * strictly better; flip the JVM-global flag once per executor.
+    * Referenced at the top of every codec mapPartitions (lazy val =
+    * exactly-once per JVM, free afterwards).
+    */
+  private[operators] lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** binary metadata extraction: byte length, magic bytes (hex), head
     * fingerprint — all on the binary/text columns, no decode needed.
     * (The `documents` text stands in for the media payload bytes.)
@@ -72,6 +84,7 @@ object Multimodal {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
+        imageIoMemCache
         // per-partition stage: ImageIO writer lookup is per-format and
         // cached by the JVM; allocation stays inside the partition loop
         rows.map { case (id, text) =>
@@ -107,6 +120,7 @@ object Multimodal {
   def decodeMedia(ds: Dataset[MediaPayload]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
+        imageIoMemCache
       rows.map { p =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
         require(img != null, s"undecodable payload for doc ${p.doc_id}")
@@ -147,6 +161,7 @@ object Multimodal {
   def resizeMedia(ds: Dataset[MediaPayload], w: Int, h: Int): Dataset[MediaPayload] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
+        imageIoMemCache
       rows.map { p =>
         val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
         require(src != null, s"undecodable payload for doc ${p.doc_id}")
@@ -193,6 +208,7 @@ object Multimodal {
   def featureExtract(ds: Dataset[MediaPayload], grid: Int = 8): Dataset[FrameFeature] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
+        imageIoMemCache
       rows.map { p =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
         require(img != null, s"undecodable payload for doc ${p.doc_id}")

@@ -1103,7 +1103,61 @@ object Similarity {
        |  CAST(SUM(s_ppm) AS BIGINT) // COUNT(*) AS mean_s_ppm
        |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One PCA power-iteration step over the embedding table: w = Xᵀ(Xv₀)
+    * with the deterministic all-ones start vector v₀ — the building
+    * block that finds the corpus's dominant variance direction (the
+    * axis [[embedProject]]-style 2-bit quantizers and whitening passes
+    * want first). Components come back L∞-normalized in exact integer
+    * ppm so the oracle is bit-checkable: per-dim raw sums would need
+    * IEEE addition (partition-order-dependent), so everything runs on
+    * the milli grid ([[embedCentroid]]'s convention).
+    *
+    * Scale shape: ONE posexplode grid feeds BOTH the per-vector dot
+    * (vec_id partial agg) and the weighted recombination — a
+    * co-partitioned vec_id equi-join, dims-bounded output partial agg,
+    * one-row L∞ max broadcast back. Numeric bounds: |milli·dot| ≤
+    * 10³·(10³·64) = 6.4×10⁷ per cell; the per-dim sum reaches 6.4×10⁷·n
+    * — past 2⁶³ at n ≈ 1.4×10¹¹ vectors, so it accumulates
+    * DECIMAL(38,0) (the numeric-bounds rule); the outputs divide back
+    * to BIGINTs bounded by n·64·10³ (w_unit) and 10⁶ (comp_ppm).
+    */
+  def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val grid = Materialize.stable(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(expr(sparkToDouble("embedding"))).as(Seq("pos", "x")))
+      .withColumn("milli", expr("CAST(floor(x * 1000) AS BIGINT)"))
+      .select("vec_id", "pos", "milli"))
+    val dots = grid.groupBy("vec_id").agg(sum("milli").as("dot"))
+    val w = grid.join(dots, Seq("vec_id"))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(milli AS DECIMAL(38,0)) * dot")).as("w"))
+    val wmax = w.agg(max(expr("abs(w)")).as("w_max"))
+    w.join(broadcast(wmax))
+      .withColumn("w_unit", expr("CAST(w div 1000000 AS BIGINT)"))
+      .withColumn("comp_ppm", expr("CAST(w * 1000000 div w_max AS BIGINT)"))
+      .select("pos", "n_vecs", "w_unit", "comp_ppm")
+      .orderBy("pos")
+  }
+
+  val embedPcaPowerSql: String =
+    s"""WITH grid AS (
+       |  SELECT vec_id, p.pos AS pos,
+       |    CAST(floor(list_transform(embedding, x -> x::DOUBLE)[p.pos + 1] * 1000) AS BIGINT) AS milli
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, ${graft.functions.VectorFns.Dim})) AS pos) p
+       |), dots AS (
+       |  SELECT vec_id, CAST(SUM(milli) AS BIGINT) AS dot FROM grid GROUP BY 1
+       |), w AS (
+       |  SELECT g.pos, COUNT(*) AS n_vecs,
+       |    SUM(CAST(g.milli AS HUGEINT) * d.dot) AS w
+       |  FROM grid g JOIN dots d ON g.vec_id = d.vec_id
+       |  GROUP BY 1
+       |), m AS (SELECT MAX(abs(w)) AS w_max FROM w)
+       |SELECT pos, n_vecs, CAST(w // 1000000 AS BIGINT) AS w_unit,
+       |  CAST(w * 1000000 // w_max AS BIGINT) AS comp_ppm
+       |FROM w, m ORDER BY pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca_power" -> (embedPcaPower _),
     "embed_kmeans_step" -> (embedKmeansStep _),
     "knn_silhouette" -> (knnSilhouette _),
     "knn_recall" -> (knnRecall _),
@@ -1123,6 +1177,7 @@ object Similarity {
     "embed_project" -> (embedProject _))
 
   val oracles: Map[String, String] = Map(
+    "embed_pca_power" -> embedPcaPowerSql,
     "embed_kmeans_step" -> embedKmeansStepSql,
     "knn_silhouette" -> knnSilhouetteSql,
     "knn_recall" -> knnRecallSql,

@@ -52,6 +52,7 @@ object Video {
   def encodeVideos(s: SparkSession, dir: String): Dataset[VideoPayload] = {
     import s.implicits._
     Tables.documents(s, dir).select("doc_id").as[Long].mapPartitions { docs =>
+        Multimodal.imageIoMemCache
       docs.map { doc =>
         val baos = new java.io.ByteArrayOutputStream()
         val out = new java.io.DataOutputStream(baos)
@@ -125,6 +126,7 @@ object Video {
   def sampleFrames(ds: Dataset[VideoPayload], stride: Int = 1): Dataset[VideoFrame] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
+        Multimodal.imageIoMemCache
       rows.flatMap { v =>
         decodedFrames(v, stride).map { case (f, img) =>
           var sum = 0L
@@ -174,6 +176,7 @@ object Video {
       grid: Int = 8): Dataset[Multimodal.FrameFeature] = {
     import vids.sparkSession.implicits._
     vids.mapPartitions { rows =>
+        Multimodal.imageIoMemCache
       rows.flatMap { v =>
         decodedFrames(v, stride).map { case (f, img) =>
           Multimodal.FrameFeature(v.doc_id, f, Multimodal.lumaGridFeature(img, grid))
@@ -234,6 +237,7 @@ object Video {
   def videoAhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     encodeVideos(s, dir).mapPartitions { rows =>
+        Multimodal.imageIoMemCache
       rows.flatMap { v =>
         decodedFrames(v, 1).map { case (f, img) =>
           val (sums, _) = Multimodal.lumaGridSums(img, 8)

@@ -194,15 +194,86 @@ object WebCorpus {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** One PageRank power-iteration step over the crawl's page graph —
+    * the authority signal web-corpus curation mixes into quality
+    * weighting (OpenWebText/RefinedWeb keep pages that LOOK linked-to).
+    * Pages are the url-dedup page groups (doc_id div 4, same synthesis
+    * as [[urlCol]]); the link structure is synthesized deterministically
+    * (page u → (7u+1, 13u+5, 29u+11) mod P, outdegree 3) so the oracle
+    * can restate it — on a real crawl the edge frame comes from href
+    * extraction and everything downstream is unchanged. The seed rank
+    * r₀ is proportional to page char volume (a data-dependent seed, so
+    * the step is a genuine sparse mat-vec, not indegree counting), and
+    * one damped step emits r₁ = (1−d)/P + d·Σ_in r₀/outdeg with
+    * d = 0.85, all in ppb fixed point.
+    *
+    * Scale shape: docs collapse to the page frame in ONE partial agg;
+    * P and total chars ride back as a one-row broadcast; edges are a
+    * map-side 3× explode of the page frame; inflow is ONE dst-keyed
+    * partial agg; the re-attach is a co-partitioned page equi-join and
+    * the top-20 is TakeOrdered — no global sort, no window. Numeric
+    * bounds: Σ r₀_ppb = 10⁹ by construction, so EVERY inflow sum is
+    * ≤ 10⁹ regardless of corpus size; the only product is
+    * page_chars·10⁹, safe while a 4-doc page holds < 9.2 GB of text
+    * (synthesis max ~10⁴ chars; a real crawl page group is ≤ MB).
+    */
+  def webPagerankStep(s: SparkSession, dir: String): DataFrame = {
+    val pages = Materialize.stable(Tables.documents(s, dir)
+      .groupBy(expr("doc_id div 4").as("page"))
+      .agg(sum("n_chars").as("chars")))
+    val totals = pages.agg((max("page") + 1).as("p_count"),
+      sum("chars").as("total_chars"))
+    val r0 = pages.join(broadcast(totals))
+      .withColumn("r0_ppb", expr("chars * 1000000000 div total_chars"))
+    val inflow = r0
+      .select(explode(expr(
+        "array((page*7+1) % p_count, (page*13+5) % p_count, (page*29+11) % p_count)"))
+        .as("page"), expr("r0_ppb div 3").as("contrib"))
+      .groupBy("page").agg(sum("contrib").as("inflow_ppb"))
+    r0.join(inflow, Seq("page"), "left")
+      .withColumn("inflow_ppb", coalesce(col("inflow_ppb"), lit(0L)))
+      .withColumn("r1_ppb",
+        expr("150000000 div p_count + inflow_ppb * 85 div 100"))
+      .select("page", "chars", "r0_ppb", "inflow_ppb", "r1_ppb")
+      .orderBy(col("r1_ppb").desc, col("page")).limit(20)
+  }
+
+  val webPagerankStepSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id // 4 AS page, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(MAX(page) + 1 AS BIGINT) AS p_count,
+      |    CAST(SUM(chars) AS BIGINT) AS total_chars FROM pages
+      |), r0 AS (
+      |  SELECT page, chars, chars * 1000000000 // total_chars AS r0_ppb
+      |  FROM pages, t
+      |), edges AS (
+      |  SELECT unnest([(page*7+1) % p_count, (page*13+5) % p_count,
+      |                 (page*29+11) % p_count]) AS page,
+      |    r0_ppb // 3 AS contrib
+      |  FROM r0, t
+      |), inflow AS (
+      |  SELECT page, CAST(SUM(contrib) AS BIGINT) AS inflow_ppb
+      |  FROM edges GROUP BY 1
+      |)
+      |SELECT r0.page, r0.chars, r0.r0_ppb,
+      |  COALESCE(i.inflow_ppb, 0) AS inflow_ppb,
+      |  150000000 // p_count + COALESCE(i.inflow_ppb, 0) * 85 // 100 AS r1_ppb
+      |FROM r0 LEFT JOIN inflow i ON r0.page = i.page, t
+      |ORDER BY r1_ppb DESC, r0.page LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_url" -> (dedupUrl _),
     "web_domains" -> (webDomains _),
+    "web_pagerank_step" -> (webPagerankStep _),
     "corpus_blocklist" -> (corpusBlocklist _)
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_url" -> dedupUrlSql,
     "web_domains" -> webDomainsSql,
+    "web_pagerank_step" -> webPagerankStepSql,
     "corpus_blocklist" -> corpusBlocklistSql
   )
 }

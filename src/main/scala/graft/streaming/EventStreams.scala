@@ -284,6 +284,54 @@ object EventStreams {
       }
   }
 
+  /** one candle of carried state: the open/close carry their (ts_us,
+    * event_id) total-order position so cross-batch comparisons use the
+    * batch operator's exact `ord` tiebreak, not arrival order.
+    */
+  case class OhlcState(openTs: Long, openId: Long, openV: Double,
+      hiV: Double, loV: Double,
+      closeTs: Long, closeId: Long, closeV: Double, n: Long)
+
+  /** Streaming twin of the batch `events_ohlc` hourly candles: keyed by
+    * (event_type, hour_bucket) with ONE candle of state, emitting the
+    * cumulative (open, high, low, close, n) upsert for every bucket
+    * touched in the batch. Open/close resolve by the batch operator's
+    * (ts_us, event_id) total order — an out-of-order row that precedes
+    * the carried open REPLACES the open, so micro-batch boundaries and
+    * late arrivals cannot flip a candle — and a last-write-wins
+    * consumer (or max-by-n aggregate) over the upserts reconstructs the
+    * batch candle table exactly. In production, watermark + timeout
+    * expires buckets once the clock passes them; state is one fixed-
+    * width record per open bucket either way.
+    */
+  def ohlcStream(events: Dataset[(String, Long, Long, Long, Double)])
+      : Dataset[(String, Long, Double, Double, Double, Double, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, Long, Long, Double)],
+            state: GroupState[OhlcState]) =>
+          var st = state.getOption.orNull
+          rows.foreach { case (_, _, t, id, v) =>
+            st = if (st == null) OhlcState(t, id, v, v, v, t, id, v, 1L)
+            else {
+              val opens = t < st.openTs || (t == st.openTs && id < st.openId)
+              val closes = t > st.closeTs || (t == st.closeTs && id > st.closeId)
+              OhlcState(
+                if (opens) t else st.openTs, if (opens) id else st.openId,
+                if (opens) v else st.openV,
+                math.max(st.hiV, v), math.min(st.loV, v),
+                if (closes) t else st.closeTs, if (closes) id else st.closeId,
+                if (closes) v else st.closeV,
+                st.n + 1L)
+            }
+          }
+          state.update(st)
+          Iterator.single((key._1, key._2, st.openV, st.hiV, st.loV, st.closeV, st.n))
+      }
+  }
+
   case class MarkovState(lastType: String)
 
   /** Streaming twin of the batch `events_markov` transition matrix:

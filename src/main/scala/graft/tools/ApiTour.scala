@@ -329,6 +329,49 @@ object ApiTour {
       s.count() == graft.functions.VectorFns.Dim &&
         s.filter(col("sd_ppm") > (col("max_milli") - col("min_milli")) * 500 + 1000).count() == 0
     })
+    check("events.forecastSkill: WAPE of an exactly-weekly series is 0")({
+      // synthetic exactly-periodic series: bucket = day index, same
+      // count every day → seasonal-naive error mass must be exactly 0
+      val period = spark.range(0, 28).selectExpr("CAST(id AS BIGINT) * 86400000000 AS ts_us",
+        "'a' AS g")
+      val f = EventOps.forecastSkill(period, "g", "ts_us")
+      f.head().getAs[Long]("wape_ppm") == 0L &&
+        EventOps.forecastSkill(ev, "event_type", "ts_us")
+          .filter(col("wape_ppm") < 0).count() == 0
+    })
+    check("events.backlogSweep telescopes to opens minus closes")({
+      val opens = ev.select(expr("ts_us div 86400000000").as("day"))
+      val closes = ev.filter(col("event_type") === "purchase")
+        .select(expr("ts_us div 86400000000").as("day"))
+      val b = EventOps.backlogSweep(opens, closes, "day")
+      val last = b.orderBy(col("day").desc).head()
+      last.getAs[Long]("backlog") == opens.count() - closes.count()
+    })
+    check("corpus.bpePairCounts descend and stay positive")({
+      val p = CorpusOps.bpePairCounts(docs)
+      val ns = p.collect().map(_.getAs[Long]("n_pairs")).toSeq
+      ns.nonEmpty && ns == ns.sorted.reverse && ns.forall(_ > 0)
+    })
+    check("corpus.sourceDrift: single-group corpus has zero drift")({
+      val one = CorpusOps.sourceDrift(docs.withColumn("source", lit("all")))
+      // KL(P‖P) = 0 exactly; floor slack can only go a hair negative
+      val kl = one.head().getAs[Long]("kl_ppb")
+      kl <= 0 && kl >= -one.head().getAs[Long]("n_vocab")
+    })
+    check("corpus.pageRankStep conserves bounded rank mass")({
+      val ranks = docs.select(col("doc_id").as("id"))
+        .withColumn("r_ppb", lit(1000L))
+      val edges = docs.select(col("doc_id").as("src"),
+        expr("(doc_id * 7 + 1) % 1000").as("dst"))
+      val next = CorpusOps.pageRankStep(edges, ranks, "src", "dst", "id", "r_ppb")
+      next.count() == ranks.count() &&
+        next.filter(col("r_ppb") < 0).count() == 0
+    })
+    check("corpus.pcaPowerStep components normalized to |ppm| <= 1e6")({
+      val p = CorpusOps.pcaPowerStep(Tables.embeddings(spark, sfDir))
+      p.count() == graft.functions.VectorFns.Dim &&
+        p.filter(expr("abs(comp_ppm) > 1000000")).count() == 0
+    })
 
     // ---- graft_* kernels from pure SQL text (the injectFunction path:
     // a SQL-only user on a cluster with

@@ -104,7 +104,12 @@ object ScaleSmoke {
       // covered by bench + PLANS)
       "events_changepoint", "corpus_novelty",
       "embed_kmeans_step", "knn_silhouette",
-      "audio_envelope", "video_ahash")
+      "audio_envelope", "video_ahash",
+      // round 8: forecast skill, BPE pair scan, KL drift, PCA step,
+      // page authority (orders_backlog uses un-replicated
+      // orders/lineitem — covered by bench + PLANS)
+      "events_forecast", "bpe_pair_step", "source_kl_drift",
+      "embed_pca_power", "web_pagerank_step")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty else targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

@@ -522,4 +522,121 @@ class OperatorInvariantSpec extends SparkSpec {
       assert(ratio > 0.0 && ratio < 10.0, s"vec ${r.getAs[Long]("vec_id")}: norm ratio $ratio")
     }
   }
+
+  test("events_forecast: error mass ties to a recount, WAPE bounded by worst day") {
+    val out = operators.EventsMore.eventsForecast(spark, sf).collect()
+    assert(out.nonEmpty)
+    val daily = sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    out.foreach { r =>
+      val t = r.getString(0)
+      val counts = daily(t)
+      val scored = counts.keys.filter(d => counts.contains(d - 7)).toSeq
+      assert(r.getAs[Long]("n_days") == scored.length.toLong)
+      val absErr = scored.map(d => math.abs(counts(d) - counts(d - 7))).sum
+      assert(r.getAs[Long]("sum_abs_err") == absErr, s"$t: error mass mismatch")
+      assert(r.getAs[Long]("mae_ppm") == absErr * 1000000L / scored.length)
+      // WAPE can exceed 1 only if some day more than doubles its lag-7
+      assert(r.getAs[Long]("wape_ppm") >= 0L)
+    }
+  }
+
+  test("orders_backlog: running sum telescopes to the never-shipping population") {
+    val out = operators.AnalyticsPlus.ordersBacklog(spark, sf).collect()
+    assert(out.nonEmpty)
+    var run = 0L
+    out.foreach { r =>
+      run += r.getAs[Long]("opened") - r.getAs[Long]("closed")
+      assert(r.getAs[Long]("backlog") == run, "backlog must equal the running net")
+    }
+    // every order opens; only orders with at least one lineitem ever
+    // close (the synthetic data has ~1.7% empty orders, and — unlike
+    // real TPC-H — ship dates that precede the order date, so the
+    // intermediate backlog may dip negative; the telescoped END state
+    // is what is invariant)
+    val nOrders = sources.Tables.orders(spark, sf).count()
+    val nShipping = sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    assert(out.map(_.getAs[Long]("opened")).sum == nOrders)
+    assert(out.map(_.getAs[Long]("closed")).sum == nShipping)
+    assert(run == nOrders - nShipping,
+      s"final backlog $run must be the never-shipping order count ${nOrders - nShipping}")
+  }
+
+  test("web_pagerank_step: rank mass conserved within fixed-point slack") {
+    val out = operators.WebCorpus.webPagerankStep(spark, sf).collect()
+    assert(out.length == 20)
+    // top-20 ordered by r1 desc
+    val r1s = out.map(_.getAs[Long]("r1_ppb")).toSeq
+    assert(r1s == r1s.sorted.reverse, "top-20 must descend in r1")
+    out.foreach { r =>
+      // one damped step from a distribution: r1 = (1-d)/P + d·inflow,
+      // inflow itself ≤ 1 (total mass) — so r1_ppb ≤ 10⁹ always
+      assert(r.getAs[Long]("r1_ppb") >= 0L && r.getAs[Long]("r1_ppb") <= 1000000000L)
+      assert(r.getAs[Long]("inflow_ppb") <= 1000000000L)
+      assert(r.getAs[Long]("r0_ppb") <= 1000000000L)
+    }
+  }
+
+  test("bpe_pair_step: reported pair counts match a hand recount of the vocab") {
+    val out = operators.CorpusQuality.bpePairStep(spark, sf).collect()
+    assert(out.length == 20)
+    val ns = out.map(_.getAs[Long]("n_pairs")).toSeq
+    assert(ns == ns.sorted.reverse)
+    // brute-force recount over the collected vocab (sf0.01 is small)
+    val vocab = sources.Tables.documents(spark, sf)
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val brute = collection.mutable.Map.empty[String, (Long, Long)]
+    vocab.foreach { case (w, c) =>
+      if (w.length >= 2) w.sliding(2).foreach { p =>
+        val (n, t) = brute.getOrElse(p, (0L, 0L))
+        brute(p) = (n + c, t + 1)
+      }
+    }
+    // sliding counts a pair TWICE inside one word (e.g. "aaaa" has aa
+    // at 3 positions) — exactly like the operator's position transform
+    out.foreach { r =>
+      val (n, t) = brute(r.getString(0))
+      assert(r.getAs[Long]("n_pairs") == n && r.getAs[Long]("n_types") == t,
+        s"pair ${r.getString(0)}: ($n, $t) expected")
+    }
+  }
+
+  test("source_kl_drift: non-negative within quantization slack, zero for a uniform source") {
+    val out = operators.CorpusQuality.sourceKlDrift(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val kl = r.getAs[Long]("kl_ppb")
+      val vocab = r.getAs[Long]("n_vocab")
+      // Gibbs: true KL >= 0; each floor can shave < 1 ppb per token
+      assert(kl >= -vocab, s"${r.getString(0)}: KL $kl below -|vocab| floor slack")
+      assert(r.getAs[Long]("n_tokens") > 0L && vocab > 0L)
+    }
+  }
+
+  test("embed_pca_power: components match a driver-side recompute of X^T(X·1)") {
+    val out = operators.Similarity.embedPcaPower(spark, sf).collect()
+    assert(out.length == graft.functions.VectorFns.Dim)
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val dots = vecs.map(_.sum)
+    val w = Array.fill(graft.functions.VectorFns.Dim)(BigInt(0))
+    vecs.zip(dots).foreach { case (v, d) =>
+      var i = 0
+      while (i < v.length) { w(i) += BigInt(v(i)) * d; i += 1 }
+    }
+    val wmax = w.map(_.abs).max
+    out.foreach { r =>
+      val pos = r.getAs[Long]("pos").toInt
+      assert(r.getAs[Long]("w_unit") == (w(pos) / 1000000).toLong, s"pos $pos: w mismatch")
+      assert(r.getAs[Long]("comp_ppm") == (w(pos) * 1000000 / wmax).toLong)
+      assert(math.abs(r.getAs[Long]("comp_ppm")) <= 1000000L)
+    }
+  }
 }

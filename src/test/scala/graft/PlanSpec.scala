@@ -102,7 +102,11 @@ class PlanSpec extends SparkSpec {
       // orders_abc attaches its ONE-ROW revenue grand total twice (once
       // on the swept frame for the band test, once on the 3-row class
       // summary for the share) — both the q22 idiom
-      "orders_abc")
+      "orders_abc",
+      // round 8 one-row broadcast attaches: web_pagerank_step (P +
+      // total chars), source_kl_drift (corpus token total),
+      // embed_pca_power (L∞ max)
+      "web_pagerank_step", "source_kl_drift", "embed_pca_power")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

@@ -423,9 +423,14 @@ class StreamingSpec extends SparkSpec {
     def userDay(rows: Array[(Long, Long, Long, String)]): DataFrame =
       rows.map(r => (r._1, r._2 / dayUs)).toSeq.toDF("user_id", "day")
 
+    def ohlcRows(rows: Array[(Long, Long, Long, String)]): DataFrame =
+      rows.map(r => (r._4, r._2 / 3600000000L, r._2, r._3, (r._3 % 100).toDouble)).toSeq
+        .toDF("event_type", "hour_bucket", "ts_us", "event_id", "value")
+
     val fullSchema = "user_id LONG, ts_us LONG, event_id LONG, event_type STRING"
     val typedSchema = "event_type STRING, user_id LONG, ts_us LONG, event_id LONG"
     val daySchema = "user_id LONG, day LONG"
+    val ohlcSchema = "event_type STRING, hour_bucket LONG, ts_us LONG, event_id LONG, value DOUBLE"
     val cases: Seq[(String, String, DataFrame, DataFrame, DataFrame => DataFrame)] = Seq(
       ("markov", fullSchema, full(w1), full(w2),
         (df: DataFrame) => EventStreams.markovStream(
@@ -444,7 +449,11 @@ class StreamingSpec extends SparkSpec {
           df.as[(Long, Long)]).toDF("day", "user_id", "cls")),
       ("stickiness", daySchema, userDay(w1), userDay(w2),
         (df: DataFrame) => EventStreams.stickinessStream(
-          df.as[(Long, Long)]).toDF()))
+          df.as[(Long, Long)]).toDF()),
+      ("ohlc", ohlcSchema, ohlcRows(w1), ohlcRows(w2),
+        (df: DataFrame) => EventStreams.ohlcStream(
+          df.as[(String, Long, Long, Long, Double)])
+          .toDF("event_type", "hour_bucket", "open", "high", "low", "close", "n")))
 
     cases.foreach { case (name, schema, b1, b2, twin) =>
       val root = Files.createTempDirectory(s"graft-restart-$name").toString
@@ -1163,5 +1172,65 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(streamed == batch)
     } finally q3.stop()
+  }
+
+  test("stream_ohlc: late pre-open row replaces the open, == batch events_ohlc") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: bucket 0 of type A straddles the boundary; batch 2
+    // delivers a row EARLIER than the carried open (t=5 < 10) which
+    // must replace the open, and a later close (t=40) which must
+    // replace the close; high/low track all four
+    val mem = MemoryStream[(String, Long, Long, Long, Double)]
+    val q = EventStreams.ohlcStream(mem.toDS())
+      .toDF("event_type", "hour_bucket", "open", "high", "low", "close", "n")
+      .writeStream.format("memory").queryName("ohlc").outputMode("append").start()
+    try {
+      mem.addData(("A", 0L, 10L, 1L, 3.0), ("A", 0L, 20L, 2L, 9.0))
+      q.processAllAvailable()
+      mem.addData(("A", 0L, 5L, 3L, 7.0), ("A", 0L, 40L, 4L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("ohlc").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+      assert(got == Set(
+        ("A", 0L, 3.0, 9.0, 3.0, 9.0, 2L),
+        ("A", 0L, 7.0, 9.0, 1.0, 1.0, 4L)), s"got $got")
+      // last-write-wins (max n per key) == the closed candle
+      val lww = spark.table("ohlc").groupBy("event_type", "hour_bucket")
+        .agg(max(struct(col("n"), col("open"), col("high"), col("low"), col("close"))).as("b"))
+        .select(col("b.open"), col("b.high"), col("b.low"), col("b.close"), col("b.n"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toSet
+      assert(lww == Set((7.0, 9.0, 1.0, 1.0, 4L)))
+    } finally q.stop()
+
+    // equivalence: real events split into two micro-batches at the
+    // median timestamp — the max-n view of the upserts must equal the
+    // batch candle table exactly (same (ts_us, event_id) tiebreak)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts_us div 3600000000").as("hour_bucket"),
+        col("ts_us"), col("event_id"), col("value"))
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._3)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(String, Long, Long, Long, Double)]
+    val q2 = EventStreams.ohlcStream(mem2.toDS())
+      .toDF("event_type", "hour_bucket", "open", "high", "low", "close", "n")
+      .writeStream.format("memory").queryName("ohlc_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val streamed = spark.table("ohlc_eq").groupBy("event_type", "hour_bucket")
+        .agg(max(struct(col("n"), col("open"), col("high"), col("low"), col("close"))).as("b"))
+        .select(col("event_type"), col("hour_bucket"), col("b.open"), col("b.high"),
+          col("b.low"), col("b.close"), col("b.n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+      val batch = graft.operators.Queries.eventsOhlc(spark, sfDir)
+        .select(col("event_type"), col("hour_bucket"), col("open"), col("high"),
+          col("low"), col("close"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+      assert(streamed == batch)
+    } finally q2.stop()
   }
 }
