@@ -532,7 +532,84 @@ object AnalyticsMore {
       |  MIN(rnk) AS min_rank, MAX(rnk) AS max_rank
       |FROM banded GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Observational A/B readout: for every exposure event type, the
+    * purchase-conversion rate of users WITH that exposure vs users
+    * without it, with the two-proportion z statistic — the growth-team
+    * query behind "does clicking correlate with buying" dashboards
+    * (observational, so it reads association, not causation; a real
+    * experiment would bring its own assignment column and reuse this
+    * exact shape).
+    *
+    * Determinism: rates are exact integer ppm (BIGINT cross-products);
+    * only z runs in doubles — ONE fixed-shape expression, identical
+    * text on both engines, floor-quantized once to milli. Zero-size or
+    * degenerate (p ∈ {0,1}) control arms yield NULL z, not NaN.
+    *
+    * Scale shape: per-user flags are ONE user-keyed partial agg; the
+    * exposure census is ONE (user, type) distinct; the 2×2 cells fold
+    * in a \|types\|-bounded agg, and the corpus-wide arm rides back as
+    * a one-row broadcast. Counts ≤ users, products ≤ users·10⁶ —
+    * BIGINT-safe to 9×10¹² users.
+    */
+  def eventsAbtest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val users = Materialize.stable(ev.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv")))
+    val grid = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type")).distinct()
+    val treat = grid.join(users, Seq("user_id"))
+      .groupBy(col("event_type").as("exposure_type"))
+      .agg(count(lit(1)).as("n_treat"), sum("conv").as("conv_treat"))
+    val totals = users.agg(count(lit(1)).as("n_all"), sum("conv").as("conv_all"))
+    treat.join(broadcast(totals))
+      .withColumn("n_ctrl", col("n_all") - col("n_treat"))
+      .withColumn("conv_ctrl", col("conv_all") - col("conv_treat"))
+      .withColumn("cr_treat_ppm", expr("conv_treat * 1000000 div n_treat"))
+      .withColumn("cr_ctrl_ppm", expr(
+        "CASE WHEN n_ctrl > 0 THEN conv_ctrl * 1000000 div n_ctrl END"))
+      .withColumn("z_milli", expr(
+        """CASE WHEN n_ctrl > 0 AND conv_all > 0 AND conv_all < n_all THEN
+          |CAST(floor((CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+          |  - CAST(conv_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE))
+          |  / sqrt(CAST(conv_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+          |    * (1.0 - CAST(conv_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+          |    * (1.0 / CAST(n_treat AS DOUBLE) + 1.0 / CAST(n_ctrl AS DOUBLE)))
+          |  * 1000) AS BIGINT) END""".stripMargin.replaceAll("\\s+", " ")))
+      .select("exposure_type", "n_treat", "conv_treat", "cr_treat_ppm",
+        "n_ctrl", "conv_ctrl", "cr_ctrl_ppm", "z_milli")
+      .orderBy("exposure_type")
+  }
+
+  val eventsAbtestSql: String =
+    """WITH users AS (
+      |  SELECT user_id,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      |  FROM events GROUP BY 1
+      |), grid AS (
+      |  SELECT DISTINCT user_id, event_type FROM events WHERE event_type <> 'purchase'
+      |), treat AS (
+      |  SELECT g.event_type AS exposure_type, COUNT(*) AS n_treat,
+      |    CAST(SUM(u.conv) AS BIGINT) AS conv_treat
+      |  FROM grid g JOIN users u ON g.user_id = u.user_id GROUP BY 1
+      |), t AS (
+      |  SELECT COUNT(*) AS n_all, CAST(SUM(conv) AS BIGINT) AS conv_all FROM users
+      |)
+      |SELECT exposure_type, n_treat, conv_treat,
+      |  conv_treat * 1000000 // n_treat AS cr_treat_ppm,
+      |  n_all - n_treat AS n_ctrl, conv_all - conv_treat AS conv_ctrl,
+      |  CASE WHEN n_all - n_treat > 0
+      |    THEN (conv_all - conv_treat) * 1000000 // (n_all - n_treat) END AS cr_ctrl_ppm,
+      |  CASE WHEN n_all - n_treat > 0 AND conv_all > 0 AND conv_all < n_all THEN
+      |    CAST(floor((CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+      |      - CAST(conv_all - conv_treat AS DOUBLE) / CAST(n_all - n_treat AS DOUBLE))
+      |      / sqrt(CAST(conv_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+      |        * (1.0 - CAST(conv_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+      |        * (1.0 / CAST(n_treat AS DOUBLE) + 1.0 / CAST(n_all - n_treat AS DOUBLE)))
+      |      * 1000) AS BIGINT) END AS z_milli
+      |FROM treat, t ORDER BY exposure_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_abtest" -> (eventsAbtest _),
     "orders_abc" -> (ordersAbc _),
     "orders_basket_pairs" -> (ordersBasketPairs _),
     "events_autocorr" -> (eventsAutocorr _),
@@ -543,6 +620,7 @@ object AnalyticsMore {
     "supplier_hhi" -> (supplierHhi _))
 
   val oracles: Map[String, String] = Map(
+    "events_abtest" -> eventsAbtestSql,
     "orders_abc" -> ordersAbcSql,
     "orders_basket_pairs" -> ordersBasketPairsSql,
     "events_autocorr" -> eventsAutocorrSql,

@@ -354,7 +354,87 @@ object QueriesDeep {
       |FROM merged QUALIFY day BETWEEN 9131 AND 9495
       |ORDER BY day""".stripMargin
 
+  /** Supply-chain lead time by supplier nation: order-date →
+    * ship-date gap distribution per nation — item count, exact mean
+    * (milli-days), EXACT median, and worst case. The fulfillment-SLA
+    * readout next to orders_backlog's intake/completion sweep.
+    *
+    * Scale shape: lineitem⋈orders is the ONE fact-fact shuffle
+    * (orderkey); supplier + nation broadcast. The distribution then
+    * collapses to the (nation, days) GRID — lead days are
+    * calendar-bounded, so the grid is \|nations\|×\|days\| regardless
+    * of corpus size, and the exact median comes from a cumulative
+    * window over that bounded grid: no data-sized sort anywhere
+    * (contrast events_median_exact, which documents the sort-window
+    * price for UNBUCKETABLE doubles; integer day gaps bucket for
+    * free). Day math in integer epoch-day differences; Σ days·c ≤
+    * 10³·corpus — the milli-mean numerator accumulates DECIMAL(38,0)
+    * past 10¹⁶ rows per the numeric-bounds rule.
+    */
+  def nationLeadTime(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+      expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div $dayUs").as("ship_day"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $dayUs").as("order_day"))
+    val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    // the bounded grid feeds BOTH the moment rollup and the median
+    // sweep — materialize so the fact-fact join runs ONCE
+    val grid = Materialize.stable(
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), (col("ship_day") - col("order_day")).as("days"))
+        .agg(count(lit(1)).as("c")))
+    val stats = grid.groupBy("n_name")
+      .agg(sum("c").as("n_items"),
+        expr("CAST(SUM(CAST(days AS DECIMAL(38,0)) * c) * 1000 div SUM(c) AS BIGINT)")
+          .as("mean_milli_days"),
+        max("days").as("max_days"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("n_name").orderBy("days")
+    val med = grid
+      .withColumn("cum", sum("c").over(w))
+      .join(broadcast(stats.select(col("n_name"), col("n_items"))), Seq("n_name"))
+      .filter(col("cum") >= expr("(n_items + 1) div 2") &&
+        col("cum") - col("c") < expr("(n_items + 1) div 2"))
+      .select(col("n_name"), col("days").as("p50_days"))
+    stats.join(med, Seq("n_name"))
+      .select("n_name", "n_items", "mean_milli_days", "p50_days", "max_days")
+      .orderBy("n_name")
+  }
+
+  val nationLeadTimeSql: String =
+    """WITH grid AS (
+      |  SELECT n.n_name,
+      |    epoch_us(l.l_shipdate) // 86400000000 - epoch_us(o.o_orderdate) // 86400000000 AS days,
+      |    COUNT(*) AS c
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT n_name, CAST(SUM(c) AS BIGINT) AS n_items,
+      |    CAST(SUM(CAST(days AS HUGEINT) * c) * 1000 // CAST(SUM(c) AS BIGINT) AS BIGINT) AS mean_milli_days,
+      |    MAX(days) AS max_days
+      |  FROM grid GROUP BY 1
+      |), med AS (
+      |  SELECT g.n_name, g.days AS p50_days
+      |  FROM (SELECT n_name, days, c,
+      |          CAST(SUM(c) OVER (PARTITION BY n_name ORDER BY days
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |        FROM grid) g
+      |  JOIN stats t ON g.n_name = t.n_name
+      |  WHERE g.cum >= (t.n_items + 1) // 2 AND g.cum - g.c < (t.n_items + 1) // 2
+      |)
+      |SELECT s.n_name, s.n_items, s.mean_milli_days, m.p50_days, s.max_days
+      |FROM stats s JOIN med m ON s.n_name = m.n_name
+      |ORDER BY s.n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nation_lead_time" -> (nationLeadTime _),
     "q7_volume" -> (q7Volume _),
     "q8_marketshare" -> (q8MarketShare _),
     "q10_returned" -> (q10Returned _),
@@ -366,6 +446,7 @@ object QueriesDeep {
   )
 
   val oracles: Map[String, String] = Map(
+    "nation_lead_time" -> nationLeadTimeSql,
     "q7_volume" -> q7VolumeSql,
     "q8_marketshare" -> q8MarketShareSql,
     "q10_returned" -> q10ReturnedSql,

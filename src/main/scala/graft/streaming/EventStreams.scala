@@ -284,6 +284,49 @@ object EventStreams {
       }
   }
 
+  /** rolling 8-day count window per type: day → count, pruned to
+    * [frontier−7, frontier] — the seasonal-naive predictor's entire
+    * working set, bounded by the season length, never history-sized.
+    */
+  case class ForecastState(days: Map[Long, Long])
+
+  /** Streaming twin of the batch `events_forecast` seasonal-naive
+    * scorer: keyed by event type, carries the last 8 observed days'
+    * counts, and emits a (type, day, n_so_far, n_pred) upsert whenever
+    * a day with an observed lag-7 partner grows. Days must arrive
+    * non-decreasing per type (the cum_share ordering convention; late
+    * out-of-order days drop) — in that regime day d−7 is complete
+    * before d's first row, so n_pred is final at first emission and a
+    * last-write-wins consumer rebuilds exactly the batch operator's
+    * paired frame; its per-type Σ|n − n_pred| rollup then equals
+    * events_forecast's error mass. State is ≤8 longs per type.
+    */
+  def forecastStream(rows: Dataset[(String, Long)])
+      : Dataset[(String, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[(String, Long)],
+            state: GroupState[ForecastState]) =>
+          val byDay = it.toSeq.groupBy(_._2).view
+            .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+          var days = state.getOption.map(_.days).getOrElse(Map.empty[Long, Long])
+          var frontier = if (days.isEmpty) Long.MinValue else days.keys.max
+          val out = Seq.newBuilder[(String, Long, Long, Long)]
+          byDay.foreach { case (d, c) =>
+            if (d >= frontier) {
+              frontier = d
+              days = days.updated(d, days.getOrElse(d, 0L) + c)
+                .filter { case (k, _) => k >= frontier - 7 }
+              days.get(d - 7).foreach(pred => out += ((tpe, d, days(d), pred)))
+            } // d < frontier: late out-of-order — dropped
+          }
+          state.update(ForecastState(days))
+          out.result().iterator
+      }
+  }
+
   /** one candle of carried state: the open/close carry their (ts_us,
     * event_id) total-order position so cross-batch comparisons use the
     * batch operator's exact `ord` tiebreak, not arrival order.

@@ -109,7 +109,10 @@ object ScaleSmoke {
       // page authority (orders_backlog uses un-replicated
       // orders/lineitem — covered by bench + PLANS)
       "events_forecast", "bpe_pair_step", "source_kl_drift",
-      "embed_pca_power", "web_pagerank_step")
+      "embed_pca_power", "web_pagerank_step",
+      // round 8 cont. (nation_lead_time uses un-replicated
+      // orders/lineitem — covered by bench + PLANS)
+      "events_abtest")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty else targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

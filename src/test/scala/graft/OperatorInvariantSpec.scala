@@ -523,6 +523,53 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("events_abtest: 2x2 cells tie to a census recount, z sign follows lift") {
+    val out = operators.AnalyticsMore.eventsAbtest(spark, sf).collect()
+    assert(out.length == 4) // click, error, signup, view
+    val ev = sources.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUser = ev.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).toSet }
+    val nAll = byUser.size.toLong
+    val convAll = byUser.values.count(_.contains("purchase")).toLong
+    out.foreach { r =>
+      val t = r.getString(0)
+      val treat = byUser.values.filter(_.contains(t))
+      assert(r.getAs[Long]("n_treat") == treat.size.toLong)
+      assert(r.getAs[Long]("conv_treat") == treat.count(_.contains("purchase")).toLong)
+      assert(r.getAs[Long]("n_ctrl") == nAll - treat.size)
+      assert(r.getAs[Long]("conv_ctrl") == convAll - treat.count(_.contains("purchase")))
+      // z and the ppm lift must agree in sign (both compare the same rates)
+      val lift = r.getAs[Long]("cr_treat_ppm") - r.getAs[Long]("cr_ctrl_ppm")
+      val z = r.getAs[Long]("z_milli")
+      assert(lift == 0 || z == 0 || (lift > 0) == (z >= 0),
+        s"$t: lift $lift vs z $z disagree in sign")
+    }
+  }
+
+  test("nation_lead_time: mean/median/max consistent with a brute recount") {
+    val out = operators.QueriesDeep.nationLeadTime(spark, sf).collect()
+    assert(out.nonEmpty)
+    val brute = sources.Tables.lineitem(spark, sf)
+      .join(sources.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(sources.Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(sources.Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), expr(
+        "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000 - unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (nat, rs) => nat -> rs.map(_._2).sorted }
+    out.foreach { r =>
+      val days = brute(r.getString(0))
+      assert(r.getAs[Long]("n_items") == days.length.toLong)
+      assert(r.getAs[Long]("max_days") == days.last)
+      assert(r.getAs[Long]("p50_days") == days((days.length + 1) / 2 - 1),
+        s"${r.getString(0)}: exact median mismatch")
+      val mean = days.map(BigInt(_)).sum * 1000 / days.length
+      assert(r.getAs[Long]("mean_milli_days") == mean.toLong)
+    }
+  }
+
   test("events_forecast: error mass ties to a recount, WAPE bounded by worst day") {
     val out = operators.EventsMore.eventsForecast(spark, sf).collect()
     assert(out.nonEmpty)

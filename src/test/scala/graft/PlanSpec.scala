@@ -105,8 +105,9 @@ class PlanSpec extends SparkSpec {
       "orders_abc",
       // round 8 one-row broadcast attaches: web_pagerank_step (P +
       // total chars), source_kl_drift (corpus token total),
-      // embed_pca_power (L∞ max)
-      "web_pagerank_step", "source_kl_drift", "embed_pca_power")
+      // embed_pca_power (L∞ max), events_abtest (corpus arm totals)
+      "web_pagerank_step", "source_kl_drift", "embed_pca_power",
+      "events_abtest")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

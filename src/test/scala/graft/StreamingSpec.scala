@@ -426,6 +426,11 @@ class StreamingSpec extends SparkSpec {
     def ohlcRows(rows: Array[(Long, Long, Long, String)]): DataFrame =
       rows.map(r => (r._4, r._2 / 3600000000L, r._2, r._3, (r._3 % 100).toDouble)).toSeq
         .toDF("event_type", "hour_bucket", "ts_us", "event_id", "value")
+    // hour buckets as the twin's "days": the 3000-event sample spans
+    // only ~2 calendar days, which would leave the lag-7 predictor with
+    // zero scored pairs; hours give it a populated season
+    def typeDay(rows: Array[(Long, Long, Long, String)]): DataFrame =
+      rows.map(r => (r._4, r._2 / 3600000000L)).toSeq.toDF("event_type", "day")
 
     val fullSchema = "user_id LONG, ts_us LONG, event_id LONG, event_type STRING"
     val typedSchema = "event_type STRING, user_id LONG, ts_us LONG, event_id LONG"
@@ -453,7 +458,10 @@ class StreamingSpec extends SparkSpec {
       ("ohlc", ohlcSchema, ohlcRows(w1), ohlcRows(w2),
         (df: DataFrame) => EventStreams.ohlcStream(
           df.as[(String, Long, Long, Long, Double)])
-          .toDF("event_type", "hour_bucket", "open", "high", "low", "close", "n")))
+          .toDF("event_type", "hour_bucket", "open", "high", "low", "close", "n")),
+      ("forecast", "event_type STRING, day LONG", typeDay(w1), typeDay(w2),
+        (df: DataFrame) => EventStreams.forecastStream(
+          df.as[(String, Long)]).toDF("event_type", "day", "n_so_far", "n_pred")))
 
     cases.foreach { case (name, schema, b1, b2, twin) =>
       val root = Files.createTempDirectory(s"graft-restart-$name").toString
@@ -1172,6 +1180,54 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(streamed == batch)
     } finally q3.stop()
+  }
+
+  test("stream_forecast: lag-7 pairs complete at first emission, rollup == batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: day 10 pairs with day 3 (count 2); day 10 grows across
+    // the boundary and re-emits with the SAME prediction; day 11 has no
+    // lag-7 partner (gap at 4) and must emit nothing
+    val mem = MemoryStream[(String, Long)]
+    val q = EventStreams.forecastStream(mem.toDS())
+      .toDF("event_type", "day", "n_so_far", "n_pred")
+      .writeStream.format("memory").queryName("fc").outputMode("append").start()
+    try {
+      mem.addData(("A", 3L), ("A", 3L), ("A", 10L))
+      q.processAllAvailable()
+      mem.addData(("A", 10L), ("A", 11L))
+      q.processAllAvailable()
+      val got = spark.table("fc").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(("A", 10L, 1L, 2L), ("A", 10L, 2L, 2L)), s"got $got")
+    } finally q.stop()
+
+    // equivalence: per-type day rows in ts order, split at the median —
+    // the last-write-wins view re-aggregated per type must equal batch
+    // events_forecast's error-mass columns exactly
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"))
+      .as[(String, Long)].collect().sortBy(_._2)
+      .map { case (t, ts) => (t, ts / 86400000000L) }
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(String, Long)]
+    val q2 = EventStreams.forecastStream(mem2.toDS())
+      .toDF("event_type", "day", "n_so_far", "n_pred")
+      .writeStream.format("memory").queryName("fc_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val streamed = spark.table("fc_eq").groupBy("event_type", "day")
+        .agg(max(struct(col("n_so_far"), col("n_pred"))).as("b"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("b.n_so_far").as("sum_actual"),
+          sum(expr("abs(b.n_so_far - b.n_pred)")).as("sum_abs_err"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.operators.EventsMore.eventsForecast(spark, sfDir)
+        .select("event_type", "n_days", "sum_actual", "sum_abs_err")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally q2.stop()
   }
 
   test("stream_ohlc: late pre-open row replaces the open, == batch events_ohlc") {
