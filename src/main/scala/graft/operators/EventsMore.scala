@@ -535,7 +535,78 @@ object EventsMore {
        |  CAST(CAST(sum_abs_err AS HUGEINT) * 1000000 // sum_actual AS BIGINT) AS wape_ppm
        |FROM m ORDER BY event_type""".stripMargin
 
+  /** Top-3 highest-value events per (type, day) — the "biggest
+    * transactions today" dashboard tile. The point at scale is the
+    * PLAN: rank-then-filter compiles to a Partial → shuffle → Final
+    * WindowGroupLimit (each map task keeps only its local top-3 per
+    * group before the exchange), so the shuffle carries ≤ 3·\|groups\|
+    * rows — never a per-group sort of the corpus. Ties break on
+    * event_id for a total order.
+    */
+  def eventsDailyTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type", "day")
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("day", expr(s"ts_us div $dayUs"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("day"), col("rk").cast("long").as("rk"),
+        col("event_id"), col("value"))
+      .orderBy("event_type", "day", "rk")
+  }
+
+  val eventsDailyTopkSql: String =
+    s"""SELECT event_type, day, CAST(rk AS BIGINT) AS rk, event_id, value FROM (
+       |  SELECT event_type, epoch_us(ts) // $dayUs AS day, event_id, value,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts) // $dayUs
+       |      ORDER BY value DESC, event_id) AS rk
+       |  FROM events) t
+       |WHERE rk <= 3 ORDER BY event_type, day, rk""".stripMargin
+
+  /** Time-to-convert distribution: for every user whose first purchase
+    * follows their first signup, the signup→purchase gap in whole
+    * days, as a histogram — the funnel-velocity readout next to
+    * events_funnel's stage counts (how FAST do converters convert, not
+    * just how many).
+    *
+    * Scale shape: first-signup is ONE filtered user partial agg; the
+    * qualifying first purchase comes from a co-partitioned user
+    * equi-join + one more partial agg (both shuffles on user_id, AQE
+    * reuses the partitioning); the histogram is a gap-bounded final
+    * agg. Integer epoch-day math throughout.
+    */
+  def eventsTtconvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_us").as("su_ts"))
+    ev.filter(col("event_type") === "purchase")
+      .join(signup, Seq("user_id"))
+      .filter(col("ts_us") > col("su_ts"))
+      .groupBy("user_id")
+      .agg(min("ts_us").as("pu_ts"), max("su_ts").as("su_ts"))
+      .groupBy(expr(s"pu_ts div $dayUs - su_ts div $dayUs").as("gap_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("gap_days")
+  }
+
+  val eventsTtconvertSql: String =
+    s"""WITH signup AS (
+       |  SELECT user_id, MIN(epoch_us(ts)) AS su_ts
+       |  FROM events WHERE event_type = 'signup' GROUP BY 1
+       |), conv AS (
+       |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS pu_ts, MAX(s.su_ts) AS su_ts
+       |  FROM events e JOIN signup s ON e.user_id = s.user_id
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.su_ts
+       |  GROUP BY 1
+       |)
+       |SELECT pu_ts // $dayUs - su_ts // $dayUs AS gap_days,
+       |  COUNT(*) AS n_users
+       |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_daily_topk" -> (eventsDailyTopk _),
+    "events_ttconvert" -> (eventsTtconvert _),
     "events_forecast" -> (eventsForecast _),
     "events_changepoint" -> (eventsChangepoint _),
     "events_seasonality" -> (eventsSeasonality _),
@@ -552,6 +623,8 @@ object EventsMore {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_daily_topk" -> eventsDailyTopkSql,
+    "events_ttconvert" -> eventsTtconvertSql,
     "events_forecast" -> eventsForecastSql,
     "events_changepoint" -> eventsChangepointSql,
     "events_seasonality" -> eventsSeasonalitySql,

@@ -433,7 +433,63 @@ object QueriesDeep {
       |FROM stats s JOIN med m ON s.n_name = m.n_name
       |ORDER BY s.n_name""".stripMargin
 
+  /** Unit-price trend per part brand: the OLS slope of yearly mean
+    * unit price (milli-dollars per unit per year) over the shipping
+    * calendar — the pricing-drift monitor a procurement team runs
+    * (which brands are getting more expensive, and how fast).
+    *
+    * Fully integer determinism — stronger than the zipf_slope
+    * convention: the (brand, year) grid is calendar×brand-bounded, x
+    * spans ≤ 7 years and y is a milli-dollar BIGINT, so ALL four OLS
+    * moment sums are exact BIGINTs and the slope is ONE integer
+    * division (truncation identical on both engines) — no doubles
+    * anywhere. The cents numerator Σcents·10 per cell accumulates
+    * DECIMAL(38,0) (passes 2⁶³ at 10¹³ corpus rows per the
+    * numeric-bounds rule); y ≤ 10⁸ milli keeps nΣxy < 10¹⁰ forever.
+    */
+  def brandPriceTrend(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    val grid = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), (year(col("l_shipdate")) - 1995).cast("long").as("x"))
+      .agg(expr(
+        """CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(38,0)) * 10)
+          |  div SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)""".stripMargin.replaceAll("\\s+", " "))
+        .as("y"))
+    grid.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_years"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        expr("CAST(SUM(y) div COUNT(1) AS BIGINT)").as("avg_milli"))
+      .withColumn("slope_milli", expr(
+        """CASE WHEN n_years * sxx - sx * sx > 0
+          |THEN (n_years * sxy - sx * sy) div (n_years * sxx - sx * sx) END"""
+          .stripMargin.replaceAll("\\s+", " ")))
+      .select("p_brand", "n_years", "avg_milli", "slope_milli")
+      .orderBy("p_brand")
+  }
+
+  val brandPriceTrendSql: String =
+    """WITH grid AS (
+      |  SELECT p.p_brand, CAST(year(l.l_shipdate) - 1995 AS BIGINT) AS x,
+      |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) * 10)
+      |      // CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS BIGINT) AS y
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT p_brand, COUNT(*) AS n_years,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(CAST(SUM(y) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_milli
+      |  FROM grid GROUP BY 1
+      |)
+      |SELECT p_brand, n_years, avg_milli,
+      |  CASE WHEN n_years * sxx - sx * sx > 0
+      |    THEN (n_years * sxy - sx * sy) // (n_years * sxx - sx * sx) END AS slope_milli
+      |FROM m ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "brand_price_trend" -> (brandPriceTrend _),
     "nation_lead_time" -> (nationLeadTime _),
     "q7_volume" -> (q7Volume _),
     "q8_marketshare" -> (q8MarketShare _),
@@ -446,6 +502,7 @@ object QueriesDeep {
   )
 
   val oracles: Map[String, String] = Map(
+    "brand_price_trend" -> brandPriceTrendSql,
     "nation_lead_time" -> nationLeadTimeSql,
     "q7_volume" -> q7VolumeSql,
     "q8_marketshare" -> q8MarketShareSql,

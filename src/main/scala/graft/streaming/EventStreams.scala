@@ -284,6 +284,59 @@ object EventStreams {
       }
   }
 
+  /** exposure bitmask + conversion/seen flags — one int and two
+    * booleans per user, the entire A/B census state.
+    */
+  case class AbState(mask: Int, converted: Boolean, seen: Boolean)
+
+  /** The exposure universe the bitmask indexes (the batch operator's
+    * non-purchase event types).
+    */
+  val AbTypes: Seq[String] = Seq("click", "error", "signup", "view")
+
+  /** Streaming twin of the batch `events_abtest` census: emits
+    * (exposure_type, Δusers, Δconversions) delta rows from one bitmask
+    * of state per user — first sight of exposure t adds a treatment
+    * member (already-converted users arrive with their conversion),
+    * first purchase credits every exposure seen so far plus the
+    * `<all>` population row. Deltas are order-independent within a
+    * user (exposure-then-convert and convert-then-exposure sum to the
+    * same cell), so the summed deltas rebuild the batch operator's
+    * 2×2 cells exactly under ANY micro-batch split — no ordering
+    * convention needed, unlike the day-frontier twins. Downstream
+    * keeps the running z-statistic from \|types\|+1 tiny aggregates.
+    */
+  def abtestStream(rows: Dataset[(Long, String)]): Dataset[(String, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, String)], state: GroupState[AbState]) =>
+          var st = state.getOption.getOrElse(AbState(0, false, false))
+          val out = Seq.newBuilder[(String, Long, Long)]
+          it.foreach { case (_, t) =>
+            if (!st.seen) { out += (("<all>", 1L, 0L)); st = st.copy(seen = true) }
+            if (t == "purchase") {
+              if (!st.converted) {
+                st = st.copy(converted = true)
+                out += (("<all>", 0L, 1L))
+                AbTypes.zipWithIndex.foreach { case (tt, i) =>
+                  if ((st.mask & (1 << i)) != 0) out += ((tt, 0L, 1L))
+                }
+              }
+            } else {
+              val i = AbTypes.indexOf(t)
+              if (i >= 0 && (st.mask & (1 << i)) == 0) {
+                st = st.copy(mask = st.mask | (1 << i))
+                out += ((t, 1L, if (st.converted) 1L else 0L))
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** rolling 8-day count window per type: day → count, pruned to
     * [frontier−7, frontier] — the seasonal-naive predictor's entire
     * working set, bounded by the season length, never history-sized.

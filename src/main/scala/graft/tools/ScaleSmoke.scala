@@ -110,9 +110,9 @@ object ScaleSmoke {
       // orders/lineitem — covered by bench + PLANS)
       "events_forecast", "bpe_pair_step", "source_kl_drift",
       "embed_pca_power", "web_pagerank_step",
-      // round 8 cont. (nation_lead_time uses un-replicated
-      // orders/lineitem — covered by bench + PLANS)
-      "events_abtest")
+      // round 8 cont. (nation_lead_time / brand_price_trend use
+      // un-replicated orders/lineitem/part — covered by bench + PLANS)
+      "events_abtest", "events_daily_topk", "events_ttconvert")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty else targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

