@@ -119,7 +119,12 @@ object Ranks {
     val local = sorted.mapPartitions(rankSumLocalPass)(Encoders.row(schema2))
     val pinned = Materialize.stable(local)
     val counts = pinned.groupBy(col("_rank_pid"))
-      .agg(count(lit(1)).as("c"), max("_rank_lcs").as("t"))
+      // the partition's total = its LAST local cumsum (max row number),
+      // NOT max(lcs): with negative values the running sum is not
+      // monotone, so max(lcs) over-counts every later partition's offset
+      // (caught by the negative-amount RanksSpec case; all-positive
+      // frames like orders_abc's revenue masked it)
+      .agg(count(lit(1)).as("c"), max_by(col("_rank_lcs"), col("_rank_lrn")).as("t"))
     val offsets = counts
       .agg(sort_array(collect_list(struct(col("_rank_pid").as("p"), col("c"), col("t")))).as("cs"))
       .select(explode(expr(

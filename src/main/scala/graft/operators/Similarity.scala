@@ -1156,7 +1156,47 @@ object Similarity {
        |  CAST(w * 1000000 // w_max AS BIGINT) AS comp_ppm
        |FROM w, m ORDER BY pos""".stripMargin
 
+  /** IVF cell-balance audit: per coarse cell, its member count, corpus
+    * share, and imbalance factor (10⁶ = perfectly balanced) — the
+    * audit run before trusting any IVF cost bound, because BOTH the
+    * index's probe cost and knn_join's candidate volume scale with
+    * Σ\|cell\|²: one hot cell quietly turns "cell-bounded" into
+    * "quadratic on the hot cell". ScaleOpsSpec asserts balance holds
+    * at ×10; this operator is the production form of that check,
+    * cheap enough to run on every index rebuild.
+    *
+    * Scale shape: the assignment reuses [[cellAssign]] verbatim
+    * (broadcast centroids + struct-argmin partial agg — one row per
+    * vector pre-shuffle); the audit itself is ONE cells-bounded agg
+    * plus a one-row totals broadcast. n_vecs·10⁶ ≤ corpus·10⁶ — the
+    * ppm numerators stay BIGINT-safe to 9×10¹² vectors.
+    */
+  def knnIvfBalance(s: SparkSession, dir: String): DataFrame = {
+    val vecs = withVec(s, dir)
+    val cents = Materialize.stable(refineCents(vecs))
+    val sizes = cellAssign(vecs, cents)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val totals = sizes.agg(sum("n_vecs").as("total"), count(lit(1)).as("n_cells"))
+    sizes.join(broadcast(totals))
+      .withColumn("share_ppm", expr("n_vecs * 1000000 div total"))
+      .withColumn("imbalance_ppm", expr("n_vecs * n_cells * 1000000 div total"))
+      .select("cell", "n_vecs", "share_ppm", "imbalance_ppm")
+      .orderBy("cell")
+  }
+
+  val knnIvfBalanceSql: String =
+    s"""$knnAssignCte, sizes AS (
+       |  SELECT cell, COUNT(*) AS n_vecs FROM assign GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(SUM(n_vecs) AS BIGINT) AS total, COUNT(*) AS n_cells FROM sizes
+       |)
+       |SELECT cell, n_vecs,
+       |  n_vecs * 1000000 // total AS share_ppm,
+       |  n_vecs * n_cells * 1000000 // total AS imbalance_ppm
+       |FROM sizes, t ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_ivf_balance" -> (knnIvfBalance _),
     "embed_pca_power" -> (embedPcaPower _),
     "embed_kmeans_step" -> (embedKmeansStep _),
     "knn_silhouette" -> (knnSilhouette _),
@@ -1177,6 +1217,7 @@ object Similarity {
     "embed_project" -> (embedProject _))
 
   val oracles: Map[String, String] = Map(
+    "knn_ivf_balance" -> knnIvfBalanceSql,
     "embed_pca_power" -> embedPcaPowerSql,
     "embed_kmeans_step" -> embedKmeansStepSql,
     "knn_silhouette" -> knnSilhouetteSql,

@@ -112,7 +112,8 @@ object ScaleSmoke {
       "embed_pca_power", "web_pagerank_step",
       // round 8 cont. (nation_lead_time / brand_price_trend use
       // un-replicated orders/lineitem/part — covered by bench + PLANS)
-      "events_abtest", "events_daily_topk", "events_ttconvert")
+      "events_abtest", "events_daily_topk", "events_ttconvert",
+      "knn_ivf_balance")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty else targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

@@ -523,6 +523,25 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("knn_ivf_balance: shares partition the corpus, imbalance consistent") {
+    val out = operators.Similarity.knnIvfBalance(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nVecs = sources.Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum == nVecs,
+      "every vector must land in exactly one cell")
+    val nCells = out.length.toLong
+    out.foreach { r =>
+      val (n, share, imb) = (r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("share_ppm"), r.getAs[Long]("imbalance_ppm"))
+      assert(share == n * 1000000L / nVecs)
+      assert(imb == n * nCells * 1000000L / nVecs)
+    }
+    // the synthetic corpus is near-uniform over refined centroids: no
+    // cell should hold more than 5x its fair share (the Σ|cell|² audit
+    // this operator exists to run)
+    assert(out.map(_.getAs[Long]("imbalance_ppm")).max < 5000000L)
+  }
+
   test("events_daily_topk: exactly the 3 largest per group, plan is a WindowGroupLimit") {
     val df = operators.EventsMore.eventsDailyTopk(spark, sf)
     val out = df.collect()

@@ -107,7 +107,10 @@ class PlanSpec extends SparkSpec {
       // total chars), source_kl_drift (corpus token total),
       // embed_pca_power (L∞ max), events_abtest (corpus arm totals)
       "web_pagerank_step", "source_kl_drift", "embed_pca_power",
-      "events_abtest")
+      "events_abtest",
+      // knn_ivf_balance inherits cellAssign's centroid-broadcast cross
+      // and attaches its one-row totals
+      "knn_ivf_balance")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

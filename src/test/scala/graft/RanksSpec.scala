@@ -39,6 +39,26 @@ class RanksSpec extends SparkSpec {
       col("user_cents").desc).count() == 0)
   }
 
+  test("distributedRankSum == rank + running-sum windows, preserves column order") {
+    import spark.implicits._
+    // value column deliberately FIRST (the singleton local pass reads
+    // it from the moved-last position; the output must restore the
+    // caller's order), negatives included, ties on v
+    val df = (1 to 499).map(i => ((i % 7).toLong - 3L, i.toLong, s"k$i"))
+      .toDF("amt", "id", "tag")
+    val got = Ranks.distributedRankSum(df, "rn", "amt", "cum",
+      col("amt").desc, col("id"))
+    assert(got.columns.toSeq == Seq("amt", "id", "tag", "rn", "cum"),
+      s"column order must be input ++ (rank, cum): ${got.columns.toSeq}")
+    val w = Window.orderBy(col("amt").desc, col("id"))
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("amt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(38,0)"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("boundedRunningSum == running-sum window on a day frame") {
     import spark.implicits._
     val days = Seq((5L, 3L), (1L, 10L), (9L, -4L), (2L, -1L), (7L, 0L))
