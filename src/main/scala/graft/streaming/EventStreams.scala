@@ -284,6 +284,41 @@ object EventStreams {
       }
   }
 
+  /** the current top-3 candle of a (type, day) leaderboard plus a
+    * monotone update counter (`upd` lets an append-mode consumer pick
+    * the latest emission per key without event-time bookkeeping).
+    */
+  case class TopkState(top: Seq[(Double, Long)], upd: Long)
+
+  /** Streaming twin of the batch `events_daily_topk` leaderboard:
+    * keyed by (event_type, day) with THREE (value, event_id) pairs of
+    * state, re-emitting the full current top-3 whenever a batch
+    * touches the key. Order is (value desc, event_id asc) — the batch
+    * operator's exact total order — so the latest emission per key
+    * (max `upd`) equals the batch top-3 no matter how rows split
+    * across micro-batches or arrive out of order: a leaderboard merge
+    * is commutative, the ONLY ordering-convention-free family besides
+    * the A/B census. State is a fixed 3-slot array per open key.
+    */
+  def dailyTopkStream(rows: Dataset[(String, Long, Long, Double)])
+      : Dataset[(String, Long, Long, Long, Long, Double)] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), it: Iterator[(String, Long, Long, Double)],
+            state: GroupState[TopkState]) =>
+          val prev = state.getOption.getOrElse(TopkState(Seq.empty, 0L))
+          val merged = (prev.top ++ it.map(r => (r._4, r._3)))
+            .sortBy { case (v, id) => (-v, id) }.take(3)
+          val upd = prev.upd + 1L
+          state.update(TopkState(merged, upd))
+          merged.zipWithIndex.iterator.map { case ((v, id), i) =>
+            (key._1, key._2, upd, (i + 1).toLong, id, v)
+          }
+      }
+  }
+
   /** exposure bitmask + conversion/seen flags — one int and two
     * booleans per user, the entire A/B census state.
     */

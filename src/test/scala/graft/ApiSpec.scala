@@ -638,4 +638,60 @@ class ApiSpec extends SparkSpec {
       assert(r.getString(2) == r.getString(0), s"col roundtrip ${r.getString(0)}")
     }
   }
+
+  test("EventOps.forecastSkill: hand series with known error mass") {
+    import spark.implicits._
+    val day = 86400L * 1000000
+    // group g: days 0..13, count = 2 on even days, 3 on odd days
+    // (period 2, so lag-7 flips parity: every scored day errs by 1)
+    val rows = (0L to 13L).flatMap { d =>
+      val n = if (d % 2 == 0) 2 else 3
+      (1 to n).map(_ => ("g", d * day + 1))
+    }
+    val f = api.EventOps.forecastSkill(rows.toDF("g", "ts_us"), "g", "ts_us").head()
+    assert(f.getAs[Long]("n_buckets") == 7L) // days 7..13 scored
+    assert(f.getAs[Long]("sum_abs_err") == 7L) // |2-3| per scored day
+    assert(f.getAs[Long]("mae_ppm") == 1000000L)
+  }
+
+  test("EventOps.backlogSweep: hand open/close streams telescope") {
+    import spark.implicits._
+    val opens = Seq(1L, 1L, 2L, 4L).toDF("day")
+    val closes = Seq(2L, 5L).toDF("day")
+    val got = api.EventOps.backlogSweep(opens, closes, "day")
+      .orderBy("day").collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("opened"),
+        r.getAs[Long]("closed"), r.getAs[Long]("backlog")))
+    assert(got.toSeq == Seq((1L, 2L, 0L, 2L), (2L, 1L, 1L, 2L),
+      (4L, 1L, 0L, 3L), (5L, 0L, 1L, 2L)))
+  }
+
+  test("CorpusOps.pageRankStep: uniform ring conserves the uniform rank") {
+    import spark.implicits._
+    // a 10-node ring with uniform rank: one damped step must return
+    // the same uniform rank exactly (fixed point of the ring graph)
+    val n = 10L
+    val ranks = (0L until n).map(i => (i, 100000000L)).toDF("id", "r_ppb")
+    val edges = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val next = api.CorpusOps.pageRankStep(edges, ranks, "src", "dst", "id", "r_ppb")
+      .collect()
+    assert(next.length == 10)
+    next.foreach { r =>
+      // (1-d)/n + d·(1/n) = 1/n exactly in ppb fixed point
+      assert(r.getAs[Long]("r_ppb") == 100000000L,
+        s"node ${r.getAs[Long]("id")}: ${r.getAs[Long]("r_ppb")}")
+    }
+  }
+
+  test("CorpusOps.bpePairCounts: hand vocab with overlapping pairs") {
+    import spark.implicits._
+    // "aaa" contributes 'aa' twice per occurrence; two docs
+    val docs = Seq((1L, "aaa ab"), (2L, "aaa")).toDF("doc_id", "text")
+    val byPair = api.CorpusOps.bpePairCounts(docs).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_types"))).toMap
+    // vocab 'aaa' (count 2) contributes the pair at 2 positions:
+    // n_pairs = 2 occurrences × 2 positions, n_types = 2 position slots
+    assert(byPair("aa") == ((4L, 2L)))
+    assert(byPair("ab") == ((1L, 1L)))
+  }
 }

@@ -466,7 +466,15 @@ class StreamingSpec extends SparkSpec {
         w1.map(r => (r._1, r._4)).toSeq.toDF("user_id", "event_type"),
         w2.map(r => (r._1, r._4)).toSeq.toDF("user_id", "event_type"),
         (df: DataFrame) => EventStreams.abtestStream(
-          df.as[(Long, String)]).toDF("exposure_type", "d_users", "d_conv")))
+          df.as[(Long, String)]).toDF("exposure_type", "d_users", "d_conv")),
+      ("daily_topk", "event_type STRING, day LONG, event_id LONG, value DOUBLE",
+        w1.map(r => (r._4, r._2 / dayUs, r._3, (r._3 % 100).toDouble)).toSeq
+          .toDF("event_type", "day", "event_id", "value"),
+        w2.map(r => (r._4, r._2 / dayUs, r._3, (r._3 % 100).toDouble)).toSeq
+          .toDF("event_type", "day", "event_id", "value"),
+        (df: DataFrame) => EventStreams.dailyTopkStream(
+          df.as[(String, Long, Long, Double)])
+          .toDF("event_type", "day", "upd", "rk", "event_id", "value")))
 
     cases.foreach { case (name, schema, b1, b2, twin) =>
       val root = Files.createTempDirectory(s"graft-restart-$name").toString
@@ -1185,6 +1193,55 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(streamed == batch)
     } finally q3.stop()
+  }
+
+  test("stream_daily_topk: latest emission per key == batch top-3 under any split") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: batch 2 delivers a value that displaces rank 2, and a
+    // tie on value that must break on the smaller event_id
+    val mem = MemoryStream[(String, Long, Long, Double)]
+    val q = EventStreams.dailyTopkStream(mem.toDS())
+      .toDF("event_type", "day", "upd", "rk", "event_id", "value")
+      .writeStream.format("memory").queryName("tk").outputMode("append").start()
+    try {
+      mem.addData(("A", 0L, 1L, 5.0), ("A", 0L, 2L, 3.0))
+      q.processAllAvailable()
+      mem.addData(("A", 0L, 3L, 4.0), ("A", 0L, 4L, 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("tk").groupBy("event_type", "day", "rk")
+        .agg(max(struct(col("upd"), col("event_id"), col("value"))).as("b"))
+        .select(col("rk"), col("b.event_id"), col("b.value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(latest == Set((1L, 1L, 5.0), (2L, 4L, 5.0), (3L, 3L, 4.0)), s"got $latest")
+    } finally q.stop()
+
+    // equivalence on the real events table, median split
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+        col("event_id"), col("value"), col("ts_us"))
+      .as[(String, Long, Long, Double, Long)].collect().sortBy(_._5)
+      .map(r => (r._1, r._2, r._3, r._4))
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(String, Long, Long, Double)]
+    val q2 = EventStreams.dailyTopkStream(mem2.toDS())
+      .toDF("event_type", "day", "upd", "rk", "event_id", "value")
+      .writeStream.format("memory").queryName("tk_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val rows = spark.table("tk_eq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+      val lastUpd = rows.groupBy(r => (r._1, r._2)).view
+        .mapValues(_.map(_._3).max).toMap
+      val streamed = rows.filter(r => r._3 == lastUpd((r._1, r._2)))
+        .map(r => (r._1, r._2, r._4, r._5, r._6)).toSet
+      val batch = graft.operators.EventsMore.eventsDailyTopk(spark, sfDir)
+        .select("event_type", "day", "rk", "event_id", "value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed == batch)
+    } finally q2.stop()
   }
 
   test("stream_abtest: delta rows rebuild the batch 2x2 cells under any split") {
