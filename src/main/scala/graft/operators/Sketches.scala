@@ -294,6 +294,69 @@ object Sketches {
        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Quantile-sketch acceptance gate: per type, the histogram sketch's
+    * p50/p95/p99 estimates next to the EXACT discrete quantiles, with
+    * the signed error in centi-units — the grade-the-approximate-path
+    * audit the ANN family gets from knn_recall, applied to
+    * [[sketchQuantile]]. The sketch's contract is "within one 0.1-wide
+    * bin below the exact value"; this operator measures where inside
+    * that bin each estimate lands (err_centi ∈ [0, 10) by
+    * construction — an excursion outside is a sketch bug).
+    *
+    * Scale shape: the exact side pays the documented
+    * exact-order-statistic price (type-partitioned sort window, the
+    * events_median_exact contract) — run it at audit time, not on the
+    * hot path; the estimate side is the mergeable bin sketch. Exact
+    * quantile at q = min value whose rank satisfies 100·rn ≥ q·n
+    * (values are rank-monotone, so min-over-tail IS the rank-k value,
+    * no filter collision at tiny n).
+    */
+  def sketchQuantileError(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val wt = Window.partitionBy("event_type")
+    val exact = Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wt))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        min(when(expr("rn * 100 >= n * 50"), col("value"))).as("p50_exact"),
+        min(when(expr("rn * 100 >= n * 95"), col("value"))).as("p95_exact"),
+        min(when(expr("rn * 100 >= n * 99"), col("value"))).as("p99_exact"))
+    def err(q: Int) =
+      s"CAST(floor((p${q}_exact - p${q}_est) * 100) AS BIGINT)"
+    exact.join(sketchQuantile(s, dir).drop("n"), Seq("event_type"))
+      .withColumn("p50_err_centi", expr(err(50)))
+      .withColumn("p95_err_centi", expr(err(95)))
+      .withColumn("p99_err_centi", expr(err(99)))
+      .select("event_type", "n", "p50_exact", "p50_est", "p50_err_centi",
+        "p95_exact", "p95_est", "p95_err_centi",
+        "p99_exact", "p99_est", "p99_err_centi")
+      .orderBy("event_type")
+  }
+
+  val sketchQuantileErrorSql: String = {
+    def err(q: Int) =
+      s"CAST(floor((p${q}_exact - p${q}_est) * 100) AS BIGINT) AS p${q}_err_centi"
+    s"""WITH ranked AS (
+       |  SELECT event_type, value,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events
+       |), exact AS (
+       |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       |    MIN(CASE WHEN rn * 100 >= n * 50 THEN value END) AS p50_exact,
+       |    MIN(CASE WHEN rn * 100 >= n * 95 THEN value END) AS p95_exact,
+       |    MIN(CASE WHEN rn * 100 >= n * 99 THEN value END) AS p99_exact
+       |  FROM ranked GROUP BY 1
+       |), est AS ($sketchQuantileSql)
+       |SELECT e.event_type, e.n, p50_exact, p50_est, ${err(50)},
+       |  p95_exact, p95_est, ${err(95)},
+       |  p99_exact, p99_est, ${err(99)}
+       |FROM exact e JOIN est ON e.event_type = est.event_type
+       |ORDER BY e.event_type""".stripMargin
+  }
+
   // ---- HLL set operations ------------------------------------------------
 
   /** the raw-regime HLL estimate from (n_present, numerator) columns —
@@ -524,6 +587,7 @@ object Sketches {
     "sketch_cms" -> (sketchCms _),
     "sketch_bloom" -> (sketchBloom _),
     "sketch_quantile" -> (sketchQuantile _),
+    "sketch_quantile_error" -> (sketchQuantileError _),
     "source_similarity" -> (sourceSimilarity _))
 
   val oracles: Map[String, String] = Map(
@@ -532,5 +596,6 @@ object Sketches {
     "sketch_cms" -> sketchCmsSql,
     "sketch_bloom" -> sketchBloomSql,
     "sketch_quantile" -> sketchQuantileSql,
+    "sketch_quantile_error" -> sketchQuantileErrorSql,
     "source_similarity" -> sourceSimilaritySql)
 }

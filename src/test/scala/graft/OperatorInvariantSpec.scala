@@ -523,6 +523,20 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("sketch_quantile_error: every estimate lands within one bin below the exact") {
+    val out = operators.Sketches.sketchQuantileError(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      Seq(50, 95, 99).foreach { q =>
+        val err = r.getAs[Long](s"p${q}_err_centi")
+        assert(err >= 0L && err < 10L,
+          s"${r.getString(0)} p$q: err_centi $err outside the sketch's one-bin contract")
+        // exact sits at or above the bin's lower edge
+        assert(r.getAs[Double](s"p${q}_exact") >= r.getAs[Double](s"p${q}_est"))
+      }
+    }
+  }
+
   test("knn_ivf_balance: shares partition the corpus, imbalance consistent") {
     val out = operators.Similarity.knnIvfBalance(spark, sf).collect()
     assert(out.nonEmpty)
