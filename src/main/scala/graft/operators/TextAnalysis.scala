@@ -35,11 +35,12 @@ object TextAnalysis {
     s"len(list_filter(string_split(text, ' '), w -> list_contains($arr, w)))"
   }
 
-  /** argmax over lexicon-hit counts with deterministic lexicographic
-    * tie-break; output = confusion counts vs the labeled lang column.
+  /** appends the lexicon-argmax `predicted` column — the shared
+    * predictor behind [[textLangid]]'s confusion matrix and
+    * [[sourceLabelTrust]]'s per-source metadata audit. Deterministic
+    * lexicographic tie-break; pure map-side column math.
     */
-  def textLangid(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  private[operators] def withPredicted(d: DataFrame): DataFrame = {
     val scored = lexicons.foldLeft(d) { case (df, (lang, lex)) =>
       df.withColumn(s"s_$lang", expr(sparkLexCount(lex)))
     }
@@ -49,10 +50,36 @@ object TextAnalysis {
       when(col(s"s_$lang") >= greatest(others: _*), lang).otherwise(acc)
     }
     scored.withColumn("predicted", pred)
+  }
+
+  /** argmax over lexicon-hit counts with deterministic lexicographic
+    * tie-break; output = confusion counts vs the labeled lang column.
+    */
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    withPredicted(Tables.documents(s, dir))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
-  }
+
+  /** Metadata-trust audit: per source, how often the DECLARED language
+    * label agrees with the content-based langid prediction — the "can
+    * I trust this crawl's metadata" gate that decides whether a
+    * pipeline keys its language filters on the label column or pays
+    * for content ID everywhere ([[textLangid]] gives the corpus-wide
+    * confusion matrix; this resolves it per origin, which is where
+    * label quality actually varies).
+    *
+    * Scale shape: the predictor is map-side column math on the scan;
+    * the rollup is ONE sources-bounded partial agg. n_agree·10⁶ ≤
+    * docs·10⁶ — BIGINT-safe to 9×10¹² docs.
+    */
+  def sourceLabelTrust(s: SparkSession, dir: String): DataFrame =
+    withPredicted(Tables.documents(s, dir))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === col("lang"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agree_ppm", expr("n_agree * 1000000 div n_docs"))
+      .orderBy("source")
 
   val textLangidSql: String = {
     val scores = lexicons.map { case (lang, lex) => s"${duckLexCount(lex)} AS s_$lang" }.mkString(",\n    ")
@@ -67,6 +94,25 @@ object TextAnalysis {
        |    $scores
        |  FROM documents) t
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  val sourceLabelTrustSql: String = {
+    val scores = lexicons.map { case (lang, lex) => s"${duckLexCount(lex)} AS s_$lang" }.mkString(",\n    ")
+    val langs = lexicons.map(_._1)
+    val pred = langs.init.foldRight(s"'${langs.last}'") { case (lang, acc) =>
+      val others = langs.filterNot(_ == lang).map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      s"CASE WHEN s_$lang >= $others THEN '$lang' ELSE $acc END"
+    }
+    s"""WITH scored AS (
+       |  SELECT source, lang, $pred AS predicted FROM (
+       |    SELECT source, lang,
+       |      $scores
+       |    FROM documents) t
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS agree_ppm
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** length / distinct-word / stopword-ratio quality score.
@@ -332,6 +378,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_readability" -> (textReadability _),
     "text_langid" -> (textLangid _),
+    "source_label_trust" -> (sourceLabelTrust _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -342,6 +389,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_readability" -> textReadabilitySql,
     "text_langid" -> textLangidSql,
+    "source_label_trust" -> sourceLabelTrustSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_pii_scrub" -> textPiiScrubSql,

@@ -113,7 +113,7 @@ object ScaleSmoke {
       // round 8 cont. (nation_lead_time / brand_price_trend use
       // un-replicated orders/lineitem/part — covered by bench + PLANS)
       "events_abtest", "events_daily_topk", "events_ttconvert",
-      "knn_ivf_balance", "sketch_quantile_error")
+      "knn_ivf_balance", "sketch_quantile_error", "source_label_trust")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty else targets.map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()

@@ -523,6 +523,23 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("source_label_trust: agreement mass ties to the langid confusion diagonal") {
+    val out = operators.TextAnalysis.sourceLabelTrust(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // total agreements across sources == the confusion matrix diagonal
+    val diag = operators.TextAnalysis.textLangid(spark, sf).collect()
+      .filter(r => r.getString(0) == r.getString(1))
+      .map(_.getAs[Long]("n")).sum
+    assert(out.map(_.getAs[Long]("n_agree")).sum == diag)
+    out.foreach { r =>
+      val ppm = r.getAs[Long]("agree_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(ppm == r.getAs[Long]("n_agree") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("sketch_quantile_error: every estimate lands within one bin below the exact") {
     val out = operators.Sketches.sketchQuantileError(spark, sf).collect()
     assert(out.nonEmpty)
