@@ -301,7 +301,7 @@ object CorpusOps {
     * embedding column: IVF-cell-bounded cosine pairs at `tau`,
     * transitive components, min-id representative kept. Returns
     * (`idCol`, cell, component, keep). Ids should span at least the
-    * centroid-seed modulus ([[graft.operators.Similarity.CentroidMod]])
+    * centroid-seed modulus ([[graft.operators.Similarity.centroidModFor]])
     * so the corpus-relative seed rule selects centroids.
     */
   def semanticKeepList(

@@ -546,7 +546,11 @@ object CorpusQuality {
     * pair explosion is a map-side ≤\|word\|-fanout transform over that
     * vocab frame; the pair rollup is an alphabet²-bounded partial agg
     * and the top-20 is TakeOrdered. n_pairs ≤ total corpus tokens ×
-    * avg word length ≤ 10¹⁴ — BIGINT-safe; n_types ≤ vocab size.
+    * avg word length ≤ 10¹⁴ — BIGINT-safe; n_types counts (word,
+    * position) slots, so it is bounded by Σ(|word|−1) over the vocab,
+    * NOT by vocab size — a pair occurring k times inside one word
+    * contributes k (ApiSpec's hand case: 'aaa' gives n_types=2 for
+    * 'aa').
     */
   def bpePairStep(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

@@ -309,6 +309,15 @@ object Dedup {
 
   val ContamEvalMod = 10L // doc_id % 10 == 7 is the "benchmark" set
   val ContamMinShared = 5L // flag at >= 5 shared distinct shingles
+  // CMS pre-filter for the stop-shingle ceiling: 2 hash rows × 64k
+  // cells. Capacity rule: mean cell mass P/CmsFilterW must sit well
+  // under the df ceiling or every posting becomes a suspect — size
+  // CmsFilterW ≳ 8·P/ceiling (P = train postings; at sf0.1 that is
+  // 235k/64k ≈ 3.6 vs ceiling 100, ~30× slack; at 100 TB widen the
+  // sketch with the corpus — it is executor-local array state, never
+  // shuffled mass).
+  val CmsFilterDepth = 2
+  val CmsFilterW = 65536L
 
   /** Train/eval contamination check — the decontamination pass every
     * LLM data pipeline runs before training: flag training docs that
@@ -323,6 +332,17 @@ object Dedup {
     * corpus-relative df ceiling as dedup_ngram BEFORE the join, so one
     * "the end." in an eval doc can't pull in the whole corpus. Shared
     * counts are a per-(train, eval) partial aggregate.
+    *
+    * The ceiling itself is CMS-pre-filtered (the round-8 verdict's one
+    * corpus-sized pass): a count-min grid over the train postings
+    * partial-aggregates to ≤ [[CmsFilterDepth]]·[[CmsFilterW]] rows per
+    * partition (sketch-sized shuffle, not posting-sized), broadcasts
+    * back as two map-side lookups, and only SUSPECT postings (estimate
+    * over the ceiling) pay the exact df count. CMS estimates only
+    * over-count, so every true stop-shingle is a suspect — the final
+    * heavy set is still decided by EXACT counts and the oracle is
+    * unchanged; the sketch merely shrinks the exact pass's input to the
+    * suspects.
     */
   def textContamination(s: SparkSession, dir: String): DataFrame = {
     val shs = Materialize.stable(Tables.documents(s, dir)
@@ -334,14 +354,33 @@ object Dedup {
     // same in-plan ceiling derivation as dedupNgram: one-row doc count
     // broadcast onto the df frame, no driver-side corpus action
     val nDocs = shs.agg(count(lit(1)).as("n_docs"))
-    val informative = trainEx.groupBy("h").agg(count(lit(1)).as("df"))
+    val ceiling = greatest(lit(NgramMaxDf.toLong), expr(s"n_docs div $NgramDfFraction"))
+    // count-min grid: the sketch_cms hash family over the shingle hash
+    val P = graft.functions.PortableHash.P
+    def cmsCell(i: Int) =
+      expr(s"((1 + $i * 604297) * pmod(h, $P) + ($i * 8191 + 12289)) % $P % $CmsFilterW")
+    def gridRow(i: Int) = trainEx
+      .select(cmsCell(i).as(s"cell$i"))
+      .groupBy(s"cell$i").agg(count(lit(1)).as(s"cnt$i"))
+    // suspects: postings whose CMS estimate clears the ceiling — the
+    // two grid lookups broadcast (≤ 2·64k rows), the filter is map-side
+    val suspects = trainEx
+      .withColumn("cell0", cmsCell(0)).withColumn("cell1", cmsCell(1))
+      .join(broadcast(gridRow(0)), Seq("cell0"))
+      .join(broadcast(gridRow(1)), Seq("cell1"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") <=
-        greatest(lit(NgramMaxDf.toLong), expr(s"n_docs div $NgramDfFraction")))
+      .filter(least(col("cnt0"), col("cnt1")) > ceiling)
+      .select("h")
+    // exact adjudication ONLY over suspect postings; heavy = true df
+    // over the ceiling — identical to the old full-corpus df filter
+    // because non-suspects are PROVABLY under it (CMS never undercounts)
+    val heavy = suspects.groupBy("h").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > ceiling)
       .select("h")
     val evalEx = shs.filter(isEval)
       .select(col("doc_id").as("eval_doc"), explode(col("sh")).as("h"))
-      .join(informative, Seq("h"))
+      .join(broadcast(heavy), Seq("h"), "left_anti")
     trainEx.join(evalEx, Seq("h"))
       .groupBy("train_doc", "eval_doc", "n_sh")
       .agg(count(lit(1)).as("n_shared")) // shingle sets are distinct per doc

@@ -23,6 +23,11 @@ object Materialize {
   def stable(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.materialize").getOrElse("persist") match {
       case "localCheckpoint" => df.localCheckpoint()
+      // storage-level gate: composed operators (knn_recall, knn_degree,
+      // corpus_curate) pass already-persisted frames back through here;
+      // re-persisting is a CacheManager no-op but logs a warning per
+      // call, and hundreds of them drown real warnings in bench logs
+      case _ if df.storageLevel != StorageLevel.NONE => df
       case _ => df.persist(StorageLevel.DISK_ONLY)
     }
 

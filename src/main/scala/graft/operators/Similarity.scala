@@ -19,8 +19,57 @@ object Similarity {
   val NearDupThreshold = 0.45
   val KnnK = 3
   val QuerySetSize = 10 // vec_id < 10 is the query set
-  val CentroidMod = 50 // vec_id % 50 == 7 are the coarse centroids
+  val MinCentroidMod = 50L // seed-rule floor: rules below ~5.6k vectors pin here
+  val CentroidGrid = 25L // seed modulus moves on a 25-step grid (rebuild stability)
+  val SeedResidue = 7 // vec_id % mod == 7 are the coarse-centroid seeds
   val Nprobe = 2 // IVF: queries search their 2 nearest cells
+
+  /** Deterministic √n centroid modulus — the IVF cell-count rule.
+    *
+    * `mod(n) = max(MinCentroidMod, (⌊√n⌋ div CentroidGrid)·CentroidGrid)`,
+    * so seeds (`vec_id % mod == SeedResidue`) number ≈ n/mod ≈ √n: cell
+    * count GROWS with the corpus and mean cell size stays ~√n. That
+    * balances the two cost terms that pull against each other — the
+    * assign pass pays n·cells cosines against a cells-sized broadcast
+    * (n·√n work, √n·Dim·8B ≈ 16 MB at 10⁹ vectors), and the within-cell
+    * pair/kNN joins pay Σ|cell|² ≈ n·√n — versus a FIXED modulus, whose
+    * cells = n/50 made the assign broadcast corpus-sized and its compute
+    * n²/50 (the round-8 scale defect). IVF practice (and DEPLOY.md's
+    * capacity math) is exactly this ~√n sizing.
+    *
+    * Portability: both engines compute the SAME mod from arithmetic
+    * alone — `floor(sqrt(CAST(n AS DOUBLE)))` is bit-identical on the
+    * JVM and DuckDB because IEEE-754 requires sqrt correctly rounded and
+    * any realistic corpus count is exact in a double (n < 2⁵³). The
+    * 25-step grid keeps the seed set insensitive to sub-grid count
+    * jitter between index rebuilds. At the test scales (n = 500 / 2000)
+    * the rule pins at the 50 floor, so the oracle frames are unchanged;
+    * the curve bends where it matters (n = 10⁶ → mod 1000, 10⁹ → 31600).
+    *
+    * `spark.graft.ivf.centroidMod` (> 0) overrides the rule with a fixed
+    * modulus — the operator knob for corpora whose id density makes the
+    * residue rule pick too few seeds. The DuckDB oracle always replays
+    * the default rule, so the contract queries run with the conf unset.
+    */
+  def centroidModFor(n: Long): Long = {
+    val isqrt = math.floor(math.sqrt(n.toDouble)).toLong
+    math.max(MinCentroidMod, isqrt / CentroidGrid * CentroidGrid)
+  }
+
+  /** The √n rule as a one-row (`cmod`) frame computed IN-PLAN from the
+    * corpus count, so library callers ([[knnJoinFor]],
+    * [[dedupSemanticFor]]) stay fully lazy — no driver-side count
+    * action — and the modulus always describes the frame it seeds.
+    */
+  private def centroidModFrame(vecs: DataFrame): DataFrame =
+    vecs.sparkSession.conf.getOption("spark.graft.ivf.centroidMod")
+      .map(_.toLong).filter(_ > 0) match {
+      case Some(m) => vecs.sparkSession.range(1).select(lit(m).as("cmod"))
+      case None => vecs.agg(expr(
+        s"greatest(CAST($MinCentroidMod AS BIGINT), " +
+          s"CAST(floor(sqrt(CAST(count(1) AS DOUBLE))) AS BIGINT) div $CentroidGrid * $CentroidGrid)")
+        .as("cmod"))
+    }
 
   /** vectors with the double-cast embedding, materialized once
     * ([[Materialize.stable]]) — every similarity query references it
@@ -116,9 +165,13 @@ object Similarity {
     */
   def knnIvf(s: SparkSession, dir: String): DataFrame = knnIvfAt(Nprobe)(s, dir)
 
-  /** deterministic seed centroids (a corpus subset). */
+  /** deterministic seed centroids: the √n-rule residue class of the
+    * corpus ids ([[centroidModFor]]). The one-row modulus broadcasts
+    * onto the scan — the filter stays map-side.
+    */
   private def seedCents(vecs: DataFrame): DataFrame =
-    vecs.filter(pmod(col("vec_id"), lit(CentroidMod)) === 7)
+    vecs.crossJoin(broadcast(centroidModFrame(vecs)))
+      .filter(pmod(col("vec_id"), col("cmod")) === SeedResidue)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
 
   /** One Lloyd (k-means) refinement of the seed centroids: assign every
@@ -174,6 +227,19 @@ object Similarity {
         first(col("v")).as("v"))
       .select(col("vec_id"), col("best.cent_id").as("cell"), col("v"))
 
+  /** Cell occupancy profile of the IVF index over ANY (`vec_id`,
+    * `v`: array<double>) frame: one row per occupied cell with its
+    * member count. The library-facing balance audit (knn_ivf_balance is
+    * its contract twin on the embeddings table) and the cost probe
+    * behind tools/IvfSweep's assign-time measurements — it runs exactly
+    * the index build (seed → Lloyd refine → argmin assign) and a
+    * cells-bounded agg, nothing else.
+    */
+  def cellProfileFor(vecs: DataFrame): DataFrame = {
+    val cents = Materialize.stable(refineCents(vecs))
+    cellAssign(vecs, cents).groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+  }
+
   def knnIvfAt(nprobe: Int)(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = withVec(s, dir)
@@ -216,8 +282,12 @@ object Similarity {
   private val knnAssignCte: String =
     s"""WITH vecs AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), cmod AS (
+       |  SELECT greatest(CAST($MinCentroidMod AS BIGINT),
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) // $CentroidGrid * $CentroidGrid) AS m
+       |  FROM vecs
        |), seeds AS (
-       |  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % $CentroidMod = 7
+       |  SELECT vec_id AS cent_id, v AS cv FROM vecs, cmod WHERE vec_id % m = $SeedResidue
        |), assign0 AS (
        |  SELECT cell, v FROM (
        |    SELECT vecs.vec_id, seeds.cent_id AS cell, vecs.v,
@@ -551,8 +621,12 @@ object Similarity {
   val dedupSemanticSql: String =
     s"""WITH RECURSIVE vecs AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), cmod AS (
+       |  SELECT greatest(CAST($MinCentroidMod AS BIGINT),
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) // $CentroidGrid * $CentroidGrid) AS m
+       |  FROM vecs
        |), seeds AS (
-       |  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id % $CentroidMod = 7
+       |  SELECT vec_id AS cent_id, v AS cv FROM vecs, cmod WHERE vec_id % m = $SeedResidue
        |), assign0 AS (
        |  SELECT cell, v FROM (
        |    SELECT vecs.vec_id, seeds.cent_id AS cell, vecs.v,
@@ -615,7 +689,7 @@ object Similarity {
 
   /** [[knnJoin]] over ANY (vec_id, v) frame with a caller-chosen k —
     * the library entry point (api.CorpusOps.neighborGraph). Requires
-    * at least one seed id (`vec_id % CentroidMod == 7`) in the frame;
+    * at least one seed id (`vec_id % centroidModFor(n) == 7`) in the frame;
     * a seedless frame fails LOUDLY here rather than returning an empty
     * graph a caller would misread as "no neighbors".
     */
@@ -626,8 +700,8 @@ object Similarity {
     // centroid frame, so it costs one lookup of state the join below
     // materializes anyway — not an extra corpus scan
     require(cents.head(1).nonEmpty,
-      s"knnJoinFor: no seed centroids (no vec_id % $CentroidMod == 7 in the frame) — " +
-        "IVF cells cannot be built; an empty result here would be wrong, not 'no neighbors'")
+      s"knnJoinFor: no seed centroids (no vec_id % centroidModFor(n) == $SeedResidue in the " +
+        "frame) — IVF cells cannot be built; an empty result here would be wrong, not 'no neighbors'")
     val assign = Materialize.stable(cellAssign(vecs, cents))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     assign
@@ -1168,8 +1242,12 @@ object Similarity {
     * Scale shape: the assignment reuses [[cellAssign]] verbatim
     * (broadcast centroids + struct-argmin partial agg — one row per
     * vector pre-shuffle); the audit itself is ONE cells-bounded agg
-    * plus a one-row totals broadcast. n_vecs·10⁶ ≤ corpus·10⁶ — the
-    * ppm numerators stay BIGINT-safe to 9×10¹² vectors.
+    * plus a one-row totals broadcast. Numeric bounds: share_ppm's
+    * numerator n_vecs·10⁶ is BIGINT-safe to 9×10¹² vectors, but
+    * imbalance_ppm's carries the extra n_cells factor (√n under the
+    * seed rule), which crosses 2⁶³ at ~9·10¹²/n_cells — so that product
+    * accumulates in DECIMAL(38,0) (DuckDB: HUGEINT) and divides back to
+    * a safe BIGINT (≤ 10⁶·n_cells).
     */
   def knnIvfBalance(s: SparkSession, dir: String): DataFrame = {
     val vecs = withVec(s, dir)
@@ -1179,7 +1257,8 @@ object Similarity {
     val totals = sizes.agg(sum("n_vecs").as("total"), count(lit(1)).as("n_cells"))
     sizes.join(broadcast(totals))
       .withColumn("share_ppm", expr("n_vecs * 1000000 div total"))
-      .withColumn("imbalance_ppm", expr("n_vecs * n_cells * 1000000 div total"))
+      .withColumn("imbalance_ppm",
+        expr("CAST(CAST(n_vecs AS DECIMAL(38,0)) * n_cells * 1000000 div total AS BIGINT)"))
       .select("cell", "n_vecs", "share_ppm", "imbalance_ppm")
       .orderBy("cell")
   }
@@ -1192,7 +1271,7 @@ object Similarity {
        |)
        |SELECT cell, n_vecs,
        |  n_vecs * 1000000 // total AS share_ppm,
-       |  n_vecs * n_cells * 1000000 // total AS imbalance_ppm
+       |  CAST(CAST(n_vecs AS HUGEINT) * n_cells * 1000000 // total AS BIGINT) AS imbalance_ppm
        |FROM sizes, t ORDER BY cell""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

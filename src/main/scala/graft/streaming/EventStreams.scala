@@ -324,8 +324,13 @@ object EventStreams {
     */
   case class AbState(mask: Int, converted: Boolean, seen: Boolean)
 
-  /** The exposure universe the bitmask indexes (the batch operator's
-    * non-purchase event types).
+  /** The DEFAULT exposure universe the bitmask indexes — the contract
+    * events table's non-purchase types. The batch operator derives this
+    * set from the data at plan time; a stream can't (state layout must
+    * be fixed before the first row), so the universe is a parameter of
+    * [[abtestStream]] and an unrecognized type FAILS the query rather
+    * than silently dropping exposures (the schema-drift trap: a new
+    * event type would otherwise diverge from batch with no error).
     */
   val AbTypes: Seq[String] = Seq("click", "error", "signup", "view")
 
@@ -341,8 +346,11 @@ object EventStreams {
     * convention needed, unlike the day-frontier twins. Downstream
     * keeps the running z-statistic from \|types\|+1 tiny aggregates.
     */
-  def abtestStream(rows: Dataset[(Long, String)]): Dataset[(String, Long, Long)] = {
+  def abtestStream(rows: Dataset[(Long, String)],
+      exposureTypes: Seq[String] = AbTypes): Dataset[(String, Long, Long)] = {
     import rows.sparkSession.implicits._
+    require(exposureTypes.size <= 32,
+      s"abtestStream: ${exposureTypes.size} exposure types exceed the 32-bit state mask")
     rows
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -355,13 +363,19 @@ object EventStreams {
               if (!st.converted) {
                 st = st.copy(converted = true)
                 out += (("<all>", 0L, 1L))
-                AbTypes.zipWithIndex.foreach { case (tt, i) =>
+                exposureTypes.zipWithIndex.foreach { case (tt, i) =>
                   if ((st.mask & (1 << i)) != 0) out += ((tt, 0L, 1L))
                 }
               }
             } else {
-              val i = AbTypes.indexOf(t)
-              if (i >= 0 && (st.mask & (1 << i)) == 0) {
+              val i = exposureTypes.indexOf(t)
+              if (i < 0)
+                throw new IllegalArgumentException(
+                  s"abtestStream: unrecognized exposure type '$t' (universe: " +
+                    s"${exposureTypes.mkString(", ")}) — pass exposureTypes covering " +
+                    "the stream or filter the new type upstream; silently dropping it " +
+                    "would diverge from the batch census")
+              if ((st.mask & (1 << i)) == 0) {
                 st = st.copy(mask = st.mask | (1 << i))
                 out += ((t, 1L, if (st.converted) 1L else 0L))
               }

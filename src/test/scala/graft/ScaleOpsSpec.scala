@@ -104,6 +104,65 @@ class ScaleOpsSpec extends SparkSpec {
       f"IVF cell skew: max cell $mx vs mean $mean%.1f — Σ|cell|² bound is broken")
   }
 
+  test("centroidModFor: ~√n cells, 50 floor, 25-grid, test scales pinned") {
+    import graft.operators.Similarity.centroidModFor
+    // test-scale corpora pin at the floor — the round-9 rule change is
+    // invisible to the oracle frames (mod stays 50 where it was 50)
+    assert(Seq(500L, 2000L, 5000L).map(centroidModFor) == Seq(50L, 50L, 50L))
+    // design points: cells = n/mod ≈ √n where it matters
+    assert(centroidModFor(1000000L) == 1000L)
+    assert(centroidModFor(1000000000L) == 31600L)
+    // rule shape: mod never exceeds √n (grid rounds DOWN), and cells
+    // stay within a constant factor of √n once past the floor regime
+    for (n <- Seq(10000L, 100000L, 3000000L, 50000000L, 2000000000L)) {
+      val mod = centroidModFor(n)
+      val sqrtN = math.sqrt(n.toDouble)
+      assert(mod <= sqrtN, s"n=$n mod=$mod exceeds sqrt")
+      assert(n.toDouble / mod <= 2.0 * sqrtN,
+        s"n=$n mod=$mod gives ${n / mod} cells — not tracking sqrt(n)")
+    }
+  }
+
+  test("IVF cell count grows as √n on a diverse corpus (not n/50)") {
+    // the round-8 scale defect: a FIXED seed modulus made cells = n/50,
+    // so the assign pass broadcast a corpus-proportional centroid set
+    // and paid n²/50 cosines. The √n rule bends that curve; this test
+    // pins it structurally on a corpus big enough to leave the 50-floor
+    // (n = 30000 → mod 150 → ~200 seed ids), with vectors diverse
+    // enough that occupied cells track the seed count.
+    val n = 30000L
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), j -> " +
+        "CAST(pmod((id + 1) * (j + 3) * 2654435761 + id * id * 40503, 1000003) " +
+        "AS DOUBLE) / 100000 - 5)").as("v"))
+    assert(graft.operators.Similarity.centroidModFor(n) == 150L)
+    val cells = graft.operators.Similarity.dedupSemanticFor(vecs, 0.999)
+      .select("cell").distinct().count()
+    info(s"n=$n -> occupied cells=$cells (seed ids: ${n / 150})")
+    assert(cells >= 100 && cells <= 220,
+      s"occupied cells $cells not tracking the ~${n / 150} seed ids")
+  }
+
+  test("spark.graft.ivf.centroidMod overrides the √n seed rule") {
+    // the operator knob for corpora whose id density starves the
+    // residue rule — a fixed modulus replaces the in-plan count
+    val n = 500L
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 3), j -> " +
+        "CAST(pmod((id + 1) * (j + 3) * 2654435761 + id * id * 40503, 1000003) " +
+        "AS DOUBLE) / 100000 - 5)").as("v"))
+    def cellsAt(): Long = graft.operators.Similarity.dedupSemanticFor(vecs, 0.999)
+      .select("cell").distinct().count()
+    val byRule = cellsAt() // mod 50 -> 10 seed ids
+    spark.conf.set("spark.graft.ivf.centroidMod", "97")
+    try {
+      val overridden = cellsAt() // ids ≡ 7 (mod 97) in [0, 500) -> 6 seeds
+      info(s"cells: rule=$byRule override(97)=$overridden")
+      assert(byRule == 10L, s"default rule: expected 10 seed cells, got $byRule")
+      assert(overridden == 6L, s"override: expected 6 seed cells, got $overridden")
+    } finally spark.conf.unset("spark.graft.ivf.centroidMod")
+  }
+
   test("connectedComponents: diameter-20 chain converges (pointer doubling)") {
     import spark.implicits._
     // a path graph is the propagation worst case: plain min-label

@@ -506,6 +506,114 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("restart harness: native stateful ops (range join, hop window, bounded dedup) recover watermark state") {
+    // the flatMapGroupsWithState family's restart harness (above) covers
+    // user-authored state; these three keep their state in Spark's OWN
+    // stateful operators (stream-stream join buffers, windowed-agg
+    // partials, dropDuplicatesWithinWatermark's fp set) — the round-8
+    // verdict asked for in-test proof that THAT state also survives a
+    // checkpoint restart. Same A/B shape: two file-source waves through
+    // one uninterrupted query vs a stop-and-restart between waves; the
+    // emitted multisets must match exactly.
+    import java.nio.file.Files
+    import org.apache.spark.sql.DataFrame
+
+    def ab(name: String, schemas: Seq[String], wave1: Seq[DataFrame],
+        wave2: Seq[DataFrame], twin: Seq[String] => DataFrame): Seq[String] = {
+      val root = Files.createTempDirectory(s"graft-native-restart-$name").toString
+      def srcDirs(run: String) = schemas.indices.map(i => s"$root/in$run$i")
+      def write(dirs: Seq[String], waves: Seq[DataFrame]): Unit =
+        waves.zip(dirs).foreach { case (w, d) => w.coalesce(1).write.mode("append").json(d) }
+      def start(run: String) =
+        twin(srcDirs(run))
+          .writeStream.format("parquet").option("path", s"$root/out$run")
+          .option("checkpointLocation", s"$root/ck$run").outputMode("append").start()
+      // A: both waves inside one query lifetime
+      write(srcDirs("A"), wave1)
+      val qa = start("A")
+      try {
+        qa.processAllAvailable()
+        write(srcDirs("A"), wave2)
+        qa.processAllAvailable()
+      } finally qa.stop()
+      // B: "crash" between the waves, restart from checkpoint
+      write(srcDirs("B"), wave1)
+      val qb1 = start("B")
+      try qb1.processAllAvailable() finally qb1.stop()
+      write(srcDirs("B"), wave2)
+      val qb2 = start("B")
+      try qb2.processAllAvailable() finally qb2.stop()
+      val a = spark.read.parquet(s"$root/outA").collect().map(_.toString).sorted.toSeq
+      val b = spark.read.parquet(s"$root/outB").collect().map(_.toString).sorted.toSeq
+      assert(a.nonEmpty, s"$name: harness produced no rows")
+      assert(a == b,
+        s"$name: restarted run diverges from uninterrupted run (${a.length} vs ${b.length} rows)")
+      a
+    }
+    def reader(schema: String)(dir: String): DataFrame =
+      spark.readStream.schema(schema).json(dir)
+
+    // events sorted by time, split at the midpoint so wave 2 is never
+    // late relative to wave 1's committed watermark (late-drop would
+    // otherwise make A/B sensitive to batch boundaries by design)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("value"), col("event_type"))
+      .orderBy("ts", "event_id").limit(3000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3), r.getString(4)))
+    val maxTs = ev.map(_._3.getTime).max
+    val mid = ev(ev.length / 2)._3.getTime
+    val (w1, w2) = ev.partition(_._3.getTime < mid)
+    import spark.implicits._
+
+    // stream_hop_window: watermarked sliding-window agg; a far-future
+    // sentinel in wave 2 pushes the watermark (2h delay) past every
+    // real window's end so append mode finalizes them in both runs
+    val hopSchema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    def hopRows(rows: Array[(Long, Long, Timestamp, Double, String)]) =
+      rows.map(r => (r._3, r._5, r._4)).toSeq.toDF("ts", "event_type", "value")
+    val hopFlush = Seq((new Timestamp(maxTs + 4 * 3600 * 1000L), "flush", 0.0))
+      .toDF("ts", "event_type", "value")
+    ab("hop_window", Seq(hopSchema),
+      Seq(hopRows(w1)), Seq(hopRows(w2).union(hopFlush)),
+      dirs => EventStreams.hopWindowAgg(reader(hopSchema)(dirs.head)))
+
+    // stream_range_join: two watermarked sources, state in the
+    // stream-stream join buffers; flush sentinels on BOTH sides emit
+    // the outer (click-less) rows before the final comparison
+    val clickSchema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    val errSchema = "user_id LONG, event_id LONG, ts TIMESTAMP"
+    def clicks(rows: Array[(Long, Long, Timestamp, Double, String)]) =
+      rows.filter(_._5 == "click").map(r => (r._1, r._3, r._4)).toSeq
+        .toDF("user_id", "ts", "value")
+    def errs(rows: Array[(Long, Long, Timestamp, Double, String)]) =
+      rows.filter(_._5 == "error").map(r => (r._1, r._2, r._3)).toSeq
+        .toDF("user_id", "event_id", "ts")
+    val flushTs = new Timestamp(maxTs + 3600 * 1000L)
+    val rjRows = ab("range_join", Seq(clickSchema, errSchema),
+      Seq(clicks(w1), errs(w1)),
+      Seq(clicks(w2).union(Seq((-1L, flushTs, 0.0)).toDF("user_id", "ts", "value")),
+        errs(w2).union(Seq((-1L, -1L, flushTs)).toDF("user_id", "event_id", "ts"))),
+      dirs => EventStreams.rangeJoinStream(
+        reader(clickSchema)(dirs.head), reader(errSchema)(dirs(1))))
+    // the restart split the join mid-stream: clicks buffered in wave 1
+    // must still match wave-2 errors, i.e. some matched rows exist
+    assert(rjRows.exists(!_.contains("null")), "range_join: no matched rows survived the restart")
+
+    // stream_dedup_bounded: dropDuplicatesWithinWatermark's fingerprint
+    // set must survive the restart — wave 2 redelivers an admitted fp
+    // within the watermark window; only the new fp may pass
+    val docSchema = "doc_id LONG, fp LONG, ts TIMESTAMP"
+    val d1 = Seq((1L, 100L, ts(10)), (2L, 100L, ts(15)), (3L, 200L, ts(12)))
+      .toDF("doc_id", "fp", "ts")
+    val d2 = Seq((4L, 100L, ts(20)), (5L, 300L, ts(22))).toDF("doc_id", "fp", "ts")
+    val admitted = ab("dedup_bounded", Seq(docSchema), Seq(d1), Seq(d2),
+      dirs => EventStreams.dedupStreamBounded(
+        reader(docSchema)(dirs.head).as[EventStreams.StampedDoc], "30 minutes").toDF())
+    assert(admitted.length == 3 && !admitted.exists(_.contains("4,")),
+      s"dedup_bounded: fp state lost across restart — admitted $admitted")
+  }
+
   test("streamMatchingObjects onProgress twin: StreamingQueryListener batch stats") {
     // The reference's onProgress({processed, total, matched}) callback
     // (src/index.ts:1390) maps to Spark's StreamingQueryListener:
