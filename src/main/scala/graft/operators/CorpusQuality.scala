@@ -645,7 +645,103 @@ object CorpusQuality {
       |CROSS JOIN t
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Quality-score band edges (milli-units) for the dup-lift
+    * calibration: fixed VALUE thresholds, not rank quartiles — band
+    * membership is a pure map-side function of the doc (deterministic,
+    * no global ranking pass), and the bands stay comparable across
+    * corpus snapshots (a rank band silently moves when the corpus
+    * drifts; a value band doesn't).
+    */
+  val LiftBandLowMax = 265L  // score_milli < 265 → "low"
+  val LiftBandMidMax = 285L  // 265 ≤ score_milli < 285 → "mid"; else "high"
+
+  /** Quality-score ↔ duplication calibration table: for each fixed
+    * quality band, the share of docs that are near-dup members and its
+    * lift vs the corpus-wide dup rate — the audit that answers "does
+    * the cheap quality score actually predict duplication?" before a
+    * pipeline uses score thresholds as a pre-dedup filter (if lift ≈ 1
+    * everywhere, filtering by score saves no dedup work; if low-band
+    * lift ≫ 1, the score is a cheap dup pre-screen).
+    *
+    * Scale shape: the score and band are map-side column math (same
+    * expressions as text_quality); dup membership reuses
+    * [[Dedup.minhashPairs]] verbatim (LSH-bounded, never all-pairs) and
+    * collapses to a distinct doc-id frame that joins back LEFT on
+    * doc_id — output-sized, co-partitioned; the rollup is a 3-row
+    * partial agg with a one-row totals broadcast. Ratios are integer
+    * ppm with DECIMAL(38,0) products (exact at any corpus size);
+    * lift_ppm = 10⁶ · band_rate / corpus_rate.
+    */
+  def qualityDupLift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val banded = docs
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+      .withColumn("score_milli", expr(
+        "CAST(floor((CAST(0.4 AS DOUBLE) * least(CAST(1 AS DOUBLE), CAST(n_words AS DOUBLE) / CAST(200 AS DOUBLE)) " +
+          "+ CAST(0.3 AS DOUBLE) * (CAST(size(array_distinct(words)) AS DOUBLE) / n_words) " +
+          "+ CAST(0.3 AS DOUBLE) * (CAST(size(filter(words, w -> array_contains(array('the', 'a', 'and', 'of', 'to'), w))) AS DOUBLE) / n_words)) * 1000) AS BIGINT)"))
+      .withColumn("band", expr(
+        s"CASE WHEN score_milli < $LiftBandLowMax THEN 'low' " +
+          s"WHEN score_milli < $LiftBandMidMax THEN 'mid' ELSE 'high' END"))
+      .select("doc_id", "band")
+    val dupIds = Dedup.minhashPairs(docs)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    val byBand = banded.join(dupIds, Seq("doc_id"), "left")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+    val totals = byBand.agg(sum("n_docs").as("tot_docs"), sum("n_dup").as("tot_dup"))
+    byBand.join(broadcast(totals))
+      .withColumn("dup_ppm",
+        expr("CAST(CAST(n_dup AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)"))
+      .withColumn("lift_ppm", expr(
+        "CASE WHEN tot_dup = 0 THEN 0 ELSE " +
+          "CAST(CAST(n_dup AS DECIMAL(38,0)) * tot_docs * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * tot_dup) AS BIGINT) END"))
+      .select("band", "n_docs", "n_dup", "dup_ppm", "lift_ppm")
+      .orderBy("band")
+  }
+
+  val qualityDupLiftSql: String = {
+    val dr = "CAST(len(list_distinct(words)) AS DOUBLE) / n_words"
+    val sr = "CAST(len(list_filter(words, w -> list_contains(['the', 'a', 'and', 'of', 'to'], w))) AS DOUBLE) / n_words"
+    s"""WITH banded AS (
+       |  SELECT doc_id,
+       |    CASE WHEN score_milli < $LiftBandLowMax THEN 'low'
+       |         WHEN score_milli < $LiftBandMidMax THEN 'mid' ELSE 'high' END AS band
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(floor((CAST(0.4 AS DOUBLE) * least(CAST(1 AS DOUBLE), CAST(n_words AS DOUBLE) / CAST(200 AS DOUBLE))
+       |        + CAST(0.3 AS DOUBLE) * ($dr)
+       |        + CAST(0.3 AS DOUBLE) * ($sr)) * 1000) AS BIGINT) AS score_milli
+       |    FROM (
+       |      SELECT doc_id, words, len(words) AS n_words FROM (
+       |        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |        FROM documents) t0) t1) t2
+       |), dup_ids AS (
+       |  SELECT doc_a AS doc_id FROM (${Dedup.dedupMinhashSql}) p1
+       |  UNION
+       |  SELECT doc_b AS doc_id FROM (${Dedup.dedupMinhashSql}) p2
+       |), by_band AS (
+       |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
+       |  FROM banded b LEFT JOIN dup_ids d ON b.doc_id = d.doc_id
+       |  GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+       |    CAST(SUM(n_dup) AS BIGINT) AS tot_dup FROM by_band
+       |)
+       |SELECT band, n_docs, n_dup,
+       |  CAST(CAST(n_dup AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS dup_ppm,
+       |  CASE WHEN tot_dup = 0 THEN 0
+       |       ELSE CAST(CAST(n_dup AS HUGEINT) * tot_docs * 1000000 // (CAST(n_docs AS HUGEINT) * tot_dup) AS BIGINT) END AS lift_ppm
+       |FROM by_band, t ORDER BY band""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_dup_lift" -> (qualityDupLift _),
     "bpe_pair_step" -> (bpePairStep _),
     "source_kl_drift" -> (sourceKlDrift _),
     "corpus_novelty" -> (corpusNovelty _),
@@ -660,6 +756,7 @@ object CorpusQuality {
     "text_zipf_slope" -> (textZipfSlope _))
 
   val oracles: Map[String, String] = Map(
+    "quality_dup_lift" -> qualityDupLiftSql,
     "bpe_pair_step" -> bpePairStepSql,
     "source_kl_drift" -> sourceKlDriftSql,
     "corpus_novelty" -> corpusNoveltySql,

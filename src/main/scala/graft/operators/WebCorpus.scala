@@ -263,10 +263,124 @@ object WebCorpus {
       |FROM r0 LEFT JOIN inflow i ON r0.page = i.page, t
       |ORDER BY r1_ppb DESC, r0.page LIMIT 20""".stripMargin
 
+  /** Hub cap for the triangle pass: pages with out-degree above this
+    * are excluded from the wedge MIDDLE role, which is what bounds the
+    * wedge join at Σ min(outdeg, cap)² instead of Σ outdeg² — the
+    * standard mitigation for crawl hubs (a link-aggregator page with
+    * 10⁵ out-links would otherwise mint 10¹⁰ wedges alone). The
+    * synthesized graph's out-degree is ≤ 3, so the cap never binds in
+    * the contract query — it exists for real edge frames.
+    */
+  val TriangleDegreeCap = 64L
+
+  /** Feed-forward loops (directed triangles a→b→c with a→c) per source
+    * vertex over ANY (src, dst) edge frame — the library entry point.
+    * Dedups parallel edges and drops self-loops first, then counts via
+    * the wedge join + edge semi-join. Returns (src, n_ffl).
+    *
+    * Scale shape: two equi-joins, both key-partitioned — the wedge join
+    * shuffles edges on their endpoint keys (volume Σ capped-outdeg² —
+    * see [[TriangleDegreeCap]]), the closing check is a LEFT SEMI join
+    * on the (a, c) pair key. No broadcast of anything corpus-sized, no
+    * window, no collect; the count rolls up in ONE src-keyed partial
+    * agg.
+    */
+  def feedForwardLoops(edges0: DataFrame): DataFrame = {
+    val edges = Materialize.stable(edges0
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct())
+    val mid = edges.groupBy(col("src").as("b"))
+      .agg(count(lit(1)).as("outdeg"))
+      .filter(col("outdeg") <= TriangleDegreeCap)
+      .select("b")
+    val wedges = edges.select(col("src").as("a"), col("dst").as("b"))
+      .join(mid, Seq("b"))
+      .join(edges.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+      .filter(col("c") =!= col("a"))
+      .select("a", "b", "c")
+    wedges
+      .join(edges.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"), "left_semi")
+      .groupBy(col("a").as("src"))
+      .agg(count(lit(1)).as("n_ffl"))
+  }
+
+  /** Per-domain feed-forward-loop profile of the crawl's page graph —
+    * the link-farm / mutual-promotion audit (organic link graphs are
+    * triangle-sparse; SEO rings and template cross-link blocks are
+    * triangle-dense, so a domain whose loop density is an outlier is a
+    * curation flag). Same deterministic edge synthesis as
+    * [[webPagerankStep]] (page u → (7u+1, 13u+5, 29u+11) mod P), so
+    * the oracle restates the graph; on a real crawl the edge frame
+    * comes from href extraction and [[feedForwardLoops]] is unchanged.
+    *
+    * Output: one row per domain — pages, loop count, loops-per-million
+    * -pages density. Domain of a loop = domain of its SOURCE vertex
+    * (each directed loop counted exactly once).
+    */
+  def webTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pages = Materialize.stable(Tables.documents(s, dir)
+      .groupBy(expr("doc_id div 4").as("page")).agg(count(lit(1)).as("n_docs")))
+    val totals = pages.agg((max("page") + 1).as("p_count"))
+    val edges = pages.join(broadcast(totals))
+      .select(col("page").as("src"), explode(expr(
+        "array((page*7+1) % p_count, (page*13+5) % p_count, (page*29+11) % p_count)"))
+        .as("dst"))
+    val loops = feedForwardLoops(edges)
+    val dom = element_at(array(Domains.map(lit): _*),
+      (pmod(col("page"), lit(8)) + 1).cast("int"))
+    pages.select(col("page"), dom.as("domain"))
+      .join(loops.select(col("src").as("page"), col("n_ffl")), Seq("page"), "left")
+      .withColumn("n_ffl", coalesce(col("n_ffl"), lit(0L)))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_pages"), sum("n_ffl").as("n_loops"))
+      .withColumn("loop_ppm", expr("n_loops * 1000000 div n_pages"))
+      .select("domain", "n_pages", "n_loops", "loop_ppm")
+      .orderBy("domain")
+  }
+
+  val webTrianglesSql: String = {
+    val arr = Domains.map(d => s"'$d'").mkString("[", ",", "]")
+    s"""WITH pages AS (
+       |  SELECT doc_id // 4 AS page FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(MAX(page) + 1 AS BIGINT) AS p_count FROM pages
+       |), edges0 AS (
+       |  -- lateral-unnest form: DuckDB 1.0's binder ICEs when a
+       |  -- select-list unnest alias is referenced downstream alongside
+       |  -- a second cross-joined CTE — unnest as a table function binds
+       |  SELECT page AS src, u.dst AS dst
+       |  FROM pages, t, unnest([(page*7+1) % p_count, (page*13+5) % p_count,
+       |                         (page*29+11) % p_count]) AS u(dst)
+       |), edges AS (
+       |  SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst
+       |), mid AS (
+       |  SELECT src AS b FROM edges GROUP BY 1 HAVING COUNT(*) <= $TriangleDegreeCap
+       |), wedges AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM edges e1 JOIN mid ON e1.dst = mid.b
+       |    JOIN edges e2 ON e1.dst = e2.src
+       |  WHERE e2.dst <> e1.src
+       |), loops AS (
+       |  -- edges is DISTINCT, so the closing join matches ≤1 row per wedge
+       |  SELECT w.a AS src, CAST(COUNT(*) AS BIGINT) AS n_ffl
+       |  FROM wedges w JOIN edges e ON e.src = w.a AND e.dst = w.c
+       |  GROUP BY 1
+       |)
+       |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       |  CAST(SUM(n_ffl) AS BIGINT) AS n_loops,
+       |  CAST(SUM(n_ffl) AS BIGINT) * 1000000 // COUNT(*) AS loop_ppm
+       |FROM (
+       |  SELECT p.page, ($arr)[CAST(p.page % 8 + 1 AS INT)] AS domain,
+       |    COALESCE(l.n_ffl, 0) AS n_ffl
+       |  FROM pages p LEFT JOIN loops l ON p.page = l.src) d
+       |GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_url" -> (dedupUrl _),
     "web_domains" -> (webDomains _),
     "web_pagerank_step" -> (webPagerankStep _),
+    "web_triangles" -> (webTriangles _),
     "corpus_blocklist" -> (corpusBlocklist _)
   )
 
@@ -274,6 +388,7 @@ object WebCorpus {
     "dedup_url" -> dedupUrlSql,
     "web_domains" -> webDomainsSql,
     "web_pagerank_step" -> webPagerankStepSql,
+    "web_triangles" -> webTrianglesSql,
     "corpus_blocklist" -> corpusBlocklistSql
   )
 }

@@ -773,6 +773,52 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("web_triangles: feedForwardLoops counts hand-built directed triangles; hub cap binds") {
+    import spark.implicits._
+    // graph: 1→2, 2→3, 1→3 (one a→b→c with a→c loop, src 1);
+    // 3→4, 4→5, 3→5 (loop at src 3); 5→1 closes nothing; a parallel
+    // duplicate edge and a self-loop must be ignored.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (1L, 3L) /* dup */, (2L, 2L) /* self */,
+      (3L, 4L), (4L, 5L), (3L, 5L), (5L, 1L)).toDF("src", "dst")
+    val out = operators.WebCorpus.feedForwardLoops(edges).collect()
+      .map(r => r.getAs[Long]("src") -> r.getAs[Long]("n_ffl")).toMap
+    assert(out == Map(1L -> 1L, 3L -> 1L), s"got $out")
+    // hub cap: middle vertex with outdeg > cap generates no wedges —
+    // a star through a hub must count zero loops
+    val cap = operators.WebCorpus.TriangleDegreeCap
+    // build a→h, h→c_i (i = 1..cap+1), a→c_1: the h middle is over cap
+    val hubEdges = (Seq((100L, 0L), (100L, 1L)) ++
+      (1L to (cap + 1)).map(i => (0L, i))).toDF("src", "dst")
+    val hubOut = operators.WebCorpus.feedForwardLoops(hubEdges).collect()
+    assert(hubOut.isEmpty, s"hub middle over cap must yield no loops, got ${hubOut.toSeq}")
+    // contract query: per-domain loop counts are non-negative and the
+    // density column is exactly loops·10⁶ div pages
+    operators.WebCorpus.webTriangles(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_loops") >= 0L)
+      assert(r.getAs[Long]("loop_ppm") ==
+        r.getAs[Long]("n_loops") * 1000000L / r.getAs[Long]("n_pages"))
+    }
+  }
+
+  test("quality_dup_lift: bands partition the corpus; rates and lifts are self-consistent") {
+    val out = operators.CorpusQuality.qualityDupLift(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSet == Set("low", "mid", "high"))
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs, "bands must partition the corpus")
+    val totDup = out.map(_.getAs[Long]("n_dup")).sum
+    val dupMembers = operators.Dedup.minhashPairs(sources.Tables.documents(spark, sf))
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("d")).distinct().count()
+    assert(totDup == dupMembers, s"Σ n_dup $totDup must equal distinct dup members $dupMembers")
+    out.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup"))
+      assert(r.getAs[Long]("dup_ppm") == d * 1000000L / n)
+      // lift re-derivation: band rate over corpus rate, floored
+      val lift = (BigInt(d) * nDocs * 1000000 / (BigInt(n) * totDup)).toLong
+      assert(r.getAs[Long]("lift_ppm") == lift)
+    }
+  }
+
   test("embed_pca_power: components match a driver-side recompute of X^T(X·1)") {
     val out = operators.Similarity.embedPcaPower(spark, sf).collect()
     assert(out.length == graft.functions.VectorFns.Dim)
