@@ -645,6 +645,113 @@ object CorpusQuality {
       |CROSS JOIN t
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DSIR feature space: word hashes folded into this many buckets.
+    * 256 keeps the feature tables broadcast-trivial (two 256-row
+    * frames) while still separating topical vocabularies; the paper
+    * uses 10⁴ hashed n-gram buckets at pretraining scale — the bucket
+    * count is the only knob that changes.
+    */
+  val DsirBuckets = 256L
+
+  /** Hashed-feature importance weights for data selection (DSIR — Xie
+    * et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): fit two bag-of-hashed-word models — the TARGET
+    * distribution (here: the `lang = 'en'` slice standing in for the
+    * in-domain corpus) and the RAW distribution (the whole corpus) —
+    * and score every doc with its log importance weight
+    * log p_target(doc) − log p_raw(doc) = Σ_f c_f(doc) · log(p_t(f)/p_r(f))
+    * (add-one smoothed). Docs with positive weight look more like the
+    * target than the raw pool; sampling ∝ weight is the DSIR selection
+    * step. Output: per-source weight profile (n_docs, mean weight in
+    * ppb, share of target-leaning docs) — the table that says which
+    * sources the resampling would up/down-weight.
+    *
+    * Portability: each feature's log-ratio is ONE fixed-shape log2
+    * floor-quantized to ppb (the source_kl_drift discipline; its
+    * argument is a ratio of exact integers, identical on both
+    * engines); doc weights are then integer Σ c·term — order-free —
+    * and the per-source sum accumulates in DECIMAL(38,0) (doc weight
+    * ≤ ~5×10¹³ ppb, so a BIGINT source sum would cross 2⁶³ at ~10⁵
+    * docs).
+    *
+    * Scale shape: ONE (doc, feature) partial agg off the exploded scan
+    * (≤ [[DsirBuckets]] rows per doc pre-shuffle thanks to map-side
+    * partial agg); the two feature tables are [[DsirBuckets]]-row
+    * aggregates that BROADCAST back onto the grid; per-doc weight is
+    * one doc-keyed partial agg; the rollup is sources-bounded. The
+    * corpus text never shuffles — exactly the DSIR production shape
+    * (hashed features make the model size independent of vocab).
+    */
+  def corpusDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val docs = Tables.documents(s, dir)
+    val grid = Materialize.stable(docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .withColumn("f", expr(s"${PortableHash.sparkWordHash("w")} % $DsirBuckets"))
+      .groupBy("doc_id", "source", "lang", "f")
+      .agg(count(lit(1)).as("c")))
+    val rawFeat = grid.groupBy("f").agg(sum("c").as("c_r"))
+    val tgtFeat = grid.filter(col("lang") === "en")
+      .groupBy("f").agg(sum("c").as("c_t"))
+    val feats = rawFeat.join(tgtFeat, Seq("f"), "left")
+      .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
+    val totals = feats.agg(sum("c_r").as("tot_r"), sum("c_t").as("tot_t"))
+    val terms = feats.join(broadcast(totals))
+      .withColumn("term_ppb", expr(
+        s"""CAST(floor(log2(CAST((c_t + 1) AS DOUBLE) * CAST(tot_r + $DsirBuckets AS DOUBLE)
+           |  / (CAST((c_r + 1) AS DOUBLE) * CAST(tot_t + $DsirBuckets AS DOUBLE)))
+           |  * 1000000000) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")))
+      .select("f", "term_ppb")
+    val docW = grid.join(broadcast(terms), Seq("f"))
+      .groupBy("doc_id", "source")
+      .agg(sum(expr("c * term_ppb")).as("w_ppb"))
+    docW.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(w_ppb AS DECIMAL(38,0))")).as("sum_w"),
+        sum(expr("CASE WHEN w_ppb > 0 THEN 1 ELSE 0 END")).as("n_target_like"))
+      .withColumn("mean_w_ppb", expr("CAST(sum_w div n_docs AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("mean_w_ppb"),
+        col("n_target_like"),
+        expr("CAST(n_target_like * 1000000 div n_docs AS BIGINT)").as("target_like_ppm"))
+      .orderBy("source")
+  }
+
+  val corpusDsirWeightsSql: String = {
+    import graft.functions.PortableHash
+    s"""WITH grid AS (
+       |  SELECT doc_id, source, lang, f, COUNT(*) AS c FROM (
+       |    SELECT doc_id, source, lang, ${PortableHash.duckWordHash("w")} % $DsirBuckets AS f
+       |    FROM (
+       |      SELECT doc_id, source, lang,
+       |        unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+       |      FROM documents) t0) t1
+       |  GROUP BY 1, 2, 3, 4
+       |), feats AS (
+       |  SELECT f, CAST(SUM(c) AS BIGINT) AS c_r,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS c_t
+       |  FROM grid GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(SUM(c_r) AS BIGINT) AS tot_r, CAST(SUM(c_t) AS BIGINT) AS tot_t
+       |  FROM feats
+       |), terms AS (
+       |  SELECT f,
+       |    CAST(floor(log2(CAST((c_t + 1) AS DOUBLE) * CAST(tot_r + $DsirBuckets AS DOUBLE)
+       |      / (CAST((c_r + 1) AS DOUBLE) * CAST(tot_t + $DsirBuckets AS DOUBLE)))
+       |      * 1000000000) AS BIGINT) AS term_ppb
+       |  FROM feats, t
+       |), doc_w AS (
+       |  SELECT g.doc_id, g.source, CAST(SUM(g.c * tm.term_ppb) AS BIGINT) AS w_ppb
+       |  FROM grid g JOIN terms tm ON g.f = tm.f
+       |  GROUP BY 1, 2
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(CAST(SUM(CAST(w_ppb AS HUGEINT)) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_w_ppb,
+       |  CAST(SUM(CASE WHEN w_ppb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like,
+       |  CAST(SUM(CASE WHEN w_ppb > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS target_like_ppm
+       |FROM doc_w GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Quality-score band edges (milli-units) for the dup-lift
     * calibration: fixed VALUE thresholds, not rank quartiles — band
     * membership is a pure map-side function of the doc (deterministic,
@@ -742,6 +849,7 @@ object CorpusQuality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_dup_lift" -> (qualityDupLift _),
+    "corpus_dsir_weights" -> (corpusDsirWeights _),
     "bpe_pair_step" -> (bpePairStep _),
     "source_kl_drift" -> (sourceKlDrift _),
     "corpus_novelty" -> (corpusNovelty _),
@@ -757,6 +865,7 @@ object CorpusQuality {
 
   val oracles: Map[String, String] = Map(
     "quality_dup_lift" -> qualityDupLiftSql,
+    "corpus_dsir_weights" -> corpusDsirWeightsSql,
     "bpe_pair_step" -> bpePairStepSql,
     "source_kl_drift" -> sourceKlDriftSql,
     "corpus_novelty" -> corpusNoveltySql,

@@ -581,7 +581,138 @@ object Sketches {
        |JOIN sizes sb ON sb.source = e.source_b
        |ORDER BY e.source_a, e.source_b""".stripMargin
 
+  val SlidingWindowDays = 7
+
+  /** 7-day sliding distinct users per day — rolling reach — via
+    * MERGEABLE per-day HLL sketches, graded in-row against the exact
+    * recount. This is THE query shape that justifies sketches at
+    * 100 TB: exact rolling distinct must re-touch every event in the
+    * window for every window (7× the corpus per sweep, and distinct
+    * counts don't decompose — yesterday's exact count is unusable),
+    * while the sketch path builds ONE 512-bucket sketch per day (a
+    * (day, bucket) partial agg over the scan) and each window is then a
+    * bucket-wise max of ≤7 day sketches — window cost is days·512 rows,
+    * corpus-free, and the same daily sketches serve any window length.
+    *
+    * Output per present day d: the window [d−6, d] day count, the
+    * sketch internals (n_present, numerator — pins the merge, not just
+    * the estimate), the raw-regime HLL estimate, the exact distinct
+    * (audit-path: a 7× offset-explode of the distinct (day, user)
+    * frame — the cost the sketch path avoids), and the signed error in
+    * ppm. Same portable integer sketch as [[sketchHll]]; the estimate
+    * division is one fixed-shape double op, floor-quantized.
+    */
+  def sketchHllSliding(s: SparkSession, dir: String): DataFrame = {
+    val off = expr(s"explode(sequence(0, ${SlidingWindowDays - 1}))")
+    val e = Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+    val hashed = e
+      .withColumn("h", expr(PortableHash.sparkWordHash("CAST(user_id AS STRING)")))
+      .select(col("day"), expr(s"h % $HllM").as("bucket"),
+        expr(s"CASE WHEN h div $HllM = 0 THEN ${HllWBits + 1} " +
+          s"ELSE ${HllWBits + 1} - length(bin(h div $HllM)) END").as("rank"))
+    val daily = Materialize.stable(
+      hashed.groupBy("day", "bucket").agg(max("rank").as("mr")))
+    val days = Materialize.stable(daily.select("day").distinct())
+    val ends = days.select(col("day").as("wday"))
+    // merge: every day sketch feeds the ≤7 windows that contain it
+    // (generators can't nest in expressions — explode first, then add)
+    val win = daily.select(col("day"), col("bucket"), col("mr"), off.as("o"))
+      .select((col("day") + col("o")).as("wday"), col("bucket"), col("mr"))
+      .join(ends, Seq("wday"))
+      .groupBy("wday", "bucket").agg(max("mr").as("mr"))
+    // hybrid estimator (Flajolet et al. §4): the raw harmonic estimate
+    // below 2.5m with empty buckets present switches to linear counting
+    // m·ln(m/n_zero) — per-window reach (~10²) sits deep in the LC
+    // regime at test scale while a 100 TB day flips the same column to
+    // the raw regime. ln is ONE fixed-shape double op floor-quantized
+    // to micros (the source_kl_drift discipline) and its argument takes
+    // ≤ m distinct values, so both engines evaluate ln on identical
+    // doubles.
+    val rawExpr =
+      s"${alphaExpr(HllM)} * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST(${1L << (HllWBits + 1)} AS DOUBLE) / CAST(numerator AS DOUBLE)"
+    val est = win.groupBy("wday")
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllWBits + 1 - mr)")).as("present_num"))
+      .withColumn("numerator",
+        expr(s"present_num + (CAST($HllM AS BIGINT) - n_present) * CAST(${1L << (HllWBits + 1)} AS BIGINT)"))
+      .withColumn("raw_est", expr(s"floor(($rawExpr) * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .withColumn("regime", expr(
+        s"CASE WHEN n_present < $HllM AND ($rawExpr) <= CAST(2.5 AS DOUBLE) * CAST($HllM AS DOUBLE) THEN 'lc' ELSE 'raw' END"))
+      .withColumn("hll_estimate", expr(
+        s"CASE WHEN regime = 'lc' THEN floor(CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / CAST($HllM - n_present AS DOUBLE)) * 1000000) / CAST(1000000 AS DOUBLE) ELSE raw_est END"))
+      .select("wday", "n_present", "numerator", "regime", "hll_estimate")
+    val nDays = days.select(col("day"), off.as("o"))
+      .select((col("day") + col("o")).as("wday"))
+      .join(ends, Seq("wday"))
+      .groupBy("wday").agg(count(lit(1)).as("n_window_days"))
+    val exact = e.distinct()
+      .select(col("day"), col("user_id"), off.as("o"))
+      .select((col("day") + col("o")).as("wday"), col("user_id"))
+      .join(ends, Seq("wday"))
+      .groupBy("wday").agg(countDistinct("user_id").as("n_exact"))
+    est.join(nDays, Seq("wday")).join(exact, Seq("wday"))
+      .withColumn("err_ppm", expr(
+        "CAST(floor((hll_estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 1000000) AS BIGINT)"))
+      .select(expr("date_add(DATE'1970-01-01', CAST(wday AS INT))").as("window_end"),
+        col("n_window_days"), col("n_present"), col("numerator"), col("regime"),
+        col("hll_estimate"), col("n_exact"), col("err_ppm"))
+      .orderBy("window_end")
+  }
+
+  val sketchHllSlidingSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+       |), hashed AS (
+       |  SELECT day, h % $HllM AS bucket,
+       |    CASE WHEN h // $HllM = 0 THEN ${HllWBits + 1}
+       |         ELSE ${HllWBits + 1} - length(bin(h // $HllM)) END AS rank
+       |  FROM (SELECT day,
+       |    ${PortableHash.duckWordHash("CAST(user_id AS VARCHAR)")} AS h FROM e) t
+       |), daily AS (
+       |  SELECT day, bucket, MAX(rank) AS mr FROM hashed GROUP BY 1, 2
+       |), days AS (
+       |  SELECT DISTINCT day FROM daily
+       |), offs AS (
+       |  SELECT unnest(range(0, $SlidingWindowDays)) AS o
+       |), win AS (
+       |  SELECT d.day + os.o AS wday, d.bucket, MAX(d.mr) AS mr
+       |  FROM daily d, offs os
+       |  JOIN days e2 ON d.day + os.o = e2.day
+       |  GROUP BY 1, 2
+       |), est0 AS (
+       |  SELECT wday, COUNT(*) AS n_present,
+       |    CAST(SUM(CAST(1 AS BIGINT) << ($HllWBits + 1 - mr)) AS BIGINT)
+       |      + (CAST($HllM AS BIGINT) - COUNT(*)) * ${1L << (HllWBits + 1)} AS numerator
+       |  FROM win GROUP BY 1
+       |), est AS (
+       |  SELECT wday, n_present, numerator,
+       |    CASE WHEN n_present < $HllM AND (${alphaExpr(HllM)} * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST(${1L << (HllWBits + 1)} AS DOUBLE) / CAST(numerator AS DOUBLE)) <= CAST(2.5 AS DOUBLE) * CAST($HllM AS DOUBLE) THEN 'lc' ELSE 'raw' END AS regime,
+       |    CASE WHEN n_present < $HllM AND (${alphaExpr(HllM)} * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST(${1L << (HllWBits + 1)} AS DOUBLE) / CAST(numerator AS DOUBLE)) <= CAST(2.5 AS DOUBLE) * CAST($HllM AS DOUBLE)
+       |      THEN floor(CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / CAST($HllM - n_present AS DOUBLE)) * 1000000) / CAST(1000000 AS DOUBLE)
+       |      ELSE floor((${alphaExpr(HllM)} * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST(${1L << (HllWBits + 1)} AS DOUBLE) / CAST(numerator AS DOUBLE)) * 1000000) / CAST(1000000 AS DOUBLE)
+       |    END AS hll_estimate
+       |  FROM est0
+       |), ndays AS (
+       |  SELECT d.day + os.o AS wday, CAST(COUNT(*) AS BIGINT) AS n_window_days
+       |  FROM days d, offs os
+       |  JOIN days e2 ON d.day + os.o = e2.day
+       |  GROUP BY 1
+       |), exact AS (
+       |  SELECT du.day + os.o AS wday, COUNT(DISTINCT du.user_id) AS n_exact
+       |  FROM (SELECT DISTINCT day, user_id FROM e) du, offs os
+       |  JOIN days e2 ON du.day + os.o = e2.day
+       |  GROUP BY 1
+       |)
+       |SELECT DATE '1970-01-01' + CAST(est.wday AS INT) AS window_end,
+       |  n.n_window_days, est.n_present, est.numerator, est.regime, est.hll_estimate,
+       |  x.n_exact,
+       |  CAST(floor((est.hll_estimate - CAST(x.n_exact AS DOUBLE)) / CAST(x.n_exact AS DOUBLE) * 1000000) AS BIGINT) AS err_ppm
+       |FROM est JOIN ndays n ON est.wday = n.wday JOIN exact x ON est.wday = x.wday
+       |ORDER BY window_end""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_sliding" -> (sketchHllSliding _),
     "sketch_hll_setops" -> (sketchHllSetops _),
     "sketch_hll" -> (sketchHll _),
     "sketch_cms" -> (sketchCms _),
@@ -591,6 +722,7 @@ object Sketches {
     "source_similarity" -> (sourceSimilarity _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_hll_sliding" -> sketchHllSlidingSql,
     "sketch_hll_setops" -> sketchHllSetopsSql,
     "sketch_hll" -> sketchHllSql,
     "sketch_cms" -> sketchCmsSql,

@@ -819,6 +819,77 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("sketch_hll_sliding: window merge matches a driver recount; LC regime and error bounded") {
+    val out = operators.Sketches.sketchHllSliding(spark, sf).collect()
+    assert(out.nonEmpty)
+    // exact side recount: distinct users over each 7-day window
+    val dayUsers = sources.Tables.events(spark, sf)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getLong(1))
+    val days = dayUsers.map(_._1).distinct.sorted
+    out.foreach { r =>
+      val end = r.getAs[java.sql.Date]("window_end").toLocalDate.toEpochDay
+      val winDays = days.filter(d => d >= end - 6 && d <= end)
+      assert(r.getAs[Long]("n_window_days") == winDays.length)
+      val exact = dayUsers.filter { case (d, _) => d >= end - 6 && d <= end }
+        .map(_._2).distinct.length.toLong
+      assert(r.getAs[Long]("n_exact") == exact, s"window $end exact mismatch")
+      // regime rule: below 2.5m with empty buckets → linear counting
+      val m = operators.Sketches.HllM
+      val present = r.getAs[Long]("n_present")
+      if (r.getAs[String]("regime") == "lc") {
+        assert(present < m)
+        val lc = math.floor(m.toDouble * math.log(m.toDouble / (m - present).toDouble) * 1e6) / 1e6
+        assert(r.getAs[Double]("hll_estimate") == lc, s"window $end LC formula mismatch")
+      }
+      // estimator quality: within ±15% at this cardinality (deterministic data)
+      assert(math.abs(r.getAs[Long]("err_ppm")) < 150000L,
+        s"window $end err ${r.getAs[Long]("err_ppm")} ppm out of band")
+    }
+  }
+
+  test("corpus_dsir_weights: target-language docs outscore every other language slice") {
+    // the semantic point of DSIR: importance weights must rank the
+    // target distribution's own docs above the rest of the raw pool.
+    // Rebuild per-DOC weights via the library pieces, group by lang.
+    val out = operators.CorpusQuality.corpusDsirWeights(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0L)
+      assert(r.getAs[Long]("target_like_ppm") ==
+        r.getAs[Long]("n_target_like") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+    // per-lang mean via a direct recompute with the same bucket fold
+    val grid = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .withColumn("f", expr(
+        s"${graft.functions.PortableHash.sparkWordHash("w")} % ${operators.CorpusQuality.DsirBuckets}"))
+      .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("c")).collect()
+    val cr = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val ct = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    grid.foreach { r =>
+      val (f, c) = (r.getAs[Long]("f"), r.getAs[Long]("c"))
+      cr(f) += c
+      if (r.getAs[String]("lang") == "en") ct(f) += c
+    }
+    val (totR, totT) = (cr.values.sum, ct.values.sum)
+    val b = operators.CorpusQuality.DsirBuckets
+    def term(f: Long): Long = math.floor(
+      (math.log(((ct(f) + 1).toDouble * (totR + b)) / ((cr(f) + 1).toDouble * (totT + b))) / math.log(2.0)) * 1e9).toLong
+    // .toSeq BEFORE .map: mapping a Map to duplicate (lang -> w) keys
+    // would silently keep one doc per lang
+    val byDoc = grid.groupBy(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+      .toSeq.map { case ((_, lang), rows) =>
+        lang -> rows.map(r => r.getAs[Long]("c") * term(r.getAs[Long]("f"))).sum
+      }
+    val meanByLang = byDoc.groupBy(_._1).map { case (l, ws) => l -> ws.map(_._2).sum / ws.size }
+    val en = meanByLang("en")
+    meanByLang.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(en > m, s"en mean $en must exceed $l mean $m")
+    }
+  }
+
   test("embed_pca_power: components match a driver-side recompute of X^T(X·1)") {
     val out = operators.Similarity.embedPcaPower(spark, sf).collect()
     assert(out.length == graft.functions.VectorFns.Dim)
