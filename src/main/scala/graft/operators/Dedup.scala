@@ -554,7 +554,88 @@ object Dedup {
        |JOIN documents db ON pairs.doc_b = db.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** MinHash-LSH acceptance gate: recall AND precision of the
+    * production near-dup path ([[minhashPairs]] — band buckets + k=12
+    * signature agreement ≥ 0.5) against the EXACT set-Jaccard ≥ 0.5
+    * pair set — the knn_recall-style grade for the dedup family. An
+    * LSH configuration is a (bands, rows, k) gamble on the S-curve;
+    * this is the query that checks the gamble against ground truth
+    * before a 100 TB run trusts it.
+    *
+    * The exact side is complete, not sampled: a pair with J ≥ 0.5
+    * shares ≥ one shingle, so the inverted-index join on shingle hash
+    * ENUMERATES every qualifying pair (pairs sharing nothing have
+    * J = 0 and can't qualify) — no all-pairs product. Its cost is
+    * Σ df² over distinct shingles — the documented audit-path price
+    * (same contract as sketch_quantile_error's exact side): run it on
+    * a slice to grade the config, run only the LSH path at scale.
+    * J ≥ 0.5 is decided in integers (3·|∩| ≥ |A| + |B|) — no float.
+    *
+    * Output (one row): exact/detected/hit pair counts, recall and
+    * precision in ppm. Both ppm quotients are output-bounded integer
+    * math; counts BIGINT-safe at any corpus (pair counts are
+    * output-sized, not corpus²).
+    */
+  def dedupMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sets = Materialize.stable(docs
+      .select(col("doc_id"),
+        expr(s"array_distinct(${sparkShingleHashes("text")})").as("sh"))
+      .withColumn("n_sh", expr("CAST(size(sh) AS BIGINT)")))
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+    val exact = ex.as("x").join(ex.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .filter(expr("3 * i >= na + nb"))
+      .select("doc_a", "doc_b")
+    val det = minhashPairs(docs).select("doc_a", "doc_b")
+    val hits = exact.join(det, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(det.agg(count(lit(1)).as("n_detected_pairs")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN n_exact_pairs = 0 THEN 0 ELSE n_hits * 1000000 div n_exact_pairs END"))
+      .withColumn("precision_ppm", expr(
+        "CASE WHEN n_detected_pairs = 0 THEN 0 ELSE n_hits * 1000000 div n_detected_pairs END"))
+  }
+
+  val dedupMinhashRecallSql: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, list_distinct(${duckShingleHashes("text")}) AS sh FROM documents
+       |), sized AS (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sets
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS h FROM sets
+       |), inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sized sa ON inter.doc_a = sa.doc_id
+       |  JOIN sized sb ON inter.doc_b = sb.doc_id
+       |  WHERE 3 * i >= sa.n + sb.n
+       |), det AS (
+       |  SELECT doc_a, doc_b FROM ($dedupMinhashSql) d
+       |), hits AS (
+       |  SELECT e.doc_a, e.doc_b FROM exact e JOIN det USING (doc_a, doc_b)
+       |), c AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact_pairs,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM det) AS n_detected_pairs,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits
+       |)
+       |SELECT n_exact_pairs, n_detected_pairs, n_hits,
+       |  CASE WHEN n_exact_pairs = 0 THEN 0
+       |       ELSE n_hits * 1000000 // n_exact_pairs END AS recall_ppm,
+       |  CASE WHEN n_detected_pairs = 0 THEN 0
+       |       ELSE n_hits * 1000000 // n_detected_pairs END AS precision_ppm
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
@@ -566,6 +647,7 @@ object Dedup {
     "text_contamination" -> (textContamination _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_recall" -> dedupMinhashRecallSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_spans" -> dedupSpansSql,

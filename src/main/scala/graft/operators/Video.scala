@@ -234,9 +234,13 @@ object Video {
     * mapPartitions pass per container (video_meta's shape, zero
     * shuffles before the final order); output is frames-sized.
     */
-  def videoAhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    encodeVideos(s, dir).mapPartitions { rows =>
+  /** split-halves aHash over ANY payload set — the signature pass
+    * shared by [[videoAhash]] (contract query on the base corpus) and
+    * [[videoDedup]] (base ∪ planted re-ingestions).
+    */
+  def aHashLoHi(vids: Dataset[VideoPayload]): DataFrame = {
+    import vids.sparkSession.implicits._
+    vids.mapPartitions { rows =>
         Multimodal.imageIoMemCache
       rows.flatMap { v =>
         decodedFrames(v, 1).map { case (f, img) =>
@@ -255,8 +259,10 @@ object Video {
       }
     }.toDF("doc_id", "frame_idx", "ahash_lo", "ahash_hi")
       .withColumn("frame_idx", col("frame_idx").cast("int"))
-      .orderBy("doc_id", "frame_idx")
   }
+
+  def videoAhash(s: SparkSession, dir: String): DataFrame =
+    aHashLoHi(encodeVideos(s, dir)).orderBy("doc_id", "frame_idx")
 
   val videoAhashSql: String =
     s"""WITH f AS (
@@ -281,11 +287,148 @@ object Video {
        |FROM cells c JOIN tot t USING (doc_id, frame_idx)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The "same clip re-ingested after a filter" case: every
+    * doc_id % 10 == 3 video re-encoded (REAL decode → +2 brightness,
+    * clamped — a lossless-codec-preserving perturbation → REAL PNG
+    * re-encode) under a shifted id. PNG is lossless, so the copy's
+    * decoded pixels are exactly `least(255, v + 2)` of the original's
+    * — which is what lets the SQL oracle replay the plant analytically
+    * (same convention as dedup_exact's re-ingestion plant).
+    */
+  val DedupCopyShift = 100000L
+  private def brightenedCopies(base: Dataset[VideoPayload]): Dataset[VideoPayload] = {
+    import base.sparkSession.implicits._
+    base.filter(_.doc_id % 10 == 3).mapPartitions { rows =>
+        Multimodal.imageIoMemCache
+      rows.map { v =>
+        val frames = decodedFrames(v, 1)
+        val baos = new java.io.ByteArrayOutputStream()
+        val out = new java.io.DataOutputStream(baos)
+        out.writeBytes("GVID"); out.writeInt(frames.length)
+        frames.foreach { case (_, img) =>
+          val dst = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var idx = 0
+          while (idx < img.getWidth * img.getHeight) {
+            val v0 = img.getRGB(idx % img.getWidth, idx / img.getWidth) & 0xFF
+            val b = math.min(255, v0 + 2)
+            dst.setRGB(idx % img.getWidth, idx / img.getWidth, (b << 16) | (b << 8) | b)
+            idx += 1
+          }
+          val frame = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", frame)
+          out.writeInt(frame.size()); out.write(frame.toByteArray)
+        }
+        VideoPayload(v.doc_id + DedupCopyShift, baos.toByteArray)
+      }
+    }
+  }
+
+  /** Visual near-dup dedup over the video corpus ∪ the planted
+    * re-ingestions: frame-0 aHash band buckets generate candidates
+    * (16 bands × 4 bits ⇒ pigeonhole-complete for frame-0 hamming
+    * ≤ [[Multimodal.AHashMaxHamming]]), verified by TOTAL hamming over
+    * aligned frames ≤ [[VideoDedupMaxMeanHamming]]·frames — all-integer,
+    * no float mean. The video-level verify is much stricter than the
+    * single-image band stage (2 vs 15 bits/frame): agreement across a
+    * whole ALIGNED FRAME SEQUENCE is the evidence a single image can't
+    * give, and on near-uniform rasters (this synthetic corpus; real
+    * static-camera footage) a loose per-frame bound admits
+    * structurally-similar non-copies by the thousands — measured here:
+    * ≤15 keeps 12,687 pairs, ≤2 keeps the 50 planted re-ingestions
+    * plus only genuine content-identical collisions.
+    * The multimodal twin of dedup_minhash: same LSH-band-then-verify
+    * shape, signatures from the REAL codec path.
+    *
+    * Scale shape: signatures are one typed mapPartitions pass
+    * (frames-sized output, videos never shuffle); the band self-join
+    * is bucket-bounded; verification touches candidate pairs × aligned
+    * frames only — never videos².
+    */
+  val VideoDedupMaxMeanHamming = 2L
+
+  def videoDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = encodeVideos(s, dir)
+    val sigs = Materialize.stable(aHashLoHi(base.union(brightenedCopies(base))))
+    val f0 = sigs.filter(col("frame_idx") === 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), b -> named_struct('b', b, 'v', " +
+          "CASE WHEN b < 8 THEN shiftright(ahash_lo, b * 4) % 16 " +
+          "ELSE shiftright(ahash_hi, (b - 8) * 4) % 16 END))")).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+    val cand = f0.as("x").join(f0.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("frame_idx"),
+        col("ahash_lo").as("la"), col("ahash_hi").as("ha")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("frame_idx"),
+        col("ahash_lo").as("lb"), col("ahash_hi").as("hb")), Seq("doc_b", "frame_idx"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
+          .as("hamming_total"))
+      .filter(col("hamming_total") <= lit(VideoDedupMaxMeanHamming) * col("n_frames"))
+      .select("doc_a", "doc_b", "n_frames", "hamming_total")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val videoDedupSql: String =
+    s"""WITH vids AS (
+       |  SELECT doc_id AS vid, doc_id AS orig, 0 AS bright FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $DedupCopyShift, doc_id, 2 FROM documents WHERE doc_id % 10 = 3
+       |), fr AS (
+       |  SELECT vid, orig, bright, UNNEST(generate_series(0, 1 + orig % 3)) AS frame_idx
+       |  FROM vids
+       |), px AS (
+       |  SELECT vid, frame_idx,
+       |    ((i // $W) // ${H / 8}) * 8 + (i % $W) // ${W / 8} AS cell,
+       |    least(255, (orig * 1000003 + frame_idx * 8191 + i * 2654435761) % 256 + bright) AS v
+       |  FROM fr, UNNEST(generate_series(0, ${W * H - 1})) AS t(i)
+       |), cells AS (
+       |  SELECT vid, frame_idx, cell, CAST(SUM(v) AS BIGINT) AS cs
+       |  FROM px GROUP BY 1, 2, 3
+       |), tot AS (
+       |  SELECT vid, frame_idx, CAST(SUM(cs) AS BIGINT) AS total
+       |  FROM cells GROUP BY 1, 2
+       |), sigs AS (
+       |  SELECT c.vid, c.frame_idx,
+       |    CAST(SUM(CASE WHEN c.cs * 64 > t.total AND c.cell < 32
+       |      THEN (CAST(1 AS BIGINT) << CAST(c.cell AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN c.cs * 64 > t.total AND c.cell >= 32
+       |      THEN (CAST(1 AS BIGINT) << CAST(c.cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM cells c JOIN tot t USING (vid, frame_idx)
+       |  GROUP BY 1, 2
+       |), f0 AS (
+       |  SELECT vid,  bs.b AS b,
+       |    CASE WHEN bs.b < 8 THEN (lo >> (bs.b * 4)) % 16
+       |         ELSE (hi >> ((bs.b - 8) * 4)) % 16 END AS v
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
+       |  WHERE frame_idx = 0
+       |), cand AS (
+       |  SELECT DISTINCT x.vid AS doc_a, y.vid AS doc_b
+       |  FROM f0 x JOIN f0 y ON x.b = y.b AND x.v = y.v AND x.vid < y.vid
+       |)
+       |SELECT doc_a, doc_b, n_frames, hamming_total FROM (
+       |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |    CAST(SUM(bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi))) AS BIGINT) AS hamming_total
+       |  FROM cand c
+       |  JOIN sigs sa ON c.doc_a = sa.vid
+       |  JOIN sigs sb ON c.doc_b = sb.vid AND sa.frame_idx = sb.frame_idx
+       |  GROUP BY 1, 2) t
+       |WHERE hamming_total <= $VideoDedupMaxMeanHamming * n_frames
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "video_meta" -> (videoMeta _),
-    "video_ahash" -> (videoAhash _))
+    "video_ahash" -> (videoAhash _),
+    "video_dedup" -> (videoDedup _))
 
   val oracles: Map[String, String] = Map(
     "video_meta" -> videoMetaSql,
-    "video_ahash" -> videoAhashSql)
+    "video_ahash" -> videoAhashSql,
+    "video_dedup" -> videoDedupSql)
 }

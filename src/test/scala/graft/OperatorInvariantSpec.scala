@@ -890,6 +890,43 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("dedup_minhash_recall: hit set bounded by both sides; ppm quotients self-consistent") {
+    val r = operators.Dedup.dedupMinhashRecall(spark, sf).collect().head
+    val (ex, det, hits) = (r.getAs[Long]("n_exact_pairs"),
+      r.getAs[Long]("n_detected_pairs"), r.getAs[Long]("n_hits"))
+    assert(ex > 0L, "planted near-dups must produce exact pairs")
+    assert(hits <= math.min(ex, det))
+    assert(r.getAs[Long]("recall_ppm") == hits * 1000000L / ex)
+    assert(r.getAs[Long]("precision_ppm") == hits * 1000000L / det)
+    // the configured LSH (4 bands × 3 rows, agreement ≥ 0.5) should
+    // catch the planted J ≥ 0.5 structure essentially completely —
+    // recall below 80% means the banding broke, not the data
+    assert(r.getAs[Long]("recall_ppm") >= 800000L,
+      s"LSH recall collapsed: ${r.getAs[Long]("recall_ppm")} ppm")
+  }
+
+  test("video_dedup: every planted re-ingestion recovered; verify bound holds; period collisions are exact") {
+    val out = operators.Video.videoDedup(spark, sf).collect()
+    val pairs = out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    val planted = (0L until nDocs).filter(_ % 10 == 3)
+      .map(d => (d, d + operators.Video.DedupCopyShift)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missed planted copies: ${(planted -- pairs).take(5)}")
+    out.foreach { r =>
+      assert(r.getAs[Long]("hamming_total") <=
+        operators.Video.VideoDedupMaxMeanHamming * r.getAs[Long]("n_frames"))
+      // the +2-clamp plant flips almost nothing: planted pairs must sit
+      // at hamming ≤ 1 per frame
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      if (b == a + operators.Video.DedupCopyShift)
+        assert(r.getAs[Long]("hamming_total") <= r.getAs[Long]("n_frames"))
+      // pixel pattern repeats with doc period 256: those collisions are
+      // content-identical, so their hamming must be exactly 0
+      if (b - a == 256L) assert(r.getAs[Long]("hamming_total") == 0L)
+    }
+  }
+
   test("embed_pca_power: components match a driver-side recompute of X^T(X·1)") {
     val out = operators.Similarity.embedPcaPower(spark, sf).collect()
     assert(out.length == graft.functions.VectorFns.Dim)
