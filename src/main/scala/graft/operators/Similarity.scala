@@ -240,19 +240,17 @@ object Similarity {
     cellAssign(vecs, cents).groupBy("cell").agg(count(lit(1)).as("n_vecs"))
   }
 
-  def knnIvfAt(nprobe: Int)(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vecs = withVec(s, dir)
-    val cents = Materialize.stable(refineCents(vecs))
-    val assign = Materialize.stable(cellAssign(vecs, cents))
-    // every vector indexed in exactly its best cell
-    // query-side probe list: Nprobe argmin passes, pass p excluding the
-    // cells picked by passes < p
+  /** Query-side probe list: `nprobe` argmin passes over the
+    * query×centroid scores, pass p excluding the cells picked by
+    * passes < p. Returns (query_id, cell, qv) — shared by [[knnIvfAt]]
+    * and [[knnIvfPq]].
+    */
+  private def queryProbes(vecs: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val qscore = Materialize.stable(
       vecs.filter(col("vec_id") < QuerySetSize).crossJoin(broadcast(cents))
         .withColumn("neg", expr(sparkCosine("v", "cv")) * -1)
         .select(col("vec_id").as("query_id"), col("cent_id"), col("neg"), col("v").as("qv")))
-    val probes = (1 until nprobe).foldLeft(
+    (1 until nprobe).foldLeft(
       qscore.groupBy("query_id")
         .agg(min(struct(col("neg"), col("cent_id"))).as("b"), first(col("qv")).as("qv"))
         .select(col("query_id"), col("b.cent_id").as("cell"), col("qv"))
@@ -265,6 +263,15 @@ object Similarity {
         .select(col("query_id"), col("b.cent_id").as("cell"), col("qv"))
       acc.union(next)
     }
+  }
+
+  def knnIvfAt(nprobe: Int)(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = withVec(s, dir)
+    val cents = Materialize.stable(refineCents(vecs))
+    val assign = Materialize.stable(cellAssign(vecs, cents))
+    // every vector indexed in exactly its best cell
+    val probes = queryProbes(vecs, cents, nprobe)
     val byQuery = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     probes.join(assign.select(col("vec_id").as("neighbor_id"), col("cell"), col("v")), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -455,42 +462,59 @@ object Similarity {
     * uses; measured here it more than doubles recall@3 over raw ADC
     * ranking (0.33 → 0.73 at sf0.01).
     */
-  def knnPq(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // unit-normalize so L2² = 2 − 2·cosine — the PQ index then ranks by
-    // the same metric as the cosine brute force (without this the two
-    // metrics disagree wherever norms vary and recall collapses)
-    val vecs = withVec(s, dir)
-      .withColumn("nrm", expr(sparkNorm("v")))
-      .withColumn("v", expr("transform(v, x -> x / nrm)"))
-      .drop("nrm")
-    val ms = expr(s"explode(sequence(0, ${PqM - 1}))")
-    val subvecs = vecs
-      .select(col("vec_id"), ms.as("m"), col("v"))
-      .withColumn("sub", expr(s"slice(v, m * $PqSubDim + 1, $PqSubDim)"))
-      .drop("v")
-    // deterministic codebook: subvectors of the PqK seed rows at
-    // vec_id = offset + mod·j — the codeword index is pure arithmetic
-    // (no global ranking window, which would single-partition the seeds)
-    val seeds = vecs
+  /** unit-normalize so L2² = 2 − 2·cosine — the PQ index then ranks by
+    * the same metric as the cosine brute force (without this the two
+    * metrics disagree wherever norms vary and recall collapses)
+    */
+  private def pqNormalize(vecs: DataFrame): DataFrame = vecs
+    .withColumn("nrm", expr(sparkNorm("v")))
+    .withColumn("v", expr("transform(v, x -> x / nrm)"))
+    .drop("nrm")
+
+  private def pqMs = expr(s"explode(sequence(0, ${PqM - 1}))")
+
+  private def pqSubvecs(nvecs: DataFrame): DataFrame = nvecs
+    .select(col("vec_id"), pqMs.as("m"), col("v"))
+    .withColumn("sub", expr(s"slice(v, m * $PqSubDim + 1, $PqSubDim)"))
+    .drop("v")
+
+  /** deterministic codebook: subvectors of the PqK seed rows at
+    * vec_id = offset + mod·j — the codeword index is pure arithmetic
+    * (no global ranking window, which would single-partition the seeds)
+    */
+  private def pqCodebook(nvecs: DataFrame, subvecs: DataFrame): DataFrame = {
+    val seeds = nvecs
       .filter(pmod(col("vec_id"), lit(PqSeedMod)) === PqSeedOffset &&
         col("vec_id") < PqSeedOffset + PqSeedMod * PqK)
       .select(col("vec_id"), expr(s"(vec_id - $PqSeedOffset) div $PqSeedMod").as("j"))
-    val codebook = subvecs.join(seeds, Seq("vec_id"))
+    subvecs.join(seeds, Seq("vec_id"))
       .select(col("m"), col("j"), col("sub").as("cvec"))
-    // encode: per (vector, subspace) argmin over the broadcast codebook
-    val codes = subvecs.join(broadcast(codebook), Seq("m"))
+  }
+
+  /** encode: per (vector, subspace) argmin over the broadcast codebook */
+  private def pqCodes(subvecs: DataFrame, codebook: DataFrame): DataFrame =
+    subvecs.join(broadcast(codebook), Seq("m"))
       .withColumn("d", expr(sparkSqDist("sub", "cvec")))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d"), col("j"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.j").as("j"))
-    // per-query distance table, integer-micro quantized pre-sum
-    val dt = vecs.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("query_id"), ms.as("m"), col("v"))
+
+  /** per-query distance table, integer-micro quantized pre-sum */
+  private def pqDistTable(nvecs: DataFrame, codebook: DataFrame): DataFrame =
+    nvecs.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), pqMs.as("m"), col("v"))
       .withColumn("qsub", expr(s"slice(v, m * $PqSubDim + 1, $PqSubDim)"))
       .join(broadcast(codebook), Seq("m"))
       .select(col("query_id"), col("m"), col("j"),
         expr(s"CAST(floor(${sparkSqDist("qsub", "cvec")} * 1000000) AS BIGINT)").as("dti"))
+
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = pqNormalize(withVec(s, dir))
+    val subvecs = pqSubvecs(vecs)
+    val codebook = pqCodebook(vecs, subvecs)
+    val codes = pqCodes(subvecs, codebook)
+    val dt = pqDistTable(vecs, codebook)
     // ADC scan: codes ⋈ broadcast table, Σ over subspaces → shortlist
     val byAdc = Window.partitionBy("query_id").orderBy(col("adc_i"), col("neighbor_id"))
     val shortlist = codes.join(broadcast(dt), Seq("m", "j"))
@@ -569,6 +593,122 @@ object Similarity {
        |  floor(cosine * 1000000) / CAST(1000000 AS DOUBLE) AS cosine,
        |  CAST(adc_i AS DOUBLE) / CAST(1000000 AS DOUBLE) AS adc_dist
        |FROM ranked WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin
+
+  /** IVF + PQ composite — the billion-vector production index (FAISS's
+    * IVFADC, Jégou et al. §IV): the coarse quantizer restricts each
+    * query's ADC scan to its [[Nprobe]] probed cells, and within those
+    * cells distance comes from the M-byte PQ codes — so query cost is
+    * nprobe·|cell|·M table lookups instead of n·M, and the index
+    * stores codes + one cell id per vector (the only corpus-sized
+    * state; vectors themselves are touched just for the
+    * [[PqShortlist]]-bounded exact rerank). This is the composition
+    * the standalone contract pieces exist for: cells from knn_ivf's
+    * √n-rule build, codes/ADC from knn_pq, probes from the shared
+    * query-probe pass — all reused verbatim, so parity here certifies
+    * the COMPOSITE, not re-derived math.
+    *
+    * Scale shape: the only corpus-sized joins are vec_id-keyed
+    * (codes ⋈ cell assignment) and cell-keyed (probes ⋈ indexed
+    * codes, cell-bounded); the distance table broadcasts (Q·M·K
+    * integers); the ADC sum partial-aggregates per (query, vector)
+    * before its shuffle; shortlist + rerank are query-bounded.
+    */
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = withVec(s, dir)
+    val cents = Materialize.stable(refineCents(vecs))
+    val assign = Materialize.stable(cellAssign(vecs, cents))
+    val probes = queryProbes(vecs, cents, Nprobe).select("query_id", "cell")
+    val nvecs = pqNormalize(vecs)
+    val subvecs = pqSubvecs(nvecs)
+    val codebook = pqCodebook(nvecs, subvecs)
+    val codes = pqCodes(subvecs, codebook)
+    val dt = pqDistTable(nvecs, codebook)
+    val cellCodes = codes.join(assign.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val byAdc = Window.partitionBy("query_id").orderBy(col("adc_i"), col("neighbor_id"))
+    val shortlist = probes.join(cellCodes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dt), Seq("query_id", "m", "j"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("dti").as("adc_i"))
+      .withColumn("srank", row_number().over(byAdc))
+      .filter(col("srank") <= PqShortlist)
+    val byCos = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist
+      .join(nvecs.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+      .join(nvecs.filter(col("vec_id") < QuerySetSize)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .withColumn("cosine", expr(sparkCosine("qv", "v")))
+      .withColumn("rank", row_number().over(byCos).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        expr("floor(cosine * 1000000) / CAST(1000000 AS DOUBLE)").as("cosine"),
+        expr("CAST(adc_i AS DOUBLE) / CAST(1000000 AS DOUBLE)").as("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  val knnIvfPqSql: String =
+    s"""$knnAssignCte, nvecs AS (
+       |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v
+       |  FROM (SELECT vec_id, v, ${duckNorm("v")} AS nrm FROM vecs) t
+       |), psub AS (
+       |  SELECT vec_id, ms.m AS m, list_slice(v, ms.m * $PqSubDim + 1, ms.m * $PqSubDim + $PqSubDim) AS sub
+       |  FROM nvecs CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms
+       |), pseeds AS (
+       |  SELECT vec_id, (vec_id - $PqSeedOffset) // $PqSeedMod AS j
+       |  FROM nvecs
+       |  WHERE vec_id % $PqSeedMod = $PqSeedOffset
+       |    AND vec_id < $PqSeedOffset + $PqSeedMod * $PqK
+       |), pcb AS (
+       |  SELECT sv.m, s.j, sv.sub AS cvec
+       |  FROM psub sv JOIN pseeds s ON sv.vec_id = s.vec_id
+       |), pcodes AS (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT sv.vec_id, sv.m, cb.j,
+       |      ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.m
+       |        ORDER BY ${duckSqDist("sv.sub", "cb.cvec")}, cb.j) AS r
+       |    FROM psub sv JOIN pcb cb ON sv.m = cb.m) t
+       |  WHERE r = 1
+       |), pdt AS (
+       |  SELECT sv.vec_id AS query_id, sv.m, cb.j,
+       |    CAST(floor(${duckSqDist("sv.sub", "cb.cvec")} * 1000000) AS BIGINT) AS dti
+       |  FROM psub sv JOIN pcb cb ON sv.m = cb.m
+       |  WHERE sv.vec_id < $QuerySetSize
+       |), qprobe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT vecs.vec_id AS query_id, cents.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |        ORDER BY ${duckCosine("vecs.v", "cents.cv")} DESC, cents.cent_id) AS crank
+       |    FROM vecs CROSS JOIN cents WHERE vecs.vec_id < $QuerySetSize) t
+       |  WHERE crank <= $Nprobe
+       |), adc AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id, CAST(SUM(d.dti) AS BIGINT) AS adc_i
+       |  FROM qprobe q
+       |  JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.query_id
+       |  JOIN pcodes c ON c.vec_id = a.vec_id
+       |  JOIN pdt d ON d.query_id = q.query_id AND d.m = c.m AND d.j = c.j
+       |  GROUP BY 1, 2
+       |), shortlist AS (
+       |  SELECT query_id, neighbor_id, adc_i FROM (
+       |    SELECT query_id, neighbor_id, adc_i,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_i, neighbor_id) AS srank
+       |    FROM adc) t
+       |  WHERE srank <= $PqShortlist
+       |), rerank AS (
+       |  SELECT s.query_id, s.neighbor_id, s.adc_i,
+       |    ${duckCosine("q.v", "n.v")} AS cosine
+       |  FROM shortlist s
+       |  JOIN nvecs n ON s.neighbor_id = n.vec_id
+       |  JOIN nvecs q ON s.query_id = q.vec_id
+       |), rankedpq AS (
+       |  SELECT query_id, neighbor_id, adc_i, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM rerank
+       |)
+       |SELECT query_id, neighbor_id, rank,
+       |  floor(cosine * 1000000) / CAST(1000000 AS DOUBLE) AS cosine,
+       |  CAST(adc_i AS DOUBLE) / CAST(1000000 AS DOUBLE) AS adc_dist
+       |FROM rankedpq WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin
 
   // ---- semantic dedup (SemDeDup-style) -----------------------------------
 
@@ -1287,6 +1427,7 @@ object Similarity {
     "embed_centroid" -> (embedCentroid _),
     "dedup_semantic" -> (dedupSemantic _),
     "knn_pq" -> (knnPq _),
+    "knn_ivf_pq" -> (knnIvfPq _),
     "embed_neardup" -> (embedNeardup _),
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_ivf" -> (knnIvf _),
@@ -1308,6 +1449,7 @@ object Similarity {
     "embed_centroid" -> embedCentroidSql,
     "dedup_semantic" -> dedupSemanticSql,
     "knn_pq" -> knnPqSql,
+    "knn_ivf_pq" -> knnIvfPqSql,
     "embed_neardup" -> embedNeardupSql,
     "knn_bruteforce" -> knnBruteforceSql,
     "knn_ivf" -> knnIvfSql,

@@ -927,6 +927,24 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("knn_ivf_pq: composite shape sound; agreement with full-precision IVF stays high") {
+    val pq = operators.Similarity.knnIvfPq(spark, sf).collect()
+    val ivf = operators.Similarity.knnIvf(spark, sf).collect()
+    // per query exactly KnnK ranked neighbors
+    pq.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to operators.Similarity.KnnK),
+        s"query $q ranks broken")
+      rows.foreach(r => assert(r.getAs[Double]("adc_dist") >= 0.0))
+    }
+    // the PQ compression (32×) may swap borderline neighbors, but the
+    // composite must stay close to the same-probes full-precision path
+    val a = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val b = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val agree = a.intersect(b).size
+    assert(agree * 10 >= b.size * 8,
+      s"composite agreement collapsed: $agree of ${b.size}")
+  }
+
   test("embed_pca_power: components match a driver-side recompute of X^T(X·1)") {
     val out = operators.Similarity.embedPcaPower(spark, sf).collect()
     assert(out.length == graft.functions.VectorFns.Dim)
