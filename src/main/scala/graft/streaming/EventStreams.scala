@@ -319,6 +319,53 @@ object EventStreams {
       }
   }
 
+  /** per-(day, bucket) HLL register: the current max rank plus the
+    * monotone update counter (latest-emission-per-key convention, same
+    * as the leaderboard twin).
+    */
+  case class HllReg(mr: Int, upd: Long)
+
+  /** Streaming twin of the batch `sketch_hll_sliding` DAILY-SKETCH
+    * build: consumes (day, user_id) activity and maintains the
+    * (day, bucket) → max-rank register table incrementally — ONE byte
+    * of real state per open (day, bucket) key, ≤ 512 keys per day
+    * regardless of traffic. The register merge is max(), so any
+    * micro-batch split, replay, or out-of-order arrival converges to
+    * the identical register table (max is commutative + idempotent —
+    * the CRDT property that makes HLL the right streaming distinct
+    * counter). Window estimates are then a read-time bucket-max merge
+    * of ≤7 day tables (the batch operator's exact arithmetic) — the
+    * stream never recounts a window.
+    *
+    * Hash/bucket/rank arithmetic calls the SAME compiled kernel the
+    * batch expression path uses ([[graft.functions.HashKernels]]), so
+    * stream and batch registers are bit-identical by construction.
+    */
+  def hllDailyStream(rows: Dataset[(Long, Long)]): Dataset[(Long, Long, Long, Int)] = {
+    import rows.sparkSession.implicits._
+    val m = graft.operators.Sketches.HllM
+    val wb = graft.operators.Sketches.HllWBits
+    rows.map { case (day, user) =>
+      val h = graft.functions.HashKernels.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(user.toString))
+      val bucket = h % m
+      val w = h / m
+      val rank = if (w == 0L) wb + 1
+        else wb + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      (day, bucket, rank)
+    }
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), it: Iterator[(Long, Long, Int)],
+            state: GroupState[HllReg]) =>
+          val prev = state.getOption.getOrElse(HllReg(0, 0L))
+          val mr = math.max(prev.mr, it.map(_._3).max)
+          val upd = prev.upd + 1L
+          state.update(HllReg(mr, upd))
+          Iterator((key._1, key._2, upd, mr))
+      }
+  }
+
   /** exposure bitmask + conversion/seen flags — one int and two
     * booleans per user, the entire A/B census state.
     */

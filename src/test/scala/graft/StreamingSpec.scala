@@ -1352,6 +1352,77 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_hll_sliding: register table converges to the batch daily sketch under any split") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def reg(user: Long): (Long, Int) = {
+      val m = graft.operators.Sketches.HllM
+      val wb = graft.operators.Sketches.HllWBits
+      val h = graft.functions.HashKernels.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(user.toString))
+      val w = h / m
+      (h % m, if (w == 0L) wb + 1 else wb + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w)))
+    }
+    // hand case: same user twice (idempotent), two users across batches
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.hllDailyStream(mem.toDS())
+      .toDF("day", "bucket", "upd", "mr")
+      .writeStream.format("memory").queryName("hll").outputMode("append").start()
+    try {
+      mem.addData((0L, 7L), (0L, 7L)); q.processAllAvailable()
+      mem.addData((0L, 11L)); q.processAllAvailable()
+      val latest = spark.table("hll").groupBy("day", "bucket")
+        .agg(max(struct(col("upd"), col("mr"))).as("b"))
+        .select(col("day"), col("bucket"), col("b.mr"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val (b7, r7) = reg(7L)
+      val (b11, r11) = reg(11L)
+      val expected =
+        if (b7 == b11) Set((0L, b7, math.max(r7, r11)))
+        else Set((0L, b7, r7), (0L, b11, r11))
+      assert(latest == expected, s"got $latest expected $expected")
+    } finally q.stop()
+
+    // equivalence on the real events table, median split: the final
+    // register table must equal a driver recount, and its window merge
+    // must reproduce the batch operator's sketch internals exactly
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"), col("ts_us"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3).map(r => (r._1, r._2))
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = EventStreams.hllDailyStream(mem2.toDS())
+      .toDF("day", "bucket", "upd", "mr")
+      .writeStream.format("memory").queryName("hll_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val streamed = spark.table("hll_eq").groupBy("day", "bucket")
+        .agg(max(struct(col("upd"), col("mr"))).as("b"))
+        .select(col("day"), col("bucket"), col("b.mr"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val expected = ev.map { case (d, u) => val (b, r) = reg(u); (d, b) -> r }
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(streamed == expected, "register table diverged from recount")
+      // read-time window merge == the batch operator's internals
+      val m = graft.operators.Sketches.HllM
+      val wb = graft.operators.Sketches.HllWBits
+      val days = streamed.keySet.map(_._1)
+      val batch = graft.operators.Sketches.sketchHllSliding(spark, sfDir).collect()
+      assert(batch.nonEmpty)
+      batch.foreach { r =>
+        val end = r.getAs[java.sql.Date]("window_end").toLocalDate.toEpochDay
+        val win = streamed.filter { case ((d, _), _) => d >= end - 6 && d <= end }
+        val merged = win.groupBy(_._1._2).view.mapValues(_.values.max).toMap
+        assert(r.getAs[Long]("n_present") == merged.size.toLong, s"window $end n_present")
+        val num = merged.values.map(mr => 1L << (wb + 1 - mr)).sum +
+          (m.toLong - merged.size) * (1L << (wb + 1))
+        assert(r.getAs[Long]("numerator") == num, s"window $end numerator")
+        assert(days.exists(d => d >= end - 6 && d <= end))
+      }
+    } finally q2.stop()
+  }
+
   test("stream_abtest: delta rows rebuild the batch 2x2 cells under any split") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
