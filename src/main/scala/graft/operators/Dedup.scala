@@ -594,8 +594,8 @@ object Dedup {
     val det = minhashPairs(docs).select("doc_a", "doc_b")
     val hits = exact.join(det, Seq("doc_a", "doc_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact_pairs"))
-      .crossJoin(det.agg(count(lit(1)).as("n_detected_pairs")))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .crossJoin(broadcast(det.agg(count(lit(1)).as("n_detected_pairs"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
       .withColumn("recall_ppm", expr(
         "CASE WHEN n_exact_pairs = 0 THEN 0 ELSE n_hits * 1000000 div n_exact_pairs END"))
       .withColumn("precision_ppm", expr(

@@ -110,7 +110,14 @@ class PlanSpec extends SparkSpec {
       "events_abtest",
       // knn_ivf_balance inherits cellAssign's centroid-broadcast cross
       // and attaches its one-row totals
-      "knn_ivf_balance")
+      "knn_ivf_balance",
+      // round 9: knn_ivf_pq inherits the centroid-broadcast assignment
+      // cross from knn_ivf's build; dedup_minhash_recall combines three
+      // ONE-ROW count aggregates (the events_funnel shape);
+      // quality_dup_lift / corpus_dsir_weights / web_triangles attach
+      // their ONE-ROW totals via the q22 broadcast idiom
+      "knn_ivf_pq", "dedup_minhash_recall", "quality_dup_lift",
+      "corpus_dsir_weights", "web_triangles")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
