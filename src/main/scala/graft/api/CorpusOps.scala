@@ -546,4 +546,44 @@ object CorpusOps {
       .withColumn("comp_ppm", expr("CAST(__w * 1000000 div __wmax AS BIGINT)"))
       .select("pos", "n_vecs", "w_unit", "comp_ppm")
   }
+
+  /** Directed-triangle (feed-forward-loop a→b→c with a→c) counts per
+    * source vertex over an arbitrary edge frame — the generic twin of
+    * web_triangles (hub-capped wedge join; see
+    * [[graft.operators.WebCorpus.TriangleDegreeCap]]).
+    */
+  def triangleLoops(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    graft.operators.WebCorpus.feedForwardLoops(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+
+  /** MinHash-LSH acceptance gate over any (id, text) frame: recall +
+    * precision of the band-bucket near-dup path vs exact set-Jaccard
+    * ≥ 0.5 — run on a stratified SLICE (the exact side is priced for
+    * slices), trust the LSH path on the lake.
+    */
+  def minhashRecallGate(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.Dedup.minhashRecallFor(
+      prepared(docs0).select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** Mergeable sliding-window distinct (7-day HLL reach) over any
+    * (day, key) activity frame — the generic twin of
+    * sketch_hll_sliding; pair with EventStreams.hllDailyStream for the
+    * incrementally-maintained register table.
+    */
+  def slidingDistinct(df: DataFrame, dayCol: String, keyCol: String): DataFrame =
+    graft.operators.Sketches.hllSlidingFor(prepared(df)
+      .select(col(dayCol).cast("long").as("day"), col(keyCol).cast("string").as("key")))
+
+  /** DSIR importance weights (log p_target − log p_raw under hashed
+    * bag-of-word models) per doc over any (id, text) frame; `isTarget`
+    * marks the in-domain slice — the generic twin of
+    * corpus_dsir_weights' per-doc stage.
+    */
+  def dsirWeights(docs0: DataFrame, isTarget: org.apache.spark.sql.Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.CorpusQuality.dsirDocWeightsFor(
+      prepared(docs0).select(col(idCol).as("doc_id"), col(textCol).as("text"), isTarget.as("__t")),
+      "text", col("__t"))
 }

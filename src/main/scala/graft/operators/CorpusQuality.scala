@@ -682,17 +682,24 @@ object CorpusQuality {
     * corpus text never shuffles — exactly the DSIR production shape
     * (hashed features make the model size independent of vocab).
     */
-  def corpusDsirWeights(s: SparkSession, dir: String): DataFrame = {
+  /** per-doc DSIR log importance weights over ANY frame with (doc_id,
+    * `textCol`) — the library entry point. `isTarget` marks the
+    * in-domain slice the weights steer toward; `carry` lists extra
+    * columns to thread through to the output (e.g. the rollup key).
+    * Returns (doc_id, carry…, w_ppb).
+    */
+  def dsirDocWeightsFor(docs: DataFrame, textCol: String, isTarget: org.apache.spark.sql.Column,
+      carry: Seq[String] = Nil): DataFrame = {
     import graft.functions.PortableHash
-    val docs = Tables.documents(s, dir)
+    val keys = Seq("doc_id") ++ carry
     val grid = Materialize.stable(docs
-      .select(col("doc_id"), col("source"), col("lang"),
-        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .select(col("doc_id") +: carry.map(col) :+ isTarget.as("__tgt") :+
+        explode(expr(s"filter(split($textCol, ' '), w -> w <> '')")).as("w"): _*)
       .withColumn("f", expr(s"${PortableHash.sparkWordHash("w")} % $DsirBuckets"))
-      .groupBy("doc_id", "source", "lang", "f")
+      .groupBy((keys :+ "__tgt" :+ "f").map(col): _*)
       .agg(count(lit(1)).as("c")))
     val rawFeat = grid.groupBy("f").agg(sum("c").as("c_r"))
-    val tgtFeat = grid.filter(col("lang") === "en")
+    val tgtFeat = grid.filter(col("__tgt"))
       .groupBy("f").agg(sum("c").as("c_t"))
     val feats = rawFeat.join(tgtFeat, Seq("f"), "left")
       .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
@@ -703,10 +710,15 @@ object CorpusQuality {
            |  / (CAST((c_r + 1) AS DOUBLE) * CAST(tot_t + $DsirBuckets AS DOUBLE)))
            |  * 1000000000) AS BIGINT)""".stripMargin.replaceAll("\\s+", " ")))
       .select("f", "term_ppb")
-    val docW = grid.join(broadcast(terms), Seq("f"))
-      .groupBy("doc_id", "source")
+    grid.join(broadcast(terms), Seq("f"))
+      .groupBy(keys.map(col): _*)
       .agg(sum(expr("c * term_ppb")).as("w_ppb"))
-    docW.groupBy("source")
+  }
+
+  def corpusDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    dsirDocWeightsFor(docs, "text", col("lang") === "en", carry = Seq("source"))
+      .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(expr("CAST(w_ppb AS DECIMAL(38,0))")).as("sum_w"),
         sum(expr("CASE WHEN w_ppb > 0 THEN 1 ELSE 0 END")).as("n_target_like"))

@@ -576,8 +576,14 @@ object Dedup {
     * math; counts BIGINT-safe at any corpus (pair counts are
     * output-sized, not corpus²).
     */
-  def dedupMinhashRecall(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def dedupMinhashRecall(s: SparkSession, dir: String): DataFrame =
+    minhashRecallFor(Tables.documents(s, dir))
+
+  /** the gate over ANY (doc_id, text) frame — the library entry point
+    * (run it on a stratified slice of the lake; the exact side is
+    * priced for slices).
+    */
+  def minhashRecallFor(docs: DataFrame): DataFrame = {
     val sets = Materialize.stable(docs
       .select(col("doc_id"),
         expr(s"array_distinct(${sparkShingleHashes("text")})").as("sh"))

@@ -602,12 +602,19 @@ object Sketches {
     * ppm. Same portable integer sketch as [[sketchHll]]; the estimate
     * division is one fixed-shape double op, floor-quantized.
     */
-  def sketchHllSliding(s: SparkSession, dir: String): DataFrame = {
+  def sketchHllSliding(s: SparkSession, dir: String): DataFrame =
+    hllSlidingFor(Tables.events(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"),
+        expr("CAST(user_id AS STRING)").as("key")))
+
+  /** the sliding-reach sketch over ANY (day: BIGINT, key: STRING)
+    * activity frame — the library entry point (keys are hashed with
+    * the portable kernel, so any id type cast to string works).
+    */
+  def hllSlidingFor(e: DataFrame): DataFrame = {
     val off = expr(s"explode(sequence(0, ${SlidingWindowDays - 1}))")
-    val e = Tables.events(s, dir)
-      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
     val hashed = e
-      .withColumn("h", expr(PortableHash.sparkWordHash("CAST(user_id AS STRING)")))
+      .withColumn("h", expr(PortableHash.sparkWordHash("key")))
       .select(col("day"), expr(s"h % $HllM").as("bucket"),
         expr(s"CASE WHEN h div $HllM = 0 THEN ${HllWBits + 1} " +
           s"ELSE ${HllWBits + 1} - length(bin(h div $HllM)) END").as("rank"))
@@ -647,10 +654,10 @@ object Sketches {
       .join(ends, Seq("wday"))
       .groupBy("wday").agg(count(lit(1)).as("n_window_days"))
     val exact = e.distinct()
-      .select(col("day"), col("user_id"), off.as("o"))
-      .select((col("day") + col("o")).as("wday"), col("user_id"))
+      .select(col("day"), col("key"), off.as("o"))
+      .select((col("day") + col("o")).as("wday"), col("key"))
       .join(ends, Seq("wday"))
-      .groupBy("wday").agg(countDistinct("user_id").as("n_exact"))
+      .groupBy("wday").agg(countDistinct("key").as("n_exact"))
     est.join(nDays, Seq("wday")).join(exact, Seq("wday"))
       .withColumn("err_ppm", expr(
         "CAST(floor((hll_estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 1000000) AS BIGINT)"))

@@ -372,6 +372,34 @@ object ApiTour {
       p.count() == graft.functions.VectorFns.Dim &&
         p.filter(expr("abs(comp_ppm) > 1000000")).count() == 0
     })
+    check("corpus.triangleLoops counts the hand-built directed triangle")({
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 1L)).toDF("a", "b")
+      val out = CorpusOps.triangleLoops(edges, "a", "b").collect()
+        .map(r => r.getAs[Long]("src") -> r.getAs[Long]("n_ffl")).toMap
+      out.getOrElse(1L, 0L) == 1L
+    })
+    check("corpus.minhashRecallGate: hits bounded by both sides, ppm sane")({
+      val g = CorpusOps.minhashRecallGate(docs).collect().head
+      val (ex, det, h) = (g.getAs[Long]("n_exact_pairs"),
+        g.getAs[Long]("n_detected_pairs"), g.getAs[Long]("n_hits"))
+      h <= math.min(ex, det) && g.getAs[Long]("recall_ppm") <= 1000000L &&
+        g.getAs[Long]("precision_ppm") <= 1000000L
+    })
+    check("corpus.slidingDistinct: one row per active day, exact positive")({
+      val act = Tables.events(spark, sfDir)
+        .select(expr("ts_us div 86400000000").as("d"), col("user_id").as("k"))
+      val out = CorpusOps.slidingDistinct(act, "d", "k")
+      out.count() == act.select("d").distinct().count() &&
+        out.filter(col("n_exact") <= 0).count() == 0
+    })
+    check("corpus.dsirWeights: one weight per doc; en target slice outscores the rest on average")({
+      val w = CorpusOps.dsirWeights(docs, col("lang") === "en")
+      val joined = w.join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy(expr("lang = 'en'").as("t")).agg(avg("w_ppb").as("m"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      w.count() == docs.count() && joined(true) > joined(false)
+    })
 
     // ---- graft_* kernels from pure SQL text (the injectFunction path:
     // a SQL-only user on a cluster with
