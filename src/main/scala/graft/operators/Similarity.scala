@@ -1062,6 +1062,35 @@ object Similarity {
        |  ON exact.query_id = approx.query_id AND exact.neighbor_id = approx.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The composite's own acceptance gate: recall@k of [[knnIvfPq]]
+    * against exact brute force — completes the graded-ANN triple
+    * (knn_recall grades the coarse quantizer, knn_pq_recall the code
+    * distances; this grades their composition, whose loss is the union
+    * of cell-miss AND quantization-swap errors and is NOT derivable
+    * from the two component gates).
+    */
+  def knnIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = knnBruteforce(s, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = knnIvfPq(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      .orderBy("query_id")
+  }
+
+  val knnIvfPqRecallSql: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($knnBruteforceSql) e
+       |), approx AS (SELECT query_id, neighbor_id FROM ($knnIvfPqSql) a
+       |)
+       |SELECT exact.query_id, COUNT(*) AS n_exact,
+       |  COUNT(approx.neighbor_id) AS n_hit,
+       |  COUNT(approx.neighbor_id) * 1000000 // COUNT(*) AS recall_ppm
+       |FROM exact LEFT JOIN approx
+       |  ON exact.query_id = approx.query_id AND exact.neighbor_id = approx.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Farthest-from-centroid outliers per label: the label-noise /
     * drift audit over embed_centroid's prototype table ("which vectors
     * least belong to their assigned class"). Distances stay exact
@@ -1428,6 +1457,7 @@ object Similarity {
     "dedup_semantic" -> (dedupSemantic _),
     "knn_pq" -> (knnPq _),
     "knn_ivf_pq" -> (knnIvfPq _),
+    "knn_ivf_pq_recall" -> (knnIvfPqRecall _),
     "embed_neardup" -> (embedNeardup _),
     "knn_bruteforce" -> (knnBruteforce _),
     "knn_ivf" -> (knnIvf _),
@@ -1450,6 +1480,7 @@ object Similarity {
     "dedup_semantic" -> dedupSemanticSql,
     "knn_pq" -> knnPqSql,
     "knn_ivf_pq" -> knnIvfPqSql,
+    "knn_ivf_pq_recall" -> knnIvfPqRecallSql,
     "embed_neardup" -> embedNeardupSql,
     "knn_bruteforce" -> knnBruteforceSql,
     "knn_ivf" -> knnIvfSql,

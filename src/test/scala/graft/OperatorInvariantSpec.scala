@@ -945,6 +945,25 @@ class OperatorInvariantSpec extends SparkSpec {
       s"composite agreement collapsed: $agree of ${b.size}")
   }
 
+  test("knn_ivf_pq_recall: composite recall dominated by the coarse gate per query") {
+    // theorem, not tuning: the composite's candidate pool (ADC shortlist
+    // ∩ probed cells) is a SUBSET of knn_ivf's pool (probed cells), and
+    // both rerank by exact cosine — so a brute-force neighbor the
+    // composite finds, the IVF path finds too: n_hit_pq ≤ n_hit_ivf.
+    val comp = operators.Similarity.knnIvfPqRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hit")).toMap
+    val ivf = operators.Similarity.knnRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hit")).toMap
+    assert(comp.keySet == ivf.keySet)
+    comp.foreach { case (q, h) =>
+      assert(h <= ivf(q), s"query $q: composite hits $h exceed IVF hits ${ivf(q)}")
+    }
+    operators.Similarity.knnIvfPqRecall(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_hit") * 1000000L / r.getAs[Long]("n_exact"))
+    }
+  }
+
   test("embed_pca_power: components match a driver-side recompute of X^T(X·1)") {
     val out = operators.Similarity.embedPcaPower(spark, sf).collect()
     assert(out.length == graft.functions.VectorFns.Dim)

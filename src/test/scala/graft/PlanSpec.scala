@@ -117,7 +117,10 @@ class PlanSpec extends SparkSpec {
       // quality_dup_lift / corpus_dsir_weights / web_triangles attach
       // their ONE-ROW totals via the q22 broadcast idiom
       "knn_ivf_pq", "dedup_minhash_recall", "quality_dup_lift",
-      "corpus_dsir_weights", "web_triangles")
+      "corpus_dsir_weights", "web_triangles",
+      // knn_ivf_pq_recall composes knn_bruteforce + the composite index,
+      // inheriting their broadcast crosses (the knn_recall shape)
+      "knn_ivf_pq_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
