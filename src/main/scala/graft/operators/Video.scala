@@ -308,11 +308,24 @@ object Video {
         frames.foreach { case (_, img) =>
           val dst = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // corner-block swap: exchange cell 0 (rows 0-1 × cols 0-2)
+          // with cell 63 (rows 14-15 × cols 21-23). The frame TOTAL is
+          // unchanged, so no other cell's mean comparison moves —
+          // exactly the two swapped cells' hash bits exchange (2 bit
+          // flips per frame when they differ, 0 when equal). The copy
+          // is therefore caught deterministically: as a ≤2-bit/frame
+          // near-dup edge, or (equal corner bits every frame) by the
+          // exact-class collapse — both correct dedup outcomes, and
+          // the spec asserts their union covers every plant.
           var idx = 0
           while (idx < img.getWidth * img.getHeight) {
-            val v0 = img.getRGB(idx % img.getWidth, idx / img.getWidth) & 0xFF
-            val b = math.min(255, v0 + 2)
-            dst.setRGB(idx % img.getWidth, idx / img.getWidth, (b << 16) | (b << 8) | b)
+            val (r, c) = (idx / img.getWidth, idx % img.getWidth)
+            val (sr, sc) =
+              if (r < 2 && c < 3) (r + 14, c + 21)
+              else if (r >= 14 && c >= 21) (r - 14, c - 21)
+              else (r, c)
+            val b = img.getRGB(sc, sr) & 0xFF
+            dst.setRGB(c, r, (b << 16) | (b << 8) | b)
             idx += 1
           }
           val frame = new java.io.ByteArrayOutputStream()
@@ -347,9 +360,39 @@ object Video {
     */
   val VideoDedupMaxMeanHamming = 2L
 
+  /** Exact signature-class membership over an aHash frame
+    * ([[aHashLoHi]]'s output): every video keyed to the min-id
+    * representative of its identical-signature-SEQUENCE class (a
+    * portable string fingerprint — exact equality, no collision
+    * surface). Returns (doc_id, rep, n_members). One linear agg pair —
+    * the collapse step that keeps mega-duplicate clusters from
+    * exploding the fuzzy stage.
+    */
+  def signatureClasses(sigs: DataFrame): DataFrame = {
+    val seqs = sigs.groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(frame_idx, ahash_lo, ahash_hi)))," +
+        " s -> concat(s.frame_idx, ':', s.ahash_lo, ':', s.ahash_hi)), '|')").as("sig_fp"))
+    val classes = seqs.groupBy("sig_fp")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
+    seqs.join(classes, Seq("sig_fp")).select("doc_id", "rep", "n_members")
+  }
+
   def videoDedup(s: SparkSession, dir: String): DataFrame = {
     val base = encodeVideos(s, dir)
-    val sigs = Materialize.stable(aHashLoHi(base.union(brightenedCopies(base))))
+    val allSigs = Materialize.stable(aHashLoHi(base.union(brightenedCopies(base))))
+    // EXACT class collapse before the fuzzy stage — the production
+    // dedup chain. A crawl's mega-duplicate clusters (one clip
+    // re-hosted 10⁶×) make pair emission Σ C(k,2) — the ×10 scale
+    // smoke measured 7.1M pairs / 351s without this. Identical
+    // signature SEQUENCES (a portable string fingerprint — exact
+    // equality, no hash collision surface) collapse to their min-id
+    // representative first (one linear agg), and the band join then
+    // sees one row per CONTENT CLASS: candidates are class-pairs, and
+    // cluster membership rides along as n_members.
+    val classes = Materialize.stable(signatureClasses(allSigs))
+    val sigs = allSigs
+      .join(classes.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("n_members")), Seq("doc_id"))
     val f0 = sigs.filter(col("frame_idx") === 0)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, 15), b -> named_struct('b', b, 'v', " +
@@ -363,15 +406,18 @@ object Video {
       .distinct()
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("frame_idx"),
-        col("ahash_lo").as("la"), col("ahash_hi").as("ha")), Seq("doc_a"))
+        col("ahash_lo").as("la"), col("ahash_hi").as("ha"),
+        col("n_members").as("members_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("frame_idx"),
-        col("ahash_lo").as("lb"), col("ahash_hi").as("hb")), Seq("doc_b", "frame_idx"))
+        col("ahash_lo").as("lb"), col("ahash_hi").as("hb"),
+        col("n_members").as("members_b")), Seq("doc_b", "frame_idx"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_frames"),
         sum(expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
-          .as("hamming_total"))
+          .as("hamming_total"),
+        max("members_a").as("members_a"), max("members_b").as("members_b"))
       .filter(col("hamming_total") <= lit(VideoDedupMaxMeanHamming) * col("n_frames"))
-      .select("doc_a", "doc_b", "n_frames", "hamming_total")
+      .select("doc_a", "doc_b", "n_frames", "hamming_total", "members_a", "members_b")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -384,9 +430,16 @@ object Video {
        |  SELECT vid, orig, bright, UNNEST(generate_series(0, 1 + orig % 3)) AS frame_idx
        |  FROM vids
        |), px AS (
+       |  -- the copy reads its pixel from the SWAPPED index (corner
+       |  -- cell 0 ↔ cell 63); originals read straight through
        |  SELECT vid, frame_idx,
        |    ((i // $W) // ${H / 8}) * 8 + (i % $W) // ${W / 8} AS cell,
-       |    least(255, (orig * 1000003 + frame_idx * 8191 + i * 2654435761) % 256 + bright) AS v
+       |    (orig * 1000003 + frame_idx * 8191 +
+       |      (CASE WHEN bright > 0 AND (i // $W) < 2 AND (i % $W) < 3
+       |              THEN ((i // $W) + 14) * $W + ((i % $W) + 21)
+       |            WHEN bright > 0 AND (i // $W) >= 14 AND (i % $W) >= 21
+       |              THEN ((i // $W) - 14) * $W + ((i % $W) - 21)
+       |            ELSE i END) * 2654435761) % 256 AS v
        |  FROM fr, UNNEST(generate_series(0, ${W * H - 1})) AS t(i)
        |), cells AS (
        |  SELECT vid, frame_idx, cell, CAST(SUM(v) AS BIGINT) AS cs
@@ -402,22 +455,33 @@ object Video {
        |      THEN (CAST(1 AS BIGINT) << CAST(c.cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
        |  FROM cells c JOIN tot t USING (vid, frame_idx)
        |  GROUP BY 1, 2
+       |), seqs AS (
+       |  SELECT vid,
+       |    string_agg(frame_idx || ':' || lo || ':' || hi, '|' ORDER BY frame_idx) AS sig_fp
+       |  FROM sigs GROUP BY 1
+       |), classes AS (
+       |  SELECT sig_fp, MIN(vid) AS rep, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM seqs GROUP BY 1
+       |), rsigs AS (
+       |  SELECT s.vid, s.frame_idx, s.lo, s.hi, c.n_members
+       |  FROM sigs s JOIN classes c ON s.vid = c.rep
        |), f0 AS (
        |  SELECT vid,  bs.b AS b,
        |    CASE WHEN bs.b < 8 THEN (lo >> (bs.b * 4)) % 16
        |         ELSE (hi >> ((bs.b - 8) * 4)) % 16 END AS v
-       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
+       |  FROM rsigs CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
        |  WHERE frame_idx = 0
        |), cand AS (
        |  SELECT DISTINCT x.vid AS doc_a, y.vid AS doc_b
        |  FROM f0 x JOIN f0 y ON x.b = y.b AND x.v = y.v AND x.vid < y.vid
        |)
-       |SELECT doc_a, doc_b, n_frames, hamming_total FROM (
+       |SELECT doc_a, doc_b, n_frames, hamming_total, members_a, members_b FROM (
        |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_frames,
-       |    CAST(SUM(bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi))) AS BIGINT) AS hamming_total
+       |    CAST(SUM(bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi))) AS BIGINT) AS hamming_total,
+       |    MAX(sa.n_members) AS members_a, MAX(sb.n_members) AS members_b
        |  FROM cand c
-       |  JOIN sigs sa ON c.doc_a = sa.vid
-       |  JOIN sigs sb ON c.doc_b = sb.vid AND sa.frame_idx = sb.frame_idx
+       |  JOIN rsigs sa ON c.doc_a = sa.vid
+       |  JOIN rsigs sb ON c.doc_b = sb.vid AND sa.frame_idx = sb.frame_idx
        |  GROUP BY 1, 2) t
        |WHERE hamming_total <= $VideoDedupMaxMeanHamming * n_frames
        |ORDER BY doc_a, doc_b""".stripMargin

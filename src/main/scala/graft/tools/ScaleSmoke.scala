@@ -31,7 +31,12 @@ object ScaleSmoke {
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(32, 32 * factor / 15).toString)
 
-    if (!globOnly) {
+    // optional "only=a,b,c" arg: rerun a subset; reuse an existing
+    // replicated dir instead of rebuilding it
+    val only: Option[Set[String]] =
+      args.find(_.startsWith("only=")).map(_.drop(5).split(',').toSet)
+    if (!globOnly &&
+        !(only.isDefined && new java.io.File(s"$outDir/documents.parquet").exists)) {
       val docs = Tables.documents(spark, srcDir)
       val embs = Tables.embeddings(spark, srcDir)
       val bigDocs = (0 until factor).map(i =>
@@ -113,8 +118,16 @@ object ScaleSmoke {
       // round 8 cont. (nation_lead_time / brand_price_trend use
       // un-replicated orders/lineitem/part — covered by bench + PLANS)
       "events_abtest", "events_daily_topk", "events_ttconvert",
-      "knn_ivf_balance", "sketch_quantile_error", "source_label_trust")
-    val times: Seq[(String, Double)] = if (globOnly) Seq.empty else targets.map { name =>
+      "knn_ivf_balance", "sketch_quantile_error", "source_label_trust",
+      // round 9: graph audit, dup-lift calibration, DSIR weights, the
+      // LSH acceptance gate (its exact side is Σdf² — watch it track
+      // candidate volume, not corpus²), visual dedup, sliding HLL,
+      // IVFADC composite + its recall gate
+      "web_triangles", "quality_dup_lift", "corpus_dsir_weights",
+      "dedup_minhash_recall", "video_dedup", "sketch_hll_sliding",
+      "knn_ivf_pq", "knn_ivf_pq_recall")
+    val times: Seq[(String, Double)] = if (globOnly) Seq.empty
+    else targets.filter(t => only.forall(_.contains(t))).map { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, outDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -126,7 +139,7 @@ object ScaleSmoke {
     // job, timed against the sum of its stages run separately — the
     // composition must cost ≈ the signature pass + cheap joins, not a
     // re-materialization per stage.
-    if (!globOnly) {
+    if (!globOnly && only.isEmpty) {
       import graft.api.CorpusOps
       val big = spark.read.parquet(s"$outDir/documents.parquet")
       val evalSet = big.filter(pmod(col("doc_id"), lit(10L)) === 7)

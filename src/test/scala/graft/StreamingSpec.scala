@@ -474,7 +474,12 @@ class StreamingSpec extends SparkSpec {
           .toDF("event_type", "day", "event_id", "value"),
         (df: DataFrame) => EventStreams.dailyTopkStream(
           df.as[(String, Long, Long, Double)])
-          .toDF("event_type", "day", "upd", "rk", "event_id", "value")))
+          .toDF("event_type", "day", "upd", "rk", "event_id", "value")),
+      ("hll_daily", "day LONG, user_id LONG",
+        w1.map(r => (r._2 / dayUs, r._1)).toSeq.toDF("day", "user_id"),
+        w2.map(r => (r._2 / dayUs, r._1)).toSeq.toDF("day", "user_id"),
+        (df: DataFrame) => EventStreams.hllDailyStream(
+          df.as[(Long, Long)]).toDF("day", "bucket", "upd", "mr")))
 
     cases.foreach { case (name, schema, b1, b2, twin) =>
       val root = Files.createTempDirectory(s"graft-restart-$name").toString
