@@ -608,7 +608,61 @@ object AnalyticsMore {
       |      * 1000) AS BIGINT) END AS z_milli
       |FROM treat, t ORDER BY exposure_type""".stripMargin
 
+  /** Sample-ratio-mismatch (SRM) gate for the A/B readout: assign each
+    * user to the arm of their FIRST click-or-view exposure (the
+    * deterministic (ts, event_id) total order — no window, one
+    * struct-argmin partial agg), then test the arm split against the
+    * designed 50/50 with the one-degree chi-square
+    * (a−b)²/(a+b) — the standard trust check that runs BEFORE anyone
+    * reads events_abtest's effect column (an SRM'd experiment's effect
+    * estimate is garbage regardless of its z-score). All integer: the
+    * statistic is emitted in centi-units ((a−b)²·100 div (a+b)) and the
+    * flag compares against the χ²₁ 5% critical value 3.84 → 384 — no
+    * float in the predicate. (a−b)² caps at n², so DECIMAL(38,0) keeps
+    * the numerator exact at any population; flag semantics match at
+    * every scale.
+    *
+    * Scale shape: one user-keyed partial agg over the filtered scan
+    * (first-exposure argmin), one 2-row arm rollup, one-row output.
+    */
+  def eventsSrm(s: SparkSession, dir: String): DataFrame = {
+    val first = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("user_id")
+      .agg(min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("f"))
+      .select(col("user_id"), col("f.event_type").as("arm"))
+    first.agg(
+        sum(when(col("arm") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("arm") === "view", 1L).otherwise(0L)).as("n_view"))
+      .withColumn("chi2_centi", expr(
+        "CAST(CAST((n_click - n_view) AS DECIMAL(38,0)) * (n_click - n_view) * 100 div (n_click + n_view) AS BIGINT)"))
+      .withColumn("srm_flag", expr("CASE WHEN chi2_centi > 384 THEN 1 ELSE 0 END").cast("long"))
+      .select("n_click", "n_view", "chi2_centi", "srm_flag")
+  }
+
+  val eventsSrmSql: String =
+    """WITH first AS (
+      |  -- zero-padded (ts, event_id) string key: DuckDB 1.0's arg_min
+      |  -- has no struct-key overload; lexicographic == numeric when
+      |  -- both fields are fixed-width
+      |  SELECT user_id, arg_min(event_type,
+      |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+      |    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS arm
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY 1
+      |), counts AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |    CAST(SUM(CASE WHEN arm = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+      |  FROM first
+      |)
+      |SELECT n_click, n_view,
+      |  CAST(CAST((n_click - n_view) AS HUGEINT) * (n_click - n_view) * 100 // (n_click + n_view) AS BIGINT) AS chi2_centi,
+      |  CAST(CASE WHEN CAST((n_click - n_view) AS HUGEINT) * (n_click - n_view) * 100 // (n_click + n_view) > 384 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+      |FROM counts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_srm" -> (eventsSrm _),
     "events_abtest" -> (eventsAbtest _),
     "orders_abc" -> (ordersAbc _),
     "orders_basket_pairs" -> (ordersBasketPairs _),
@@ -620,6 +674,7 @@ object AnalyticsMore {
     "supplier_hhi" -> (supplierHhi _))
 
   val oracles: Map[String, String] = Map(
+    "events_srm" -> eventsSrmSql,
     "events_abtest" -> eventsAbtestSql,
     "orders_abc" -> ordersAbcSql,
     "orders_basket_pairs" -> ordersBasketPairsSql,

@@ -985,6 +985,22 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("events_srm: arm assignment matches a driver recount of first exposures; chi2 exact") {
+    val r = operators.AnalyticsMore.eventsSrm(spark, sf).collect().head
+    val first = sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getString(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min._3).toMap
+    val nClick = first.values.count(_ == "click").toLong
+    val nView = first.values.count(_ == "view").toLong
+    assert(r.getAs[Long]("n_click") == nClick && r.getAs[Long]("n_view") == nView)
+    val d = nClick - nView
+    val chi2 = d * d * 100L / (nClick + nView)
+    assert(r.getAs[Long]("chi2_centi") == chi2)
+    assert(r.getAs[Long]("srm_flag") == (if (chi2 > 384L) 1L else 0L))
+  }
+
   test("embed_pca_power: components match a driver-side recompute of X^T(X·1)") {
     val out = operators.Similarity.embedPcaPower(spark, sf).collect()
     assert(out.length == graft.functions.VectorFns.Dim)
