@@ -16,6 +16,18 @@ object HashKernels {
   @inline private def aCoef(i: Int): Long = 1L + i.toLong * 604297L
   @inline private def bCoef(i: Int): Long = i.toLong * 8191L + 12289L
 
+  /** splitmix-style avalanche finisher over a 31-bit hash, masked back
+    * to 31 bits — the JVM twin of Sketches' portable SQL mix (poly-31
+    * of short decimal strings is non-uniform in its low bits; the
+    * finisher restores Poisson-like bucket occupancy — measured in
+    * SCALE.md round 9).
+    */
+  def mix31(h0: Long): Long = {
+    var h = ((h0 ^ (h0 >>> 16)) * 73244475L) % 4294967296L
+    h = ((h ^ (h >>> 16)) * 73244475L) % 4294967296L
+    (h ^ (h >>> 16)) % 2147483648L
+  }
+
   /** poly-31 over Unicode code points, mod P — `PortableHash.wordHash`. */
   def polyHash(s: UTF8String): Long = {
     val str = s.toString

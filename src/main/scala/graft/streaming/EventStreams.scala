@@ -346,8 +346,8 @@ object EventStreams {
     val m = graft.operators.Sketches.HllM
     val wb = graft.operators.Sketches.HllWBits
     rows.map { case (day, user) =>
-      val h = graft.functions.HashKernels.polyHash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(user.toString))
+      val h = graft.functions.HashKernels.mix31(graft.functions.HashKernels.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(user.toString)))
       val bucket = h % m
       val w = h / m
       val rank = if (w == 0L) wb + 1

@@ -1363,8 +1363,8 @@ class StreamingSpec extends SparkSpec {
     def reg(user: Long): (Long, Int) = {
       val m = graft.operators.Sketches.HllM
       val wb = graft.operators.Sketches.HllWBits
-      val h = graft.functions.HashKernels.polyHash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(user.toString))
+      val h = graft.functions.HashKernels.mix31(graft.functions.HashKernels.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(user.toString)))
       val w = h / m
       (h % m, if (w == 0L) wb + 1 else wb + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w)))
     }
