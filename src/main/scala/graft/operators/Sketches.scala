@@ -47,17 +47,22 @@ object Sketches {
     * numerator over the implicit 2^23. The hash is the char-wise
     * poly-31 kernel over the key's decimal string — an affine
     * (a·x+b) mod P hash has structured high bits and blows up HLL
-    * variance (measured: 24% vs 10% max error). This is the RAW
-    * estimator (no HLL++ bias table, whose ln-based small-range
-    * correction would drag libm's last-ulp differences into the
-    * oracle): expect +5-10% in the n≈3m regime; n_present is emitted
-    * so a consumer can apply linear counting themselves.
+    * variance (measured: 24% vs 10% max error) — finished with the
+    * [[sparkMix]] avalanche (round 9: poly-31 alone is non-uniform in
+    * its low bits on decimal keys; the finisher restores Poisson
+    * occupancy, see SCALE.md). This is the RAW estimator (no HLL++
+    * bias table, whose ln-based small-range correction would drag
+    * libm's last-ulp differences into the oracle); n_present is
+    * emitted so a consumer can apply linear counting themselves —
+    * sketch_hll_sliding does exactly that via its LC-until-saturation
+    * regime column.
     */
   def sketchHll(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("event_type"),
         expr("user_id * 1000003 + ts_us div 86400000000").as("user_day"))
-      .withColumn("h", expr(PortableHash.sparkWordHash("CAST(user_day AS STRING)")))
+      .withColumn("h0", expr(PortableHash.sparkWordHash("CAST(user_day AS STRING)")))
+      .withColumn("h", expr(sparkMix("h0")))
       .withColumn("bucket", expr(s"h % $HllM"))
       .withColumn("w", expr(s"h div $HllM"))
       .withColumn("rank", expr(s"CASE WHEN w = 0 THEN ${HllWBits + 1} ELSE ${HllWBits + 1} - length(bin(w)) END"))
@@ -77,10 +82,12 @@ object Sketches {
   }
 
   val sketchHllSql: String =
-    s"""WITH hashed AS (
+    s"""WITH hashed0 AS (
        |  SELECT event_type,
-       |    ${PortableHash.duckWordHash("CAST(user_id * 1000003 + epoch_us(ts) // 86400000000 AS VARCHAR)")} AS h
+       |    ${PortableHash.duckWordHash("CAST(user_id * 1000003 + epoch_us(ts) // 86400000000 AS VARCHAR)")} AS h0
        |  FROM events
+       |), hashed AS (
+       |  SELECT event_type, ${duckMix("h0")} AS h FROM hashed0
        |), ranked AS (
        |  SELECT event_type, h % $HllM AS bucket,
        |    CASE WHEN h // $HllM = 0 THEN ${HllWBits + 1}
@@ -386,7 +393,8 @@ object Sketches {
     val e = Tables.events(s, dir)
       .select(col("event_type"),
         expr("user_id * 1000003 + ts_us div 86400000000").as("user_day"))
-      .withColumn("h", expr(PortableHash.sparkWordHash("CAST(user_day AS STRING)")))
+      .withColumn("h0", expr(PortableHash.sparkWordHash("CAST(user_day AS STRING)")))
+      .withColumn("h", expr(sparkMix("h0")))
       .withColumn("bucket", expr(s"h % $HllM"))
       .withColumn("rank", expr(s"CASE WHEN h div $HllM = 0 THEN ${HllWBits + 1} ELSE ${HllWBits + 1} - length(bin(h div $HllM)) END"))
     val buckets = Materialize.stable(
@@ -441,10 +449,12 @@ object Sketches {
       val num = s"($pn + (CAST($HllM AS BIGINT) - $np) * ${1L << (HllWBits + 1)})"
       s"floor(${alphaExpr(HllM)} * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE) * CAST(${1L << (HllWBits + 1)} AS DOUBLE) / CAST($num AS DOUBLE) * 1000000) / CAST(1000000 AS DOUBLE)"
     }
-    s"""WITH hashed AS (
+    s"""WITH hashed0 AS (
        |  SELECT event_type, user_day,
-       |    ${PortableHash.duckWordHash("CAST(user_day AS VARCHAR)")} AS h
+       |    ${PortableHash.duckWordHash("CAST(user_day AS VARCHAR)")} AS h0
        |  FROM (SELECT event_type, user_id * 1000003 + epoch_us(ts) // 86400000000 AS user_day FROM events) t
+       |), hashed AS (
+       |  SELECT event_type, user_day, ${duckMix("h0")} AS h FROM hashed0
        |), ranked AS (
        |  SELECT event_type, user_day, h % $HllM AS bucket,
        |    CASE WHEN h // $HllM = 0 THEN ${HllWBits + 1}
