@@ -404,7 +404,66 @@ object Corpus {
       |FROM ranked
       |ORDER BY source, decile, doc_id""".stripMargin
 
+  /** Train/val/test LEAKAGE audit: near-dup pairs whose members land
+    * in different corpus_split splits — the eval-hygiene check run
+    * before any held-out number is trusted (a test doc whose near-dup
+    * sits in train is a leaked answer; Lee et al. 2022 measured
+    * benchmark inflation from exactly this). Split membership is
+    * corpus_split's pure doc_id function (so this audits THE split the
+    * pipeline ships); pairs reuse [[Dedup.minhashPairs]] verbatim.
+    * Output: one row per unordered split pair with the pair count, a
+    * leak flag (different splits), and its share of all near-dup
+    * pairs in ppm — the headline number is the Σ share of leak rows.
+    *
+    * Scale shape: membership is map-side arithmetic joined onto the
+    * output-sized pair frame by doc id (co-partitioned equi-joins);
+    * the rollup is ≤6 rows + a one-row totals broadcast.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val splitOf = {
+      val b = pmod(pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1000003L)), lit(100L))
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    val member = Tables.documents(s, dir).select(col("doc_id"), splitOf.as("split"))
+    val pairs = Dedup.minhashPairs(Tables.documents(s, dir))
+      .select("doc_a", "doc_b")
+      .join(member.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(member.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+    val byPair = pairs.groupBy("split_lo", "split_hi").agg(count(lit(1)).as("n_pairs"))
+    val total = byPair.agg(sum("n_pairs").as("n_total"))
+    byPair.join(broadcast(total))
+      .withColumn("is_leak", expr("CASE WHEN split_lo = split_hi THEN 0 ELSE 1 END").cast("long"))
+      .withColumn("share_ppm", expr("n_pairs * 1000000 div n_total"))
+      .select("split_lo", "split_hi", "n_pairs", "is_leak", "share_ppm")
+      .orderBy("split_lo", "split_hi")
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH member AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (((doc_id % 1000003) * 2654435761) % 1000003) % 100 < 80 THEN 'train'
+       |         WHEN (((doc_id % 1000003) * 2654435761) % 1000003) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |), pairs AS (
+       |  SELECT least(ma.split, mb.split) AS split_lo,
+       |    greatest(ma.split, mb.split) AS split_hi
+       |  FROM (SELECT doc_a, doc_b FROM (${Dedup.dedupMinhashSql}) p) mp
+       |  JOIN member ma ON mp.doc_a = ma.doc_id
+       |  JOIN member mb ON mp.doc_b = mb.doc_id
+       |), by_pair AS (
+       |  SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM pairs GROUP BY 1, 2
+       |), t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_total FROM by_pair)
+       |SELECT split_lo, split_hi, n_pairs,
+       |  CAST(CASE WHEN split_lo = split_hi THEN 0 ELSE 1 END AS BIGINT) AS is_leak,
+       |  n_pairs * 1000000 // n_total AS share_ppm
+       |FROM by_pair, t ORDER BY split_lo, split_hi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_leakage" -> (splitLeakage _),
     "source_deciles" -> (sourceDeciles _),
     "sample_stratified" -> (sampleStratified _),
     "sample_topk" -> (sampleTopk _),
@@ -415,6 +474,7 @@ object Corpus {
     "corpus_mix" -> (corpusMix _))
 
   val oracles: Map[String, String] = Map(
+    "split_leakage" -> splitLeakageSql,
     "source_deciles" -> sourceDecilesSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_topk" -> sampleTopkSql,

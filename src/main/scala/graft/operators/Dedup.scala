@@ -640,7 +640,39 @@ object Dedup {
        |       ELSE n_hits * 1000000 // n_detected_pairs END AS precision_ppm
        |FROM c""".stripMargin
 
+  /** Duplicate-cluster size histogram — the headline "how duplicated
+    * is my corpus" table every pipeline reports (cluster count and doc
+    * mass per cluster size; dedup would keep one representative per
+    * cluster, so Σ(size−1)·n_clusters docs are removable). Composes
+    * [[connectedComponents]] over the verified near-dup pairs; the
+    * rollup is two output-sized partial aggs (clusters, then the
+    * size-bounded histogram).
+    */
+  def dedupClustersHist(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+    clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", expr("cluster_size * n_clusters"))
+      .withColumn("n_removable", expr("(cluster_size - 1) * n_clusters"))
+      .select("cluster_size", "n_clusters", "n_docs", "n_removable")
+      .orderBy("cluster_size")
+  }
+
+  val dedupClustersHistSql: String =
+    s"""WITH clusters AS (
+       |  SELECT doc_id, cluster_id FROM ($dedupClustersSql) c
+       |), sizes AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM clusters GROUP BY 1
+       |)
+       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  (cluster_size - 1) * CAST(COUNT(*) AS BIGINT) AS n_removable
+       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters_hist" -> (dedupClustersHist _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -653,6 +685,7 @@ object Dedup {
     "text_contamination" -> (textContamination _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters_hist" -> dedupClustersHistSql,
     "dedup_minhash_recall" -> dedupMinhashRecallSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -1001,6 +1001,37 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(r.getAs[Long]("srm_flag") == (if (chi2 > 384L) 1L else 0L))
   }
 
+  test("split_leakage: conserves the pair frame; shares and flags consistent") {
+    val out = operators.Corpus.splitLeakage(spark, sf).collect()
+    val nPairs = operators.Dedup.minhashPairs(sources.Tables.documents(spark, sf)).count()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == nPairs,
+      "rollup must conserve the near-dup pair frame")
+    // floored ppm shares sum to 1e6 within one floor per row
+    val shareSum = out.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum > 1000000L - out.length && shareSum <= 1000000L)
+    out.foreach { r =>
+      val leak = r.getAs[Long]("is_leak")
+      assert(leak == (if (r.getString(0) == r.getString(1)) 0L else 1L))
+    }
+    // the planted near-dups are split-blind (membership is a hash of
+    // doc_id), so SOME leakage must exist — a zero-leak result on this
+    // corpus means the join broke, not that the split is clean
+    assert(out.filter(_.getAs[Long]("is_leak") == 1L).map(_.getAs[Long]("n_pairs")).sum > 0L)
+  }
+
+  test("dedup_clusters_hist: conserves clustered docs; removable arithmetic exact") {
+    val out = operators.Dedup.dedupClustersHist(spark, sf).collect()
+    val clustered = operators.Dedup.dedupClusters(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == clustered)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 2L, "a cluster needs two members")
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("n_removable") ==
+        (r.getAs[Long]("cluster_size") - 1L) * r.getAs[Long]("n_clusters"))
+    }
+  }
+
   test("embed_pca_power: components match a driver-side recompute of X^T(X·1)") {
     val out = operators.Similarity.embedPcaPower(spark, sf).collect()
     assert(out.length == graft.functions.VectorFns.Dim)

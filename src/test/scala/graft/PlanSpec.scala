@@ -120,7 +120,9 @@ class PlanSpec extends SparkSpec {
       "corpus_dsir_weights", "web_triangles",
       // knn_ivf_pq_recall composes knn_bruteforce + the composite index,
       // inheriting their broadcast crosses (the knn_recall shape)
-      "knn_ivf_pq_recall")
+      "knn_ivf_pq_recall",
+      // split_leakage attaches its ONE-ROW pair total (the q22 idiom)
+      "split_leakage")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
