@@ -433,6 +433,46 @@ object EventStreams {
       }
   }
 
+  /** the user's current first exposure — one small record of state;
+    * out-of-order arrivals can REVISE it (an earlier event landing
+    * late), which is why the twin emits correcting deltas.
+    */
+  case class SrmState(tsUs: Long, eventId: Long, arm: String)
+
+  /** Streaming twin of the batch `events_srm` arm census: consumes
+    * (user_id, ts_us, event_id, arm) exposure events (filter to the
+    * designed arms upstream) and maintains each user's FIRST exposure
+    * by the batch operator's (ts_us, event_id) total order. Emits
+    * (arm, ±1) deltas: +1 on first sighting, and a (-1 old, +1 new)
+    * correction when a LATE-ARRIVING earlier event revises the arm —
+    * so the running per-arm sums equal the batch census under any
+    * micro-batch split or arrival order. The SRM chi-square is then
+    * driver/consumer arithmetic over two integers, recomputed on any
+    * read — state is one (ts, id, arm) record per user.
+    */
+  def srmStream(rows: Dataset[(Long, Long, Long, String)]): Dataset[(String, Long)] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[SrmState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[(String, Long)]
+          it.foreach { case (_, ts, eid, arm) =>
+            if (st == null) {
+              out += ((arm, 1L))
+              st = SrmState(ts, eid, arm)
+            } else if (ts < st.tsUs || (ts == st.tsUs && eid < st.eventId)) {
+              if (arm != st.arm) { out += ((st.arm, -1L)); out += ((arm, 1L)) }
+              st = SrmState(ts, eid, arm)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** rolling 8-day count window per type: day → count, pruned to
     * [frontier−7, frontier] — the seasonal-naive predictor's entire
     * working set, bounded by the season length, never history-sized.

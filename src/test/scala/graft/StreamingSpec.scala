@@ -1428,6 +1428,47 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_srm: late-arriving earlier exposure revises the arm; sums == batch census") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: user 1's view arrives first, then a click with an
+    // EARLIER timestamp lands late — the twin must emit a correction
+    // (-1 view, +1 click), never double-count
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStreams.srmStream(mem.toDS())
+      .toDF("arm", "d")
+      .writeStream.format("memory").queryName("srm").outputMode("append").start()
+    try {
+      mem.addData((1L, 100L, 10L, "view"), (2L, 50L, 5L, "click"))
+      q.processAllAvailable()
+      mem.addData((1L, 40L, 4L, "click"), (1L, 200L, 20L, "view"))
+      q.processAllAvailable()
+      val sums = spark.table("srm").groupBy("arm").agg(sum("d").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sums == Map("click" -> 2L, "view" -> 0L), s"got $sums")
+    } finally q.stop()
+
+    // equivalence on the real events table, median split
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._2, r._3))
+    val (w1, w2) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(Long, Long, Long, String)]
+    val q2 = EventStreams.srmStream(mem2.toDS())
+      .toDF("arm", "d")
+      .writeStream.format("memory").queryName("srm_eq").outputMode("append").start()
+    try {
+      mem2.addData(w1.toSeq); q2.processAllAvailable()
+      mem2.addData(w2.toSeq); q2.processAllAvailable()
+      val sums = spark.table("srm_eq").groupBy("arm").agg(sum("d").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.AnalyticsMore.eventsSrm(spark, sfDir).collect().head
+      assert(sums.getOrElse("click", 0L) == batch.getAs[Long]("n_click"))
+      assert(sums.getOrElse("view", 0L) == batch.getAs[Long]("n_view"))
+    } finally q2.stop()
+  }
+
   test("stream_abtest: delta rows rebuild the batch 2x2 cells under any split") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
