@@ -479,7 +479,12 @@ class StreamingSpec extends SparkSpec {
         w1.map(r => (r._2 / dayUs, r._1)).toSeq.toDF("day", "user_id"),
         w2.map(r => (r._2 / dayUs, r._1)).toSeq.toDF("day", "user_id"),
         (df: DataFrame) => EventStreams.hllDailyStream(
-          df.as[(Long, Long)]).toDF("day", "bucket", "upd", "mr")))
+          df.as[(Long, Long)]).toDF("day", "bucket", "upd", "mr")),
+      ("srm", fullSchema,
+        full(w1.filter(r => r._4 == "click" || r._4 == "view")),
+        full(w2.filter(r => r._4 == "click" || r._4 == "view")),
+        (df: DataFrame) => EventStreams.srmStream(
+          df.as[(Long, Long, Long, String)]).toDF("arm", "d")))
 
     cases.foreach { case (name, schema, b1, b2, twin) =>
       val root = Files.createTempDirectory(s"graft-restart-$name").toString
