@@ -317,10 +317,191 @@ object Audio {
        |  CAST(SUM(ABS(x)) AS BIGINT) AS sum_abs
        |FROM samples GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The "same track re-ingested after a filter" plant: every
+    * doc_id % 10 == 3 track re-encoded through the REAL codec with a
+    * +16 DC offset per sample. Synthesis keeps samples in
+    * [−10000, 9999], so +16 never clamps against PCM16 — the copy's
+    * decoded samples are EXACTLY x+16 and the oracle replays the
+    * plant analytically (the audio analog of video_dedup's
+    * total-preserving corner swap).
+    */
+  val DedupCopyShift = 100000L
+  private def offsetCopies(base: Dataset[AudioPayload]): Dataset[AudioPayload] = {
+    import base.sparkSession.implicits._
+    base.filter(_.doc_id % 10 == 3).mapPartitions { rows =>
+      rows.map { p =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p.payload))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        var t = 0
+        while (t < bytes.length / 2) {
+          val x = ((bytes(2 * t + 1) << 8) | (bytes(2 * t) & 0xFF)) + 16
+          bytes(2 * t) = (x & 0xFF).toByte
+          bytes(2 * t + 1) = ((x >> 8) & 0xFF).toByte
+          t += 1
+        }
+        val out = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, bytes.length / 2)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(out,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        AudioPayload(p.doc_id + DedupCopyShift, baos.toByteArray)
+      }
+    }
+  }
+
+  /** Band quantum for the envelope LSH: window means quantize to
+    * ~one-amplitude-step buckets (an amp unit moves a window mean by
+    * ≈ 10000/8 = 1250), so near-dup copies (mean shift ≤ 16) almost
+    * always share buckets while different amp staircases never do.
+    */
+  val DedupBandQuant = 1250L
+  /** verify bound: Σ₁₆ |mean_a − mean_b| — a +16 DC offset moves each
+    * window mean by ≤ 16, so planted pairs sit ≤ 256; distinct
+    * staircases differ by ≥ one amp step ≈ 1250 in some window.
+    */
+  val DedupMaxL1 = 256L
+
+  /** Acoustic near-dup dedup over the audio corpus ∪ the planted
+    * re-ingestions — the audio member of the per-modality dedup
+    * family (text minhash / video aHash / audio envelope). EXACT
+    * envelope-class collapse first (the video_dedup lesson: pair
+    * output must be linear in classes, not Σ C(k,2)), then 4 bands ×
+    * 4 quantized window means generate candidates between class
+    * representatives, verified by the all-integer envelope L1
+    * distance.
+    *
+    * Scale shape: envelopes are one typed mapPartitions codec pass
+    * (tracks never shuffle); the class collapse is one linear agg on a
+    * portable fingerprint; the band self-join is bucket-bounded and
+    * sees one row per content class; verification joins touch
+    * candidate pairs × 16 windows.
+    */
+  def audioDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = encodeAudio(s, dir)
+    val env = Materialize.stable(
+      base.union(offsetCopies(base)).mapPartitions { rows =>
+        rows.flatMap { p =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(p.payload))
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val cnt = new Array[Long](16)
+          val sum = new Array[Long](16)
+          var t = 0
+          while (t < n) {
+            val x = ((bytes(2 * t + 1) << 8) | (bytes(2 * t) & 0xFF)).toLong
+            val w = (t.toLong * 16 / n).toInt
+            cnt(w) += 1; sum(w) += math.abs(x)
+            t += 1
+          }
+          (0 until 16).map(w => (p.doc_id, w.toLong, sum(w) / cnt(w)))
+        }
+      }.toDF("doc_id", "window", "m"))
+    val seqs = env.groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(window, m)))," +
+        " s -> concat(s.window, ':', s.m)), '|')").as("sig_fp"))
+    val classes = Materialize.stable(seqs.groupBy("sig_fp")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members")))
+    val sigs = env.join(
+      classes.select(col("rep").as("doc_id"), col("n_members")), Seq("doc_id"))
+    val bands = sigs
+      .withColumn("b", expr("window div 4"))
+      .groupBy("doc_id", "n_members", "b")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(window, m)))," +
+        s" s -> concat(s.m div $DedupBandQuant)), ':')").as("bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // STAR-SHAPED output: each near-dup doc links to ONE representative
+    // (its smallest qualifying partner), not to every clustered peer —
+    // Σ(k−1) rows per k-member near-dup cluster instead of Σ C(k,2).
+    // The video operator's exact collapse can't shrink these (envelopes
+    // differ by a few integer units, only the CLUSTER is identical-ish)
+    // — measured at ×10: all-pairs emitted 484,890 rows, the star
+    // emits one row per dedupable doc. This is also what a dedup
+    // pipeline actually consumes: a drop-list with provenance.
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("window"),
+        col("m").as("ma"), col("n_members").as("members_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("window"),
+        col("m").as("mb"), col("n_members").as("members_b")), Seq("doc_b", "window"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(expr("abs(ma - mb)")).as("l1_dist"),
+        max("members_a").as("members_a"), max("members_b").as("members_b"))
+      .filter(col("l1_dist") <= DedupMaxL1)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(struct(col("doc_a"), col("l1_dist"), col("members_a"), col("members_b"))).as("best"))
+      .select(col("best.doc_a").as("rep_id"), col("doc_id"),
+        col("best.l1_dist").as("l1_dist"),
+        col("best.members_a").as("members_rep"),
+        col("best.members_b").as("members_doc"))
+      .orderBy("doc_id")
+  }
+
+  val audioDedupSql: String =
+    s"""WITH tracks AS (
+       |  SELECT doc_id AS vid, doc_id AS orig, 0 AS bump FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $DedupCopyShift, doc_id, 16 FROM documents WHERE doc_id % 10 = 3
+       |), params AS (
+       |  SELECT vid, orig, bump, 1600 + orig % 800 AS n,
+       |    1667 + orig % 64 * 13 AS f
+       |  FROM tracks),
+       |samples AS (
+       |  SELECT vid, i * 16 // n AS w,
+       |    ((i * f + orig * 7) % 20000) * a // 8 - 10000 * a // 8 + bump AS x
+       |  FROM (
+       |    SELECT vid, orig, bump, n, f, i,
+       |      1 + (orig + 7) * ([${AmpMix.mkString(", ")}][(i * 16 // n) + 1]) % 251 % 8 AS a
+       |    FROM params, UNNEST(generate_series(0, CAST(n - 1 AS BIGINT))) AS t(i)) s0),
+       |env AS (
+       |  SELECT vid, CAST(w AS BIGINT) AS win,
+       |    CAST(SUM(ABS(x)) AS BIGINT) // COUNT(*) AS m
+       |  FROM samples GROUP BY 1, 2
+       |), seqs AS (
+       |  SELECT vid, string_agg(win || ':' || m, '|' ORDER BY win) AS sig_fp
+       |  FROM env GROUP BY 1
+       |), classes AS (
+       |  SELECT sig_fp, MIN(vid) AS rep, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM seqs GROUP BY 1
+       |), sigs AS (
+       |  SELECT e.vid, e.win, e.m, c.n_members
+       |  FROM env e JOIN classes c ON e.vid = c.rep
+       |), bands AS (
+       |  SELECT vid, n_members, win // 4 AS b,
+       |    string_agg(CAST(m // $DedupBandQuant AS VARCHAR), ':' ORDER BY win) AS bv
+       |  FROM sigs GROUP BY 1, 2, 3
+       |), cand AS (
+       |  SELECT DISTINCT x.vid AS doc_a, y.vid AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.vid < y.vid
+       |)
+       |SELECT doc_a AS rep_id, doc_b AS doc_id, l1_dist,
+       |  members_a AS members_rep, members_b AS members_doc
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
+       |  FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      CAST(SUM(ABS(sa.m - sb.m)) AS BIGINT) AS l1_dist,
+       |      MAX(sa.n_members) AS members_a, MAX(sb.n_members) AS members_b
+       |    FROM cand c
+       |    JOIN sigs sa ON c.doc_a = sa.vid
+       |    JOIN sigs sb ON c.doc_b = sb.vid AND sa.win = sb.win
+       |    GROUP BY 1, 2) p
+       |  WHERE l1_dist <= $DedupMaxL1) r
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audio_envelope" -> (audioEnvelope _),
+    "audio_dedup" -> (audioDedup _),
     "audio_meta" -> (audioMeta _))
   val oracles: Map[String, String] = Map(
     "audio_envelope" -> audioEnvelopeSql,
+    "audio_dedup" -> audioDedupSql,
     "audio_meta" -> audioMetaSql)
 }

@@ -126,7 +126,7 @@ object ScaleSmoke {
       "web_triangles", "quality_dup_lift", "corpus_dsir_weights",
       "dedup_minhash_recall", "video_dedup", "sketch_hll_sliding",
       "knn_ivf_pq", "knn_ivf_pq_recall", "events_srm",
-      "split_leakage", "dedup_clusters_hist")
+      "split_leakage", "dedup_clusters_hist", "audio_dedup")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty
     else targets.filter(t => only.forall(_.contains(t))).map { name =>
       val t0 = System.nanoTime()

@@ -1032,6 +1032,40 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("audio_dedup: every planted re-ingestion caught (exact class OR rep assignment); bounds hold") {
+    val out = operators.Audio.audioDedup(spark, sf).collect()
+    val assigned = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep_id")).toMap
+    val referenced = (assigned.keySet ++ assigned.values).toSet
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    val shift = operators.Audio.DedupCopyShift
+    (0L until nDocs).filter(_ % 10 == 3).foreach { d =>
+      val copy = d + shift
+      // caught = assigned a representative, or collapsed into an exact
+      // envelope class (then it never appears at all)
+      assert(assigned.contains(copy) || !referenced.contains(copy),
+        s"planted copy $copy neither assigned nor collapsed")
+      // when the chosen rep IS the original, the +16 DC offset bounds
+      // the distance at 16 per window
+      if (assigned.get(copy).contains(d)) {
+        val r = out.find(_.getAs[Long]("doc_id") == copy).get
+        assert(r.getAs[Long]("l1_dist") <= 16L * 16L)
+      }
+    }
+    // star shape: one row per deduped doc, rep strictly smaller
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length)
+    out.foreach { r =>
+      val (rep, id) = (r.getAs[Long]("rep_id"), r.getAs[Long]("doc_id"))
+      assert(rep < id)
+      assert(r.getAs[Long]("l1_dist") <= operators.Audio.DedupMaxL1)
+      assert(r.getAs[Long]("members_rep") >= 1L && r.getAs[Long]("members_doc") >= 1L)
+      // amp staircases repeat with doc period 251 ((id+7)·C mod 251):
+      // a rep relates to its doc by a 251 multiple, possibly through
+      // the planted +100000 shift
+      assert((id - rep) % 251L == 0L || (id - rep - shift) % 251L == 0L ||
+        id - rep == shift, s"unexpected rep relation ($rep, $id)")
+    }
+  }
+
   test("embed_pca_power: components match a driver-side recompute of X^T(X·1)") {
     val out = operators.Similarity.embedPcaPower(spark, sf).collect()
     assert(out.length == graft.functions.VectorFns.Dim)
