@@ -362,6 +362,26 @@ object Audio {
     * staircases differ by ≥ one amp step ≈ 1250 in some window.
     */
   val DedupMaxL1 = 256L
+  /** Band-bucket occupancy cap: buckets at or below this size verify
+    * ALL within-bucket pairs (exact behavior, the common case — no
+    * sf0.001..sf0.1 bucket comes near it). Above it the candidate set
+    * is density-sampled to [[DedupAnchors]]·k.
+    */
+  val DedupOccupancyCap = 32L
+  /** Density anchors for over-full buckets: only the A lowest-id
+    * members of a bucket with occupancy > [[DedupOccupancyCap]] pair
+    * with the rest, so within-bucket candidates are A·k, never C(k,2).
+    * Recall contract: a bucket that large at these signature widths is
+    * a near-identical family (silence, re-encoded jingles, ringtones),
+    * for which EVERY member verifies against the family's minimum-id
+    * anchor — the star output keeps exactly one row per deduped doc
+    * either way. What the cap can drop: a >Cap-member bucket holding
+    * MANY DISTINCT near-dup families none of whose low-id members rank
+    * in the top A — at which point the bucket is mis-bucketed for the
+    * quantum, and the right fix is a narrower [[DedupBandQuant]], not
+    * more pairs. Measured: tools.AudioMegaBucket (SCALE.md round 10).
+    */
+  val DedupAnchors = 16L
 
   /** Acoustic near-dup dedup over the audio corpus ∪ the planted
     * re-ingestions — the audio member of the per-modality dedup
@@ -374,32 +394,88 @@ object Audio {
     *
     * Scale shape: envelopes are one typed mapPartitions codec pass
     * (tracks never shuffle); the class collapse is one linear agg on a
-    * portable fingerprint; the band self-join is bucket-bounded and
-    * sees one row per content class; verification joins touch
-    * candidate pairs × 16 windows.
+    * portable fingerprint; the band self-join is bucket-bounded AND
+    * occupancy-capped ([[DedupOccupancyCap]]/[[DedupAnchors]] — the
+    * round-9 residual: near-identical mega-clusters are exactly the
+    * buckets the exact collapse provably cannot shrink), and sees one
+    * row per content class; verification joins touch candidate pairs ×
+    * 16 windows.
     */
   def audioDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val base = encodeAudio(s, dir)
-    val env = Materialize.stable(
-      base.union(offsetCopies(base)).mapPartitions { rows =>
-        rows.flatMap { p =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(p.payload))
-          val bytes = ais.readAllBytes()
-          val n = bytes.length / 2
-          val cnt = new Array[Long](16)
-          val sum = new Array[Long](16)
-          var t = 0
-          while (t < n) {
-            val x = ((bytes(2 * t + 1) << 8) | (bytes(2 * t) & 0xFF)).toLong
-            val w = (t.toLong * 16 / n).toInt
-            cnt(w) += 1; sum(w) += math.abs(x)
-            t += 1
-          }
-          (0 until 16).map(w => (p.doc_id, w.toLong, sum(w) / cnt(w)))
+    dedupFromEnvelopes(Materialize.stable(
+      envelope16(base.union(offsetCopies(base)))))
+  }
+
+  /** One decode pass → the fixed 16-window mean-|x| envelope frame
+    * `(doc_id, window, m)` the dedup chain keys on.
+    */
+  def envelope16(ds: Dataset[AudioPayload]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { p =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(p.payload))
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val cnt = new Array[Long](16)
+        val sum = new Array[Long](16)
+        var t = 0
+        while (t < n) {
+          val x = ((bytes(2 * t + 1) << 8) | (bytes(2 * t) & 0xFF)).toLong
+          val w = (t.toLong * 16 / n).toInt
+          cnt(w) += 1; sum(w) += math.abs(x)
+          t += 1
         }
-      }.toDF("doc_id", "window", "m"))
+        (0 until 16).map(w => (p.doc_id, w.toLong, sum(w) / cnt(w)))
+      }
+    }.toDF("doc_id", "window", "m")
+  }
+
+  /** Planted near-identical mega-cluster: k tracks through the REAL
+    * codec whose envelope signatures are all DISTINCT (so the exact
+    * class collapse provably cannot shrink the family — the silence /
+    * re-encoded-jingle shape) yet sit in ONE band bucket with pairwise
+    * L1 ≤ 16. Window w of track i holds constant samples
+    * `3200 + bit_{w mod 14}(i)` — means are exact, signatures encode
+    * i's low 14 bits (distinct for k ≤ 16384), and every band's bucket
+    * vector quantizes to the same `2:2:2:2`. This is the adversarial
+    * input for [[DedupOccupancyCap]]: without the cap the band join
+    * scores C(k,2) candidates; with it, ≤ [[DedupAnchors]]·k.
+    */
+  def megaClusterTracks(s: SparkSession, k: Int): Dataset[AudioPayload] = {
+    import s.implicits._
+    require(k <= 16384, "signature distinctness holds for k <= 2^14")
+    s.range(k.toLong).as[Long].mapPartitions { ids =>
+      ids.map { i =>
+        val n = 1600
+        val pcm = new Array[Byte](n * 2)
+        var t = 0
+        while (t < n) {
+          val w = t * 16 / n
+          val x = 3200 + ((i >> (w % 14)) & 1L).toInt
+          pcm(2 * t) = (x & 0xFF).toByte
+          pcm(2 * t + 1) = ((x >> 8) & 0xFF).toByte
+          t += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        AudioPayload(i, baos.toByteArray)
+      }
+    }
+  }
+
+  /** The dedup chain from an envelope frame `(doc_id, window, m)` on —
+    * exact class collapse, capped band candidates, L1 verify, star
+    * output. Exposed so the occupancy-cap path is testable on planted
+    * mega-cluster frames (AudioSpec) and measurable at ×k
+    * (tools.AudioMegaBucket) without re-running the codec pass.
+    */
+  def dedupFromEnvelopes(env: DataFrame): DataFrame = {
     val seqs = env.groupBy("doc_id")
       .agg(expr("array_join(transform(array_sort(collect_list(struct(window, m)))," +
         " s -> concat(s.window, ':', s.m)), '|')").as("sig_fp"))
@@ -412,9 +488,21 @@ object Audio {
       .groupBy("doc_id", "n_members", "b")
       .agg(expr("array_join(transform(array_sort(collect_list(struct(window, m)))," +
         s" s -> concat(s.m div $DedupBandQuant)), ':')").as("bv"))
-    val cand = bands.as("x").join(bands.as("y"),
+    // Occupancy cap: rank + size ride ONE (b, bv)-partitioned window
+    // pass (exchange shared between the two frames); the pair join's
+    // left side is all members while the bucket fits the cap, and only
+    // the DedupAnchors lowest ids above it — A·k candidates per
+    // over-full bucket, never C(k,2).
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy("b", "bv").orderBy("doc_id")
+    val bwAll = org.apache.spark.sql.expressions.Window.partitionBy("b", "bv")
+    val ranked = bands
+      .withColumn("rn", row_number().over(bw))
+      .withColumn("bsize", count(lit(1)).over(bwAll))
+    val cand = ranked.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          (col("x.bsize") <= DedupOccupancyCap || col("x.rn") <= DedupAnchors))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // STAR-SHAPED output: each near-dup doc links to ONE representative
@@ -476,9 +564,14 @@ object Audio {
        |  SELECT vid, n_members, win // 4 AS b,
        |    string_agg(CAST(m // $DedupBandQuant AS VARCHAR), ':' ORDER BY win) AS bv
        |  FROM sigs GROUP BY 1, 2, 3
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY b, bv ORDER BY vid) AS rn,
+       |    COUNT(*) OVER (PARTITION BY b, bv) AS bsize
+       |  FROM bands
        |), cand AS (
        |  SELECT DISTINCT x.vid AS doc_a, y.vid AS doc_b
-       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.vid < y.vid
+       |  FROM ranked x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.vid < y.vid
+       |  WHERE x.bsize <= $DedupOccupancyCap OR x.rn <= $DedupAnchors
        |)
        |SELECT doc_a AS rep_id, doc_b AS doc_id, l1_dist,
        |  members_a AS members_rep, members_b AS members_doc

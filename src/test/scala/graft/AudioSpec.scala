@@ -74,4 +74,31 @@ class AudioSpec extends SparkSpec {
     val falsePos = pairs.filterNot { case (a, b) => b == a + 100000 }
     assert(falsePos.isEmpty, s"false near-dups: $falsePos")
   }
+
+  test("occupancy cap keeps full recall on a planted mega-cluster bucket") {
+    import spark.implicits._
+    // 120 near-identical tracks (distinct envelopes, ONE band bucket,
+    // pairwise L1 <= 16) — 120 > DedupOccupancyCap(32), so the anchor
+    // path is exercised — plus 20 ordinary corpus tracks in other
+    // buckets under shifted ids as the no-false-positive control.
+    val k = 120
+    val family = Audio.megaClusterTracks(spark, k)
+    val contrast = Audio.encodeAudio(spark, sfDir).filter(_.doc_id < 20)
+      .map(p => Audio.AudioPayload(p.doc_id + 1000000L, p.payload))
+    val out = Audio.dedupFromEnvelopes(
+      Audio.envelope16(family.union(contrast))).collect()
+    val familyRows = out.filter(_.getAs[Long]("doc_id") < k)
+    // recall: every family member except the min-id anchor is deduped,
+    // and each links to an anchor (rank <= DedupAnchors => id <= 15)
+    assert(familyRows.length == k - 1,
+      s"expected ${k - 1} deduped family docs, got ${familyRows.length}")
+    assert(familyRows.forall(_.getAs[Long]("rep_id") < Audio.DedupAnchors),
+      "a family doc linked to a non-anchor representative")
+    assert(familyRows.map(_.getAs[Long]("doc_id")).toSet == (1L until k.toLong).toSet)
+    // zero false positives across the family/contrast boundary
+    out.foreach { r =>
+      val (rep, doc) = (r.getAs[Long]("rep_id"), r.getAs[Long]("doc_id"))
+      assert((rep < k) == (doc < k), s"cross-family link $rep -> $doc")
+    }
+  }
 }
