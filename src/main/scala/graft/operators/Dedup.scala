@@ -67,12 +67,36 @@ object Dedup {
     * (doc_id, mh) signature frame — the composition point for pipelines
     * that compute signatures once and feed several dedup stages
     * (CorpusOps.curationPipeline): no second corpus materialization.
+    *
+    * `bucketCap`/`anchors`: optional band-bucket occupancy cap (the
+    * audio_dedup rule — SCALE.md round 10). Buckets at or below
+    * `bucketCap` emit ALL pairs (the default `Long.MaxValue` keeps the
+    * contract queries and their DuckDB oracles byte-identical); above
+    * it only the `anchors` lowest-id members pair with the rest — A·k
+    * candidates per over-full bucket, never C(k,2). A mega-bucket here
+    * is a near-identical TEMPLATE FAMILY (exact dedup removes identical
+    * text; what survives into one band bucket shares the band's
+    * signature rows), and anchor pairs keep the family CONNECTED for
+    * the dedup_clusters consumer: every member that verifies against
+    * any anchor joins the component. Measured: tools.TextMegaBucket.
     */
-  def minhashPairsFromSigs(sig: DataFrame): DataFrame = {
+  def minhashPairsFromSigs(sig: DataFrame, bucketCap: Long = Long.MaxValue,
+                           anchors: Long = 16L): DataFrame = {
     val bands = sig
       .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mh"))
       .select(col("doc_id"), col("b"), expr(sparkBandValue("mh", "b")).as("bv"))
-    val cand = bands.as("x").join(bands.as("y"),
+    val left =
+      if (bucketCap == Long.MaxValue) bands
+      else {
+        val bw = org.apache.spark.sql.expressions.Window
+          .partitionBy("b", "bv").orderBy("doc_id")
+        val bwAll = org.apache.spark.sql.expressions.Window.partitionBy("b", "bv")
+        bands.withColumn("rn", row_number().over(bw))
+          .withColumn("bsize", count(lit(1)).over(bwAll))
+          .filter(col("bsize") <= bucketCap || col("rn") <= anchors)
+          .select("doc_id", "b", "bv")
+      }
+    val cand = left.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

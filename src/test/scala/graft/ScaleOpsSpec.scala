@@ -176,6 +176,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.size == 24)
   }
 
+  test("minhashPairs occupancy cap: anchor pairs keep a template family covered") {
+    import spark.implicits._
+    // planted template family: shared boilerplate + per-doc variation —
+    // exact dedup can't remove these, and they co-bucket in the LSH
+    // bands. 200 members > cap 32, so the anchor path is exercised.
+    val boiler = (1 to 50).map(i => s"clause$i standard boilerplate segment").mkString(" ")
+    val fam = spark.range(200)
+      .select(col("id").as("doc_id"),
+        concat(lit(boiler + " customer ref "), col("id"),
+          lit(" variant "), pmod(col("id"), lit(7))).as("text"))
+    val sig = graft.operators.Materialize.stable(fam.select(col("doc_id"),
+      expr(graft.functions.PortableHash.sparkMinhash(
+        graft.functions.PortableHash.sparkShingleHashes("text"))).as("mh")))
+    val capped = graft.operators.Dedup
+      .minhashPairsFromSigs(sig, bucketCap = 32L).collect()
+    val uncappedCount = graft.operators.Dedup.minhashPairsFromSigs(sig).count()
+    // cap bound: anchors(16) × k × bands(4) ≥ capped pairs, and the
+    // uncapped family is near-quadratic (the thing the cap prevents)
+    assert(capped.length <= 16 * 200 * 4, s"cap leaked: ${capped.length} pairs")
+    assert(uncappedCount > capped.length * 3L,
+      s"family not adversarial enough: uncapped=$uncappedCount capped=${capped.length}")
+    // connectivity for the dedup_clusters consumer: every member still
+    // appears in at least one verified pair
+    val covered = capped.flatMap(r =>
+      Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(covered == (0L until 200L).toSet,
+      s"uncovered family members: ${(0L until 200L).toSet -- covered}")
+  }
+
   test("saltedJoin: row-identical to plain join, shuffle keyed on (key, salt)") {
     import spark.implicits._
     // skewed fact: 90% of rows share event_type 'click'
