@@ -1430,6 +1430,16 @@ class StreamingSpec extends SparkSpec {
         assert(r.getAs[Long]("numerator") == num, s"window $end numerator")
         assert(days.exists(d => d >= end - 6 && d <= end))
       }
+      // state-size contract: ONE record per OCCUPIED (day, bucket) key,
+      // never per event/user — ≤ 512 registers per day regardless of
+      // traffic. A state-growth regression fails here instead of
+      // OOMing a 100× run.
+      val stateRows = q2.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).max
+      assert(stateRows == expected.size.toLong,
+        s"state rows $stateRows != occupied registers ${expected.size}")
+      assert(stateRows <= 512L * days.size,
+        s"state rows $stateRows exceed 512/day × ${days.size} days")
     } finally q2.stop()
   }
 
@@ -1471,6 +1481,12 @@ class StreamingSpec extends SparkSpec {
       val batch = graft.operators.AnalyticsMore.eventsSrm(spark, sfDir).collect().head
       assert(sums.getOrElse("click", 0L) == batch.getAs[Long]("n_click"))
       assert(sums.getOrElse("view", 0L) == batch.getAs[Long]("n_view"))
+      // state-size contract: ONE first-exposure record per user, never
+      // per event — a regression to per-event state fails here
+      val stateRows = q2.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).max
+      val nUsers = ev.map(_._1).distinct.length.toLong
+      assert(stateRows == nUsers, s"state rows $stateRows != users $nUsers")
     } finally q2.stop()
   }
 
