@@ -644,10 +644,12 @@ object AnalyticsMore {
     """WITH first AS (
       |  -- zero-padded (ts, event_id) string key: DuckDB 1.0's arg_min
       |  -- has no struct-key overload; lexicographic == numeric when
-      |  -- both fields are fixed-width
+      |  -- both fields are fixed-width (20 covers any BIGINT — lpad
+      |  -- TRUNCATES overlong strings, so a narrower pad would corrupt
+      |  -- the ordering past its width)
       |  SELECT user_id, arg_min(event_type,
       |    lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
-      |    lpad(CAST(event_id AS VARCHAR), 12, '0')) AS arm
+      |    lpad(CAST(event_id AS VARCHAR), 20, '0')) AS arm
       |  FROM events WHERE event_type IN ('click', 'view')
       |  GROUP BY 1
       |), counts AS (

@@ -330,6 +330,12 @@ object Audio {
     import base.sparkSession.implicits._
     base.filter(_.doc_id % 10 == 3).mapPartitions { rows =>
       rows.map { p =>
+        // planted ids live at base+Shift WITHIN each 10^7 replication
+        // block (ScaleSmoke's offset) — a corpus with >100k docs per
+        // block would collide planted ids with genuine ones; fail loud
+        // instead of silently corrupting the dedup output
+        require(p.doc_id % 10000000L < DedupCopyShift,
+          s"doc_id ${p.doc_id} collides with the +$DedupCopyShift copy-id plant")
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(p.payload))
         val fmt = ais.getFormat

@@ -288,19 +288,26 @@ object Video {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** The "same clip re-ingested after a filter" case: every
-    * doc_id % 10 == 3 video re-encoded (REAL decode → +2 brightness,
-    * clamped — a lossless-codec-preserving perturbation → REAL PNG
-    * re-encode) under a shifted id. PNG is lossless, so the copy's
-    * decoded pixels are exactly `least(255, v + 2)` of the original's
-    * — which is what lets the SQL oracle replay the plant analytically
-    * (same convention as dedup_exact's re-ingestion plant).
+    * doc_id % 10 == 3 video re-encoded (REAL decode → total-preserving
+    * corner-block swap: cell 0's pixels exchange with cell 63's →
+    * REAL PNG re-encode) under a shifted id. PNG is lossless and the
+    * swap preserves the frame total, so exactly the two swapped cells'
+    * hash bits can move (0 or 2 per frame) — which is what lets the
+    * SQL oracle replay the plant analytically (same convention as
+    * dedup_exact's re-ingestion plant; the inline comment at the swap
+    * explains the 0/2-bit dichotomy).
     */
   val DedupCopyShift = 100000L
-  private def brightenedCopies(base: Dataset[VideoPayload]): Dataset[VideoPayload] = {
+  private def cornerSwappedCopies(base: Dataset[VideoPayload]): Dataset[VideoPayload] = {
     import base.sparkSession.implicits._
     base.filter(_.doc_id % 10 == 3).mapPartitions { rows =>
         Multimodal.imageIoMemCache
       rows.map { v =>
+        // planted ids live at base+Shift WITHIN each 10^7 replication
+        // block — >100k docs per block would collide planted ids with
+        // genuine ones; fail loud instead of corrupting video_dedup
+        require(v.doc_id % 10000000L < DedupCopyShift,
+          s"doc_id ${v.doc_id} collides with the +$DedupCopyShift copy-id plant")
         val frames = decodedFrames(v, 1)
         val baos = new java.io.ByteArrayOutputStream()
         val out = new java.io.DataOutputStream(baos)
@@ -379,7 +386,7 @@ object Video {
 
   def videoDedup(s: SparkSession, dir: String): DataFrame = {
     val base = encodeVideos(s, dir)
-    val allSigs = Materialize.stable(aHashLoHi(base.union(brightenedCopies(base))))
+    val allSigs = Materialize.stable(aHashLoHi(base.union(cornerSwappedCopies(base))))
     // EXACT class collapse before the fuzzy stage — the production
     // dedup chain. A crawl's mega-duplicate clusters (one clip
     // re-hosted 10⁶×) make pair emission Σ C(k,2) — the ×10 scale
@@ -423,11 +430,11 @@ object Video {
 
   val videoDedupSql: String =
     s"""WITH vids AS (
-       |  SELECT doc_id AS vid, doc_id AS orig, 0 AS bright FROM documents
+       |  SELECT doc_id AS vid, doc_id AS orig, 0 AS is_copy FROM documents
        |  UNION ALL
-       |  SELECT doc_id + $DedupCopyShift, doc_id, 2 FROM documents WHERE doc_id % 10 = 3
+       |  SELECT doc_id + $DedupCopyShift, doc_id, 1 FROM documents WHERE doc_id % 10 = 3
        |), fr AS (
-       |  SELECT vid, orig, bright, UNNEST(generate_series(0, 1 + orig % 3)) AS frame_idx
+       |  SELECT vid, orig, is_copy, UNNEST(generate_series(0, 1 + orig % 3)) AS frame_idx
        |  FROM vids
        |), px AS (
        |  -- the copy reads its pixel from the SWAPPED index (corner
@@ -435,9 +442,9 @@ object Video {
        |  SELECT vid, frame_idx,
        |    ((i // $W) // ${H / 8}) * 8 + (i % $W) // ${W / 8} AS cell,
        |    (orig * 1000003 + frame_idx * 8191 +
-       |      (CASE WHEN bright > 0 AND (i // $W) < 2 AND (i % $W) < 3
+       |      (CASE WHEN is_copy > 0 AND (i // $W) < 2 AND (i % $W) < 3
        |              THEN ((i // $W) + 14) * $W + ((i % $W) + 21)
-       |            WHEN bright > 0 AND (i // $W) >= 14 AND (i % $W) >= 21
+       |            WHEN is_copy > 0 AND (i // $W) >= 14 AND (i % $W) >= 21
        |              THEN ((i // $W) - 14) * $W + ((i % $W) - 21)
        |            ELSE i END) * 2654435761) % 256 AS v
        |  FROM fr, UNNEST(generate_series(0, ${W * H - 1})) AS t(i)
