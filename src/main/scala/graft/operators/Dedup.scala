@@ -664,6 +664,131 @@ object Dedup {
        |       ELSE n_hits * 1000000 // n_detected_pairs END AS precision_ppm
        |FROM c""".stripMargin
 
+  /** The banding sweep's configurations: every (bands, rows) split of
+    * the k=12 signature. More bands × fewer rows = higher recall,
+    * lower precision (the S-curve steepens left); the production
+    * config (4×3) sits where this table says it should.
+    */
+  val BandingConfigs: Seq[(Int, Int)] = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+
+  /** LSH banding S-curve sweep: candidate volume, detected pairs,
+    * recall AND precision vs the exact J ≥ 0.5 set for EVERY (bands,
+    * rows) split of the same k=12 signature — the table you read
+    * before committing a banding config to a 100 TB run
+    * (dedup_minhash_recall grades the ONE production config; this
+    * grades the alternatives so the choice is evidence, not folklore).
+    *
+    * Cost: the exact side (Σ df² inverted-index enumeration — the
+    * documented audit-path price) is paid ONCE and shared; each config
+    * adds one band-bucket self-join over the SAME materialized
+    * signature frame. Audit-tier: run on a stratified slice, like the
+    * recall gate.
+    */
+  def dedupBandingSweep(s: SparkSession, dir: String): DataFrame =
+    bandingSweepFor(Tables.documents(s, dir))
+
+  /** the sweep over ANY (doc_id, text) frame — library entry point. */
+  def bandingSweepFor(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val sig = Materialize.stable(docs
+      .select(col("doc_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("mh")))
+    val sets = Materialize.stable(docs
+      .select(col("doc_id"),
+        expr(s"array_distinct(${sparkShingleHashes("text")})").as("sh"))
+      .withColumn("n_sh", expr("CAST(size(sh) AS BIGINT)")))
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+    val exact = Materialize.stable(ex.as("x").join(ex.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .filter(expr("3 * i >= na + nb"))
+      .select("doc_a", "doc_b"))
+    val rows = BandingConfigs.map { case (nb, r) =>
+      val bands = sig
+        .select(col("doc_id"), explode(expr(s"sequence(0, ${nb - 1})")).as("b"), col("mh"))
+        .select(col("doc_id"), col("b"),
+          expr(s"array_join(transform(slice(mh, b * $r + 1, $r), x -> CAST(x AS STRING)), ':')").as("bv"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val det = cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("ma")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mb")), Seq("doc_b"))
+        .filter(expr(s"2 * size(filter(sequence(1, $MinhashK), i -> element_at(ma, i) = element_at(mb, i))) >= $MinhashK"))
+        .select("doc_a", "doc_b")
+      s.range(1)
+        .select(lit(nb.toLong).as("bands"), lit(r.toLong).as("rows_per_band"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(det.agg(count(lit(1)).as("n_detected"))))
+        .crossJoin(broadcast(exact.join(det, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))))
+    }
+    rows.reduce(_ union _)
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN n_exact = 0 THEN 0 ELSE n_hits * 1000000 div n_exact END"))
+      .withColumn("precision_ppm", expr(
+        "CASE WHEN n_detected = 0 THEN 0 ELSE n_hits * 1000000 div n_detected END"))
+      .select("bands", "rows_per_band", "n_candidates", "n_detected",
+        "n_exact", "n_hits", "recall_ppm", "precision_ppm")
+      .orderBy("bands")
+  }
+
+  val dedupBandingSweepSql: String = {
+    val ctes = BandingConfigs.map { case (nb, r) =>
+      s"""bands_$nb AS (
+         |  SELECT doc_id, bs.b AS b,
+         |    array_to_string(list_slice(mh, bs.b * $r + 1, bs.b * $r + $r), ':') AS bv
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, $nb)) AS b) bs
+         |), cand_$nb AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands_$nb x JOIN bands_$nb y
+         |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |), det_$nb AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand_$nb c JOIN sig sa ON c.doc_a = sa.doc_id
+         |    JOIN sig sb ON c.doc_b = sb.doc_id
+         |  WHERE 2 * len(list_filter(range(1, ${MinhashK + 1}), i -> sa.mh[i] = sb.mh[i])) >= $MinhashK
+         |), hits_$nb AS (
+         |  SELECT e.doc_a, e.doc_b FROM exact e JOIN det_$nb d USING (doc_a, doc_b)
+         |)""".stripMargin
+    }
+    val rows = BandingConfigs.map { case (nb, r) =>
+      s"""SELECT CAST($nb AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$nb) AS n_candidates,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM det_$nb) AS n_detected,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hits_$nb) AS n_hits""".stripMargin
+    }
+    s"""WITH sig AS (
+       |  SELECT doc_id, ${duckMinhash(duckShingleHashes("text"))} AS mh FROM documents
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(${duckShingleHashes("text")}) AS sh FROM documents
+       |), sized AS (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sets
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS h FROM sets
+       |), inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sized sa ON inter.doc_a = sa.doc_id
+       |  JOIN sized sb ON inter.doc_b = sb.doc_id
+       |  WHERE 3 * i >= sa.n + sb.n
+       |), ${ctes.mkString(", ")},
+       |nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact)
+       |SELECT bands, rows_per_band, n_candidates, n_detected, n_exact, n_hits,
+       |  CASE WHEN n_exact = 0 THEN 0 ELSE n_hits * 1000000 // n_exact END AS recall_ppm,
+       |  CASE WHEN n_detected = 0 THEN 0 ELSE n_hits * 1000000 // n_detected END AS precision_ppm
+       |FROM (${rows.mkString(" UNION ALL ")}) u, nex
+       |ORDER BY bands""".stripMargin
+  }
+
   /** Duplicate-cluster size histogram — the headline "how duplicated
     * is my corpus" table every pipeline reports (cluster count and doc
     * mass per cluster size; dedup would keep one representative per
@@ -698,6 +823,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters_hist" -> (dedupClustersHist _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
+    "dedup_banding_sweep" -> (dedupBandingSweep _),
     "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
@@ -711,6 +837,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_clusters_hist" -> dedupClustersHistSql,
     "dedup_minhash_recall" -> dedupMinhashRecallSql,
+    "dedup_banding_sweep" -> dedupBandingSweepSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_spans" -> dedupSpansSql,

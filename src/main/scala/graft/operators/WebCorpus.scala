@@ -376,11 +376,96 @@ object WebCorpus {
        |GROUP BY domain ORDER BY domain""".stripMargin
   }
 
+  /** Reciprocal edges of ANY (src, dst) frame: the edge set that also
+    * exists reversed. Two linear passes — dedup + ONE (src, dst)-keyed
+    * self-semi-join on the swapped key; never touches page content.
+    */
+  def reciprocalEdges(edges0: DataFrame): DataFrame = {
+    val edges = Materialize.stable(edges0
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct())
+    edges.join(
+      edges.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+  }
+
+  /** Per-domain link reciprocity of the crawl's page graph — the
+    * mutual-promotion / link-exchange audit that pairs with
+    * [[webTriangles]] (organic webs are directional: A cites B without
+    * B citing A back; reciprocal-heavy domains are trading links).
+    * Same deterministic edge synthesis as [[webPagerankStep]], so the
+    * oracle restates the graph; on a real crawl the edge frame comes
+    * from href extraction and [[reciprocalEdges]] is unchanged.
+    *
+    * Scale: the reciprocity semi-join shuffles edges on (src, dst) —
+    * linear in |E|, no degree term at all (cheaper than the wedge
+    * join); rollup is domain-bounded. An edge is "reciprocal" if its
+    * reverse exists; each direction counts once in its own source
+    * domain.
+    */
+  def webReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val pages = Materialize.stable(Tables.documents(s, dir)
+      .groupBy(expr("doc_id div 4").as("page")).agg(count(lit(1)).as("n_docs")))
+    val totals = pages.agg((max("page") + 1).as("p_count"))
+    val edges = Materialize.stable(pages.join(broadcast(totals))
+      .select(col("page").as("src"), explode(expr(
+        "array((page*7+1) % p_count, (page*13+5) % p_count, (page*29+11) % p_count)"))
+        .as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val recip = reciprocalEdges(edges)
+      .groupBy(col("src").as("page")).agg(count(lit(1)).as("n_recip"))
+    val outdeg = edges.groupBy(col("src").as("page")).agg(count(lit(1)).as("n_out"))
+    val dom = element_at(array(Domains.map(lit): _*),
+      (pmod(col("page"), lit(8)) + 1).cast("int"))
+    pages.select(col("page"), dom.as("domain"))
+      .join(outdeg, Seq("page"), "left")
+      .join(recip, Seq("page"), "left")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_pages"),
+        sum(coalesce(col("n_out"), lit(0L))).as("n_edges"),
+        sum(coalesce(col("n_recip"), lit(0L))).as("n_reciprocal"))
+      .withColumn("recip_ppm", expr(
+        "CASE WHEN n_edges = 0 THEN 0 ELSE n_reciprocal * 1000000 div n_edges END"))
+      .orderBy("domain")
+  }
+
+  val webReciprocitySql: String = {
+    val arr = Domains.map(d => s"'$d'").mkString("[", ",", "]")
+    s"""WITH pages AS (
+       |  SELECT doc_id // 4 AS page FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(MAX(page) + 1 AS BIGINT) AS p_count FROM pages
+       |), edges0 AS (
+       |  SELECT page AS src, u.dst AS dst
+       |  FROM pages, t, unnest([(page*7+1) % p_count, (page*13+5) % p_count,
+       |                         (page*29+11) % p_count]) AS u(dst)
+       |), edges AS (
+       |  SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst
+       |), recip AS (
+       |  SELECT e.src AS page, CAST(COUNT(*) AS BIGINT) AS n_recip
+       |  FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
+       |  GROUP BY 1
+       |), outdeg AS (
+       |  SELECT src AS page, CAST(COUNT(*) AS BIGINT) AS n_out FROM edges GROUP BY 1
+       |)
+       |SELECT ($arr)[(page % 8) + 1] AS domain,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pages,
+       |  CAST(SUM(COALESCE(n_out, 0)) AS BIGINT) AS n_edges,
+       |  CAST(SUM(COALESCE(n_recip, 0)) AS BIGINT) AS n_reciprocal,
+       |  CASE WHEN CAST(SUM(COALESCE(n_out, 0)) AS BIGINT) = 0 THEN 0
+       |       ELSE CAST(SUM(COALESCE(n_recip, 0)) AS BIGINT) * 1000000
+       |            // CAST(SUM(COALESCE(n_out, 0)) AS BIGINT) END AS recip_ppm
+       |FROM pages LEFT JOIN outdeg USING (page) LEFT JOIN recip USING (page)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_url" -> (dedupUrl _),
     "web_domains" -> (webDomains _),
     "web_pagerank_step" -> (webPagerankStep _),
     "web_triangles" -> (webTriangles _),
+    "web_reciprocity" -> (webReciprocity _),
     "corpus_blocklist" -> (corpusBlocklist _)
   )
 
@@ -389,6 +474,7 @@ object WebCorpus {
     "web_domains" -> webDomainsSql,
     "web_pagerank_step" -> webPagerankStepSql,
     "web_triangles" -> webTrianglesSql,
+    "web_reciprocity" -> webReciprocitySql,
     "corpus_blocklist" -> corpusBlocklistSql
   )
 }

@@ -27,6 +27,8 @@ object BenchProbe {
         val t0 = System.nanoTime(); fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // machine-parsed by the BENCH_SOLO collector (one fresh JVM per
+      // query): name, median of 5, min, max
       println(f"[solo] $name median=${times(2)}%.3f min=${times.head}%.3f max=${times.last}%.3f")
       spark.catalog.clearCache()
     }

@@ -11,6 +11,14 @@ package graft
 class ApiTourSpec extends SparkSpec {
   test("ApiTour: every api entry point runs and asserts on real data") {
     val n = graft.tools.ApiTour.run(spark, sfDir)
-    assert(n >= 71, s"api tour ran only $n checks — tour truncated?")
+    // doc = spec, mechanically (the ContractSpec pattern): API_MAP.md
+    // publishes the tour's check count; a new api entry point must bump
+    // both or this fails
+    val documented = scala.io.Source.fromFile("API_MAP.md", "UTF-8").getLines()
+      .flatMap("ApiTour executes \\*\\*(\\d+)\\*\\* checks".r
+        .findFirstMatchIn(_).map(_.group(1).toInt)).toList
+    assert(documented.size == 1, "API_MAP.md must state the ApiTour check count once")
+    assert(n == documented.head,
+      s"api tour ran $n checks; API_MAP.md documents ${documented.head}")
   }
 }

@@ -122,7 +122,13 @@ class PlanSpec extends SparkSpec {
       // inheriting their broadcast crosses (the knn_recall shape)
       "knn_ivf_pq_recall",
       // split_leakage attaches its ONE-ROW pair total (the q22 idiom)
-      "split_leakage")
+      "split_leakage",
+      // round 10: knn_mrl_recall composes knn_bruteforce twice (the
+      // knn_recall shape — broadcast query-set crosses);
+      // dedup_banding_sweep combines per-config ONE-ROW count
+      // aggregates (the dedup_minhash_recall shape); web_reciprocity
+      // attaches the one-row p_count total (the q22 idiom)
+      "knn_mrl_recall", "dedup_banding_sweep", "web_reciprocity")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

@@ -9,6 +9,11 @@ A delta counts as a regression only when BOTH hold:
     raw (max-min)/median before) from EITHER round, scaled to seconds.
 
 Usage: python3 tools/benchdiff.py OLD.json NEW.json [--ratio 1.5 | --ratio=1.5]
+                                  [--solo-old S.json] [--solo-new S.json]
+--solo-* files (BENCH_SOLO_r{N}.json, fresh-JVM medians from
+tools.BenchProbe) OVERRIDE that side's suite times for their keys —
+solo medians carry none of the ±15% suite-interleave band, so they are
+preferred evidence wherever committed.
 Prints a markdown table (paste into SCALE.md) plus a one-line summary.
 Exit code 0 always — this is an adjudication aid, not a gate.
 """
@@ -25,6 +30,7 @@ def load(path):
 def main():
     argv = sys.argv[1:]
     args, ratio_min, i = [], 1.5, 0
+    solo_old = solo_new = None
     while i < len(argv):
         a = argv[i]
         if a.startswith("--ratio"):
@@ -33,12 +39,36 @@ def main():
             else:  # space-separated form: consume the next token
                 i += 1
                 ratio_min = float(argv[i])
+        elif a.startswith("--solo-old"):
+            if "=" in a:
+                solo_old = a.split("=", 1)[1]
+            else:
+                i += 1
+                solo_old = argv[i]
+        elif a.startswith("--solo-new"):
+            if "=" in a:
+                solo_new = a.split("=", 1)[1]
+            else:
+                i += 1
+                solo_new = argv[i]
         elif not a.startswith("--"):
             args.append(a)
         i += 1
     old, new = load(args[0]), load(args[1])
     oq, nq = old.get("queries", {}), new.get("queries", {})
     osp, nsp = old.get("spread", {}), new.get("spread", {})
+    # solo medians override suite times (and their spread bands) —
+    # fresh-JVM numbers carry no suite-interleave jitter
+    for solo_path, q, sp, label in ((solo_old, oq, osp, "old"),
+                                    (solo_new, nq, nsp, "new")):
+        if solo_path:
+            s = load(solo_path)
+            for k, v in s.get("queries", {}).items():
+                if k in q:
+                    q[k] = v
+                    sp[k] = s.get("spread", {}).get(k, 0.0)
+            print(f"(solo medians override {label} side for "
+                  f"{len(s.get('queries', {}))} keys: {solo_path})")
     common = sorted(set(oq) & set(nq))
     rows, improved = [], []
     for k in common:
