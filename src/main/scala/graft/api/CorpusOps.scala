@@ -586,4 +586,54 @@ object CorpusOps {
     graft.operators.CorpusQuality.dsirDocWeightsFor(
       prepared(docs0).select(col(idCol).as("doc_id"), col(textCol).as("text"), isTarget.as("__t")),
       "text", col("__t"))
+
+  /** LSH banding S-curve sweep over any (id, text) frame: candidates /
+    * detected / recall / precision for every (bands, rows) split of
+    * the k=12 signature — audit-tier (the exact side is priced for
+    * slices, like minhashRecallGate); the evidence table behind a
+    * banding choice.
+    */
+  def bandingSweep(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.Dedup.bandingSweepFor(
+      prepared(docs0).select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** reciprocal (mutually-linked) edges of any directed edge frame —
+    * linear in |E|: dedup + one self-semi-join on the swapped key.
+    */
+  def reciprocalLinks(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    graft.operators.WebCorpus.reciprocalEdges(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+
+  /** sign-bit binary codes over any embedding frame: 64 dims → two
+    * 32-bit words (`w0`/`w1`) — the 32×-compressed retrieval tier
+    * knn_hamming_recall gates.
+    */
+  def binaryCodes(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    graft.operators.Similarity.signBitCodes(
+      df.select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v")))
+
+  /** Hamming top-k neighbors over a [[binaryCodes]] frame for the rows
+    * matching `isQuery` (XOR+popcount scoring, integer-only).
+    */
+  def hammingNeighbors(codes: DataFrame, isQuery: org.apache.spark.sql.Column,
+      k: Int = 3): DataFrame =
+    graft.operators.Similarity.hammingTopK(codes, isQuery, k)
+
+  /** Per-group doc + token mass removed by near-dup dedup (min-id
+    * representative survives per cluster) — the mixture-shift readout
+    * behind corpus_dedup_impact, over any (id, group, text) frame and
+    * any trusted near-dup pair frame.
+    */
+  def dedupImpact(docs0: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    graft.operators.Dedup.dedupImpactFor(
+      prepared(docs0).select(col(idCol).as("doc_id"), col(groupCol).as("source"),
+        expr(s"CAST(size(filter(split($textCol, ' '), w -> w <> '')) AS BIGINT)")
+          .as("n_tokens")),
+      graft.operators.Dedup.connectedComponents(pairs))
 }

@@ -44,6 +44,135 @@ object Dedup {
        |SELECT min(doc_id) AS rep_id, COUNT(*) AS n_copies, fp
        |FROM fps GROUP BY fp HAVING COUNT(*) > 1 ORDER BY rep_id""".stripMargin
 
+  /** prefix fingerprint window (words) — long enough that unrelated
+    * docs don't collide, short enough that appended-tail edits leave
+    * it unchanged.
+    */
+  val PrefixWords = 24
+
+  /** Prefix-fingerprint dedup: group docs whose first [[PrefixWords]]
+    * words fingerprint identically — the crawl-dedup production rule
+    * for the "same article, republished with an appended correction /
+    * footer / comment section" case, which byte-exact dedup provably
+    * misses (the tail differs) and near-dup LSH may miss when the
+    * appended tail is large. The corpus has no natural prefix dups, so
+    * (dedup_exact's convention) it runs on the corpus UNION a
+    * deterministic re-ingestion of every doc_id%10==4 doc with a
+    * trailing edit under a shifted id.
+    *
+    * Scale shape: the prefix fingerprint is map-side codegen column
+    * math on a BOUNDED slice of each doc (the first ~[[PrefixWords]]
+    * words — the full text never feeds the hash, so cost per row is
+    * O(prefix), not O(doc)); the only shuffle is ONE hash-partition on
+    * the 64-bit fingerprint; output is group-sized.
+    */
+  def dedupPrefix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val copies = d.filter(pmod(col("doc_id"), lit(10)) === 4)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" editor note appended after republish")).as("text"))
+    d.union(copies)
+      .withColumn("p", expr(
+        s"array_join(slice(filter(split(text, ' '), w -> w <> ''), 1, $PrefixWords), ' ')"))
+      .withColumn("prefix_fp", expr(sparkFingerprint("p")))
+      .groupBy("prefix_fp")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select("rep_id", "n_docs", "prefix_fp")
+      .orderBy("rep_id")
+  }
+
+  val dedupPrefixSql: String =
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text || ' editor note appended after republish'
+       |  FROM documents WHERE doc_id % 10 = 4
+       |), pref AS (
+       |  SELECT doc_id, array_to_string(
+       |    list_slice(list_filter(string_split(text, ' '), w -> w <> ''), 1, $PrefixWords),
+       |    ' ') AS p
+       |  FROM all_docs
+       |), fps AS (
+       |  SELECT doc_id, ${duckFingerprint("p")} AS prefix_fp FROM pref
+       |)
+       |SELECT min(doc_id) AS rep_id, COUNT(*) AS n_docs, prefix_fp
+       |FROM fps GROUP BY prefix_fp HAVING COUNT(*) > 1 ORDER BY rep_id""".stripMargin
+
+  /** LSH recall by document length: the recall gate
+    * ([[minhashRecallFor]]) disaggregated into log2 shingle-count
+    * buckets of each pair's SHORTER side — the bias audit that tells
+    * you WHO the near-dup pass misses. MinHash variance scales with
+    * 1/|shingle set|, so short docs are where the S-curve gamble
+    * fails first; a pipeline that reads only the corpus-wide recall
+    * number ships a dedup that silently under-cleans tweets while
+    * over-trusting its gate on long-form text.
+    *
+    * Scale: same audit-path contract as the recall gate (the exact
+    * side's Σ df² price, run on a slice); the bucket key is integer
+    * length(bin(n))−1 on the already-computed set sizes — zero extra
+    * passes, one ≤~14-row rollup.
+    */
+  def dedupLenBias(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sets = Materialize.stable(docs
+      .select(col("doc_id"),
+        expr(s"array_distinct(${sparkShingleHashes("text")})").as("sh"))
+      .withColumn("n_sh", expr("CAST(size(sh) AS BIGINT)")))
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+    val exact = ex.as("x").join(ex.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .filter(expr("3 * i >= na + nb"))
+      .withColumn("bucket", expr("CAST(length(bin(least(na, nb))) - 1 AS BIGINT)"))
+      .select("doc_a", "doc_b", "bucket")
+    val det = minhashPairs(docs).select("doc_a", "doc_b")
+    val hits = exact.join(det, Seq("doc_a", "doc_b"), "left_semi")
+    exact.groupBy("bucket").agg(count(lit(1)).as("n_exact"))
+      .join(hits.groupBy("bucket").agg(count(lit(1)).as("n_hits")), Seq("bucket"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 div n_exact"))
+      .select("bucket", "n_exact", "n_hits", "recall_ppm")
+      .orderBy("bucket")
+  }
+
+  // lazy: interpolates dedupMinhashSql, declared later in this object —
+  // a strict val here would capture null (Scala init order), which
+  // silently corrupts the oracle into unparseable SQL.
+  lazy val dedupLenBiasSql: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, list_distinct(${duckShingleHashes("text")}) AS sh FROM documents
+       |), sized AS (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sets
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS h FROM sets
+       |), inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(length(bin(least(sa.n, sb.n))) - 1 AS BIGINT) AS bucket
+       |  FROM inter
+       |  JOIN sized sa ON inter.doc_a = sa.doc_id
+       |  JOIN sized sb ON inter.doc_b = sb.doc_id
+       |  WHERE 3 * i >= sa.n + sb.n
+       |), det AS (
+       |  SELECT doc_a, doc_b FROM ($dedupMinhashSql) d
+       |), hits AS (
+       |  SELECT e.bucket FROM exact e JOIN det USING (doc_a, doc_b)
+       |), eb AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+       |), hb AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits GROUP BY 1
+       |)
+       |SELECT eb.bucket, eb.n_exact, COALESCE(hb.n_hits, 0) AS n_hits,
+       |  COALESCE(hb.n_hits, 0) * 1000000 // eb.n_exact AS recall_ppm
+       |FROM eb LEFT JOIN hb ON eb.bucket = hb.bucket ORDER BY 1""".stripMargin
+
   /** MinHash (k=12) + LSH (4 bands × 3 rows): candidates share a band
     * bucket; verified by signature agreement ≥ 0.5.
     */
@@ -820,14 +949,84 @@ object Dedup {
        |  (cluster_size - 1) * CAST(COUNT(*) AS BIGINT) AS n_removable
        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-source dedup impact: what near-dup dedup would DO to the
+    * corpus mixture — doc and token mass removed per source if every
+    * cluster kept only its min-id representative. The table you read
+    * next to corpus_mix before training: dedup shifts the source
+    * weights (boilerplate-heavy sources lose disproportionate mass),
+    * and this quantifies the shift BEFORE you re-balance.
+    *
+    * Scale shape: token counts are map-side codegen column math (the
+    * text_tokens expression); the cluster frame is output-sized
+    * (docs-in-pairs only, dedup_clusters' artifact) and joins back on
+    * doc_id; the rollup is one source-bounded partial agg. Drop rule =
+    * cluster member with cluster_id ≠ doc_id (the min-id member IS the
+    * cluster label, so exactly one survivor per cluster by
+    * construction).
+    */
+  def corpusDedupImpact(s: SparkSession, dir: String): DataFrame =
+    dedupImpactFor(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)").as("n_tokens")),
+      dedupClusters(s, dir))
+
+  /** the impact rollup over ANY (doc_id, source, n_tokens) frame and
+    * ANY (doc_id, cluster_id) cluster frame whose labels are min
+    * member ids — library entry point (pair it with
+    * [[connectedComponents]] over whichever near-dup pair frame the
+    * pipeline trusts).
+    */
+  def dedupImpactFor(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    docs.join(clusters.select("doc_id", "cluster_id"), Seq("doc_id"), "left")
+      .withColumn("dropped", expr(
+        "CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dropped")).as("n_dropped"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(expr("dropped * n_tokens")).as("tokens_dropped"))
+      .withColumn("doc_drop_ppm", expr("n_dropped * 1000000 div n_docs"))
+      .withColumn("token_drop_ppm", expr(
+        "CASE WHEN tokens_total = 0 THEN CAST(0 AS BIGINT) ELSE tokens_dropped * 1000000 div tokens_total END"))
+      .select("source", "n_docs", "n_dropped", "tokens_total", "tokens_dropped",
+        "doc_drop_ppm", "token_drop_ppm")
+      .orderBy("source")
+  }
+
+  val corpusDedupImpactSql: String =
+    s"""WITH clusters AS (
+       |  SELECT doc_id, cluster_id FROM ($dedupClustersSql) c
+       |), docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), flagged AS (
+       |  SELECT source, n_tokens,
+       |    CASE WHEN cluster_id IS NOT NULL AND cluster_id <> doc_id
+       |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS dropped
+       |  FROM docs LEFT JOIN clusters USING (doc_id)
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(dropped * n_tokens) AS BIGINT) AS tokens_dropped,
+       |  CAST(SUM(dropped) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS doc_drop_ppm,
+       |  CASE WHEN CAST(SUM(n_tokens) AS BIGINT) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(SUM(dropped * n_tokens) AS BIGINT) * 1000000
+       |            // CAST(SUM(n_tokens) AS BIGINT) END AS token_drop_ppm
+       |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters_hist" -> (dedupClustersHist _),
+    "corpus_dedup_impact" -> (corpusDedupImpact _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_banding_sweep" -> (dedupBandingSweep _),
     "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_prefix" -> (dedupPrefix _),
+    "dedup_len_bias" -> (dedupLenBias _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram" -> (dedupNgram _),
@@ -836,12 +1035,15 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_clusters_hist" -> dedupClustersHistSql,
+    "corpus_dedup_impact" -> corpusDedupImpactSql,
     "dedup_minhash_recall" -> dedupMinhashRecallSql,
     "dedup_banding_sweep" -> dedupBandingSweepSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_prefix" -> dedupPrefixSql,
+    "dedup_len_bias" -> dedupLenBiasSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram" -> dedupNgramSql,

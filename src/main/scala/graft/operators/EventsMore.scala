@@ -604,7 +604,78 @@ object EventsMore {
        |  COUNT(*) AS n_users
        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Rolling-baseline anomaly gate: per (type, day), is today's count
+    * more than 2σ from the TRAILING 7-day window (previous 7 days,
+    * current day excluded)? The production alerting shape —
+    * events_anomaly's global z-score can't see a Tuesday spike on a
+    * series with weekday seasonality; a trailing local baseline can.
+    *
+    * Scale shape: corpus → calendar-bounded (type, day) frame in ONE
+    * partial agg; the axis is gap-filled from the AGGREGATED frame
+    * (events_gap_fill's rule — silent days are real zeros, not missing
+    * rows, or the window math lies); both rolling sums are
+    * type-partitioned ROWS-frame windows over the dense axis — bounded
+    * by the calendar, never the corpus. The 2σ predicate cross-
+    * multiplies in wide integers ((7c−Σ)² > 4(7Σx²−Σ²) — the σ and μ
+    * denominators cancel), DECIMAL(38,0) on Spark / HUGEINT on DuckDB
+    * (the events_srm convention): no float anywhere, Σx² safe past
+    * 10⁹-event days.
+    */
+  def eventsRollingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, dir)
+      .withColumn("day", expr(s"ts_us div $dayUs"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+    val axis = counts.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val dense = axis.join(counts, Seq("event_type", "day"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    dense
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_sum", sum("n_events").over(w))
+      .withColumn("win_sumsq",
+        sum(expr("CAST(n_events AS DECIMAL(38,0)) * n_events")).over(w))
+      .filter(col("win_n") === 7)
+      .withColumn("dev", expr("7 * n_events - win_sum"))
+      .withColumn("is_anomaly", expr(
+        """CAST(CASE WHEN CAST(dev AS DECIMAL(38,0)) * dev >
+          |  4 * (7 * win_sumsq - CAST(win_sum AS DECIMAL(38,0)) * win_sum)
+          |  THEN 1 ELSE 0 END AS BIGINT)""".stripMargin))
+      .select("event_type", "day", "n_events", "win_sum", "is_anomaly")
+      .orderBy("event_type", "day")
+  }
+
+  val eventsRollingAnomalySql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, epoch_us(ts) // $dayUs AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), b AS (
+       |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM c GROUP BY 1
+       |), axis AS (
+       |  SELECT event_type, UNNEST(generate_series(d0, d1)) AS day FROM b
+       |), dense AS (
+       |  SELECT axis.event_type, axis.day, COALESCE(c.n_events, 0) AS n_events
+       |  FROM axis LEFT JOIN c ON axis.event_type = c.event_type AND axis.day = c.day
+       |), wf AS (
+       |  SELECT event_type, day, n_events,
+       |    COUNT(*) OVER w AS win_n,
+       |    CAST(SUM(n_events) OVER w AS BIGINT) AS win_sum,
+       |    SUM(CAST(n_events AS HUGEINT) * n_events) OVER w AS win_sumsq
+       |  FROM dense
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT event_type, day, n_events, win_sum,
+       |  CAST(CASE WHEN CAST(7 * n_events - win_sum AS HUGEINT) * (7 * n_events - win_sum) >
+       |    4 * (7 * win_sumsq - CAST(win_sum AS HUGEINT) * win_sum)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+       |FROM wf WHERE win_n = 7 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rolling_anomaly" -> (eventsRollingAnomaly _),
     "events_daily_topk" -> (eventsDailyTopk _),
     "events_ttconvert" -> (eventsTtconvert _),
     "events_forecast" -> (eventsForecast _),
@@ -623,6 +694,7 @@ object EventsMore {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_rolling_anomaly" -> eventsRollingAnomalySql,
     "events_daily_topk" -> eventsDailyTopkSql,
     "events_ttconvert" -> eventsTtconvertSql,
     "events_forecast" -> eventsForecastSql,

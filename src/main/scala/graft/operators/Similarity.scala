@@ -1162,6 +1162,186 @@ object Similarity {
        |  ON exact.query_id = approx.query_id AND exact.neighbor_id = approx.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The nprobe sweep's probe counts — the IVF recall/cost knob's
+    * candidate settings ([[Nprobe]] = 2 is the production choice this
+    * table justifies).
+    */
+  val ProbeSweepConfigs: Seq[Int] = Seq(1, 2, 4)
+
+  /** IVF nprobe sweep: candidate volume + recall@k vs exact brute
+    * force for EVERY probe count in [[ProbeSweepConfigs]] — the
+    * evidence table behind the nprobe choice, the ANN mirror of
+    * dedup_banding_sweep (one table that shows where recall saturates
+    * while cost keeps climbing linearly in nprobe).
+    *
+    * Cost shape: the index build (centroids → assignment) and the
+    * exact grading side are each paid ONCE and shared across configs;
+    * each config adds only query-bounded work (its probe list × cell
+    * members — nprobe·(n/cells) candidate rows per query). At 100 TB
+    * the whole sweep is a driver-table-sized artifact computed from
+    * one corpus pass plus query-bounded probes.
+    */
+  def knnProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = withVec(s, dir)
+    val cents = Materialize.stable(refineCents(vecs))
+    val assign = Materialize.stable(cellAssign(vecs, cents))
+    val exact = Materialize.stable(
+      knnBruteforce(s, dir).select(col("query_id"), col("neighbor_id")))
+    val rows = ProbeSweepConfigs.map { np =>
+      val probes = queryProbes(vecs, cents, np)
+      val joined = probes.join(
+          assign.select(col("vec_id").as("neighbor_id"), col("cell"), col("v")),
+          Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val approx = joined
+        .withColumn("cosine", expr(sparkCosine("qv", "v")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= KnnK)
+        .select("query_id", "neighbor_id")
+      s.range(1).select(lit(np.toLong).as("nprobe"))
+        .crossJoin(broadcast(joined.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))))
+    }
+    rows.reduce(_ union _)
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      .select("nprobe", "n_candidates", "n_exact", "n_hit", "recall_ppm")
+      .orderBy("nprobe")
+  }
+
+  val knnProbeSweepSql: String = {
+    val ctes = ProbeSweepConfigs.map { np =>
+      s"""cand_$np AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    ${duckCosine("q.qv", "a.v")} AS cosine
+         |  FROM qscore q JOIN assign a ON q.cell = a.cell AND a.vec_id <> q.query_id
+         |  WHERE q.crank <= $np
+         |), approx_$np AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM cand_$np) r
+         |  WHERE rank <= $KnnK
+         |), hit_$np AS (
+         |  SELECT e.query_id, e.neighbor_id FROM exact e
+         |  JOIN approx_$np a USING (query_id, neighbor_id)
+         |)""".stripMargin
+    }
+    val rows = ProbeSweepConfigs.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$np) AS n_candidates,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit_$np) AS n_hit""".stripMargin
+    }
+    s"""$knnAssignCte, qscore AS (
+       |  SELECT vecs.vec_id AS query_id, cents.cent_id AS cell, vecs.v AS qv,
+       |    ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |      ORDER BY ${duckCosine("vecs.v", "cents.cv")} DESC, cents.cent_id) AS crank
+       |  FROM vecs CROSS JOIN cents WHERE vecs.vec_id < $QuerySetSize
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM ($knnBruteforceSql) e
+       |), ${ctes.mkString(", ")},
+       |nex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact)
+       |SELECT nprobe, n_candidates, n_exact, n_hit,
+       |  n_hit * 1000000 // n_exact AS recall_ppm
+       |FROM (${rows.mkString(" UNION ALL ")}) u, nex
+       |ORDER BY nprobe""".stripMargin
+  }
+
+  /** 1-bit (sign) binary quantization retrieval gate: recall@k of
+    * Hamming-distance top-k over sign-bit codes vs full-precision
+    * exact cosine — the binary-embedding production lever (64 dims →
+    * 8 BYTES per vector, a 32× cut vs f32; Hamming is two XOR+popcount
+    * instructions, so candidate scoring is ~100× cheaper than a float
+    * dot product). Read this gate before switching the retrieval tier
+    * to binary codes with an exact rerank.
+    *
+    * Scale shape: the code build is one map-side HOF pass (bits live
+    * in two BIGINT words — 32 bits each, so the fold never touches the
+    * sign bit under ANSI overflow checking); scoring is the
+    * knn_bruteforce broadcast shape with integer XOR/popcount in place
+    * of the 64-term float dot product. Every arithmetic step is
+    * integer, so the oracle is bit-exact by construction.
+    */
+  /** sign-bit binary codes over ANY (vec_id, v: array<double>) frame:
+    * 64 dims → two 32-bit words in BIGINT columns `w0`/`w1` (the fold
+    * never touches BIGINT's sign bit, so it is safe under ANSI
+    * overflow checking). Map-side HOF column math — the library
+    * entry point behind knn_hamming_recall.
+    */
+  def signBitCodes(vecs: DataFrame): DataFrame = {
+    def word(lo: Int): String =
+      s"""aggregate(transform(sequence(0, 31),
+         |  i -> IF(element_at(v, i + $lo) > CAST(0 AS DOUBLE),
+         |          shiftleft(CAST(1 AS BIGINT), 31 - i), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin.replaceAll("\n\\s*", " ")
+    vecs.select(col("vec_id"), expr(word(1)).as("w0"), expr(word(33)).as("w1"))
+  }
+
+  /** Hamming top-k over a [[signBitCodes]] frame: for every code row
+    * satisfying `isQuery`, the k nearest corpus codes by XOR+popcount
+    * distance (ties on the smaller vec_id). The query side broadcasts
+    * (knn_bruteforce's shape); scoring is integer-only.
+    */
+  def hammingTopK(codes: DataFrame, isQuery: org.apache.spark.sql.Column,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = codes.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("w0").as("q0"), col("w1").as("q1"))
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ham", expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)"))
+    val w = Window.partitionBy("query_id").orderBy(col("ham").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("ham").cast("long").as("hamming"))
+  }
+
+  def knnHammingRecall(s: SparkSession, dir: String): DataFrame = {
+    val approx = hammingTopK(signBitCodes(withVec(s, dir)),
+        col("vec_id") < QuerySetSize, KnnK)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val exact = knnBruteforce(s, dir).select(col("query_id"), col("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div n_exact"))
+      .orderBy("query_id")
+  }
+
+  val knnHammingRecallSql: String = {
+    def word(lo: Int): String =
+      s"CAST(list_aggregate(list_transform(range(0, 32), i -> CASE WHEN v[i + $lo] > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << (31 - i)) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT)"
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), codes AS (
+       |  SELECT vec_id, ${word(1)} AS w0, ${word(33)} AS w1 FROM vecs
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) AS ham
+       |  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $QuerySetSize
+       |), approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ham ASC, neighbor_id) AS rank
+       |    FROM scored) r
+       |  WHERE rank <= $KnnK
+       |), exact AS (SELECT query_id, neighbor_id FROM ($knnBruteforceSql) e
+       |)
+       |SELECT exact.query_id, COUNT(*) AS n_exact,
+       |  COUNT(approx.neighbor_id) AS n_hit,
+       |  COUNT(approx.neighbor_id) * 1000000 // COUNT(*) AS recall_ppm
+       |FROM exact LEFT JOIN approx
+       |  ON exact.query_id = approx.query_id AND exact.neighbor_id = approx.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Farthest-from-centroid outliers per label: the label-noise /
     * drift audit over embed_centroid's prototype table ("which vectors
     * least belong to their assigned class"). Distances stay exact
@@ -1523,6 +1703,8 @@ object Similarity {
     "embed_dim_stats" -> (embedDimStats _),
     "knn_pq_recall" -> (knnPqRecall _),
     "knn_mrl_recall" -> (knnMrlRecall _),
+    "knn_probe_sweep" -> (knnProbeSweep _),
+    "knn_hamming_recall" -> (knnHammingRecall _),
     "embed_outlier" -> (embedOutlier _),
     "knn_classify" -> (knnClassify _),
     "embed_centroid" -> (embedCentroid _),
@@ -1547,6 +1729,8 @@ object Similarity {
     "embed_dim_stats" -> embedDimStatsSql,
     "knn_pq_recall" -> knnPqRecallSql,
     "knn_mrl_recall" -> knnMrlRecallSql,
+    "knn_probe_sweep" -> knnProbeSweepSql,
+    "knn_hamming_recall" -> knnHammingRecallSql,
     "embed_outlier" -> embedOutlierSql,
     "knn_classify" -> knnClassifySql,
     "embed_centroid" -> embedCentroidSql,

@@ -24,7 +24,7 @@ import graft.sources.Tables
   */
 object WebCorpus {
 
-  private val Domains = Seq(
+  val Domains = Seq(
     "alpha.example.com", "beta.example.org", "gamma.example.net",
     "delta.example.io", "epsilon.example.dev", "zeta.example.co",
     "eta.example.app", "theta.example.site")

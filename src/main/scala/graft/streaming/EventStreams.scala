@@ -516,6 +516,74 @@ object EventStreams {
       }
   }
 
+  /** rolling-anomaly working set per type: the axis origin (minDay —
+    * the batch operator scores a day only once 7 AXIS days precede it)
+    * plus the trailing ≤8-day dense count window. Fixed-width state,
+    * never history-sized.
+    */
+  case class RollingAnomState(minDay: Long, days: Map[Long, Long])
+
+  /** Streaming twin of the batch `events_rolling_anomaly` trailing-
+    * baseline alert: keyed by event type, carries [[RollingAnomState]]
+    * and emits a (type, day, n_so_far, win_sum, is_anomaly) upsert
+    * whenever a scoreable day's count grows. The DENSE-AXIS rule is
+    * preserved incrementally: when the frontier jumps from f to d,
+    * the silent days (f, d) are materialized as real zeros, scored,
+    * and emitted exactly once (they can never change — late
+    * behind-frontier rows drop, the forecast twin's discipline), so a
+    * last-write-wins consumer (max struct(n_so_far, …) per (type,
+    * day) — n_so_far grows monotonically across re-emissions)
+    * reconstructs the batch table exactly under any split. The 2σ
+    * predicate is the batch operator's integer cross-multiplication
+    * ((7c−Σ)² > 4(7Σx²−Σ²)) evaluated in BigInt — no float, no
+    * overflow. A day's trailing window is already final at its first
+    * emission (its 7 predecessors are behind the frontier), so
+    * win_sum never changes across a day's re-emissions.
+    */
+  def rollingAnomalyStream(rows: Dataset[(String, Long)])
+      : Dataset[(String, Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, it: Iterator[(String, Long)],
+            state: GroupState[RollingAnomState]) =>
+          val byDay = it.toSeq.groupBy(_._2).view
+            .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+          var (minDay, days) = state.getOption
+            .map(s => (s.minDay, s.days))
+            .getOrElse((Long.MinValue, Map.empty[Long, Long]))
+          var frontier = if (days.isEmpty) Long.MinValue else days.keys.max
+          val out = Seq.newBuilder[(String, Long, Long, Long, Long)]
+          def score(d: Long): Unit = if (minDay != Long.MinValue && d - minDay >= 7) {
+            val c = days.getOrElse(d, 0L)
+            val win = ((d - 7) until d).map(days.getOrElse(_, 0L))
+            val s7 = win.sum
+            val sq = win.map(x => BigInt(x) * x).sum
+            val dev = BigInt(7L * c - s7)
+            val flag = if (dev * dev > 4 * (7 * sq - BigInt(s7) * s7)) 1L else 0L
+            out += ((tpe, d, c, s7, flag))
+          }
+          byDay.foreach { case (d, c) =>
+            if (frontier == Long.MinValue) {
+              minDay = d; frontier = d; days = Map(d -> c); score(d)
+            } else if (d == frontier) {
+              days = days.updated(d, days(d) + c); score(d)
+            } else if (d > frontier) {
+              ((frontier + 1) until d).foreach { z =>
+                days = (days + (z -> 0L)).filter { case (k, _) => k >= z - 7 }
+                score(z)
+              }
+              days = (days + (d -> c)).filter { case (k, _) => k >= d - 7 }
+              frontier = d
+              score(d)
+            } // d < frontier: late out-of-order — dropped
+          }
+          state.update(RollingAnomState(minDay, days))
+          out.result().iterator
+      }
+  }
+
   /** one candle of carried state: the open/close carry their (ts_us,
     * event_id) total-order position so cross-batch comparisons use the
     * batch operator's exact `ord` tiebreak, not arrival order.

@@ -400,6 +400,38 @@ object ApiTour {
         .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
       w.count() == docs.count() && joined(true) > joined(false)
     })
+    check("corpus.bandingSweep: one row per (bands, rows) config, counts bounded")({
+      val rows = CorpusOps.bandingSweep(docs.limit(300)).collect()
+      rows.length == graft.operators.Dedup.BandingConfigs.length &&
+        rows.forall(r => r.getAs[Long]("n_hits") <=
+          math.min(r.getAs[Long]("n_detected"), r.getAs[Long]("n_exact")))
+    })
+    check("corpus.reciprocalLinks finds exactly the hand-built mutual pair")({
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("u", "v")
+      CorpusOps.reciprocalLinks(edges, "u", "v").collect()
+        .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet ==
+        Set((1L, 2L), (2L, 1L))
+    })
+    check("corpus.binaryCodes: two bounded sign words per vector")({
+      val c = CorpusOps.binaryCodes(Tables.embeddings(spark, sfDir))
+      c.count() == Tables.embeddings(spark, sfDir).count() &&
+        c.filter(expr("w0 < 0 OR w0 > 4294967295 OR w1 < 0 OR w1 > 4294967295"))
+          .count() == 0
+    })
+    check("corpus.hammingNeighbors: k rows per query, distances within 64")({
+      val c = CorpusOps.binaryCodes(Tables.embeddings(spark, sfDir))
+      val nn = CorpusOps.hammingNeighbors(c, col("vec_id") < 5, 3)
+      nn.count() == 15L &&
+        nn.filter(expr("hamming < 0 OR hamming > 64")).count() == 0
+    })
+    check("corpus.dedupImpact conserves docs and flags the planted near-dup mass")({
+      val pairs = CorpusOps.nearDupPairs(docs).select("doc_a", "doc_b")
+      val imp = CorpusOps.dedupImpact(docs, pairs)
+      imp.agg(sum("n_docs")).head.getLong(0) == docs.count() &&
+        imp.filter(expr("n_dropped > n_docs OR tokens_dropped > tokens_total"))
+          .count() == 0
+    })
 
     // ---- graft_* kernels from pure SQL text (the injectFunction path:
     // a SQL-only user on a cluster with

@@ -1086,4 +1086,219 @@ class OperatorInvariantSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("comp_ppm")) <= 1000000L)
     }
   }
+
+  test("dedup_banding_sweep: S-curve monotone in bands; 4x3 row == the recall gate's counts") {
+    val rows = operators.Dedup.dedupBandingSweep(spark, sf).collect()
+    assert(rows.map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band"))).toSeq ==
+      operators.Dedup.BandingConfigs.map { case (b, r) => (b.toLong, r.toLong) })
+    // every config grades against the SAME exact set
+    assert(rows.map(_.getAs[Long]("n_exact")).distinct.length == 1)
+    rows.foreach { r =>
+      val (cand, det, hits, ex) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_detected"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("n_exact"))
+      assert(det <= cand, "detected pairs are a subset of candidates")
+      assert(hits <= math.min(det, ex))
+      assert(r.getAs[Long]("recall_ppm") == (if (ex == 0) 0L else hits * 1000000L / ex))
+      assert(r.getAs[Long]("precision_ppm") == (if (det == 0) 0L else hits * 1000000L / det))
+    }
+    // more bands × fewer rows per band = a steeper left S-curve:
+    // candidate volume and recall must both be non-decreasing in bands
+    val byBands = rows.sortBy(_.getAs[Long]("bands"))
+    byBands.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_candidates") <= b.getAs[Long]("n_candidates"),
+        "candidate volume must grow with band count")
+      assert(a.getAs[Long]("recall_ppm") <= b.getAs[Long]("recall_ppm"),
+        "recall must not drop as bands increase")
+    }
+    // the production config's row must agree with dedup_minhash_recall
+    // (same banding, same exact set — the sweep generalizes the gate)
+    val gate = operators.Dedup.dedupMinhashRecall(spark, sf).collect().head
+    val prod = rows.find(r =>
+      r.getAs[Long]("bands") == graft.functions.PortableHash.MinhashBands.toLong).get
+    assert(prod.getAs[Long]("n_exact") == gate.getAs[Long]("n_exact_pairs"))
+    assert(prod.getAs[Long]("n_detected") == gate.getAs[Long]("n_detected_pairs"))
+    assert(prod.getAs[Long]("n_hits") == gate.getAs[Long]("n_hits"))
+  }
+
+  test("knn_mrl_recall: grades every query against the exact top-k; refuses untrained prefixes") {
+    val rows = operators.Similarity.knnMrlRecall(spark, sf).collect()
+    assert(rows.length == operators.Similarity.QuerySetSize)
+    rows.foreach { r =>
+      val (ex, hit) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"))
+      assert(ex == operators.Similarity.KnnK.toLong)
+      assert(hit <= ex)
+      assert(r.getAs[Long]("recall_ppm") == hit * 1000000L / ex)
+    }
+    // the synthetic embeddings are NOT matryoshka-trained: their
+    // 16-dim prefix carries no privileged mass, so the gate must read
+    // LOW overall — refusing the truncation is the gate working. (On
+    // MRL-trained vectors the same query reads near 10^6.)
+    val mean = rows.map(_.getAs[Long]("recall_ppm")).sum / rows.length
+    assert(mean < 500000L, s"untrained prefix should not retrieve well (mean $mean ppm)")
+  }
+
+  test("web_reciprocity: reciprocalEdges matches a driver recount; ppm exact") {
+    val rows = operators.WebCorpus.webReciprocity(spark, sf).collect()
+    assert(rows.length == operators.WebCorpus.Domains.length)
+    rows.foreach { r =>
+      val (e, rec) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_reciprocal"))
+      assert(rec <= e, "reciprocal edges are a subset of edges")
+      assert(r.getAs[Long]("recip_ppm") == (if (e == 0) 0L else rec * 1000000L / e))
+    }
+    // hand-recount on a tiny hand graph: 1<->2 reciprocal, 1->3 not
+    val edges = spark.createDataFrame(Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L)))
+      .toDF("src", "dst")
+    val got = operators.WebCorpus.reciprocalEdges(edges).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(got == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("knn_probe_sweep: monotone in nprobe; production row == knn_recall's grade") {
+    val rows = operators.Similarity.knnProbeSweep(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq ==
+      operators.Similarity.ProbeSweepConfigs.map(_.toLong))
+    assert(rows.map(_.getAs[Long]("n_exact")).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_hit") * 1000000L / r.getAs[Long]("n_exact"))
+    }
+    // probing MORE cells can only add candidates and hits
+    rows.sortBy(_.getAs[Long]("nprobe")).sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_candidates") <= b.getAs[Long]("n_candidates"))
+      assert(a.getAs[Long]("n_hit") <= b.getAs[Long]("n_hit"))
+    }
+    // the nprobe=2 row must agree with knn_recall (same index, same
+    // probes, same exact side — the sweep generalizes the gate)
+    val gate = operators.Similarity.knnRecall(spark, sf).collect()
+    val gateHits = gate.map(_.getAs[Long]("n_hit")).sum
+    val prod = rows.find(_.getAs[Long]("nprobe") == operators.Similarity.Nprobe.toLong).get
+    assert(prod.getAs[Long]("n_hit") == gateHits,
+      s"sweep nprobe=2 hits ${prod.getAs[Long]("n_hit")} vs knn_recall $gateHits")
+  }
+
+  test("knn_hamming_recall: sign codes recounted driver-side; recall beats random") {
+    val rows = operators.Similarity.knnHammingRecall(spark, sf).collect()
+    assert(rows.length == operators.Similarity.QuerySetSize)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_hit") * 1000000L / r.getAs[Long]("n_exact"))
+    }
+    // driver recount of one query's hamming ranking (vec_id 0): the
+    // top-k by (hamming, vec_id) over sign bits must reproduce n_hit
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(r => r.getAs[Long](0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def bits(v: Array[Double]) = v.map(x => if (x > 0) 1 else 0)
+    val q = bits(vecs.find(_._1 == 0L).get._2)
+    val ranked = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (bits(v).zip(q).count { case (a, b) => a != b }, id) }
+      .sorted.take(operators.Similarity.KnnK).map(_._2).toSet
+    val exact = operators.Similarity.knnBruteforce(spark, sf).collect()
+      .filter(_.getAs[Long]("query_id") == 0L).map(_.getAs[Long]("neighbor_id")).toSet
+    val expectHit = (ranked & exact).size.toLong
+    val got = rows.find(_.getAs[Long]("query_id") == 0L).get.getAs[Long]("n_hit")
+    assert(got == expectHit, s"query 0: spark n_hit $got vs driver recount $expectHit")
+    // 64 sign bits preserve coarse cosine structure even on synthetic
+    // vectors — the family mean must beat the random-top-k baseline
+    // (k/n ~ 0.6% at sf0.01) by a wide margin
+    val mean = rows.map(_.getAs[Long]("recall_ppm")).sum / rows.length
+    assert(mean > 100000L, s"sign-bit retrieval no better than chance (mean $mean ppm)")
+  }
+
+  test("corpus_dedup_impact: conserves the corpus; exactly one survivor per cluster") {
+    val rows = operators.Dedup.corpusDedupImpact(spark, sf).collect()
+    val docs = sources.Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_dropped") <= r.getAs[Long]("tokens_total"))
+      assert(r.getAs[Long]("doc_drop_ppm") ==
+        r.getAs[Long]("n_dropped") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+    // total dropped == clustered docs minus one representative per
+    // cluster (the min-id member is the label, so it survives)
+    val clusters = operators.Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val expectDropped = clusters.count { case (d, c) => d != c }
+    assert(clusters.groupBy(_._2).forall { case (c, ms) => ms.map(_._1).min == c },
+      "every cluster label must be its min member id")
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum == expectDropped.toLong)
+  }
+
+  test("dedup_prefix: groups match a driver-side recount; >=24-word tail-edits caught") {
+    val groups = operators.Dedup.dedupPrefix(spark, sf).collect()
+      .map(r => r.getAs[Long]("rep_id") -> r.getAs[Long]("n_docs")).toMap
+    // full recount: prefix strings of corpus + planted tail-edit copies
+    val texts = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val pw = operators.Dedup.PrefixWords
+    def prefix(t: String) = t.split(" ").filter(_.nonEmpty).take(pw).mkString(" ")
+    val all = texts ++ texts.filter(_._1 % 10 == 4)
+      .map { case (d, t) => (d + 200000L) -> (t + " editor note appended after republish") }
+    val expect = all.groupBy { case (_, t) => prefix(t) }.values
+      .filter(_.length > 1)
+      .map(ms => ms.map(_._1).min -> ms.length.toLong).toMap
+    assert(groups == expect, s"group mismatch: spark-only=${groups.toSet -- expect.toSet}, " +
+      s"recount-only=${expect.toSet -- groups.toSet}")
+    // semantics: every planted tail-edit of a >=24-word doc shares its
+    // original's prefix, so it lands in a caught group (possibly under
+    // a smaller natural-prefix-collision rep); short docs hash part of
+    // the appended tail and legitimately escape the prefix rule
+    val caught = all.groupBy { case (_, t) => prefix(t) }.values
+      .filter(_.length > 1).flatMap(_.map(_._1)).toSet
+    texts.filter { case (d, t) =>
+      d % 10 == 4 && t.split(" ").count(_.nonEmpty) >= pw
+    }.foreach { case (d, _) =>
+      assert(caught.contains(d + 200000L), s"planted tail-edit of $d not in any group")
+    }
+  }
+
+  test("dedup_len_bias: buckets partition the recall gate's exact/hit sets") {
+    val rows = operators.Dedup.dedupLenBias(spark, sf).collect()
+    val gate = operators.Dedup.dedupMinhashRecall(spark, sf).collect().head
+    assert(rows.map(_.getAs[Long]("n_exact")).sum == gate.getAs[Long]("n_exact_pairs"),
+      "bucketed exact pairs must sum to the gate's total")
+    assert(rows.map(_.getAs[Long]("n_hits")).sum == gate.getAs[Long]("n_hits"),
+      "bucketed hits must sum to the gate's total")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("recall_ppm") ==
+        r.getAs[Long]("n_hits") * 1000000L / r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("bucket") >= 0L && r.getAs[Long]("bucket") <= 14L)
+    }
+  }
+
+  test("events_rolling_anomaly: flags match a driver recompute over the dense axis") {
+    val out = operators.EventsMore.eventsRollingAnomaly(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("win_sum"), r.getAs[Long]("is_anomaly")))
+      .toMap
+    val counts = sources.Tables.events(spark, sf)
+      .withColumn("day", expr("ts_us div 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byType = counts.keys.groupBy(_._1)
+    var checked = 0
+    byType.foreach { case (t, ks) =>
+      val d0 = ks.map(_._2).min
+      val d1 = ks.map(_._2).max
+      val dense = (d0 to d1).map(d => counts.getOrElse((t, d), 0L)).toArray
+      // scored days = full-window days only
+      assert(out.keys.count(_._1 == t) == math.max(0, dense.length - 7).toInt)
+      (7 until dense.length).foreach { i =>
+        val win = dense.slice(i - 7, i)
+        val (c, s7, sq) = (dense(i), win.sum, win.map(x => BigInt(x) * x).sum)
+        val dev = BigInt(7 * c - s7)
+        val expectFlag = if (dev * dev > 4 * (7 * sq - BigInt(s7) * s7)) 1L else 0L
+        val (gc, gs, gf) = out((t, d0 + i))
+        assert(gc == c && gs == s7 && gf == expectFlag,
+          s"$t day ${d0 + i}: got ($gc,$gs,$gf) want ($c,$s7,$expectFlag)")
+        checked += 1
+      }
+    }
+    assert(checked > 50, s"recompute covered only $checked scored days")
+  }
 }

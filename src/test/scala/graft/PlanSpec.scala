@@ -128,7 +128,11 @@ class PlanSpec extends SparkSpec {
       // dedup_banding_sweep combines per-config ONE-ROW count
       // aggregates (the dedup_minhash_recall shape); web_reciprocity
       // attaches the one-row p_count total (the q22 idiom)
-      "knn_mrl_recall", "dedup_banding_sweep", "web_reciprocity")
+      "knn_mrl_recall", "dedup_banding_sweep", "web_reciprocity",
+      // round 10 batch 2: knn_probe_sweep shares the recall-gate shape
+      // (broadcast query/exact crosses + per-config ONE-ROW counts);
+      // knn_hamming_recall composes knn_bruteforce's broadcast cross
+      "knn_probe_sweep", "knn_hamming_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

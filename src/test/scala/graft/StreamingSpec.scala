@@ -1541,6 +1541,66 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_rolling_anomaly: silent days score as real zeros, LWW view == batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: day 0 holds 3 events, then a jump to day 8 across the
+    // batch boundary — day 7 is the first full-window axis day and must
+    // be scored as a ZERO (baseline still carries day 0's mass, no
+    // flag); day 8's window is all-zero, so its single event is an
+    // anomaly; a second day-8 event re-emits with the same window
+    val mem = MemoryStream[(String, Long)]
+    val q = EventStreams.rollingAnomalyStream(mem.toDS())
+      .toDF("event_type", "day", "n_so_far", "win_sum", "is_anomaly")
+      .writeStream.format("memory").queryName("ra").outputMode("append").start()
+    try {
+      mem.addData(("A", 0L), ("A", 0L), ("A", 0L))
+      q.processAllAvailable()
+      mem.addData(("A", 8L))
+      q.processAllAvailable()
+      mem.addData(("A", 8L))
+      q.processAllAvailable()
+      val got = spark.table("ra").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == Set(("A", 7L, 0L, 3L, 0L), ("A", 8L, 1L, 0L, 1L), ("A", 8L, 2L, 0L, 1L)),
+        s"got $got")
+    } finally q.stop()
+
+    // equivalence: the real events table, ts-ordered, split at the
+    // median — the last-write-wins view must equal the batch operator
+    // row for row (n_so_far monotone per day ⇒ max struct is the LWW)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us"))
+      .as[(String, Long)].collect().sortBy(_._2)
+      .map { case (t, ts) => (t, ts / 86400000000L) }
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val mem2 = MemoryStream[(String, Long)]
+    val q2 = EventStreams.rollingAnomalyStream(mem2.toDS())
+      .toDF("event_type", "day", "n_so_far", "win_sum", "is_anomaly")
+      .writeStream.format("memory").queryName("ra_eq").outputMode("append").start()
+    try {
+      mem2.addData(first.toSeq); q2.processAllAvailable()
+      mem2.addData(second.toSeq); q2.processAllAvailable()
+      val streamed = spark.table("ra_eq").groupBy("event_type", "day")
+        .agg(max(struct(col("n_so_far"), col("win_sum"), col("is_anomaly"))).as("b"))
+        .select(col("event_type"), col("day"), col("b.n_so_far").as("n_events"),
+          col("b.win_sum"), col("b.is_anomaly"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val batch = graft.operators.EventsMore.eventsRollingAnomaly(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(streamed == batch,
+        s"stream-only=${streamed -- batch}, batch-only=${batch -- streamed}")
+      // state stays one fixed-width record per type — never history-sized
+      val stateRows = q2.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).max
+      val nTypes = ev.map(_._1).distinct.length.toLong
+      assert(stateRows <= nTypes, s"state rows $stateRows exceed type count $nTypes")
+    } finally q2.stop()
+  }
+
   test("stream_forecast: lag-7 pairs complete at first emission, rollup == batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
