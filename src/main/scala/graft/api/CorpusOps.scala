@@ -636,4 +636,48 @@ object CorpusOps {
         expr(s"CAST(size(filter(split($textCol, ' '), w -> w <> '')) AS BIGINT)")
           .as("n_tokens")),
       graft.operators.Dedup.connectedComponents(pairs))
+
+  /** Containment near-dup pairs over any (id, text) frame: smaller
+    * side ≥90% contained at Jaccard < 0.5 — the asymmetric duplication
+    * (doc embedded in a longer digest) that J-thresholded dedup misses.
+    * Audit-path contract (Σ df² exact enumeration — run on a slice).
+    */
+  def containmentPairs(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.Dedup.containmentPairsFor(
+      prepared(docs0).select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** Per-group quota downsample of any frame: keep the `q` rows with
+    * the smallest deterministic hash rank inside each group (pure
+    * function of the id — reproducible, engine-independent, no RNG).
+    * The rank filter plans as WindowGroupLimit, so map tasks ship only
+    * their local top-q per group before the shuffle.
+    */
+  def quotaSample(df: DataFrame, groupCol: String, q: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(col(idCol) * lit(graft.operators.Corpus.SampleMixConst),
+      lit(1000000007L))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= q).drop("__rk")
+  }
+
+  /** Exact-cosine rerank of a candidate (query_id, neighbor_id) frame
+    * over any embedding frame — pair with [[hammingNeighbors]] for the
+    * binary-scan-then-rerank retrieval tier knn_rerank_gain gates.
+    */
+  def rerankNeighbors(df: DataFrame, candidates: DataFrame, k: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.operators.Similarity.rerankTopK(
+      df.select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v")),
+      candidates, k)
+
+  /** Connected components of any undirected (a, b) pair frame —
+    * min-label propagation with pointer doubling, O(log diameter)
+    * rounds; returns (doc_id, cluster_id = component min id).
+    */
+  def components(pairs: DataFrame): DataFrame =
+    graft.operators.Dedup.connectedComponents(pairs)
 }

@@ -462,7 +462,76 @@ object Corpus {
        |  n_pairs * 1000000 // n_total AS share_ppm
        |FROM by_pair, t ORDER BY split_lo, split_hi""".stripMargin
 
+  // ---- per-source quota cap ---------------------------------------------
+
+  /** Max docs kept per source — the Gopher/FineWeb-style domain
+    * balancing rule ("no source may contribute more than Q documents"),
+    * as opposed to [[sampleStratified]]'s RATE cap (a rate cannot bound
+    * a source whose size you don't know yet; a quota can).
+    */
+  val QuotaPerSource = 100L
+
+  /** Per-source quota downsample: keep the [[QuotaPerSource]] docs
+    * with the smallest deterministic hash rank inside each source —
+    * hash-ranked so the selection is a pure function of doc_id
+    * (uniform over the source, reproducible across retries/engines,
+    * no RNG), quota'd so a 100×-oversized crawl source cannot drown
+    * the mixture no matter its size. Output is the per-source audit:
+    * totals, kept counts, and the kept-set id/char checksums that make
+    * the selection verifiable without materializing it.
+    *
+    * Scale shape: the rank-filter plans as WindowGroupLimit — each map
+    * task keeps only its local top-Q per source BEFORE the shuffle, so
+    * the exchange carries ≤ Q·partitions rows per source, not the
+    * corpus (the same primitive the top-k operators lean on; a plain
+    * "rank then aggregate all rows" window would instead sort entire
+    * sources on single reducers). Totals come from an ordinary partial
+    * agg; the final join is sources×sources.
+    */
+  def corpusQuotaSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("h", pmod(col("doc_id") * lit(SampleMixConst), lit(1000000007L)))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    val kept = d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= QuotaPerSource)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("doc_id").as("sum_kept_ids"),
+        sum("n_chars").as("kept_chars"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .join(kept, Seq("source"))
+      .select("source", "n_docs", "n_kept", "sum_kept_ids", "total_chars", "kept_chars")
+      .orderBy("source")
+  }
+
+  val corpusQuotaSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars,
+       |    (doc_id * $SampleMixConst) % 1000000007 AS h
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+       |  FROM d
+       |), kept AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids,
+       |    CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+       |  FROM ranked WHERE rk <= $QuotaPerSource GROUP BY 1
+       |), tot AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT tot.source, n_docs, n_kept, sum_kept_ids, total_chars, kept_chars
+       |FROM tot JOIN kept ON tot.source = kept.source
+       |ORDER BY tot.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quota_sample" -> (corpusQuotaSample _),
     "split_leakage" -> (splitLeakage _),
     "source_deciles" -> (sourceDeciles _),
     "sample_stratified" -> (sampleStratified _),
@@ -474,6 +543,7 @@ object Corpus {
     "corpus_mix" -> (corpusMix _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_quota_sample" -> corpusQuotaSampleSql,
     "split_leakage" -> splitLeakageSql,
     "source_deciles" -> sourceDecilesSql,
     "sample_stratified" -> sampleStratifiedSql,

@@ -173,6 +173,111 @@ object Dedup {
        |  COALESCE(hb.n_hits, 0) * 1000000 // eb.n_exact AS recall_ppm
        |FROM eb LEFT JOIN hb ON eb.bucket = hb.bucket ORDER BY 1""".stripMargin
 
+  /** Shifted-id namespace for the containment plant (distinct from
+    * dedup_prefix's 200000 and the modality dedups' copy shift).
+    */
+  val ContainmentShift = 300000L
+
+  /** Minimum distinct-shingle count of the SMALLER side for a
+    * containment verdict. Tiny docs are trivially ≥90%-contained in
+    * any long doc sharing their (common-word) shingles — without a
+    * floor every short boilerplate line pairs with half the corpus,
+    * which is both semantically empty and the pair-explosion shape at
+    * scale (output would grow as |tiny docs|·|long docs|). ~26 words.
+    */
+  val MinContainSetSize = 24L
+
+  /** Containment dedup: pairs where the SMALLER shingle set is ≥ 90%
+    * contained in the larger one while symmetric Jaccard is < 0.5 —
+    * exactly the duplication that every Jaccard-thresholded pass
+    * (dedup_minhash / dedup_simhash / dedup_ngram) provably misses.
+    * This is the "article republished inside a longer digest" / "doc
+    * quoted wholesale in an aggregator page" crawl case: containment
+    * C = |A∩B| / min(|A|,|B|) ≈ 1 but J = |A∩B| / |A∪B| ≈ |A|/|B|,
+    * which a J ≥ 0.5 rule never fires on once the host is > 2× the
+    * embedded doc. Planted pairs: every doc_id%10==6 doc re-ingested
+    * (shift [[ContainmentShift]]) concatenated with its two successor
+    * docs — the original is fully contained (its shingles are a prefix
+    * slice of the composite) at J ≈ 1/3.
+    *
+    * Scale shape: same audit-path contract as the recall gate — the
+    * exact pair enumeration is the shared-shingle inverted index
+    * (Σ df² postings join), priced as run-on-a-slice; the containment
+    * and Jaccard predicates are integer cross-multiplications on the
+    * already-computed (i, na, nb) triple (no floats); output is
+    * pair-bounded by the ≥90% containment filter PLUS the
+    * [[MinContainSetSize]] floor on the smaller side — without the
+    * floor, tiny common-word docs are trivially contained in half the
+    * corpus and the output goes |tiny|·|long|. The production
+    * scale path reuses the LSH band infrastructure with the signature
+    * of the SHORTER side only (containment LSH); this operator is the
+    * gate that measures what that path must catch.
+    */
+  /** containment pairs over ANY (doc_id, text) frame — the library
+    * entry point behind dedup_containment (audit-path Σ df² contract).
+    */
+  def containmentPairsFor(docs: DataFrame): DataFrame = {
+    val sets = Materialize.stable(docs
+      .select(col("doc_id"),
+        expr(s"array_distinct(${sparkShingleHashes("text")})").as("sh"))
+      .withColumn("n_sh", expr("CAST(size(sh) AS BIGINT)")))
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+    ex.as("x").join(ex.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .filter(expr(s"least(na, nb) >= $MinContainSetSize" +
+        " AND 10 * i >= 9 * least(na, nb) AND 3 * i < na + nb"))
+      .withColumn("containment_ppm", expr("i * 1000000 div least(na, nb)"))
+      .select("doc_a", "doc_b", "na", "nb", "i", "containment_ppm")
+  }
+
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = base.filter(pmod(col("doc_id"), lit(10)) === 6)
+      .join(base.select(col("doc_id").as("id1"), col("text").as("t1")),
+        col("id1") === col("doc_id") + 1)
+      .join(base.select(col("doc_id").as("id2"), col("text").as("t2")),
+        col("id2") === col("doc_id") + 2)
+      .select((col("doc_id") + ContainmentShift).as("doc_id"),
+        concat_ws(" ", col("text"), col("t1"), col("t2")).as("text"))
+    containmentPairsFor(base.union(planted)).orderBy("doc_a", "doc_b")
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH planted AS (
+       |  SELECT a.doc_id + $ContainmentShift AS doc_id,
+       |    a.text || ' ' || b.text || ' ' || c.text AS text
+       |  FROM documents a
+       |  JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  JOIN documents c ON c.doc_id = a.doc_id + 2
+       |  WHERE a.doc_id % 10 = 6
+       |), all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM planted
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(${duckShingleHashes("text")}) AS sh FROM all_docs
+       |), sized AS (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sets
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS h FROM sets
+       |), inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS i
+       |  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb, i,
+       |  i * 1000000 // least(sa.n, sb.n) AS containment_ppm
+       |FROM inter
+       |JOIN sized sa ON inter.doc_a = sa.doc_id
+       |JOIN sized sb ON inter.doc_b = sb.doc_id
+       |WHERE least(sa.n, sb.n) >= $MinContainSetSize
+       |  AND 10 * i >= 9 * least(sa.n, sb.n) AND 3 * i < sa.n + sb.n
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** MinHash (k=12) + LSH (4 bands × 3 rows): candidates share a band
     * bucket; verified by signature agreement ≥ 0.5.
     */
@@ -408,7 +513,14 @@ object Dedup {
     // Init fuses round 1: label = min(self, min neighbor).
     var labels = Materialize.iteration(edges.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("node"), least(col("mn"), col("src")).as("label")))
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    val firstSum = labels.agg(sum("label")).head
+    // empty pair frame → empty component table (sum(label) is NULL on
+    // zero rows; an unguarded getLong turned a legitimately edgeless
+    // graph into a crash — found by the sf0.1 parity run, where the
+    // intra-domain subgraph of an even page count is provably empty)
+    if (firstSum.isNullAt(0))
+      return labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    var prevSum = firstSum.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < ComponentMaxRounds) {
@@ -1026,6 +1138,7 @@ object Dedup {
     "dedup_spans" -> (dedupSpans _),
     "dedup_exact" -> (dedupExact _),
     "dedup_prefix" -> (dedupPrefix _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_len_bias" -> (dedupLenBias _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1043,6 +1156,7 @@ object Dedup {
     "dedup_spans" -> dedupSpansSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_prefix" -> dedupPrefixSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_len_bias" -> dedupLenBiasSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,

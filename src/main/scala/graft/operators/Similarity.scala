@@ -1342,6 +1342,124 @@ object Similarity {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Binary-tier shortlist size for the rerank gate: Hamming top-S
+    * candidates per query survive into the exact-cosine rerank. S/k
+    * is the cost multiplier of the rerank stage (S·dims float ops per
+    * query vs n·dims for brute force), so the gate's question is
+    * "how much recall does S=20 buy back over raw Hamming top-k".
+    */
+  val RerankShortlist = 20
+
+  /** Rerank-gain gate for the binary retrieval tier: recall@k of (a)
+    * raw Hamming top-k over sign codes and (b) exact-cosine rerank of
+    * the Hamming top-[[RerankShortlist]], both graded against the
+    * full-precision exact top-k. knn_hamming_recall measures that raw
+    * sign-bit retrieval is not enough on this corpus; THIS table
+    * measures whether the standard fix — binary scan for a shortlist,
+    * float rerank of S candidates — recovers the recall, i.e. whether
+    * the 32×-smaller index plus a per-query S·dims float pass can
+    * replace the full float scan. Read it before wiring binary codes
+    * into production retrieval.
+    *
+    * Scale shape: code build and Hamming scoring are
+    * [[knnHammingRecall]]'s map-side/broadcast shape; the rerank joins
+    * the query-bounded shortlist (|Q|·S rows) back to full vectors —
+    * the shortlist side BROADCASTS, so the corpus is touched by ONE
+    * semi-join-shaped probe, never shuffled; the exact grading side is
+    * paid once ([[knnBruteforce]]). Per-query invariant (asserted in
+    * OperatorInvariantSpec): rerank hits ⊇ raw hits — an exact-top-k
+    * member in the shortlist can only be outranked by other exact-top-k
+    * members, so rerank recall is monotone in S.
+    */
+  /** Exact-cosine rerank of a candidate shortlist over ANY
+    * (vec_id, v: array<double>) frame: candidates (query_id,
+    * neighbor_id) — query-bounded — BROADCAST back onto the vector
+    * scan, score by full-precision cosine, keep top-k per query. The
+    * library piece behind knn_rerank_gain; pair with [[hammingTopK]]
+    * (binary shortlist) or any other candidate generator.
+    */
+  def rerankTopK(vecs: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = vecs.join(
+        broadcast(candidates.select(col("query_id").as("vec_id")).distinct()), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    vecs.select(col("vec_id").as("neighbor_id"), col("v"))
+      .join(broadcast(candidates.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine", expr(sparkCosine("qv", "v")))
+      .withColumn("rrank", row_number().over(w).cast("long"))
+      .filter(col("rrank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rrank"),
+        expr("floor(cosine * 1000000) / CAST(1000000 AS DOUBLE)").as("cosine"))
+  }
+
+  def knnRerankGain(s: SparkSession, dir: String): DataFrame = {
+    val vecs = withVec(s, dir)
+    val shortlist = hammingTopK(signBitCodes(vecs),
+      col("vec_id") < QuerySetSize, RerankShortlist)
+    val raw = shortlist.filter(col("rank") <= KnnK)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit_raw"))
+    val reranked = rerankTopK(vecs, shortlist.select("query_id", "neighbor_id"), KnnK)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit_rerank"))
+    val exact = knnBruteforce(s, dir).select(col("query_id"), col("neighbor_id"))
+    exact
+      .join(raw, Seq("query_id", "neighbor_id"), "left")
+      .join(reranked, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("hit_raw")).as("n_hit_raw"),
+        count(col("hit_rerank")).as("n_hit_rerank"))
+      .withColumn("recall_raw_ppm", expr("n_hit_raw * 1000000 div n_exact"))
+      .withColumn("recall_rerank_ppm", expr("n_hit_rerank * 1000000 div n_exact"))
+      .orderBy("query_id")
+  }
+
+  val knnRerankGainSql: String = {
+    def word(lo: Int): String =
+      s"CAST(list_aggregate(list_transform(range(0, 32), i -> CASE WHEN v[i + $lo] > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << (31 - i)) ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT)"
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), codes AS (
+       |  SELECT vec_id, ${word(1)} AS w0, ${word(33)} AS w1 FROM vecs
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) AS ham
+       |  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $QuerySetSize
+       |), shortlist AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ham ASC, neighbor_id) AS rank
+       |    FROM scored) r
+       |  WHERE rank <= $RerankShortlist
+       |), raw AS (
+       |  SELECT query_id, neighbor_id FROM shortlist WHERE rank <= $KnnK
+       |), rr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT sl.query_id, sl.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY sl.query_id
+       |        ORDER BY ${duckCosine("q.v", "c.v")} DESC, sl.neighbor_id) AS rrank
+       |    FROM shortlist sl
+       |    JOIN vecs q ON sl.query_id = q.vec_id
+       |    JOIN vecs c ON sl.neighbor_id = c.vec_id) t
+       |  WHERE rrank <= $KnnK
+       |), exact AS (SELECT query_id, neighbor_id FROM ($knnBruteforceSql) e
+       |)
+       |SELECT exact.query_id, COUNT(*) AS n_exact,
+       |  COUNT(raw.neighbor_id) AS n_hit_raw,
+       |  COUNT(rr.neighbor_id) AS n_hit_rerank,
+       |  COUNT(raw.neighbor_id) * 1000000 // COUNT(*) AS recall_raw_ppm,
+       |  COUNT(rr.neighbor_id) * 1000000 // COUNT(*) AS recall_rerank_ppm
+       |FROM exact
+       |LEFT JOIN raw ON exact.query_id = raw.query_id
+       |  AND exact.neighbor_id = raw.neighbor_id
+       |LEFT JOIN rr ON exact.query_id = rr.query_id
+       |  AND exact.neighbor_id = rr.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Farthest-from-centroid outliers per label: the label-noise /
     * drift audit over embed_centroid's prototype table ("which vectors
     * least belong to their assigned class"). Distances stay exact
@@ -1705,6 +1823,7 @@ object Similarity {
     "knn_mrl_recall" -> (knnMrlRecall _),
     "knn_probe_sweep" -> (knnProbeSweep _),
     "knn_hamming_recall" -> (knnHammingRecall _),
+    "knn_rerank_gain" -> (knnRerankGain _),
     "embed_outlier" -> (embedOutlier _),
     "knn_classify" -> (knnClassify _),
     "embed_centroid" -> (embedCentroid _),
@@ -1731,6 +1850,7 @@ object Similarity {
     "knn_mrl_recall" -> knnMrlRecallSql,
     "knn_probe_sweep" -> knnProbeSweepSql,
     "knn_hamming_recall" -> knnHammingRecallSql,
+    "knn_rerank_gain" -> knnRerankGainSql,
     "embed_outlier" -> embedOutlierSql,
     "knn_classify" -> knnClassifySql,
     "embed_centroid" -> embedCentroidSql,

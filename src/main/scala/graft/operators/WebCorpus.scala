@@ -460,8 +460,107 @@ object WebCorpus {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Per-domain link-graph fragmentation: connected components of each
+    * domain's INTRA-domain link subgraph — the site-structure audit
+    * behind host-level curation (a domain whose pages form one
+    * connected blob is a real site; one that fragments into thousands
+    * of single-page islands is a link farm, parked-domain cluster, or
+    * a crawl that only grabbed orphan pages). Cross-domain edges are
+    * excluded by definition: the question is how each site hangs
+    * together internally.
+    *
+    * Domain key = page mod 7 (NOT the mod-8 key the directed-graph ops
+    * use): the synthesized edge strides (7u+1 / 13u+5 / 29u+11) all
+    * flip parity — dst − u is always odd — so any EVEN domain modulus
+    * makes the intra-domain subgraph provably empty whenever p_count
+    * is even (u and dst can never agree mod 2, hence never mod 8).
+    * An odd modulus is immune to the parity argument at every corpus
+    * size. Found when the sf0.1 run (P = 1250, even) produced zero
+    * edges where sf0.01 (P = 125, odd) had plenty; the empty frame
+    * also hardened [[Dedup.connectedComponents]] against edgeless
+    * graphs. On a real crawl the domain key is the host string and
+    * none of this synthesis arithmetic exists.
+    *
+    * Scale shape: the component pass is [[Dedup.connectedComponents]]
+    * (min-label propagation + pointer doubling, O(log d) rounds, label
+    * state checkpointed per round) over the intra-domain edge frame —
+    * which is a FILTERED subgraph, so the per-round joins carry only
+    * same-domain edges; pages with no intra-domain edge never enter
+    * the propagation and are restored as singletons by one LEFT JOIN +
+    * coalesce(label, page). Rollup is (domain, cluster) then domain —
+    * both output-bounded. Same deterministic edge synthesis as
+    * [[webPagerankStep]]; on a real crawl the edge frame comes from
+    * href extraction filtered to same-host pairs.
+    */
+  def webDomainComponents(s: SparkSession, dir: String): DataFrame = {
+    val pages = Materialize.stable(Tables.documents(s, dir)
+      .groupBy(expr("doc_id div 4").as("page")).agg(count(lit(1)).as("n_docs")))
+    val totals = pages.agg((max("page") + 1).as("p_count"))
+    val edges = pages.join(broadcast(totals))
+      .select(col("page").as("src"), explode(expr(
+        "array((page*7+1) % p_count, (page*13+5) % p_count, (page*29+11) % p_count)"))
+        .as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .filter(pmod(col("src"), lit(7)) === pmod(col("dst"), lit(7)))
+      .distinct()
+    val comp = Dedup.connectedComponents(
+        edges.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .select(col("doc_id").as("page"), col("cluster_id"))
+    val dom = element_at(array(Domains.map(lit): _*),
+      (pmod(col("page"), lit(7)) + 1).cast("int"))
+    val clusters = pages.select("page")
+      .join(comp, Seq("page"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("page")))
+      .select(dom.as("domain"), col("cluster_id"))
+      .groupBy("domain", "cluster_id").agg(count(lit(1)).as("csize"))
+    clusters.groupBy("domain")
+      .agg(sum("csize").as("n_pages"),
+        count(lit(1)).as("n_components"),
+        max("csize").as("largest"),
+        sum(when(col("csize") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      .withColumn("frag_ppm", expr("n_components * 1000000 div n_pages"))
+      .orderBy("domain")
+  }
+
+  val webDomainComponentsSql: String = {
+    val arr = Domains.map(d => s"'$d'").mkString("[", ",", "]")
+    s"""WITH RECURSIVE pages AS (
+       |  SELECT doc_id // 4 AS page FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(MAX(page) + 1 AS BIGINT) AS p_count FROM pages
+       |), edges0 AS (
+       |  SELECT page AS src, u.dst AS dst
+       |  FROM pages, t, unnest([(page*7+1) % p_count, (page*13+5) % p_count,
+       |                         (page*29+11) % p_count]) AS u(dst)
+       |), edges1 AS (
+       |  SELECT DISTINCT src, dst FROM edges0
+       |  WHERE src <> dst AND src % 7 = dst % 7
+       |), edges AS (
+       |  SELECT src, dst FROM edges1 UNION SELECT dst, src FROM edges1
+       |), reach(node, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+       |), comp AS (
+       |  SELECT node AS page, MIN(label) AS cluster_id FROM reach GROUP BY node
+       |), clusters AS (
+       |  SELECT ($arr)[(p.page % 7) + 1] AS domain,
+       |    COALESCE(c.cluster_id, p.page) AS cluster_id,
+       |    CAST(COUNT(*) AS BIGINT) AS csize
+       |  FROM pages p LEFT JOIN comp c ON p.page = c.page
+       |  GROUP BY 1, 2
+       |)
+       |SELECT domain, CAST(SUM(csize) AS BIGINT) AS n_pages,
+       |  CAST(COUNT(*) AS BIGINT) AS n_components,
+       |  CAST(MAX(csize) AS BIGINT) AS largest,
+       |  CAST(SUM(CASE WHEN csize = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+       |  CAST(COUNT(*) AS BIGINT) * 1000000 // CAST(SUM(csize) AS BIGINT) AS frag_ppm
+       |FROM clusters GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_url" -> (dedupUrl _),
+    "web_domain_components" -> (webDomainComponents _),
     "web_domains" -> (webDomains _),
     "web_pagerank_step" -> (webPagerankStep _),
     "web_triangles" -> (webTriangles _),
@@ -471,6 +570,7 @@ object WebCorpus {
 
   val oracles: Map[String, String] = Map(
     "dedup_url" -> dedupUrlSql,
+    "web_domain_components" -> webDomainComponentsSql,
     "web_domains" -> webDomainsSql,
     "web_pagerank_step" -> webPagerankStepSql,
     "web_triangles" -> webTrianglesSql,

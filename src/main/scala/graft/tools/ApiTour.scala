@@ -432,6 +432,43 @@ object ApiTour {
         imp.filter(expr("n_dropped > n_docs OR tokens_dropped > tokens_total"))
           .count() == 0
     })
+    check("corpus.containmentPairs catches a hand-built embedded doc, J < 0.5 on every pair")({
+      import spark.implicits._
+      val small = (1 to 30).map(i => s"tok$i").mkString(" ")
+      val host = small + " " + (100 to 190).map(i => s"pad$i").mkString(" ")
+      val other = (200 to 290).map(i => s"far$i").mkString(" ")
+      val cp = CorpusOps.containmentPairs(
+        Seq((1L, small), (2L, host), (3L, other)).toDF("doc_id", "text")).collect()
+      cp.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet ==
+        Set((1L, 2L)) &&
+        cp.forall(r => 3 * r.getAs[Long]("i") <
+          r.getAs[Long]("na") + r.getAs[Long]("nb"))
+    })
+    check("corpus.quotaSample: exactly min(q, group size) rows per group, deterministic")({
+      val s1 = CorpusOps.quotaSample(docs, "source", 5)
+      val perGroup = s1.groupBy("source").count().collect()
+      val sizes = docs.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      perGroup.forall(r => r.getLong(1) == math.min(5L, sizes(r.getString(0)))) &&
+        s1.agg(sum("doc_id")).head.getLong(0) ==
+          CorpusOps.quotaSample(docs, "source", 5).agg(sum("doc_id")).head.getLong(0)
+    })
+    check("corpus.rerankNeighbors: k exact-cosine rows per query from the binary shortlist")({
+      val emb = Tables.embeddings(spark, sfDir)
+      val cands = CorpusOps.hammingNeighbors(
+        CorpusOps.binaryCodes(emb), col("vec_id") < 5, 10)
+        .select("query_id", "neighbor_id")
+      val rr = CorpusOps.rerankNeighbors(emb, cands, 3)
+      rr.count() == 15L &&
+        rr.filter(expr("rrank < 1 OR rrank > 3 OR cosine > 1.000001")).count() == 0
+    })
+    check("corpus.components merges a hand-built chain into one min-labeled cluster")({
+      import spark.implicits._
+      val pairs = Seq((5L, 9L), (9L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+      CorpusOps.components(pairs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap ==
+        Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 7L, 8L -> 7L)
+    })
 
     // ---- graft_* kernels from pure SQL text (the injectFunction path:
     // a SQL-only user on a cluster with

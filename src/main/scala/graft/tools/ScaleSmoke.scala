@@ -126,7 +126,18 @@ object ScaleSmoke {
       "web_triangles", "quality_dup_lift", "corpus_dsir_weights",
       "dedup_minhash_recall", "video_dedup", "sketch_hll_sliding",
       "knn_ivf_pq", "knn_ivf_pq_recall", "events_srm",
-      "split_leakage", "dedup_clusters_hist", "audio_dedup")
+      "split_leakage", "dedup_clusters_hist", "audio_dedup",
+      // round 10: rolling alert, ANN evidence tables + the binary
+      // tier (sweep/hamming/rerank), prefix/containment/length-bias
+      // dedup (the last two are Σdf² audit-path like the recall gate
+      // — watch candidate volume, not corpus²), quota cap, dedup
+      // impact, intra-domain components + reciprocity
+      // (lineitem-fed rows stay bench+PLANS-covered as before)
+      "events_rolling_anomaly", "knn_probe_sweep", "knn_hamming_recall",
+      "knn_rerank_gain", "knn_mrl_recall", "dedup_prefix",
+      "dedup_containment", "dedup_len_bias", "dedup_banding_sweep",
+      "corpus_quota_sample", "corpus_dedup_impact",
+      "web_domain_components", "web_reciprocity")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty
     else targets.filter(t => only.forall(_.contains(t))).map { name =>
       val t0 = System.nanoTime()

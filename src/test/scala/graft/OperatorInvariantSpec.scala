@@ -1301,4 +1301,132 @@ class OperatorInvariantSpec extends SparkSpec {
     }
     assert(checked > 50, s"recompute covered only $checked scored days")
   }
+
+  test("knn_rerank_gain: rerank recall dominates raw per query and buys real recall overall") {
+    val rows = operators.Similarity.knnRerankGain(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_hit_raw"), r.getAs[Long]("n_hit_rerank")))
+    assert(rows.length == operators.Similarity.QuerySetSize)
+    rows.foreach { case (q, ne, raw, rr) =>
+      assert(ne == operators.Similarity.KnnK)
+      // provable: an exact-top-k member in the shortlist can only be
+      // outranked in the rerank by OTHER exact-top-k members, so every
+      // raw hit survives the rerank — rerank recall is monotone in S
+      assert(rr >= raw, s"query $q: rerank hits $rr < raw hits $raw")
+      assert(rr <= ne && raw >= 0)
+    }
+    val (sumRaw, sumRr) = (rows.map(_._3).sum, rows.map(_._4).sum)
+    assert(sumRr > sumRaw,
+      s"rerank bought no recall at all ($sumRr vs $sumRaw) — shortlist size degenerate")
+  }
+
+  test("web_domain_components: census conserves pages and matches a driver-side union-find") {
+    val out = operators.WebCorpus.webDomainComponents(spark, sf).collect()
+      .map(r => r.getAs[String]("domain") -> (r.getAs[Long]("n_pages"),
+        r.getAs[Long]("n_components"), r.getAs[Long]("largest"),
+        r.getAs[Long]("n_singletons"))).toMap
+    val pages = sources.Tables.documents(spark, sf)
+      .select(expr("doc_id div 4").as("page")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val p = pages.length.toLong
+    // driver-side union-find over the same synthesized intra-domain edges
+    val parent = scala.collection.mutable.Map(pages.map(x => x -> x): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (u <- pages; v <- Seq((u * 7 + 1) % p, (u * 13 + 5) % p, (u * 29 + 11) % p)
+         if u != v && u % 7 == v % 7) {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val byDomain = pages.groupBy(pg => operators.WebCorpus.Domains((pg % 7).toInt))
+    byDomain.foreach { case (dom, ps) =>
+      val comps = ps.groupBy(find).values.map(_.length.toLong).toSeq
+      val (np, nc, lg, ns) = out(dom)
+      assert(np == ps.length.toLong, s"$dom pages: $np vs ${ps.length}")
+      assert(nc == comps.length.toLong, s"$dom components: $nc vs ${comps.length}")
+      assert(lg == comps.max, s"$dom largest: $lg vs ${comps.max}")
+      assert(ns == comps.count(_ == 1L).toLong, s"$dom singletons")
+    }
+    assert(out.values.map(_._1).sum == p, "page census does not conserve the page set")
+  }
+
+  test("dedup_containment: every planted embedding caught at >=90% containment, J < 0.5 holds") {
+    val rows = operators.Dedup.dedupContainment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("na"),
+        r.getAs[Long]("nb"), r.getAs[Long]("i"), r.getAs[Long]("containment_ppm")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, na, nb, i, c) =>
+      assert(c >= 900000L && c <= 1000000L, s"($a,$b): containment_ppm $c out of band")
+      assert(3 * i < na + nb, s"($a,$b): J >= 0.5 leaked through the miss filter")
+      assert(i <= math.min(na, nb))
+    }
+    // the plant: doc d (d%10==6, with d+1/d+2 present) is FULLY contained
+    // in its composite (its shingles are a prefix slice ⇒ i == na
+    // exactly), so the pair appears iff the composite's distinct set is
+    // strictly more than 2× the base's (J = na/ncomp < 0.5). Recompute
+    // both sizes independently and assert the exact biconditional —
+    // catches both misses AND J-filter leaks.
+    import graft.functions.PortableHash
+    val sizes = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr(s"CAST(size(array_distinct(${PortableHash.sparkShingleHashes("text")})) AS BIGINT)").as("n"),
+        col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    def distinctShingles(t: String): Long = {
+      val ws = t.split(" ").filter(_.nonEmpty)
+      ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet.size.toLong
+    }
+    val got = rows.map(r => (r._1, r._2)).toSet
+    var checkedPairs = 0
+    val plantBases = sizes.keys
+      .filter(d => d % 10 == 6 && sizes.contains(d + 1) && sizes.contains(d + 2)).toSeq
+    plantBases.foreach { d =>
+      val compId = d + operators.Dedup.ContainmentShift
+      val ncomp = distinctShingles(
+        Seq(d, d + 1, d + 2).map(sizes(_)._2).mkString(" "))
+      // ALL THREE members are fully contained (their shingle sets are
+      // contiguous slices of the composite ⇒ i == n_member exactly)
+      Seq(d, d + 1, d + 2).foreach { m =>
+        val expectCaught = ncomp > 2 * sizes(m)._1 &&
+          sizes(m)._1 >= operators.Dedup.MinContainSetSize
+        assert(got((m, compId)) == expectCaught,
+          s"pair ($m,$compId): caught=${got((m, compId))} but ncomp=$ncomp vs 2·n=${2 * sizes(m)._1}")
+        checkedPairs += 1
+      }
+    }
+    // the plant should dominate the output: non-member pairs (natural
+    // containment of a common-shingle doc inside an unrelated composite
+    // — real on this small-vocabulary corpus, legitimate output) must
+    // stay a small minority, or the floor has stopped doing its job
+    val members = plantBases.flatMap(d =>
+      Seq(d, d + 1, d + 2).map(m => (m, d + operators.Dedup.ContainmentShift))).toSet
+    val compositeRows = rows.filter(_._2 >= operators.Dedup.ContainmentShift)
+    val natural = compositeRows.count(r => !members((r._1, r._2)))
+    // ≤25%: the synthetic corpus draws from a ~30-word vocabulary, so
+    // natural shingle coverage is far above any real crawl's — observed
+    // 13/114 (11%) at sf0.01; a real corpus would be near zero
+    assert(natural * 4 <= compositeRows.length,
+      s"$natural of ${compositeRows.length} composite pairs are non-member — floor too weak")
+    assert(checkedPairs > 100, s"plant census off: only $checkedPairs member pairs checked")
+  }
+
+  test("corpus_quota_sample: quota binds exactly, kept set matches an independent hash rank") {
+    val out = operators.Corpus.corpusQuotaSample(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("sum_kept_ids"),
+        r.getAs[Long]("kept_chars"), r.getAs[Long]("total_chars"))).toMap
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val q = operators.Corpus.QuotaPerSource.toInt
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val (nd, nk, sk, kc, tc) = out(src)
+      assert(nd == ds.length.toLong)
+      assert(nk == math.min(q, ds.length).toLong, s"$src: quota not exact")
+      val kept = ds.sortBy(d =>
+        ((d._1 * operators.Corpus.SampleMixConst) % 1000000007L, d._1)).take(q)
+      assert(sk == kept.map(_._1).sum, s"$src: kept-id checksum differs from driver rank")
+      assert(kc == kept.map(_._3).sum && tc == ds.map(_._3).sum)
+      assert(kc <= tc)
+    }
+  }
 }

@@ -132,7 +132,11 @@ class PlanSpec extends SparkSpec {
       // round 10 batch 2: knn_probe_sweep shares the recall-gate shape
       // (broadcast query/exact crosses + per-config ONE-ROW counts);
       // knn_hamming_recall composes knn_bruteforce's broadcast cross
-      "knn_probe_sweep", "knn_hamming_recall")
+      "knn_probe_sweep", "knn_hamming_recall",
+      // round 10 batch 4: knn_rerank_gain composes the hamming broadcast
+      // cross (knn_hamming_recall's shape) + knn_bruteforce's — both
+      // query-set-sized broadcasts, the graded-ANN family idiom
+      "knn_rerank_gain")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
