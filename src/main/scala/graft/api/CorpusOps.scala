@@ -680,4 +680,49 @@ object CorpusOps {
     */
   def components(pairs: DataFrame): DataFrame =
     graft.operators.Dedup.connectedComponents(pairs)
+
+  /** The containment-LSH acceptance gate over any (id, text) frame:
+    * content-defined fingerprint candidates (Manber mod-p selected
+    * 8-word rolling hashes — offset-invariant, unlike a stride grid)
+    * graded against the exact ≥90%-containment pair set. One-row
+    * recall/precision/candidate-volume readout; the exact side is the
+    * Σ df² audit path — run on a slice, like [[minhashRecallGate]].
+    */
+  def containmentRecallGate(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.Dedup.containmentRecallFor(
+      prepared(docs0).select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** Margin-based bitext mining (CCMatrix/LASER shape) between two
+    * embedding frames: each query's top-k `b`-side candidates scored
+    * by cos / neighborhood-mean-cos, with mutual-kNN and margin>1
+    * alignment flags. `queries` must be a broadcastable slice of `a`
+    * (partition a big language and loop). All sums on floor-truncated
+    * integer cos_ppm — engine-portable, no float-accumulation order.
+    */
+  def bitextMine(a: DataFrame, b: DataFrame, queries: DataFrame, k: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def side(df: DataFrame) = df.select(col(idCol).as("vec_id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    graft.operators.Similarity.bitextMine(
+      side(queries).select(col("vec_id").as("query_id"), col("v").as("qv")),
+      side(a), side(b), k)
+  }
+
+  /** Quality-weighted Bernoulli keep over any (doc_id, text) frame:
+    * adds `w_ppm` (integer quality weight = keep probability) and
+    * `kept` (deterministic hash decision — reproducible, no RNG).
+    * The FineWeb-Edu-style soft quality filter; map-side only.
+    */
+  def weightedKeep(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.Corpus.weightedKeepFor(
+      prepared(docs0).withColumn("doc_id", col(idCol)).withColumn("text", col(textCol)))
+
+  /** √-tempered (T = 2) mixing shares of any frame's per-group mass —
+    * the multilingual temperature-sampling rule; returns raw vs
+    * tempered share, tail boost, and implied epochs per corpus pass.
+    */
+  def temperatureShares(df: DataFrame, groupCol: String, massCol: String): DataFrame =
+    graft.operators.Corpus.temperatureSharesFor(df, groupCol, massCol)
 }

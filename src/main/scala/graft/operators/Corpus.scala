@@ -530,7 +530,154 @@ object Corpus {
        |FROM tot JOIN kept ON tot.source = kept.source
        |ORDER BY tot.source""".stripMargin
 
+  // ---- quality-weighted Bernoulli keep ----------------------------------
+
+  /** Quality-weighted downsampling (the FineWeb-Edu / DCLM "soft
+    * quality filter" shape): instead of a hard score threshold — which
+    * throws away every mid-quality doc and keeps every high-scoring
+    * near-duplicate — each doc is kept with probability proportional
+    * to its quality score. The weight is an ALL-INTEGER ppm rendering
+    * of text_quality's formula (0.4·length-saturation + 0.3·distinct
+    * ratio + 0.3·stopword ratio, each term an integer division), and
+    * the keep decision is the established deterministic uniform
+    * (doc_id · Knuth) mod p — a pure function of doc_id: reproducible
+    * across retries, partitions, and engines, no RNG state anywhere.
+    *
+    * Output is the per-source audit: actual vs expected keep mass
+    * (expectation = Σ w_ppm, exact integer arithmetic — the SRM-style
+    * check that the realized sample tracks the intended weights) plus
+    * the kept-set id checksum making the selection verifiable without
+    * materializing it.
+    *
+    * Scale shape: weights and keep decisions are map-side codegen HOF
+    * arithmetic in the scan projection; the ONLY shuffle is the
+    * sources-bounded partial agg. At 100 TB this is the cheapest
+    * operator class there is — one pass, one tiny rollup.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    weightedKeepFor(Tables.documents(s, dir)).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("kept").as("n_kept"),
+        sum("w_ppm").as("sum_w_ppm"),
+        sum(expr("kept * n_chars")).as("kept_chars"),
+        sum(expr("kept * doc_id")).as("sum_kept_ids"))
+      .withColumn("expected_ppm", expr("sum_w_ppm div n_docs"))
+      .withColumn("actual_ppm", expr("n_kept * 1000000 div n_docs"))
+      .select("source", "n_docs", "n_kept", "expected_ppm", "actual_ppm",
+        "kept_chars", "sum_kept_ids")
+      .orderBy("source")
+
+  /** per-doc weight + keep decision over ANY (doc_id, text) frame —
+    * the library entry point (input columns pass through; adds
+    * `w_ppm` and `kept`). All map-side codegen arithmetic.
+    */
+  def weightedKeepFor(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("words", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn("nw", expr("CAST(size(words) AS BIGINT)"))
+      .withColumn("w_ppm", expr(
+        """CASE WHEN nw = 0 THEN 0L ELSE
+          | 400000 * least(nw, 200L) div 200 +
+          | 300000 * CAST(size(array_distinct(words)) AS BIGINT) div nw +
+          | 300000 * CAST(size(filter(words, w -> array_contains(array('the', 'a', 'and', 'of', 'to'), w))) AS BIGINT) div nw END"""
+          .stripMargin.replaceAll("\\s+", " ")))
+      .withColumn("kept", expr(
+        s"CASE WHEN (doc_id * $SampleMixConst) % 1000000007 % 1000000 < w_ppm THEN 1L ELSE 0L END"))
+      .drop("words", "nw")
+
+  val sampleWeightedSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars,
+       |    400000 * least(nw, 200) // 200 +
+       |      300000 * len(list_distinct(words)) // nw +
+       |      300000 * len(list_filter(words, w -> list_contains(['the', 'a', 'and', 'of', 'to'], w))) // nw
+       |      AS w_ppm
+       |  FROM (
+       |    SELECT doc_id, source, n_chars, words, CAST(len(words) AS BIGINT) AS nw FROM (
+       |      SELECT doc_id, source, n_chars,
+       |        list_filter(string_split(text, ' '), w -> w <> '') AS words
+       |      FROM documents) t0) t1
+       |), k AS (
+       |  SELECT *, CASE WHEN (doc_id * $SampleMixConst) % 1000000007 % 1000000 < w_ppm
+       |    THEN 1 ELSE 0 END AS kept
+       |  FROM d
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(SUM(w_ppm) AS BIGINT) // COUNT(*) AS expected_ppm,
+       |  CAST(SUM(kept) AS BIGINT) * 1000000 // COUNT(*) AS actual_ppm,
+       |  CAST(SUM(kept * n_chars) AS BIGINT) AS kept_chars,
+       |  CAST(SUM(kept * doc_id) AS BIGINT) AS sum_kept_ids
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- temperature-scaled source mixing ---------------------------------
+
+  /** Temperature-scaled source mixing weights (the multilingual
+    * temperature-sampling rule from mBERT/XLM-R/mT5: sample source s
+    * with probability ∝ massₛ^(1/T)) at T = 2 — i.e. √mass, which
+    * up-weights tail sources and caps head dominance. T = 2 is chosen
+    * deliberately: √ is the one power whose floor is BIT-IDENTICAL
+    * cross-engine (IEEE-754 requires sqrt correctly rounded — the same
+    * parity argument the IVF √n rule rides; a fractional pow() would
+    * not replay exactly in the oracle).
+    *
+    * Per source: raw char share, √-tempered share, the head-vs-tail
+    * boost factor, and the epochs-per-pass the tempered mixture
+    * implies at a one-corpus-pass token budget (tail sources repeat —
+    * the capacity number a training run plans batches around;
+    * epochs_permille > 1000 means that source is seen more than once
+    * per pass).
+    *
+    * Scale shape: one sources-bounded partial agg + a one-row totals
+    * broadcast; all arithmetic integer except the parity-proven
+    * floor(sqrt).
+    */
+  def corpusTempMix(s: SparkSession, dir: String): DataFrame =
+    temperatureSharesFor(Tables.documents(s, dir), "source", "n_chars")
+      .orderBy("source")
+
+  /** √-tempered mixing shares of ANY frame's group mass — the library
+    * entry point (groupCol → one row per group). Integer arithmetic
+    * except the parity-proven floor(sqrt).
+    */
+  def temperatureSharesFor(df: DataFrame, groupCol: String, massCol: String): DataFrame = {
+    val byGrp = df
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(massCol).as("chars"))
+      .withColumn("tw", expr("CAST(floor(sqrt(CAST(chars AS DOUBLE))) AS BIGINT)"))
+    val tot = byGrp.agg(sum("chars").as("total_chars"), sum("tw").as("total_tw"))
+    byGrp.join(broadcast(tot))
+      .withColumn("raw_share_ppm", expr("chars * 1000000 div total_chars"))
+      .withColumn("temp_share_ppm", expr("tw * 1000000 div total_tw"))
+      .withColumn("boost_permille", expr(
+        "CASE WHEN raw_share_ppm = 0 THEN 0 ELSE temp_share_ppm * 1000 div raw_share_ppm END"))
+      .withColumn("epochs_permille", expr(
+        "temp_share_ppm * total_chars div chars div 1000"))
+      .select(col(groupCol), col("n_docs"), col("chars"), col("raw_share_ppm"),
+        col("temp_share_ppm"), col("boost_permille"), col("epochs_permille"))
+  }
+
+  val corpusTempMixSql: String =
+    s"""WITH by_src AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars,
+       |    CAST(floor(sqrt(CAST(SUM(n_chars) AS DOUBLE))) AS BIGINT) AS tw
+       |  FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(SUM(chars) AS BIGINT) AS total_chars,
+       |    CAST(SUM(tw) AS BIGINT) AS total_tw FROM by_src
+       |)
+       |SELECT source, n_docs, chars,
+       |  chars * 1000000 // total_chars AS raw_share_ppm,
+       |  tw * 1000000 // total_tw AS temp_share_ppm,
+       |  CASE WHEN chars * 1000000 // total_chars = 0 THEN 0
+       |    ELSE (tw * 1000000 // total_tw) * 1000 // (chars * 1000000 // total_chars) END AS boost_permille,
+       |  (tw * 1000000 // total_tw) * total_chars // chars // 1000 AS epochs_permille
+       |FROM by_src, t ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> (sampleWeighted _),
+    "corpus_temp_mix" -> (corpusTempMix _),
     "corpus_quota_sample" -> (corpusQuotaSample _),
     "split_leakage" -> (splitLeakage _),
     "source_deciles" -> (sourceDeciles _),
@@ -543,6 +690,8 @@ object Corpus {
     "corpus_mix" -> (corpusMix _))
 
   val oracles: Map[String, String] = Map(
+    "sample_weighted" -> sampleWeightedSql,
+    "corpus_temp_mix" -> corpusTempMixSql,
     "corpus_quota_sample" -> corpusQuotaSampleSql,
     "split_leakage" -> splitLeakageSql,
     "source_deciles" -> sourceDecilesSql,

@@ -278,6 +278,149 @@ object Dedup {
        |  AND 10 * i >= 9 * least(sa.n, sb.n) AND 3 * i < sa.n + sb.n
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Window width (words) of a containment fingerprint and the Manber
+    * mod-[[PrintMod]] selection divisor: a position's 8-word rolling
+    * hash is KEPT iff hash % 3 == 0 — selection depends only on window
+    * CONTENT, so a doc republished inside a longer host selects the
+    * same prints regardless of its offset in the host (the property a
+    * stride-aligned span grid lacks, and the reason dedup_spans can
+    * miss middle-embedded copies).
+    */
+  val PrintWindow = 8
+  val PrintMod = 3
+
+  /** content-defined containment fingerprints of a text column:
+    * positional [[PrintWindow]]-word rolling hashes (stride 1, the
+    * FULL word sequence — positional, unlike the distinct shingle
+    * SETS), Manber-selected at density 1/[[PrintMod]]. Pure map-side
+    * HOF arithmetic.
+    */
+  def sparkContainmentPrints(text: String): String = {
+    val wh = s"transform(filter(split($text, ' '), w -> w <> ''), w -> ${sparkWordHash("w")})"
+    s"""CASE WHEN size($wh) < $PrintWindow THEN array()
+       | ELSE array_distinct(filter(
+       |   transform(sequence(1, size($wh) - ${PrintWindow - 1}),
+       |     i -> aggregate(slice($wh, i, $PrintWindow), 0L, (acc, h) -> (acc * 1000003 + h) % $P)),
+       |   h -> h % $PrintMod = 0)) END""".stripMargin.replaceAll("\\s+", " ")
+  }
+
+  def duckContainmentPrints(text: String): String = {
+    val wh = s"list_transform(list_filter(string_split($text, ' '), w -> w <> ''), w -> ${duckWordHash("w")})"
+    s"""CASE WHEN len($wh) < $PrintWindow THEN []
+       | ELSE list_distinct(list_filter(
+       |   list_transform(range(1, len($wh) - ${PrintWindow - 2}),
+       |     i -> list_reduce(list_prepend(CAST(0 AS BIGINT), ($wh)[i:i+${PrintWindow - 1}]), (acc, h) -> (acc * 1000003 + h) % $P)),
+       |   h -> h % $PrintMod = 0)) END""".stripMargin.replaceAll("\\s+", " ")
+  }
+
+  /** The containment-LSH acceptance gate — the production-path twin
+    * [[dedupContainment]]'s scaladoc promises. dedup_containment is the
+    * audit-tier EXACT enumeration (Σ df² postings join, run-on-a-slice
+    * contract); the path you'd actually run at 100 TB generates
+    * candidates from content-defined fingerprints: per doc, hash every
+    * [[PrintWindow]]-word window (stride 1) and keep hashes ≡ 0 mod
+    * [[PrintMod]] (Manber's mod-p selection — the same content-defined
+    * sampling CDC backup dedup uses for chunk boundaries). A doc
+    * contained as a contiguous slice of a host shares its selected
+    * prints with the host AT ANY OFFSET, because selection is a
+    * function of window content alone. This gate measures that path
+    * against the exact containment pair set on the SAME planted
+    * corpus: candidates = pairs sharing ≥ 1 print; recall = fraction
+    * of exact ≥90%-containment pairs among candidates; the candidate
+    * count prices the verify stage.
+    *
+    * Detection on an L-word contained run is probabilistic, not
+    * guaranteed: P(no selected print) = (1−1/3)^(L−7), ≈ 4·10⁻⁴ at the
+    * plant's ≥26 words — the measured recall_ppm is the gate's point
+    * (winnowing's hard ≥(w+W−1) guarantee is the upgrade if a measured
+    * corpus demands it). Scale shape: prints are map-side; the
+    * candidate join is an equi-join on the print hash whose bucket
+    * sizes follow 8-gram phrase df — orders sparser than 3-gram
+    * shingle df, with the same mega-bucket audit obligation as every
+    * LSH band join (boilerplate 8-word phrases = hot prints; the
+    * occupancy histogram is the audit, [[minhashPairsFromSigs]]'s
+    * `bucketCap` the knob pattern if one ever saturates).
+    */
+  def dedupContainmentRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = base.filter(pmod(col("doc_id"), lit(10)) === 6)
+      .join(base.select(col("doc_id").as("id1"), col("text").as("t1")),
+        col("id1") === col("doc_id") + 1)
+      .join(base.select(col("doc_id").as("id2"), col("text").as("t2")),
+        col("id2") === col("doc_id") + 2)
+      .select((col("doc_id") + ContainmentShift).as("doc_id"),
+        concat_ws(" ", col("text"), col("t1"), col("t2")).as("text"))
+    containmentRecallFor(base.union(planted))
+  }
+
+  /** the gate over ANY (doc_id, text) frame — the library entry point
+    * (the exact side is the Σ df² audit path: price it for slices,
+    * like [[minhashRecallFor]]).
+    */
+  def containmentRecallFor(docs: DataFrame): DataFrame = {
+    val prints = docs
+      .select(col("doc_id"), explode(expr(sparkContainmentPrints("text"))).as("pr"))
+    val cand = prints.as("x").join(prints.as("y"),
+        col("x.pr") === col("y.pr") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val exact = containmentPairsFor(docs).select("doc_a", "doc_b")
+    val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidate_pairs"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN n_exact_pairs = 0 THEN 0 ELSE n_hits * 1000000 div n_exact_pairs END"))
+      .withColumn("precision_ppm", expr(
+        "CASE WHEN n_candidate_pairs = 0 THEN 0 ELSE n_hits * 1000000 div n_candidate_pairs END"))
+  }
+
+  val dedupContainmentRecallSql: String =
+    s"""WITH planted AS (
+       |  SELECT a.doc_id + $ContainmentShift AS doc_id,
+       |    a.text || ' ' || b.text || ' ' || c.text AS text
+       |  FROM documents a
+       |  JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  JOIN documents c ON c.doc_id = a.doc_id + 2
+       |  WHERE a.doc_id % 10 = 6
+       |), all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM planted
+       |), prints AS (
+       |  SELECT doc_id, unnest(${duckContainmentPrints("text")}) AS pr FROM all_docs
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM prints x JOIN prints y ON x.pr = y.pr AND x.doc_id < y.doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(${duckShingleHashes("text")}) AS sh FROM all_docs
+       |), sized AS (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sets
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS h FROM sets
+       |), inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS i
+       |  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sized sa ON inter.doc_a = sa.doc_id
+       |  JOIN sized sb ON inter.doc_b = sb.doc_id
+       |  WHERE least(sa.n, sb.n) >= $MinContainSetSize
+       |    AND 10 * i >= 9 * least(sa.n, sb.n) AND 3 * i < sa.n + sb.n
+       |), hits AS (
+       |  SELECT e.doc_a FROM exact e JOIN cand c
+       |    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+       |), n AS (
+       |  SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+       |    CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidate_pairs,
+       |    CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits
+       |)
+       |SELECT n_exact_pairs, n_candidate_pairs, n_hits,
+       |  CASE WHEN n_exact_pairs = 0 THEN 0 ELSE n_hits * 1000000 // n_exact_pairs END AS recall_ppm,
+       |  CASE WHEN n_candidate_pairs = 0 THEN 0 ELSE n_hits * 1000000 // n_candidate_pairs END AS precision_ppm
+       |FROM n""".stripMargin
+
   /** MinHash (k=12) + LSH (4 bands × 3 rows): candidates share a band
     * bucket; verified by signature agreement ≥ 0.5.
     */
@@ -1139,6 +1282,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_prefix" -> (dedupPrefix _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_containment_recall" -> (dedupContainmentRecall _),
     "dedup_len_bias" -> (dedupLenBias _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1157,6 +1301,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_prefix" -> dedupPrefixSql,
     "dedup_containment" -> dedupContainmentSql,
+    "dedup_containment_recall" -> dedupContainmentRecallSql,
     "dedup_len_bias" -> dedupLenBiasSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -1812,7 +1812,127 @@ object Similarity {
        |  CAST(CAST(n_vecs AS HUGEINT) * n_cells * 1000000 // total AS BIGINT) AS imbalance_ppm
        |FROM sizes, t ORDER BY cell""".stripMargin
 
+  /** Margin-based bitext mining (the CCMatrix / LASER production
+    * shape): the corpus splits into two "language" sides (synthetic
+    * stand-in: even / odd vec_id — on a real multilingual lake the
+    * side is the lang column), and candidate translation pairs are
+    * scored by the RATIO of their cosine to the mean cosine of each
+    * endpoint's own k-NN neighborhood — the margin criterion that
+    * fixes raw-cosine mining's hubness problem (a generically-central
+    * vector scores high against everything; dividing by its
+    * neighborhood mean cancels that). score(x,y) =
+    * cos(x,y) / ((avgNN_k(x→B) + avgNN_k(y→A)) / 2); pairs are
+    * "aligned" at margin > 1 and "mutual" when each endpoint is in the
+    * other's top-k.
+    *
+    * Scale shape: everything is query-bounded — the x side is the
+    * [[QuerySetSize]] query set broadcast over ONE B-side corpus scan
+    * (WindowGroupLimit top-k, the knn_bruteforce plan); the y side is
+    * the ≤ |X|·k distinct neighbors broadcast over ONE A-side scan.
+    * The corpus is never shuffled and never joined to itself. Margin
+    * arithmetic runs on floor-truncated integer cos_ppm (sums of k
+    * BIGINTs are order-free — no float-accumulation parity risk),
+    * ratio as one BIGINT cross-multiplication. At 100 TB the x side
+    * is a partition of the smaller language and candidate generation
+    * swaps to the IVF/Hamming tier ([[rerankTopK]] composes) — this
+    * operator is the exact-scored gate for that path.
+    */
+  def embedBitext(s: SparkSession, dir: String): DataFrame = {
+    val vecs = withVec(s, dir)
+    val sideB = vecs.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val sideA = vecs.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val xs = sideA.filter(col("vec_id") < 2 * QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    bitextMine(xs, sideA, sideB, KnnK)
+  }
+
+  /** margin mining over ANY two (vec_id, v) sides — the library entry
+    * point. `xs` is the (query_id, qv) query slice of side A (keep it
+    * broadcastable; partition a big language and loop). Returns each
+    * query's top-k B-side candidates scored by the margin criterion.
+    */
+  def bitextMine(xs: DataFrame, sideA: DataFrame, sideB: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wx = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    val xnn = Materialize.stable(sideB.crossJoin(broadcast(xs))
+      .withColumn("cosine", expr(sparkCosine("qv", "v")))
+      .withColumn("rank", row_number().over(wx).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("cos_ppm", expr("CAST(floor(cosine * 1000000) AS BIGINT)"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("rank"), col("cos_ppm")))
+    val sx = xnn.groupBy("query_id").agg(sum("cos_ppm").as("sx"))
+    val ys = sideB.join(
+        broadcast(xnn.select(col("cand_id").as("vec_id")).distinct()), Seq("vec_id"))
+      .select(col("vec_id").as("cand_id"), col("v").as("yv"))
+    val wy = Window.partitionBy("cand_id").orderBy(col("cosine").desc, col("vec_id"))
+    val ynn = Materialize.stable(sideA.crossJoin(broadcast(ys))
+      .withColumn("cosine", expr(sparkCosine("yv", "v")))
+      .withColumn("yrank", row_number().over(wy).cast("long"))
+      .filter(col("yrank") <= k)
+      .withColumn("cos_ppm", expr("CAST(floor(cosine * 1000000) AS BIGINT)"))
+      .select(col("cand_id"), col("vec_id").as("back_id"), col("cos_ppm")))
+    val sy = ynn.groupBy("cand_id").agg(sum("cos_ppm").as("sy"))
+    xnn
+      .join(broadcast(sx), Seq("query_id"))
+      .join(broadcast(sy), Seq("cand_id"))
+      .join(broadcast(ynn.select(col("cand_id").as("m_cand"), col("back_id")).distinct()
+          .withColumn("is_mutual", lit(1L))),
+        col("back_id") === col("query_id") && col("m_cand") === col("cand_id"), "left")
+      .withColumn("is_mutual", coalesce(col("is_mutual"), lit(0L)))
+      .withColumn("margin_ppm", expr(
+        s"CASE WHEN sx + sy <= 0 THEN 0 ELSE cos_ppm * ${2 * k} * 1000000 div (sx + sy) END"))
+      .withColumn("is_aligned",
+        expr("CASE WHEN margin_ppm > 1000000 THEN 1 ELSE 0 END").cast("long"))
+      .select("query_id", "cand_id", "rank", "cos_ppm", "margin_ppm", "is_mutual", "is_aligned")
+      .orderBy("query_id", "rank")
+  }
+
+  val embedBitextSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), xs AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM vecs
+       |  WHERE vec_id % 2 = 0 AND vec_id < ${2 * QuerySetSize}
+       |), xnn AS (
+       |  SELECT query_id, cand_id, rank,
+       |    CAST(floor(cosine * 1000000) AS BIGINT) AS cos_ppm FROM (
+       |    SELECT x.query_id, b.vec_id AS cand_id,
+       |      ${duckCosine("x.qv", "b.v")} AS cosine,
+       |      ROW_NUMBER() OVER (PARTITION BY x.query_id
+       |        ORDER BY ${duckCosine("x.qv", "b.v")} DESC, b.vec_id) AS rank
+       |    FROM xs x JOIN vecs b ON b.vec_id % 2 = 1) t
+       |  WHERE rank <= $KnnK
+       |), sx AS (
+       |  SELECT query_id, CAST(SUM(cos_ppm) AS BIGINT) AS sx FROM xnn GROUP BY 1
+       |), ys AS (
+       |  SELECT DISTINCT xnn.cand_id, v.v AS yv FROM xnn JOIN vecs v ON v.vec_id = xnn.cand_id
+       |), ynn AS (
+       |  SELECT cand_id, back_id,
+       |    CAST(floor(cosine * 1000000) AS BIGINT) AS cos_ppm FROM (
+       |    SELECT y.cand_id, a.vec_id AS back_id,
+       |      ${duckCosine("y.yv", "a.v")} AS cosine,
+       |      ROW_NUMBER() OVER (PARTITION BY y.cand_id
+       |        ORDER BY ${duckCosine("y.yv", "a.v")} DESC, a.vec_id) AS yrank
+       |    FROM ys y JOIN vecs a ON a.vec_id % 2 = 0) t
+       |  WHERE yrank <= $KnnK
+       |), sy AS (
+       |  SELECT cand_id, CAST(SUM(cos_ppm) AS BIGINT) AS sy FROM ynn GROUP BY 1
+       |)
+       |SELECT x.query_id, x.cand_id, x.rank, x.cos_ppm,
+       |  CASE WHEN sx.sx + sy.sy <= 0 THEN 0
+       |       ELSE x.cos_ppm * ${2 * KnnK} * 1000000 // (sx.sx + sy.sy) END AS margin_ppm,
+       |  CAST(CASE WHEN EXISTS (SELECT 1 FROM ynn n
+       |         WHERE n.cand_id = x.cand_id AND n.back_id = x.query_id)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_mutual,
+       |  CAST(CASE WHEN (CASE WHEN sx.sx + sy.sy <= 0 THEN 0
+       |         ELSE x.cos_ppm * ${2 * KnnK} * 1000000 // (sx.sx + sy.sy) END) > 1000000
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_aligned
+       |FROM xnn x JOIN sx ON x.query_id = sx.query_id
+       |JOIN sy ON x.cand_id = sy.cand_id
+       |ORDER BY x.query_id, x.rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_bitext" -> (embedBitext _),
     "knn_ivf_balance" -> (knnIvfBalance _),
     "embed_pca_power" -> (embedPcaPower _),
     "embed_kmeans_step" -> (embedKmeansStep _),
@@ -1840,6 +1960,7 @@ object Similarity {
     "embed_project" -> (embedProject _))
 
   val oracles: Map[String, String] = Map(
+    "embed_bitext" -> embedBitextSql,
     "knn_ivf_balance" -> knnIvfBalanceSql,
     "embed_pca_power" -> embedPcaPowerSql,
     "embed_kmeans_step" -> embedKmeansStepSql,

@@ -982,6 +982,45 @@ object EventStreams {
       }
   }
 
+  /** Streaming twin of the batch `corpus_quota_sample`: admit at most
+    * `q` docs per source, chosen by the SAME deterministic hash rank —
+    * not first-come-first-kept. The state per source is the current
+    * ≤q-element (hash, doc_id, n_chars) frontier, and "keep the q
+    * smallest" is ORDER-INDEPENDENT (merging any arrival order of the
+    * same rows yields the same frontier — the min-q set is a join-
+    * semilattice, the CRDT argument the HLL twin rides), so the final
+    * audit equals the batch operator's under ANY split or shuffle of
+    * the corpus. Emits a cumulative per-source audit upsert per
+    * touched micro-batch, keyed monotone by n_seen — a last-write-wins
+    * (max n_seen) view IS the batch answer.
+    *
+    * State bound: ONE record per source carrying ≤ q entries — never
+    * corpus-sized (asserted in StreamingSpec against the state store).
+    */
+  case class QuotaState(nSeen: Long, entries: List[(Long, Long, Long)])
+
+  def quotaStream(docs: Dataset[(Long, String, Long)], q: Int)
+      : Dataset[(String, Long, Long, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState[QuotaState, (String, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[(Long, String, Long)],
+            state: GroupState[QuotaState]) =>
+          val st = state.getOption.getOrElse(QuotaState(0L, Nil))
+          var n = st.nSeen
+          val merged = scala.collection.mutable.ArrayBuffer.from(st.entries)
+          it.foreach { case (id, _, chars) =>
+            n += 1
+            merged += (((id * graft.operators.Corpus.SampleMixConst) % 1000000007L, id, chars))
+          }
+          val kept = merged.sortBy { case (h, id, _) => (h, id) }.take(q).toList
+          state.update(QuotaState(n, kept))
+          Iterator((src, n, kept.size.toLong,
+            kept.map(_._2).sum, kept.map(_._3).sum))
+      }
+  }
+
   /** bounded-state variant of [[dedupStream]]: on an unbounded corpus
     * the fingerprint state store grows forever; with an event-time
     * watermark, Spark expires fingerprint state older than the delay —

@@ -469,6 +469,40 @@ object ApiTour {
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap ==
         Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 7L, 8L -> 7L)
     })
+    check("corpus.containmentRecallGate finds a middle-embedded doc a stride grid would miss")({
+      import spark.implicits._
+      val small = (1 to 30).map(i => s"tok$i").mkString(" ")
+      // embed at odd word offset 3 — content-defined prints must still hit
+      val host = "p1 p2 p3 " + small + " " + (100 to 190).map(i => s"pad$i").mkString(" ")
+      val g = CorpusOps.containmentRecallGate(
+        Seq((1L, small), (2L, host)).toDF("doc_id", "text")).head
+      g.getAs[Long]("n_exact_pairs") == 1L && g.getAs[Long]("n_hits") == 1L &&
+        g.getAs[Long]("recall_ppm") == 1000000L
+    })
+    check("corpus.bitextMine: k scored candidates per query, mutual/aligned flags coherent")({
+      val emb = Tables.embeddings(spark, sfDir)
+      val a = emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+      val b = emb.filter(pmod(col("vec_id"), lit(2L)) === 1)
+      val m = CorpusOps.bitextMine(a, b, a.filter(col("vec_id") < 10), 3).cache()
+      m.groupBy("query_id").count().filter(col("count") =!= 3).count() == 0 &&
+        m.filter(expr("is_aligned = 1 AND margin_ppm <= 1000000")).count() == 0 &&
+        m.filter(expr("is_mutual NOT IN (0, 1)")).count() == 0
+    })
+    check("corpus.weightedKeep: w_ppm a valid probability, kept iff hash under it")({
+      val wk = CorpusOps.weightedKeep(docs).cache()
+      wk.filter(expr("w_ppm < 0 OR w_ppm > 1000000")).count() == 0 &&
+        wk.filter(expr(
+          s"kept != CASE WHEN (doc_id * ${graft.operators.Corpus.SampleMixConst}) % 1000000007 % 1000000 < w_ppm THEN 1L ELSE 0L END"))
+          .count() == 0 &&
+        wk.filter(col("kept") === 1L).count() > 0
+    })
+    check("corpus.temperatureShares: tempered shares sum to ~1e6 and compress the head")({
+      val ts = CorpusOps.temperatureShares(docs, "source", "n_chars").cache()
+      val sums = ts.agg(sum("temp_share_ppm"), sum("raw_share_ppm"), count(lit(1))).head
+      val (st, n) = (sums.getLong(0), sums.getLong(2))
+      st > 1000000L - n && st <= 1000000L &&
+        ts.filter(expr("boost_permille <= 0 OR epochs_permille <= 0")).count() == 0
+    })
 
     // ---- graft_* kernels from pure SQL text (the injectFunction path:
     // a SQL-only user on a cluster with

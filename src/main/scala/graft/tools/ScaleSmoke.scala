@@ -137,7 +137,12 @@ object ScaleSmoke {
       "knn_rerank_gain", "knn_mrl_recall", "dedup_prefix",
       "dedup_containment", "dedup_len_bias", "dedup_banding_sweep",
       "corpus_quota_sample", "corpus_dedup_impact",
-      "web_domain_components", "web_reciprocity")
+      "web_domain_components", "web_reciprocity",
+      // round-10 batch 5: the containment production-path gate (Σdf²
+      // audit side — watch candidate volume), margin bitext mining
+      // (query-bounded), and the two map-side samplers
+      "dedup_containment_recall", "embed_bitext",
+      "sample_weighted", "corpus_temp_mix")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty
     else targets.filter(t => only.forall(_.contains(t))).map { name =>
       val t0 = System.nanoTime()

@@ -1409,6 +1409,149 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(checkedPairs > 100, s"plant census off: only $checkedPairs member pairs checked")
   }
 
+  test("dedup_containment_recall: prints are offset-invariant; recall on the exact set holds") {
+    // offset-invariance — the property that justifies content-defined
+    // prints over dedup_spans' stride grid: a doc's selected prints are
+    // a SUBSET of any host that embeds it verbatim at ANY word offset
+    // (every window fully inside the embedded run has identical content,
+    // hence identical hash and identical mod-3 selection)
+    import spark.implicits._
+    val doc = (1 to 40).map(i => s"w$i").mkString(" ")
+    val hosts = Seq(doc, s"pad1 pad2 pad3 $doc", s"$doc tail1", s"a b c d e f g $doc z")
+    val printSets = hosts.zipWithIndex.toDF("text", "id")
+      .select(col("id"), expr(operators.Dedup.sparkContainmentPrints("text")).as("pr"))
+      .collect().map(r => r.getAs[Int]("id") -> r.getSeq[Long](1).toSet).toMap
+    val base = printSets(0)
+    assert(base.nonEmpty, "40-word doc selected no prints — density rule broken")
+    (1 to 3).foreach { h =>
+      assert(base.subsetOf(printSets(h)),
+        s"host $h lost ${(base -- printSets(h)).size} of the embedded doc's prints — selection is not content-defined")
+    }
+    // the gate itself: sf0.01 measured recall is 100% (deterministic
+    // corpus ⇒ fixed number; the analytic floor is (1-1/3)^(L-7) miss
+    // probability per pair ≈ 4·10⁻⁴, so anything under ~99% means the
+    // candidate join lost pairs, not sampling luck)
+    val r = operators.Dedup.dedupContainmentRecall(spark, sf).collect().head
+    val (ex, cand, hits) = (r.getAs[Long]("n_exact_pairs"),
+      r.getAs[Long]("n_candidate_pairs"), r.getAs[Long]("n_hits"))
+    assert(ex > 100, s"exact side lost the plant: $ex pairs")
+    assert(hits <= ex && hits <= cand)
+    assert(r.getAs[Long]("recall_ppm") >= 990000L,
+      s"containment-print recall ${r.getAs[Long]("recall_ppm")} ppm — candidate path is losing real pairs")
+    // candidate volume prices the verify stage: it must stay within a
+    // small multiple of the true pair count on this corpus, or the
+    // print df distribution has a mega-bucket
+    assert(cand <= 10 * ex, s"candidate volume $cand vs $ex exact — print buckets exploding")
+  }
+
+  test("embed_bitext: margins, mutuality, and top-k match a full driver-side recompute") {
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr(graft.functions.VectorFns.sparkToDouble("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = operators.Similarity.KnnK
+    val a = vecs.keys.filter(_ % 2 == 0).toSeq.sorted
+    val b = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
+    val xs = a.filter(_ < 2 * operators.Similarity.QuerySetSize)
+    def topk(q: Long, side: Seq[Long]): Seq[(Long, Long)] = // (id, cos_ppm)
+      side.map(c => c -> cos(vecs(q), vecs(c)))
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+        .map { case (id, c) => id -> math.floor(c * 1000000).toLong }
+    val xnn = xs.map(q => q -> topk(q, b)).toMap
+    val ys = xnn.values.flatten.map(_._1).toSet
+    val ynn = ys.map(y => y -> topk(y, a)).toMap
+    val sx = xnn.map { case (q, nn) => q -> nn.map(_._2).sum }
+    val sy = ynn.map { case (y, nn) => y -> nn.map(_._2).sum }
+    val out = operators.Similarity.embedBitext(spark, sf).collect()
+    assert(out.length == xs.size * k, s"expected ${xs.size * k} rows, got ${out.length}")
+    out.foreach { r =>
+      val (q, c, rank) = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"), r.getAs[Long]("rank"))
+      val (id, cp) = xnn(q)(rank.toInt - 1)
+      assert(c == id && r.getAs[Long]("cos_ppm") == cp, s"($q,$c) rank $rank: top-k disagrees with driver")
+      val denom = sx(q) + sy(c)
+      val margin = if (denom <= 0) 0L else cp * 2 * k * 1000000L / denom
+      assert(r.getAs[Long]("margin_ppm") == margin, s"($q,$c): margin ${r.getAs[Long]("margin_ppm")} vs driver $margin")
+      assert(r.getAs[Long]("is_mutual") == (if (ynn(c).exists(_._1 == q)) 1L else 0L), s"($q,$c): mutual flag wrong")
+      assert(r.getAs[Long]("is_aligned") == (if (margin > 1000000L) 1L else 0L))
+    }
+    // the criterion must actually discriminate on this corpus: some but
+    // not all pairs aligned (margin > 1), and alignment concentrated at
+    // rank 1 — a margin that fires uniformly has degenerated to raw cosine
+    val aligned = out.filter(_.getAs[Long]("is_aligned") == 1L)
+    assert(aligned.nonEmpty && aligned.length < out.length)
+    val r1Rate = aligned.count(_.getAs[Long]("rank") == 1L).toDouble / aligned.length
+    assert(r1Rate >= 0.5, s"aligned pairs not concentrated at rank 1 ($r1Rate)")
+  }
+
+  test("sample_weighted: per-source audit matches a driver recount; expectation tracks") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val stop = Set("the", "a", "and", "of", "to")
+    def wppm(text: String): Long = {
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val nw = ws.length.toLong
+      400000L * math.min(nw, 200L) / 200L +
+        300000L * ws.distinct.length / nw +
+        300000L * ws.count(stop) / nw
+    }
+    val out = operators.Corpus.sampleWeighted(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val r = out(src)
+      val kept = ds.filter { case (id, _, _, t) =>
+        (id * operators.Corpus.SampleMixConst) % 1000000007L % 1000000L < wppm(t) }
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("n_kept") == kept.length.toLong, s"$src: kept count differs from driver")
+      assert(r.getAs[Long]("sum_kept_ids") == kept.map(_._1).sum, s"$src: kept-id checksum")
+      assert(r.getAs[Long]("kept_chars") == kept.map(_._3).sum)
+      val sumW = ds.map(d => wppm(d._4)).sum
+      assert(r.getAs[Long]("expected_ppm") == sumW / ds.length)
+      // w_ppm is a probability: every doc inside [0, 1e6]
+      ds.foreach(d => assert(wppm(d._4) >= 0L && wppm(d._4) <= 1000000L))
+    }
+    // realized keep mass tracks expectation corpus-wide (SRM-style):
+    // with ~500 independent-hash decisions per source the aggregate
+    // deviation stays small even though per-source jitter is real
+    val nk = out.values.map(_.getAs[Long]("n_kept")).sum.toDouble
+    val expK = docs.map(d => wppm(d._4)).sum.toDouble / 1000000.0
+    assert(math.abs(nk - expK) / expK < 0.10, s"realized $nk vs expected $expK keep mass")
+  }
+
+  test("corpus_temp_mix: shares match driver floor-sqrt recount; temperature compresses the head") {
+    val bySrc = sources.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => (s, xs.length.toLong, xs.map(_._2).sum) }.toSeq
+    val tw = bySrc.map { case (s, _, c) => s -> math.floor(math.sqrt(c.toDouble)).toLong }.toMap
+    val totalChars = bySrc.map(_._3).sum
+    val totalTw = tw.values.sum
+    val out = operators.Corpus.corpusTempMix(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.size == bySrc.size)
+    bySrc.foreach { case (s, nd, c) =>
+      val r = out(s)
+      assert(r.getAs[Long]("n_docs") == nd && r.getAs[Long]("chars") == c)
+      assert(r.getAs[Long]("raw_share_ppm") == c * 1000000L / totalChars)
+      assert(r.getAs[Long]("temp_share_ppm") == tw(s) * 1000000L / totalTw,
+        s"$s: tempered share differs from driver floor-sqrt")
+    }
+    // integer-floor shares: each floor drops < 1 ppm, so totals land in
+    // (1e6 - nSources, 1e6]
+    val sumTemp = out.values.map(_.getAs[Long]("temp_share_ppm")).sum
+    assert(sumTemp > 1000000L - out.size && sumTemp <= 1000000L)
+    // temperature flattens: for any two sources the tempered ratio must
+    // not exceed the raw mass ratio (√ compresses; +1 slack for floors)
+    for ((sa, _, ca) <- bySrc; (sb, _, cb) <- bySrc if ca >= cb && cb > 0)
+      assert(tw(sa) * cb <= (tw(sb) + 1) * ca,
+        s"$sa/$sb: tempered ratio exceeds raw ratio — not a compression")
+  }
+
   test("corpus_quota_sample: quota binds exactly, kept set matches an independent hash rank") {
     val out = operators.Corpus.corpusQuotaSample(spark, sf).collect()
       .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),

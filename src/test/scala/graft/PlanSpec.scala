@@ -136,7 +136,15 @@ class PlanSpec extends SparkSpec {
       // round 10 batch 4: knn_rerank_gain composes the hamming broadcast
       // cross (knn_hamming_recall's shape) + knn_bruteforce's — both
       // query-set-sized broadcasts, the graded-ANN family idiom
-      "knn_rerank_gain")
+      "knn_rerank_gain",
+      // round 10 batch 5: embed_bitext is two knn_bruteforce-shaped
+      // broadcast crosses (query slice over the B scan, ≤|Q|·k
+      // candidates over the A scan) — both query-bounded by contract;
+      // dedup_containment_recall combines three ONE-ROW count
+      // aggregates (the dedup_minhash_recall shape); corpus_temp_mix
+      // attaches its ONE-ROW (total_chars, total_tw) aggregate onto
+      // the sources-bounded frame (the q22 idiom)
+      "embed_bitext", "dedup_containment_recall", "corpus_temp_mix")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

@@ -1708,4 +1708,63 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q2.stop()
   }
+  test("stream_quota: hash-rank admission is arrival-order independent; audit == batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: q=2, three docs arrive in an order where the LAST one
+    // has the smallest hash rank — it must displace an earlier
+    // admission (first-come-first-kept would get this wrong); the
+    // audit row after each batch carries the current frontier
+    val mix = graft.operators.Corpus.SampleMixConst
+    def h(id: Long) = (id * mix) % 1000000007L
+    val ids = (1L to 50L).sortBy(h).take(3) // three smallest-rank ids
+    val (best, mid, worst) = (ids(0), ids(1), ids(2))
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = EventStreams.quotaStream(mem.toDS(), 2)
+      .toDF("source", "n_seen", "n_kept", "sum_kept_ids", "kept_chars")
+      .writeStream.format("memory").queryName("quota").outputMode("append").start()
+    try {
+      mem.addData((mid, "s", 10L), (worst, "s", 20L))
+      q.processAllAvailable()
+      mem.addData((best, "s", 30L))
+      q.processAllAvailable()
+      val last = spark.table("quota").orderBy(col("n_seen").desc).collect().head
+      assert(last.getAs[Long]("n_seen") == 3L && last.getAs[Long]("n_kept") == 2L)
+      assert(last.getAs[Long]("sum_kept_ids") == best + mid,
+        s"late best-rank doc did not displace: kept sum ${last.getAs[Long]("sum_kept_ids")} != ${best + mid}")
+      assert(last.getAs[Long]("kept_chars") == 40L)
+    } finally q.stop()
+
+    // equivalence on the real documents table under a median split: the
+    // last-write-wins (max n_seen) view must equal corpus_quota_sample's
+    // kept columns exactly — the min-q frontier is order-independent
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val (w1, w2) = docs.splitAt(docs.length / 2)
+    val mem2 = MemoryStream[(Long, String, Long)]
+    val q2 = EventStreams.quotaStream(mem2.toDS(), graft.operators.Corpus.QuotaPerSource.toInt)
+      .toDF("source", "n_seen", "n_kept", "sum_kept_ids", "kept_chars")
+      .writeStream.format("memory").queryName("quota_eq").outputMode("append").start()
+    try {
+      mem2.addData(w2.toSeq); q2.processAllAvailable() // reversed halves on purpose
+      mem2.addData(w1.toSeq); q2.processAllAvailable()
+      val streamed = spark.table("quota_eq").groupBy("source")
+        .agg(max(struct(col("n_seen"), col("n_kept"), col("sum_kept_ids"), col("kept_chars"))).as("b"))
+        .select(col("source"), col("b.n_seen"), col("b.n_kept"), col("b.sum_kept_ids"), col("b.kept_chars"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val batch = graft.operators.Corpus.corpusQuotaSample(spark, sfDir)
+        .collect().map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+            r.getAs[Long]("sum_kept_ids"), r.getAs[Long]("kept_chars"))).toMap
+      assert(streamed == batch, "streamed quota audit != batch corpus_quota_sample")
+      // state-size contract: ONE frontier record per source (each ≤ q
+      // entries), never doc-count-sized
+      val stateRows = q2.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).max
+      assert(stateRows == batch.size.toLong,
+        s"state rows $stateRows != sources ${batch.size}")
+    } finally q2.stop()
+  }
 }
