@@ -675,7 +675,70 @@ object Corpus {
        |  (tw * 1000000 // total_tw) * total_chars // chars // 1000 AS epochs_permille
        |FROM by_src, t ORDER BY source""".stripMargin
 
+  // ---- training-shard assignment audit ----------------------------------
+
+  /** Number of output shards the assignment audit models — at 100 TB
+    * this is the writer's file count (thousands); the audit math is
+    * shard-cardinality-bounded either way.
+    */
+  val NumShards = 16L
+
+  /** Deterministic training-shard assignment + balance audit: every
+    * doc lands in shard (doc_id·Knuth) mod p mod [[NumShards]] — a
+    * pure function of doc_id (stable across retries/engines), and the
+    * question a shard writer must answer BEFORE training reads the
+    * files: are the shards balanced in docs AND chars, and is any
+    * shard source-skewed (a shard dominated by one crawl source makes
+    * per-shard loss curves incomparable and data-parallel workers
+    * see different mixtures)? Output per shard: doc/char mass,
+    * deviation from the uniform share, source count, and the largest
+    * single-source share inside the shard.
+    *
+    * Scale shape: assignment is map-side hash arithmetic; ONE
+    * (shard, source) partial agg (shards × sources rows), rolled up
+    * to shards; totals are a one-row broadcast. Nothing corpus-sized
+    * shuffles — the audit is as cheap as the scan.
+    */
+  def corpusShards(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("shard", pmod(pmod(col("doc_id") * lit(SampleMixConst),
+        lit(1000000007L)), lit(NumShards)))
+    val byShardSrc = Materialize.stable(d.groupBy("shard", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("c")))
+    val byShard = byShardSrc.groupBy("shard")
+      .agg(sum("n").as("n_docs"), sum("c").as("chars"),
+        count(lit(1)).as("n_sources"), max("n").as("top_src_docs"))
+    val tot = byShard.agg(sum("n_docs").as("total_docs"))
+    byShard.join(broadcast(tot))
+      .withColumn("skew_ppm", expr(s"n_docs * $NumShards * 1000000 div total_docs"))
+      .withColumn("top_source_ppm", expr("top_src_docs * 1000000 div n_docs"))
+      .select("shard", "n_docs", "chars", "n_sources", "top_source_ppm", "skew_ppm")
+      .orderBy("shard")
+  }
+
+  val corpusShardsSql: String =
+    s"""WITH d AS (
+       |  SELECT ((doc_id * $SampleMixConst) % 1000000007) % $NumShards AS shard,
+       |    source, n_chars
+       |  FROM documents
+       |), bss AS (
+       |  SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(n_chars) AS BIGINT) AS c
+       |  FROM d GROUP BY 1, 2
+       |), bs AS (
+       |  SELECT shard, CAST(SUM(n) AS BIGINT) AS n_docs,
+       |    CAST(SUM(c) AS BIGINT) AS chars,
+       |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+       |    CAST(MAX(n) AS BIGINT) AS top_src_docs
+       |  FROM bss GROUP BY 1
+       |), t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM bs)
+       |SELECT shard, n_docs, chars, n_sources,
+       |  top_src_docs * 1000000 // n_docs AS top_source_ppm,
+       |  n_docs * $NumShards * 1000000 // total_docs AS skew_ppm
+       |FROM bs, t ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shards" -> (corpusShards _),
     "sample_weighted" -> (sampleWeighted _),
     "corpus_temp_mix" -> (corpusTempMix _),
     "corpus_quota_sample" -> (corpusQuotaSample _),
@@ -690,6 +753,7 @@ object Corpus {
     "corpus_mix" -> (corpusMix _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_shards" -> corpusShardsSql,
     "sample_weighted" -> sampleWeightedSql,
     "corpus_temp_mix" -> corpusTempMixSql,
     "corpus_quota_sample" -> corpusQuotaSampleSql,

@@ -533,6 +533,112 @@ object CorpusQuality {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Duplication-factor curve over 3-gram occurrences (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"
+    * — their Fig. 1 readout): bucket every distinct 3-gram shingle by
+    * floor(log2(occurrences corpus-wide)) and report, per bucket, how
+    * many distinct shingles sit there and what share of TOTAL n-gram
+    * mass they carry. This is the memorization-risk curve — the mass
+    * sitting in high-duplication buckets is the text a model sees
+    * hundreds of times per epoch, and the number dedup exists to move;
+    * run it before/after dedup_* to measure the shift. Occurrences are
+    * TOTAL (not per-doc-distinct), so within-doc repetition counts —
+    * the quantity memorization actually responds to.
+    *
+    * Scale shape: shingle hashes are map-side in the scan projection
+    * (the dedup family's kernel, NON-distinct variant); the only
+    * corpus-sized shuffle is ONE partial-aggregated groupBy on the
+    * 64-bit hash (the dedup_spans frequency pass); the log2 bucket
+    * rolls that vocabulary-sized frame onto ≤ ~45 rows and the total
+    * attaches as a one-row broadcast. Bucketing is length(bin(c))−1
+    * integer math (no libm); mass_ppm cross-multiplies in
+    * DECIMAL(38,0) (occurrences·10⁶ passes 2⁶³ at ~9×10¹² shingle
+    * occurrences — a mere ~50 TB of text).
+    */
+  def corpusNgramInflation(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val sh = PortableHash.sparkShingles("filter(split(text, ' '), w -> w <> '')")
+    val occ = Tables.documents(s, dir)
+      .select(explode(expr(s"transform($sh, x -> ${PortableHash.sparkWordHash("x")})")).as("h"))
+    val freq = occ.groupBy("h").agg(count(lit(1)).as("c"))
+    val bucketed = freq
+      .groupBy(expr("CAST(length(bin(c)) - 1 AS INT)").as("bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum("c").as("occurrences"))
+    val tot = bucketed.agg(sum("occurrences").as("total_occ"))
+    bucketed.join(broadcast(tot))
+      .withColumn("mass_ppm", expr(
+        "CAST(CAST(occurrences AS DECIMAL(38,0)) * 1000000 div total_occ AS BIGINT)"))
+      .select("bucket", "n_shingles", "occurrences", "mass_ppm")
+      .orderBy("bucket")
+  }
+
+  val corpusNgramInflationSql: String = {
+    import graft.functions.PortableHash
+    val sh = PortableHash.duckShingles("list_filter(string_split(text, ' '), w -> w <> '')")
+    s"""WITH occ AS (
+       |  SELECT unnest(list_transform($sh, x -> ${PortableHash.duckWordHash("x")})) AS h
+       |  FROM documents
+       |), freq AS (
+       |  SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY 1
+       |), bucketed AS (
+       |  SELECT CAST(length(bin(c)) - 1 AS INT) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(SUM(c) AS BIGINT) AS occurrences
+       |  FROM freq GROUP BY 1
+       |), t AS (SELECT CAST(SUM(occurrences) AS BIGINT) AS total_occ FROM bucketed)
+       |SELECT bucket, n_shingles, occurrences,
+       |  CAST(CAST(occurrences AS HUGEINT) * 1000000 // total_occ AS BIGINT) AS mass_ppm
+       |FROM bucketed, t ORDER BY bucket""".stripMargin
+  }
+
+  /** Tokenizer fertility audit per (source, lang): subword tokens per
+    * whitespace word (fertility) and characters per subword token
+    * (compression) under the BPE-ish reference tokenization
+    * ([[TextAnalysis.textTokens]]'s regex). THE pre-training fairness
+    * readout — a tokenizer trained head-heavy spends 2-4× the tokens
+    * per word on tail languages/sources, which silently re-weights the
+    * mixture corpus_mix planned in WORDS (a doc budgeted as 200 words
+    * of context costs 600 tokens of context window) and inflates their
+    * training cost per unit of text. Read next to corpus_temp_mix:
+    * the token-denominated mixture is the one training actually sees.
+    *
+    * Scale shape: the three counts are pure map-side column math in
+    * the scan projection (regexp_extract_all + split sizes — codegen,
+    * no UDF); the ONLY shuffle is one (source, lang)-keyed partial agg
+    * onto a sources×langs-bounded frame. Ratios cross-multiply in
+    * DECIMAL(38,0) (tokens·10⁶ passes 2⁶³ at ~9×10¹² tokens).
+    */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)").as("w"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)").as("tk"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("words"),
+        sum("tk").as("tokens"), sum("ch").as("chars"))
+      .withColumn("fertility_ppm", expr(
+        "CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000 div words AS BIGINT)"))
+      .withColumn("chars_per_token_ppm", expr(
+        "CAST(CAST(chars AS DECIMAL(38,0)) * 1000000 div tokens AS BIGINT)"))
+      .select("source", "lang", "n_docs", "words", "tokens",
+        "fertility_ppm", "chars_per_token_ppm")
+      .orderBy("source", "lang")
+
+  val tokenFertilitySql: String =
+    """WITH per AS (
+      |  SELECT source, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS w,
+      |    CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS tk,
+      |    CAST(length(text) AS BIGINT) AS ch
+      |  FROM documents
+      |)
+      |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS words, CAST(SUM(tk) AS BIGINT) AS tokens,
+      |  CAST(CAST(SUM(tk) AS HUGEINT) * 1000000 // CAST(SUM(w) AS HUGEINT) AS BIGINT) AS fertility_ppm,
+      |  CAST(CAST(SUM(ch) AS HUGEINT) * 1000000 // CAST(SUM(tk) AS HUGEINT) AS BIGINT) AS chars_per_token_ppm
+      |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** One BPE merge-selection step: the top-20 adjacent CHARACTER pairs
     * by corpus frequency — the argmax scan a byte-pair-encoding
     * tokenizer trainer runs once per merge. Distinct from
@@ -860,6 +966,8 @@ object CorpusQuality {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_ngram_inflation" -> (corpusNgramInflation _),
+    "token_fertility" -> (tokenFertility _),
     "quality_dup_lift" -> (qualityDupLift _),
     "corpus_dsir_weights" -> (corpusDsirWeights _),
     "bpe_pair_step" -> (bpePairStep _),
@@ -876,6 +984,8 @@ object CorpusQuality {
     "text_zipf_slope" -> (textZipfSlope _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_ngram_inflation" -> corpusNgramInflationSql,
+    "token_fertility" -> tokenFertilitySql,
     "quality_dup_lift" -> qualityDupLiftSql,
     "corpus_dsir_weights" -> corpusDsirWeightsSql,
     "bpe_pair_step" -> bpePairStepSql,

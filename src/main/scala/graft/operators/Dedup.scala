@@ -650,7 +650,11 @@ object Dedup {
     * is corpus-cardinality rows that must not pin executor memory.
     */
   def connectedComponents(pairs0: DataFrame): DataFrame = {
-    val pairs = pairs0.toDF("doc_a", "doc_b")
+    // snapshot: the pair frame is typically an expensive verified-LSH
+    // plan; the reversed union below references it twice and the
+    // propagation loop many times — pay its cost exactly ONCE, with
+    // full AQE (Materialize.snapshot scaladoc has the measured 20×)
+    val pairs = Materialize.snapshot(pairs0.toDF("doc_a", "doc_b"))
     val edges = Materialize.stable(
       pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst"))
     // Init fuses round 1: label = min(self, min neighbor).

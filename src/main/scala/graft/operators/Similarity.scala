@@ -77,21 +77,64 @@ object Similarity {
     * reference.
     */
   private def withVec(s: SparkSession, dir: String): DataFrame =
-    Materialize.stable(Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(sparkToDouble("embedding")).as("v")))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(sparkToDouble("embedding")).as("v"))
 
   /** embedding near-dup pairs: 16 LSH tables × 4 hyperplanes generate
     * candidates; exact cosine ≥ threshold verifies.
+    *
+    * EXACT-CLASS COLLAPSE first (the video_dedup / audio_dedup rule,
+    * SCALE.md's twice-measured pair-explosion lesson, third sighting):
+    * byte-identical vectors — re-ingested embeddings, mirrored shards,
+    * the ×10 replication harness — share EVERY LSH bucket, so a k-copy
+    * content class mints C(k,2) candidates in all 16 tables (measured:
+    * 101.7M raw candidates at ×10, 397s warm). The band join therefore
+    * sees ONE row per content class (min-id representative, classes
+    * keyed by the full vector — exact, no hash-collision caveat), and
+    * the member expansion afterwards restores EXACTLY the original
+    * candidate set: identical vectors have identical buckets, so a
+    * member pair is bucket-colliding iff its representative pair is.
+    * Output (and the plain-LSH DuckDB oracle) bit-identical; only the
+    * candidate volume changes — Σ C(k·m,2) → Σ C(k,2) + output-sized
+    * expansion.
     */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val vecs = withVec(s, dir)
-    val buckets = vecs
+    // class key = (hash prefix, full vector): the hash makes the
+    // window's shuffle-sort compare 8 bytes in the common case, the
+    // full vector keeps equality EXACT (hash collisions just co-sort).
+    // snapshot, not persist: the frame feeds 4 downstream references
+    // and re-reads of a populated DISK_ONLY InMemoryRelation measured
+    // 13× slower than plain file scans on the big-join path
+    val members = Materialize.snapshot(vecs
+      .withColumn("rep", min("vec_id")
+        .over(Window.partitionBy(xxhash64(col("v")), col("v")))))
+    val reps = members.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("v"))
+    val buckets = reps
       .select(col("vec_id"), posexplode(expr(sparkLshBuckets("v"))).as(Seq("t", "bucket")))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    // representative-pair candidates (cross-class)
+    val candRep = buckets.as("x").join(buckets.as("y"),
         col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .select(col("x.vec_id").as("ra"), col("y.vec_id").as("rb"))
       .distinct()
+    val ids = members.select(col("rep"), col("vec_id"))
+    // expand back to member pairs — exactly the pre-collapse candidate
+    // set, no distinct needed: a member pair maps to ONE class pair
+    // (cross branch) or ONE class (self branch, a0 < b0 dedups)
+    val cross = candRep
+      .join(ids.select(col("rep").as("ra"), col("vec_id").as("a0")), Seq("ra"))
+      .join(ids.select(col("rep").as("rb"), col("vec_id").as("b0")), Seq("rb"))
+      .select(least(col("a0"), col("b0")).as("vec_a"),
+        greatest(col("a0"), col("b0")).as("vec_b"))
+    // self-pairs of every multi-member class (identical vectors always
+    // collide in every table)
+    val self = ids.as("m1").join(ids.as("m2"),
+        col("m1.rep") === col("m2.rep") && col("m1.vec_id") < col("m2.vec_id"))
+      .select(col("m1.vec_id").as("vec_a"), col("m2.vec_id").as("vec_b"))
+    val cand = cross.union(self)
     cand
       .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
       .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
@@ -1931,8 +1974,43 @@ object Similarity {
        |JOIN sy ON x.cand_id = sy.cand_id
        |ORDER BY x.query_id, x.rank""".stripMargin
 
+  /** Semantic-duplicate cluster census: connected components of the
+    * verified embedding near-dup graph — the embedding-side twin of
+    * dedup_clusters (A≈B, B≈C ⇒ {A,B,C} one cluster even when A·C
+    * sits below threshold; keep-one-per-cluster needs the component,
+    * not the pair list). Pairs come from [[embedNeardup]] (hyperplane
+    * LSH buckets → exact-cosine verify), so the component pass runs on
+    * the OUTPUT-sized pair frame; the engine is
+    * [[Dedup.connectedComponents]] (min-label propagation + pointer
+    * doubling, O(log d) rounds, per-round checkpoint), already proven
+    * empty-graph-safe. Vectors in no pair keep their own id implicitly
+    * (they are absent from the output — the dedup_clusters
+    * convention).
+    */
+  def embedClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.connectedComponents(
+        embedNeardup(s, dir).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+
+  val embedClustersSql: String =
+    s"""WITH RECURSIVE epairs AS (
+       |  SELECT vec_a, vec_b FROM ($embedNeardupSql) ep
+       |), edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM epairs
+       |  UNION ALL
+       |  SELECT vec_b, vec_a FROM epairs
+       |), reach(node, label) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+       |)
+       |SELECT node AS vec_id, MIN(label) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_bitext" -> (embedBitext _),
+    "embed_clusters" -> (embedClusters _),
     "knn_ivf_balance" -> (knnIvfBalance _),
     "embed_pca_power" -> (embedPcaPower _),
     "embed_kmeans_step" -> (embedKmeansStep _),
@@ -1961,6 +2039,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "embed_bitext" -> embedBitextSql,
+    "embed_clusters" -> embedClustersSql,
     "knn_ivf_balance" -> knnIvfBalanceSql,
     "embed_pca_power" -> embedPcaPowerSql,
     "embed_kmeans_step" -> embedKmeansStepSql,

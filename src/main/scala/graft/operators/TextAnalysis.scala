@@ -375,7 +375,79 @@ object TextAnalysis {
       |    FROM documents) w) t
       |ORDER BY doc_id""".stripMargin
 
+  /** Minimum second-language lexicon hits for a code-switching verdict
+    * and the ratio rule (2·s₂ ≥ s₁): one stray loanword must not flag
+    * a doc; a secondary language carrying at least half the primary's
+    * evidence (with ≥ [[MixMinHits]] hits of its own) does.
+    */
+  val MixMinHits = 2L
+
+  /** Code-switching / mixed-language audit: per doc the TOP-2 lexicon
+    * scores decide whether the doc is monolingual or mixed (s₂·2 ≥ s₁
+    * with a [[MixMinHits]] floor), and mixed docs roll up into a
+    * (primary, secondary) language-pair matrix — the audit run before
+    * language-keyed filtering, because a lang-id ARGMAX silently
+    * routes a 60/40 bilingual doc into the 60% bucket and the 40%
+    * language's filter never sees it (the known failure mode of
+    * doc-level language routing on code-switched text).
+    *
+    * Top-2 selection is ONE array_sort of a 5-element (score,
+    * -lexicon_idx, lang) struct array — ties resolve to the EARLIEST
+    * lexicon lang, matching [[withPredicted]]'s argmax exactly (the
+    * invariant spec asserts primary == predicted). All map-side; the
+    * rollup is language-pair-bounded (≤ |langs|²), the corpus share
+    * attaches via the one-row broadcast idiom.
+    */
+  def textLangMix(s: SparkSession, dir: String): DataFrame = {
+    val entries = lexicons.zipWithIndex.map { case ((lang, _), i) =>
+      s"named_struct('s', CAST(s_$lang AS BIGINT), 'ni', ${-i}L, 'lang', '$lang')"
+    }.mkString("array(", ", ", ")")
+    val n = lexicons.size
+    val scored = lexicons.foldLeft(Tables.documents(s, dir)) {
+      case (df, (lang, lex)) => df.withColumn(s"s_$lang", expr(sparkLexCount(lex)))
+    }
+    val d = scored
+      .withColumn("srt", expr(s"array_sort($entries)"))
+      .withColumn("primary_lang", expr(s"element_at(srt, $n).lang"))
+      .withColumn("s1", expr(s"element_at(srt, $n).s"))
+      .withColumn("secondary_lang", expr(s"element_at(srt, ${n - 1}).lang"))
+      .withColumn("s2", expr(s"element_at(srt, ${n - 1}).s"))
+      .withColumn("mixed", expr(s"CASE WHEN 2 * s2 >= s1 AND s2 >= $MixMinHits THEN 1L ELSE 0L END"))
+    val total = d.agg(count(lit(1)).as("total_docs"))
+    d.filter(col("mixed") === 1L)
+      .groupBy("primary_lang", "secondary_lang")
+      .agg(count(lit(1)).as("n_mixed"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n_mixed * 1000000 div total_docs"))
+      .select("primary_lang", "secondary_lang", "n_mixed", "share_ppm")
+      .orderBy("primary_lang", "secondary_lang")
+  }
+
+  val textLangMixSql: String = {
+    val scores = lexicons.map { case (lang, lex) => s"${duckLexCount(lex)} AS s_$lang" }.mkString(",\n    ")
+    val entries = lexicons.zipWithIndex.map { case ((lang, _), i) =>
+      s"{'s': CAST(s_$lang AS BIGINT), 'ni': CAST(${-i} AS BIGINT), 'lang': '$lang'}"
+    }.mkString("[", ", ", "]")
+    val n = lexicons.size
+    s"""WITH scored AS (
+       |  SELECT $scores FROM documents
+       |), srt AS (
+       |  SELECT list_sort($entries) AS l FROM scored
+       |), top2 AS (
+       |  SELECT l[$n].lang AS primary_lang, l[$n].s AS s1,
+       |    l[${n - 1}].lang AS secondary_lang, l[${n - 1}].s AS s2
+       |  FROM srt
+       |), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs FROM top2)
+       |SELECT primary_lang, secondary_lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_mixed,
+       |  CAST(COUNT(*) AS BIGINT) * 1000000 // total_docs AS share_ppm
+       |FROM top2, t
+       |WHERE 2 * s2 >= s1 AND s2 >= $MixMinHits
+       |GROUP BY 1, 2, total_docs ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_mix" -> (textLangMix _),
     "text_readability" -> (textReadability _),
     "text_langid" -> (textLangid _),
     "source_label_trust" -> (sourceLabelTrust _),
@@ -387,6 +459,7 @@ object TextAnalysis {
     "tfidf_topterms" -> (tfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
+    "text_lang_mix" -> textLangMixSql,
     "text_readability" -> textReadabilitySql,
     "text_langid" -> textLangidSql,
     "source_label_trust" -> sourceLabelTrustSql,

@@ -263,6 +263,80 @@ object WebCorpus {
       |FROM r0 LEFT JOIN inflow i ON r0.page = i.page, t
       |ORDER BY r1_ppb DESC, r0.page LIMIT 20""".stripMargin
 
+  /** One HITS iteration (Kleinberg 1999) over the crawl's page graph —
+    * the hub/authority decomposition PageRank can't give: a link
+    * aggregator (high hub, low authority) and a canonical reference
+    * page (high authority, low hub) both rank high under PageRank, but
+    * curation treats them oppositely (keep the reference, drop the
+    * directory page). Same deterministic edge synthesis as
+    * [[webPagerankStep]] (page u → (7u+1, 13u+5, 29u+11) mod P) so the
+    * oracle restates the graph; the hub seed h₀ is proportional to
+    * page char volume (data-dependent — a genuine sparse mat-vec, not
+    * degree counting). One iteration emits a₁ = Eᵀh₀ and h₁ = E·a₁,
+    * all in ppb fixed point; top 20 by authority.
+    *
+    * Scale shape: docs collapse to the page frame in ONE partial agg;
+    * edges are the map-side 3× explode carrying h₀; authority is ONE
+    * dst-keyed partial agg; the hub recombination is a co-partitioned
+    * page equi-join (edges ⋈ a₁ on dst) + ONE src-keyed partial agg;
+    * the top-20 is TakeOrdered. Numeric bounds: Σ h₀ = 10⁹ by
+    * construction ⇒ Σ a₁ ≤ 3·10⁹ ⇒ Σ h₁ ≤ 9·10⁹ — every sum BIGINT-
+    * safe at ANY corpus size (the pagerank-step mass-conservation
+    * argument, squared once).
+    */
+  def webHitsStep(s: SparkSession, dir: String): DataFrame = {
+    val pages = Materialize.stable(Tables.documents(s, dir)
+      .groupBy(expr("doc_id div 4").as("page"))
+      .agg(sum("n_chars").as("chars")))
+    val totals = pages.agg((max("page") + 1).as("p_count"),
+      sum("chars").as("total_chars"))
+    val h0 = pages.join(broadcast(totals))
+      .withColumn("h0_ppb", expr("chars * 1000000000 div total_chars"))
+    val edges = Materialize.stable(h0.select(col("page").as("src"), col("h0_ppb"),
+      explode(expr(
+        "array((page*7+1) % p_count, (page*13+5) % p_count, (page*29+11) % p_count)"))
+        .as("dst")))
+    val auth = edges.groupBy(col("dst").as("page"))
+      .agg(sum("h0_ppb").as("auth_ppb"))
+    val hub = edges.select("src", "dst")
+      .join(auth.withColumnRenamed("page", "dst"), Seq("dst"))
+      .groupBy(col("src").as("page")).agg(sum("auth_ppb").as("hub_ppb"))
+    h0.join(auth, Seq("page"), "left").join(hub, Seq("page"), "left")
+      .select(col("page"), col("chars"), col("h0_ppb"),
+        coalesce(col("auth_ppb"), lit(0L)).as("auth_ppb"),
+        coalesce(col("hub_ppb"), lit(0L)).as("hub_ppb"))
+      .orderBy(col("auth_ppb").desc, col("page")).limit(20)
+  }
+
+  val webHitsStepSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id // 4 AS page, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(MAX(page) + 1 AS BIGINT) AS p_count,
+      |    CAST(SUM(chars) AS BIGINT) AS total_chars FROM pages
+      |), h0 AS (
+      |  SELECT page, chars, chars * 1000000000 // total_chars AS h0_ppb
+      |  FROM pages, t
+      |), edges AS (
+      |  SELECT page AS src, h0_ppb,
+      |    unnest([(page*7+1) % p_count, (page*13+5) % p_count,
+      |            (page*29+11) % p_count]) AS dst
+      |  FROM h0, t
+      |), auth AS (
+      |  SELECT dst AS page, CAST(SUM(h0_ppb) AS BIGINT) AS auth_ppb
+      |  FROM edges GROUP BY 1
+      |), hub AS (
+      |  SELECT e.src AS page, CAST(SUM(a.auth_ppb) AS BIGINT) AS hub_ppb
+      |  FROM edges e JOIN auth a ON e.dst = a.page GROUP BY 1
+      |)
+      |SELECT h0.page, h0.chars, h0.h0_ppb,
+      |  COALESCE(auth.auth_ppb, 0) AS auth_ppb,
+      |  COALESCE(hub.hub_ppb, 0) AS hub_ppb
+      |FROM h0 LEFT JOIN auth ON h0.page = auth.page
+      |        LEFT JOIN hub ON h0.page = hub.page
+      |ORDER BY auth_ppb DESC, h0.page LIMIT 20""".stripMargin
+
   /** Hub cap for the triangle pass: pages with out-degree above this
     * are excluded from the wedge MIDDLE role, which is what bounds the
     * wedge join at Σ min(outdeg, cap)² instead of Σ outdeg² — the
@@ -563,6 +637,7 @@ object WebCorpus {
     "web_domain_components" -> (webDomainComponents _),
     "web_domains" -> (webDomains _),
     "web_pagerank_step" -> (webPagerankStep _),
+    "web_hits_step" -> (webHitsStep _),
     "web_triangles" -> (webTriangles _),
     "web_reciprocity" -> (webReciprocity _),
     "corpus_blocklist" -> (corpusBlocklist _)
@@ -573,6 +648,7 @@ object WebCorpus {
     "web_domain_components" -> webDomainComponentsSql,
     "web_domains" -> webDomainsSql,
     "web_pagerank_step" -> webPagerankStepSql,
+    "web_hits_step" -> webHitsStepSql,
     "web_triangles" -> webTrianglesSql,
     "web_reciprocity" -> webReciprocitySql,
     "corpus_blocklist" -> corpusBlocklistSql

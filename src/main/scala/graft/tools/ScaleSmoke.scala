@@ -142,7 +142,13 @@ object ScaleSmoke {
       // audit side — watch candidate volume), margin bitext mining
       // (query-bounded), and the two map-side samplers
       "dedup_containment_recall", "embed_bitext",
-      "sample_weighted", "corpus_temp_mix")
+      "sample_weighted", "corpus_temp_mix",
+      // round-10 batch 6: component census over LSH-bounded pairs,
+      // shard/lang-mix audits (map-side + bounded rollups)
+      "embed_clusters", "corpus_shards", "text_lang_mix",
+      // round-10 batch 7: corpus-shuffle histogram (watch the hash agg),
+      // map-side fertility rollup, HITS mat-vec step
+      "corpus_ngram_inflation", "token_fertility", "web_hits_step")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty
     else targets.filter(t => only.forall(_.contains(t))).map { name =>
       val t0 = System.nanoTime()

@@ -1552,6 +1552,173 @@ class OperatorInvariantSpec extends SparkSpec {
         s"$sa/$sb: tempered ratio exceeds raw ratio — not a compression")
   }
 
+  test("embed_clusters: census matches a driver-side union-find over the verified pairs") {
+    val pairs = operators.Similarity.embedNeardup(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pairs at sf0.01 — plant lost")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = operators.Similarity.embedClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == expected, "component labels differ from driver union-find")
+    // min-label convention: every cluster id is a member of its cluster
+    got.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.min == cid, s"cluster $cid label is not its min member")
+    }
+  }
+
+  test("corpus_shards: assignment recounted driver-side; masses conserve") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ns = operators.Corpus.NumShards
+    val byShard = docs.groupBy(d =>
+      (d._1 * operators.Corpus.SampleMixConst) % 1000000007L % ns)
+    val out = operators.Corpus.corpusShards(spark, sf).collect()
+      .map(r => r.getAs[Long]("shard") -> r).toMap
+    assert(out.size == ns.toInt, s"expected $ns shards, got ${out.size}")
+    byShard.foreach { case (sh, ds) =>
+      val r = out(sh)
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("chars") == ds.map(_._3).sum)
+      val srcCounts = ds.groupBy(_._2).map(_._2.length.toLong)
+      assert(r.getAs[Long]("n_sources") == srcCounts.size.toLong)
+      assert(r.getAs[Long]("top_source_ppm") == srcCounts.max * 1000000L / ds.length)
+      assert(r.getAs[Long]("skew_ppm") ==
+        ds.length.toLong * ns * 1000000L / docs.length)
+    }
+    assert(out.values.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong,
+      "shards do not conserve the corpus")
+    // the hash must actually balance: no shard beyond ±25% of uniform
+    out.values.foreach { r =>
+      val skew = r.getAs[Long]("skew_ppm")
+      assert(skew > 750000L && skew < 1250000L, s"shard ${r.getAs[Long]("shard")} skew $skew ppm")
+    }
+  }
+
+  test("text_lang_mix: primary == langid argmax; mix rule recounted driver-side") {
+    val lex = operators.TextAnalysis.lexicons
+    val docs = sources.Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    def scores(t: String): Seq[(String, Long)] = {
+      val ws = t.split(" ").filter(_.nonEmpty)
+      lex.map { case (lang, l) => lang -> ws.count(l.toSet).toLong }
+    }
+    // driver recount of the (primary, secondary) matrix under the same
+    // earliest-lexicon-order tie-break
+    val minHits = operators.TextAnalysis.MixMinHits
+    val counted = scala.collection.mutable.Map.empty[(String, String), Long]
+    var primaryChecked = 0
+    docs.foreach { t =>
+      val sc = scores(t)
+      val ordered = sc.zipWithIndex.sortBy { case ((_, s), i) => (-s, i) }
+      val (p, s1) = ordered.head._1
+      val (q, s2) = ordered(1)._1
+      // primary must equal withPredicted's argmax (first lang in lexicon
+      // order achieving the max — the shared predictor contract)
+      val predicted = sc.find(_._2 == sc.map(_._2).max).get._1
+      assert(p == predicted); primaryChecked += 1
+      if (2 * s2 >= s1 && s2 >= minHits)
+        counted((p, q)) = counted.getOrElse((p, q), 0L) + 1L
+    }
+    val got = operators.TextAnalysis.textLangMix(spark, sf).collect()
+      .map(r => (r.getAs[String]("primary_lang"), r.getAs[String]("secondary_lang")) ->
+        r.getAs[Long]("n_mixed")).toMap
+    assert(got == counted.toMap, "mixed-pair matrix differs from driver recount")
+    assert(primaryChecked == docs.length)
+    got.foreach { case ((p, q), _) => assert(p != q, "primary == secondary leaked") }
+  }
+
+  test("corpus_ngram_inflation: histogram matches a driver recount; mass conserves") {
+    val docs = sources.Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val P = 2147483647L
+    def wordHash(w: String): Long = w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val freq = scala.collection.mutable.Map.empty[Long, Long]
+    docs.foreach { t =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      (0 until math.max(0, ws.length - 2)).foreach { i =>
+        val h = wordHash(s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+        freq(h) = freq.getOrElse(h, 0L) + 1L
+      }
+    }
+    val expected = freq.values.groupBy(c => 63 - java.lang.Long.numberOfLeadingZeros(c))
+      .map { case (b, cs) => b.toInt -> (cs.size.toLong, cs.sum) }
+    val out = operators.CorpusQuality.corpusNgramInflation(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("bucket")).toSet == expected.keySet)
+    val totalOcc = out.map(_.getAs[Long]("occurrences")).sum
+    out.foreach { r =>
+      val (n, occ) = expected(r.getAs[Int]("bucket"))
+      assert(r.getAs[Long]("n_shingles") == n)
+      assert(r.getAs[Long]("occurrences") == occ)
+      assert(r.getAs[Long]("mass_ppm") == occ * 1000000L / totalOcc)
+    }
+    assert(totalOcc == freq.values.sum, "occurrence mass does not conserve")
+  }
+
+  test("token_fertility: per-source recount; fertility >= 1 token per word") {
+    val docs = sources.Tables.documents(spark, sf)
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val re = "[a-z]{1,4}|[0-9]+|[^a-z0-9 ]".r
+    val agg = docs.groupBy(d => (d._1, d._2)).map { case (k, ds) =>
+      k -> ((ds.length.toLong,
+        ds.map(_._3.split(" ").count(_.nonEmpty).toLong).sum,
+        ds.map(d => re.findAllIn(d._3).length.toLong).sum,
+        ds.map(_._3.length.toLong).sum))
+    }
+    val out = operators.CorpusQuality.tokenFertility(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) -> r).toMap
+    assert(out.keySet == agg.keySet)
+    agg.foreach { case (k, (n, w, tk, ch)) =>
+      val r = out(k)
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("words") == w)
+      assert(r.getAs[Long]("tokens") == tk)
+      assert(r.getAs[Long]("fertility_ppm") == tk * 1000000L / w)
+      assert(r.getAs[Long]("chars_per_token_ppm") == ch * 1000000L / tk)
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L,
+        s"$k: subword tokenization must not produce fewer tokens than words here")
+    }
+  }
+
+  test("web_hits_step: hub/authority recounted driver-side; mass bounds hold") {
+    val pages = sources.Tables.documents(spark, sf)
+      .select(expr("doc_id div 4").as("page"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val pCount = pages.keys.max + 1
+    val totalChars = pages.values.sum
+    val h0 = pages.map { case (p, c) => p -> c * 1000000000L / totalChars }
+    // toSeq: the operator's explode keeps DUPLICATE (src, dst) edges
+    // (two stride formulas can land on the same target) — a Set here
+    // would silently dedup them and lose authority mass
+    val outEdges = h0.keys.toSeq.flatMap(p =>
+      Seq((p * 7 + 1) % pCount, (p * 13 + 5) % pCount, (p * 29 + 11) % pCount).map(p -> _))
+    val auth = outEdges.groupBy(_._2).map { case (d, es) => d -> es.map(e => h0(e._1)).sum }
+    val hub = outEdges.groupBy(_._1).map { case (s0, es) =>
+      s0 -> es.map(e => auth.getOrElse(e._2, 0L)).sum
+    }
+    val expected = h0.keys.toSeq
+      .sortBy(p => (-auth.getOrElse(p, 0L), p)).take(20)
+      .map(p => (p, h0(p), auth.getOrElse(p, 0L), hub.getOrElse(p, 0L)))
+    val got = operators.WebCorpus.webHitsStep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("page"), r.getAs[Long]("h0_ppb"),
+        r.getAs[Long]("auth_ppb"), r.getAs[Long]("hub_ppb")))
+    assert(got.toSeq == expected, "HITS step differs from driver recount")
+    // mass conservation bounds: Σauth = 3·Σh0 exactly (every page has
+    // out-degree 3 and contributes its full h0 to each target)
+    assert(auth.values.sum == 3 * h0.values.sum)
+  }
+
   test("corpus_quota_sample: quota binds exactly, kept set matches an independent hash rank") {
     val out = operators.Corpus.corpusQuotaSample(spark, sf).collect()
       .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),

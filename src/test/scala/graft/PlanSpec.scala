@@ -144,7 +144,14 @@ class PlanSpec extends SparkSpec {
       // aggregates (the dedup_minhash_recall shape); corpus_temp_mix
       // attaches its ONE-ROW (total_chars, total_tw) aggregate onto
       // the sources-bounded frame (the q22 idiom)
-      "embed_bitext", "dedup_containment_recall", "corpus_temp_mix")
+      "embed_bitext", "dedup_containment_recall", "corpus_temp_mix",
+      // round 10 batch 6: corpus_shards / text_lang_mix attach their
+      // ONE-ROW totals (the q22 idiom)
+      "corpus_shards", "text_lang_mix",
+      // round 10 batch 7: corpus_ngram_inflation attaches its ONE-ROW
+      // occurrence total; web_hits_step attaches the one-row
+      // (p_count, total_chars) frame (both the q22 idiom)
+      "corpus_ngram_inflation", "web_hits_step")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
