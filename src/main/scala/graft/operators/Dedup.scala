@@ -933,6 +933,175 @@ object Dedup {
        |LEFT JOIN idx USING (fp)
        |ORDER BY new_id""".stripMargin
 
+  /** id shift for the near-dup ingestion batch — distinct from
+    * [[dedupIncremental]]'s 200000 so the two planted batches can
+    * never alias; base doc_ids stay far below it (the DedupCopyShift
+    * convention, Video.scala).
+    */
+  val NearBatchShift = 300000L
+
+  /** Ingestion-delta NEAR-dup admission against the corpus LSH index —
+    * the near-dup twin of [[dedupIncremental]], which probes by EXACT
+    * fingerprint and therefore wrongly ADMITS the most common real
+    * delta: the same doc re-ingested with a tail edit (appended
+    * correction, tracking footer, new timestamp line). The index here
+    * is the corpus minhash-signature + band-bucket table — built ONCE
+    * and reusable across batches (bucketed on the band key in
+    * production → exchange-free probes, the [[dedupIncremental]]
+    * contract); the batch computes its own signatures map-side and
+    * probes. The synthetic batch mixes tail-edited re-ingestions
+    * (doc_id%10==4, one appended word — byte-unequal, exact probe
+    * blind) with genuinely-new docs (doc_id%10==8, word order
+    * reversed — every 3-gram shingle changes, est-Jaccard ≈ 0).
+    *
+    * 100 TB shape: index signatures/bands are corpus-sized but
+    * amortized across every future batch; the probe join shuffles only
+    * the BATCH bands (deltas-sized); verification is candidate-bounded
+    * — the est-Jaccard ≥ 1/2 predicate decided in integers
+    * (2·matches ≥ k, the banding-sweep convention). dup_of = the min
+    * qualifying corpus doc; admitted = no qualifying candidate.
+    */
+  def dedupIncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val idxSig = Materialize.stable(d.select(col("doc_id"),
+      expr(sparkMinhash(sparkShingleHashes("text"))).as("mh")))
+    val idxBands = idxSig
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mh"))
+      .select(col("doc_id"), col("b"), expr(sparkBandValue("mh", "b")).as("bv"))
+    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 4)
+      .select((col("doc_id") + NearBatchShift).as("new_id"),
+        concat(col("text"), lit(" appendix")).as("text"))
+      .union(d.filter(pmod(col("doc_id"), lit(10)) === 8)
+        .select((col("doc_id") + NearBatchShift).as("new_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+    val bSig = Materialize.stable(batch.select(col("new_id"),
+      expr(sparkMinhash(sparkShingleHashes("text"))).as("mh")))
+    val bBands = bSig
+      .select(col("new_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mh"))
+      .select(col("new_id"), col("b"), expr(sparkBandValue("mh", "b")).as("bv"))
+    val cand = bBands.as("x").join(idxBands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv"))
+      .select(col("x.new_id"), col("y.doc_id")).distinct()
+    val verified = cand
+      .join(bSig.select(col("new_id"), col("mh").as("ma")), Seq("new_id"))
+      .join(idxSig.select(col("doc_id"), col("mh").as("mb")), Seq("doc_id"))
+      .filter(expr(
+        s"size(filter(sequence(1, $MinhashK), i -> element_at(ma, i) = element_at(mb, i))) * 2 >= $MinhashK"))
+      .groupBy("new_id").agg(min("doc_id").as("dup_of"))
+    batch.select("new_id").join(verified, Seq("new_id"), "left")
+      .select(col("new_id"), col("dup_of").isNull.as("admitted"), col("dup_of"))
+      .orderBy("new_id")
+  }
+
+  val dedupIncrementalLshSql: String =
+    s"""WITH isig AS (
+       |  SELECT doc_id, ${duckMinhash(duckShingleHashes("text"))} AS mh FROM documents
+       |), ibands AS (
+       |  SELECT doc_id, bs.b AS b, ${duckBandValue("mh", "bs.b")} AS bv
+       |  FROM isig CROSS JOIN (SELECT unnest(range(0, $MinhashBands)) AS b) bs
+       |), batch AS (
+       |  SELECT doc_id + $NearBatchShift AS new_id, text || ' appendix' AS text
+       |  FROM documents WHERE doc_id % 10 = 4
+       |  UNION ALL
+       |  SELECT doc_id + $NearBatchShift,
+       |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |  FROM documents WHERE doc_id % 10 = 8
+       |), bsig AS (
+       |  SELECT new_id, ${duckMinhash(duckShingleHashes("text"))} AS mh FROM batch
+       |), bbands AS (
+       |  SELECT new_id, bs.b AS b, ${duckBandValue("mh", "bs.b")} AS bv
+       |  FROM bsig CROSS JOIN (SELECT unnest(range(0, $MinhashBands)) AS b) bs
+       |), cand AS (
+       |  SELECT DISTINCT x.new_id, y.doc_id
+       |  FROM bbands x JOIN ibands y ON x.b = y.b AND x.bv = y.bv
+       |), ver AS (
+       |  SELECT new_id, MIN(doc_id) AS dup_of FROM (
+       |    SELECT c.new_id, c.doc_id, bs.mh AS ma, i.mh AS mb
+       |    FROM cand c JOIN bsig bs USING (new_id) JOIN isig i USING (doc_id)) t
+       |  WHERE len(list_filter(range(1, ${MinhashK + 1}), i -> ma[i] = mb[i])) * 2 >= $MinhashK
+       |  GROUP BY 1
+       |)
+       |SELECT b.new_id, v.dup_of IS NULL AS admitted, v.dup_of
+       |FROM batch b LEFT JOIN ver v USING (new_id)
+       |ORDER BY new_id""".stripMargin
+
+  /** Threshold sensitivity sweep over the verified minhash pair frame:
+    * near-dup pair count and affected-doc count at est-Jaccard ≥ 1/2,
+    * 3/4, 11/12 and = 1 — the dedup-aggressiveness dial read BEFORE
+    * committing a threshold corpus-wide ([[minhashPairsFromSigs]]'s
+    * ≥ 1/2 is a policy choice; this table shows how much mass each
+    * tightening melts, the verify-side mirror of dedup_banding_sweep's
+    * candidate-side S-curve). Thresholds are exact signature-match
+    * counts (m of k=12) so every predicate is integer.
+    *
+    * 100 TB shape: the candidate frame and per-pair match counts are
+    * paid ONCE (the dedup_minhash plan verbatim); each threshold row is
+    * a conditional rollup of that output-sized frame — ≤4 more
+    * output-sized passes, no new corpus work.
+    */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val sig = Materialize.stable(Tables.documents(s, dir)
+      .select(col("doc_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("mh")))
+    val bands = sig
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mh"))
+      .select(col("doc_id"), col("b"), expr(sparkBandValue("mh", "b")).as("bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val scored = Materialize.stable(cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("ma")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), expr(
+        s"size(filter(sequence(1, $MinhashK), i -> element_at(ma, i) = element_at(mb, i)))")
+        .cast("long").as("m")))
+    val thr = scored
+      .select(col("doc_a"), col("doc_b"), col("m"),
+        explode(expr("array(6L, 9L, 11L, 12L)")).as("min_matches"))
+      .filter(col("m") >= col("min_matches"))
+    val pairsAt = thr.groupBy("min_matches").agg(count(lit(1)).as("n_pairs"))
+    val docsAt = thr
+      .select(col("min_matches"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .groupBy("min_matches").agg(count(lit(1)).as("n_docs"))
+    pairsAt.join(docsAt, Seq("min_matches"))
+      .select("min_matches", "n_pairs", "n_docs")
+      .orderBy("min_matches")
+  }
+
+  val dedupThresholdSweepSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, ${duckMinhash(duckShingleHashes("text"))} AS mh FROM documents
+       |), bands AS (
+       |  SELECT doc_id, bs.b AS b, ${duckBandValue("mh", "bs.b")} AS bv
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $MinhashBands)) AS b) bs
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |), scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_filter(range(1, ${MinhashK + 1}), i -> sa.mh[i] = sb.mh[i])) AS BIGINT) AS m
+       |  FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id
+       |), thr AS (
+       |  SELECT doc_a, doc_b, m, t.min_matches
+       |  FROM scored, (SELECT unnest([6, 9, 11, 12]) AS min_matches) t
+       |  WHERE m >= min_matches
+       |)
+       |, pairs_at AS (
+       |  SELECT min_matches, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM thr GROUP BY 1
+       |), docs_at AS (
+       |  SELECT min_matches, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+       |    SELECT DISTINCT min_matches, doc_id FROM (
+       |      SELECT min_matches, doc_a AS doc_id FROM thr
+       |      UNION ALL
+       |      SELECT min_matches, doc_b FROM thr) u) d
+       |  GROUP BY 1
+       |)
+       |SELECT CAST(p.min_matches AS BIGINT) AS min_matches, p.n_pairs, d.n_docs
+       |FROM pairs_at p JOIN docs_at d USING (min_matches)
+       |ORDER BY min_matches""".stripMargin
+
   /** Cross-source contamination matrix: MinHash near-dup pairs rolled
     * up by unordered source pair — "which origins copy from each
     * other", the per-source overlap audit run before mixing corpora
@@ -1282,6 +1451,8 @@ object Dedup {
     "dedup_banding_sweep" -> (dedupBandingSweep _),
     "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_lsh" -> (dedupIncrementalLsh _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_exact" -> (dedupExact _),
     "dedup_prefix" -> (dedupPrefix _),
@@ -1301,6 +1472,8 @@ object Dedup {
     "dedup_banding_sweep" -> dedupBandingSweepSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_lsh" -> dedupIncrementalLshSql,
+    "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_prefix" -> dedupPrefixSql,

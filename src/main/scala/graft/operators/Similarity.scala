@@ -1855,6 +1855,82 @@ object Similarity {
        |  CAST(CAST(n_vecs AS HUGEINT) * n_cells * 1000000 // total AS BIGINT) AS imbalance_ppm
        |FROM sizes, t ORDER BY cell""".stripMargin
 
+  /** id shift for the drift audit's synthetic ingestion batch —
+    * distinct from every other planted shift (the DedupCopyShift
+    * convention).
+    */
+  val DriftBatchShift = 400000L
+
+  /** IVF index-maintenance drift audit: assign a NEW vector batch to
+    * the EXISTING index's centroids and compare per-cell occupancy
+    * shares — the when-to-rebuild gate. A production ANN index is
+    * appended to, not rebuilt nightly; appended vectors are routed by
+    * the FROZEN centroids, and quality degrades exactly when the
+    * batch's cell distribution drifts from the index's (new modality,
+    * new embedding model, new domain). The synthetic batch mixes
+    * in-distribution re-ingestions (vec_id%10==5, vectors verbatim —
+    * drift-free mass) with distribution-shifted vectors (vec_id%10==9,
+    * dimension order REVERSED — a different direction that lands in
+    * different cells).
+    *
+    * 100 TB shape: the index build (cents + assignment rollup) is the
+    * amortized once cost; the batch pass is cellAssign's broadcast-
+    * centroid struct-argmin partial agg over the DELTA only; the
+    * compare is a cells-bounded full-outer join + one-row totals
+    * broadcast. drift_ppm = \|idx_share − batch_share\| in integer ppm.
+    */
+  def knnIvfDrift(s: SparkSession, dir: String): DataFrame = {
+    val vecs = withVec(s, dir)
+    val cents = Materialize.stable(refineCents(vecs))
+    val idx = cellAssign(vecs, cents).groupBy("cell").agg(count(lit(1)).as("n_idx"))
+    val batch = vecs.filter(pmod(col("vec_id"), lit(10)) === 5)
+      .select((col("vec_id") + DriftBatchShift).as("vec_id"), col("v"))
+      .union(vecs.filter(pmod(col("vec_id"), lit(10)) === 9)
+        .select((col("vec_id") + DriftBatchShift).as("vec_id"), reverse(col("v")).as("v")))
+    val bat = cellAssign(batch, cents).groupBy("cell").agg(count(lit(1)).as("n_batch"))
+    val joined = idx.join(bat, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_idx"), lit(0L)).as("n_idx"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+    val totals = joined.agg(sum("n_idx").as("t_idx"), sum("n_batch").as("t_batch"))
+    joined.join(broadcast(totals))
+      .withColumn("idx_share_ppm", expr("n_idx * 1000000 div t_idx"))
+      .withColumn("batch_share_ppm", expr("n_batch * 1000000 div t_batch"))
+      .withColumn("drift_ppm", expr("abs(idx_share_ppm - batch_share_ppm)"))
+      .select("cell", "n_idx", "n_batch", "idx_share_ppm", "batch_share_ppm", "drift_ppm")
+      .orderBy("cell")
+  }
+
+  val knnIvfDriftSql: String =
+    s"""$knnAssignCte, idx AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_idx FROM assign GROUP BY 1
+       |), batch AS (
+       |  SELECT vec_id + $DriftBatchShift AS vec_id, v FROM vecs WHERE vec_id % 10 = 5
+       |  UNION ALL
+       |  SELECT vec_id + $DriftBatchShift, list_reverse(v) FROM vecs WHERE vec_id % 10 = 9
+       |), bassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT batch.vec_id, cents.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY batch.vec_id
+       |        ORDER BY ${duckCosine("batch.v", "cents.cv")} DESC, cents.cent_id) AS crank
+       |    FROM batch CROSS JOIN cents) t
+       |  WHERE crank = 1
+       |), bat AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_batch FROM bassign GROUP BY 1
+       |), joined AS (
+       |  SELECT COALESCE(idx.cell, bat.cell) AS cell,
+       |    COALESCE(n_idx, 0) AS n_idx, COALESCE(n_batch, 0) AS n_batch
+       |  FROM idx FULL OUTER JOIN bat ON idx.cell = bat.cell
+       |), t AS (
+       |  SELECT CAST(SUM(n_idx) AS BIGINT) AS t_idx,
+       |    CAST(SUM(n_batch) AS BIGINT) AS t_batch FROM joined
+       |)
+       |SELECT cell, n_idx, n_batch,
+       |  n_idx * 1000000 // t_idx AS idx_share_ppm,
+       |  n_batch * 1000000 // t_batch AS batch_share_ppm,
+       |  abs(n_idx * 1000000 // t_idx - n_batch * 1000000 // t_batch) AS drift_ppm
+       |FROM joined, t ORDER BY cell""".stripMargin
+
   /** Margin-based bitext mining (the CCMatrix / LASER production
     * shape): the corpus splits into two "language" sides (synthetic
     * stand-in: even / odd vec_id — on a real multilingual lake the
@@ -2012,6 +2088,7 @@ object Similarity {
     "embed_bitext" -> (embedBitext _),
     "embed_clusters" -> (embedClusters _),
     "knn_ivf_balance" -> (knnIvfBalance _),
+    "knn_ivf_drift" -> (knnIvfDrift _),
     "embed_pca_power" -> (embedPcaPower _),
     "embed_kmeans_step" -> (embedKmeansStep _),
     "knn_silhouette" -> (knnSilhouette _),
@@ -2041,6 +2118,7 @@ object Similarity {
     "embed_bitext" -> embedBitextSql,
     "embed_clusters" -> embedClustersSql,
     "knn_ivf_balance" -> knnIvfBalanceSql,
+    "knn_ivf_drift" -> knnIvfDriftSql,
     "embed_pca_power" -> embedPcaPowerSql,
     "embed_kmeans_step" -> embedKmeansStepSql,
     "knn_silhouette" -> knnSilhouetteSql,

@@ -148,7 +148,10 @@ object ScaleSmoke {
       "embed_clusters", "corpus_shards", "text_lang_mix",
       // round-10 batch 7: corpus-shuffle histogram (watch the hash agg),
       // map-side fertility rollup, HITS mat-vec step
-      "corpus_ngram_inflation", "token_fertility", "web_hits_step")
+      "corpus_ngram_inflation", "token_fertility", "web_hits_step",
+      // round-10 batch 8: LSH index probe (batch-sized shuffles only),
+      // threshold rollup over the paid-once pair frame, IVF drift audit
+      "dedup_incremental_lsh", "dedup_threshold_sweep", "knn_ivf_drift")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty
     else targets.filter(t => only.forall(_.contains(t))).map { name =>
       val t0 = System.nanoTime()

@@ -1719,6 +1719,60 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(auth.values.sum == 3 * h0.values.sum)
   }
 
+  test("dedup_incremental_lsh: tail edits all caught, reversed docs all admitted") {
+    val out = operators.Dedup.dedupIncrementalLsh(spark, sf).collect()
+    val (edited, fresh) = out.partition(_.getAs[Long]("new_id") % 10 == 4)
+    assert(edited.nonEmpty && fresh.nonEmpty)
+    // the near-dup probe must catch EVERY tail-edited re-ingestion —
+    // the case the exact-fingerprint probe (dedup_incremental) misses
+    edited.foreach { r =>
+      assert(!r.getAs[Boolean]("admitted"), s"${r.getAs[Long]("new_id")}: tail edit admitted")
+      val dupOf = r.getAs[Long]("dup_of")
+      assert(dupOf <= r.getAs[Long]("new_id") - operators.Dedup.NearBatchShift,
+        "dup_of must be the min qualifying doc (never later than the original)")
+    }
+    // word-reversed docs share no 3-gram shingles with their source —
+    // genuinely new content must pass
+    fresh.foreach(r => assert(r.getAs[Boolean]("admitted"),
+      s"${r.getAs[Long]("new_id")}: reversed doc wrongly deduped"))
+    // most tail edits dedup to their own original (a few find an even
+    // smaller near-dup of the original — legal under min-id semantics)
+    val own = edited.count(r =>
+      r.getAs[Long]("dup_of") == r.getAs[Long]("new_id") - operators.Dedup.NearBatchShift)
+    assert(own * 10 >= edited.length * 9, s"only $own/${edited.length} dedup to their original")
+  }
+
+  test("dedup_threshold_sweep: monotone in the threshold; tau=1/2 row equals dedup_minhash") {
+    val rows = operators.Dedup.dedupThresholdSweep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("min_matches"), r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs")))
+    assert(rows.map(_._1).toSeq == Seq(6L, 9L, 11L, 12L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3, s"tightening the threshold must shrink mass: $a -> $b")
+    }
+    val atHalf = operators.Dedup.dedupMinhash(spark, sf).count()
+    assert(rows.head._2 == atHalf,
+      s"min_matches=6 row (${rows.head._2}) must equal dedup_minhash's pair count ($atHalf)")
+  }
+
+  test("knn_ivf_drift: masses conserve; reversal produces measurable drift") {
+    val out = operators.Similarity.knnIvfDrift(spark, sf).collect()
+    val nVecs = sources.Tables.embeddings(spark, sf).count()
+    val ids = sources.Tables.embeddings(spark, sf).select("vec_id").collect().map(_.getLong(0))
+    val batchSize = ids.count(i => i % 10 == 5) + ids.count(i => i % 10 == 9)
+    assert(out.map(_.getAs[Long]("n_idx")).sum == nVecs, "index mass must conserve")
+    assert(out.map(_.getAs[Long]("n_batch")).sum == batchSize.toLong, "batch mass must conserve")
+    val (tIdx, tBatch) = (nVecs, batchSize.toLong)
+    out.foreach { r =>
+      assert(r.getAs[Long]("idx_share_ppm") == r.getAs[Long]("n_idx") * 1000000L / tIdx)
+      assert(r.getAs[Long]("batch_share_ppm") == r.getAs[Long]("n_batch") * 1000000L / tBatch)
+      assert(r.getAs[Long]("drift_ppm") ==
+        math.abs(r.getAs[Long]("idx_share_ppm") - r.getAs[Long]("batch_share_ppm")))
+    }
+    val totalDrift = out.map(_.getAs[Long]("drift_ppm")).sum
+    assert(totalDrift > 0L, "reversed half must shift the cell distribution")
+    assert(totalDrift <= 2000000L, "L1 distance of two distributions is bounded by 2")
+  }
+
   test("corpus_quota_sample: quota binds exactly, kept set matches an independent hash rank") {
     val out = operators.Corpus.corpusQuotaSample(spark, sf).collect()
       .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),

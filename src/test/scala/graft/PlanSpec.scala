@@ -151,7 +151,11 @@ class PlanSpec extends SparkSpec {
       // round 10 batch 7: corpus_ngram_inflation attaches its ONE-ROW
       // occurrence total; web_hits_step attaches the one-row
       // (p_count, total_chars) frame (both the q22 idiom)
-      "corpus_ngram_inflation", "web_hits_step")
+      "corpus_ngram_inflation", "web_hits_step",
+      // round 10 batch 8: knn_ivf_drift inherits cellAssign's
+      // centroid-broadcast cross (twice: index + batch) and attaches
+      // its one-row totals
+      "knn_ivf_drift")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
