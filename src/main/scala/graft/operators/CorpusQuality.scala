@@ -299,6 +299,73 @@ object CorpusQuality {
        |SELECT rank, token, n, CAST(CAST(n AS HUGEINT) * 1000000 // n_total AS BIGINT) AS freq_ppm
        |FROM ranked WHERE rank <= $ZipfTopK ORDER BY rank""".stripMargin
 
+  /** Vocab sizes the coverage curve is evaluated at. The synthetic
+    * corpus draws from a ~31-type vocabulary, so the contract ladder
+    * is powers of 2 inside that range (a production run passes its own
+    * ladder — 2^13..2^17 for a real tokenizer budget); what the gate
+    * grades is the CURVE shape, and a ladder above the vocab size
+    * would saturate every row into the same 100% line.
+    */
+  val VocabSizes = Seq(4L, 8L, 16L, 32L)
+
+  /** Tokenizer vocab-sizing curve: for each candidate vocabulary size
+    * N, the share of corpus TOKEN MASS covered by the top-N types
+    * (rank by count desc, token asc — deterministic). The readout
+    * read with [[bpePairStep]] and [[textZipf]] before fixing a
+    * tokenizer budget: 1 − coverage is the OOV/fallback rate a size-N
+    * vocab pays, and the curve's knee is where growing the vocab
+    * stops buying coverage (Zipf's law makes it logarithmic).
+    *
+    * Scale shape: ONE corpus partial agg to the (token, count) vocab
+    * frame; exact global rank via Ranks.distributedRank (two-level
+    * range-partitioned — no single-task sort at 10⁷ types); the ×4
+    * ladder explode + rollup run on the vocab frame, never the
+    * corpus; totals one-row broadcast. covered·10⁶ in DECIMAL(38,0)
+    * past 9×10¹² tokens (the textZipf bound).
+    */
+  def textVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val ranked = Ranks.distributedRank(counts, "rank", col("n").desc, col("token"))
+    val totals = counts.agg(sum("n").as("n_total"), count(lit(1)).as("n_types"))
+    ranked
+      .select(col("rank"), col("n"),
+        explode(array(VocabSizes.map(lit): _*)).as("vocab_size"))
+      .filter(col("rank") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(count(lit(1)).as("n_in_vocab"), sum("n").as("covered_tokens"))
+      .join(broadcast(totals))
+      .withColumn("coverage_ppm", expr(
+        "CAST(CAST(covered_tokens AS DECIMAL(38,0)) * 1000000 div n_total AS BIGINT)"))
+      .select("vocab_size", "n_in_vocab", "covered_tokens", "n_types", "coverage_ppm")
+      .orderBy("vocab_size")
+  }
+
+  val textVocabCoverageSql: String = {
+    val ladder = VocabSizes.mkString("[", ", ", "]")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+       |  FROM documents
+       |), counts AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1
+       |), ranked AS (
+       |  SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+       |  FROM counts
+       |), t AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+       |    CAST(COUNT(*) AS BIGINT) AS n_types FROM counts
+       |)
+       |SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size,
+       |  CAST(COUNT(*) AS BIGINT) AS n_in_vocab,
+       |  CAST(SUM(n) AS BIGINT) AS covered_tokens,
+       |  t.n_types,
+       |  CAST(CAST(SUM(n) AS HUGEINT) * 1000000 // n_total AS BIGINT) AS coverage_ppm
+       |FROM ranked, t, (SELECT unnest($ladder) AS vocab_size) v
+       |WHERE rank <= v.vocab_size
+       |GROUP BY 1, t.n_types, t.n_total ORDER BY 1""".stripMargin
+  }
+
   /** Per-source lexical diversity: vocabulary size, token count, and
     * the Simpson repeat-probability (the chance two token draws from
     * the source are the same type — high = templated/boilerplate
@@ -969,6 +1036,7 @@ object CorpusQuality {
     "corpus_ngram_inflation" -> (corpusNgramInflation _),
     "token_fertility" -> (tokenFertility _),
     "quality_dup_lift" -> (qualityDupLift _),
+    "text_vocab_coverage" -> (textVocabCoverage _),
     "corpus_dsir_weights" -> (corpusDsirWeights _),
     "bpe_pair_step" -> (bpePairStep _),
     "source_kl_drift" -> (sourceKlDrift _),
@@ -987,6 +1055,7 @@ object CorpusQuality {
     "corpus_ngram_inflation" -> corpusNgramInflationSql,
     "token_fertility" -> tokenFertilitySql,
     "quality_dup_lift" -> qualityDupLiftSql,
+    "text_vocab_coverage" -> textVocabCoverageSql,
     "corpus_dsir_weights" -> corpusDsirWeightsSql,
     "bpe_pair_step" -> bpePairStepSql,
     "source_kl_drift" -> sourceKlDriftSql,

@@ -216,6 +216,92 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** Base id for the FPR gate's NEGATIVE membership probes — far above
+    * any real user_id at every contract and smoke scale (the ×10
+    * harness tops out near 10⁸; the invariant spec asserts
+    * max(user_id) < this), so every probe is provably absent and every
+    * hit is a false positive.
+    */
+  val BloomNegProbeBase = 1000000000L
+  val BloomNegProbes = 1000L
+
+  /** Bloom false-positive-rate gate — the missing half of the sketch's
+    * grade ([[sketchBloom]] pins no-false-NEGATIVES; this measures the
+    * false-POSITIVE side): probe each group's merged filter with
+    * [[BloomNegProbes]] provably-absent ids and report the measured
+    * hit rate next to the standard k=2 prediction p² (p = set-bit
+    * fraction), both in integer ppm. At the contract load the 256-bit
+    * filter carries ~210 set bits ⇒ predicted ≈ 0.67 — the gate's
+    * verdict is that the filter is SATURATED and m must be sized to n
+    * before membership answers mean anything; that, not a green
+    * number, is what an acceptance gate is for.
+    *
+    * Scale shape: identical to [[sketchBloom]] (bit_or partial agg —
+    * the shuffle carries 8 longs per group); the probe pass is a
+    * constant-width HOF fold per GROUP ROW (types-bounded), not a
+    * join. All integer ⇒ oracle bit-exact.
+    */
+  def sketchBloomFpr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    def word(w: Int): String = {
+      def part(h: String) =
+        s"CASE WHEN $h div $BloomWordBits = $w THEN shiftleft(CAST(1 AS BIGINT), CAST($h % $BloomWordBits AS INT)) ELSE CAST(0 AS BIGINT) END"
+      s"${part(bloomHash("user_id", BloomA1, BloomB1))} | ${part(bloomHash("user_id", BloomA2, BloomB2))}"
+    }
+    val wordsArr = (0 until BloomWords).map(w => s"bits$w").mkString("array(", ", ", ")")
+    val probe = {
+      def hit(h: String) =
+        s"(element_at($wordsArr, CAST($h div $BloomWordBits AS INT) + 1) & shiftleft(CAST(1 AS BIGINT), CAST($h % $BloomWordBits AS INT))) != 0"
+      val u = s"(CAST(u AS BIGINT) + $BloomNegProbeBase)"
+      s"""aggregate(sequence(1, $BloomNegProbes), CAST(0 AS BIGINT), (acc, u) ->
+         |  acc + CASE WHEN ${hit(bloomHash(u, BloomA1, BloomB1))}
+         |    AND ${hit(bloomHash(u, BloomA2, BloomB2))} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    }
+    val wordAggs = (0 until BloomWords).map(w => expr(s"bit_or(${word(w)})").as(s"bits$w"))
+    val popcount = (0 until BloomWords).map(w => s"CAST(bit_count(bits$w) AS BIGINT)").mkString(" + ")
+    e.groupBy("event_type")
+      .agg(wordAggs.head, wordAggs.tail: _*)
+      .withColumn("set_bits", expr(popcount))
+      .withColumn("false_pos", expr(probe))
+      .withColumn("fpr_ppm", expr(s"false_pos * 1000000 div $BloomNegProbes"))
+      .withColumn("predicted_ppm",
+        expr(s"set_bits * set_bits * 1000000 div ${BloomBits.toLong * BloomBits}"))
+      .select("event_type", "set_bits", "false_pos", "fpr_ppm", "predicted_ppm")
+      .orderBy("event_type")
+  }
+
+  val sketchBloomFprSql: String = {
+    def word(w: Int): String = {
+      def part(h: String) =
+        s"CASE WHEN $h // $BloomWordBits = $w THEN (CAST(1 AS BIGINT) << CAST($h % $BloomWordBits AS INT)) ELSE CAST(0 AS BIGINT) END"
+      s"${part(bloomHash("user_id", BloomA1, BloomB1))} | ${part(bloomHash("user_id", BloomA2, BloomB2))}"
+    }
+    val wordsArr = (0 until BloomWords).map(w => s"bits$w").mkString("[", ", ", "]")
+    val probe = {
+      def hit(h: String) =
+        s"(($wordsArr[CAST($h // $BloomWordBits AS INT) + 1] & (CAST(1 AS BIGINT) << CAST($h % $BloomWordBits AS INT))) != 0)"
+      val u = s"(u + $BloomNegProbeBase)"
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, ${BloomNegProbes + 1})), (acc, u) ->
+         |  acc + CASE WHEN ${hit(bloomHash(u, BloomA1, BloomB1))}
+         |    AND ${hit(bloomHash(u, BloomA2, BloomB2))} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+        .stripMargin.replaceAll("\\s+", " ")
+    }
+    val wordCols = (0 until BloomWords).map(w => s"bit_or(${word(w)}) AS bits$w").mkString(",\n       |    ")
+    val popcount = (0 until BloomWords).map(w => s"CAST(bit_count(bits$w) AS BIGINT)").mkString(" + ")
+    s"""WITH merged AS (
+       |  SELECT event_type,
+       |    $wordCols
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT event_type,
+       |  $popcount AS set_bits,
+       |  $probe AS false_pos,
+       |  ($probe) * 1000000 // $BloomNegProbes AS fpr_ppm,
+       |  ($popcount) * ($popcount) * 1000000 // ${BloomBits.toLong * BloomBits} AS predicted_ppm
+       |FROM merged ORDER BY event_type""".stripMargin
+  }
+
   val sketchBloomSql: String = {
     def word(w: Int): String = {
       def part(h: String) =
@@ -762,6 +848,7 @@ object Sketches {
     "sketch_hll" -> (sketchHll _),
     "sketch_cms" -> (sketchCms _),
     "sketch_bloom" -> (sketchBloom _),
+    "sketch_bloom_fpr" -> (sketchBloomFpr _),
     "sketch_quantile" -> (sketchQuantile _),
     "sketch_quantile_error" -> (sketchQuantileError _),
     "source_similarity" -> (sourceSimilarity _))
@@ -772,6 +859,7 @@ object Sketches {
     "sketch_hll" -> sketchHllSql,
     "sketch_cms" -> sketchCmsSql,
     "sketch_bloom" -> sketchBloomSql,
+    "sketch_bloom_fpr" -> sketchBloomFprSql,
     "sketch_quantile" -> sketchQuantileSql,
     "sketch_quantile_error" -> sketchQuantileErrorSql,
     "source_similarity" -> sourceSimilaritySql)

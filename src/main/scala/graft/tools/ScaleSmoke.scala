@@ -151,7 +151,9 @@ object ScaleSmoke {
       "corpus_ngram_inflation", "token_fertility", "web_hits_step",
       // round-10 batch 8: LSH index probe (batch-sized shuffles only),
       // threshold rollup over the paid-once pair frame, IVF drift audit
-      "dedup_incremental_lsh", "dedup_threshold_sweep", "knn_ivf_drift")
+      "dedup_incremental_lsh", "dedup_threshold_sweep", "knn_ivf_drift",
+      // round-10 batch 9: vocab-frame rank rollup, types-bounded probe fold
+      "text_vocab_coverage", "sketch_bloom_fpr")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty
     else targets.filter(t => only.forall(_.contains(t))).map { name =>
       val t0 = System.nanoTime()

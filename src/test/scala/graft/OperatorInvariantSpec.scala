@@ -1719,6 +1719,60 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(auth.values.sum == 3 * h0.values.sum)
   }
 
+  test("text_vocab_coverage: recounted driver-side; curve monotone, closes at 100%") {
+    val docs = sources.Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_.split(" ").filter(_.nonEmpty).foreach(w =>
+      counts(w) = counts.getOrElse(w, 0L) + 1L))
+    val ranked = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+    val total = counts.values.sum
+    val out = operators.CorpusQuality.textVocabCoverage(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("vocab_size")).toSeq ==
+      operators.CorpusQuality.VocabSizes)
+    out.foreach { r =>
+      val n = r.getAs[Long]("vocab_size").toInt
+      val top = ranked.take(n)
+      assert(r.getAs[Long]("n_in_vocab") == top.length.toLong)
+      assert(r.getAs[Long]("covered_tokens") == top.map(_._2).sum)
+      assert(r.getAs[Long]("n_types") == counts.size.toLong)
+      assert(r.getAs[Long]("coverage_ppm") == top.map(_._2).sum * 1000000L / total)
+    }
+    val cov = out.map(_.getAs[Long]("coverage_ppm"))
+    cov.sliding(2).foreach { case Array(a, b) => assert(a <= b, "coverage must be monotone") }
+    assert(cov.last == 1000000L, "the full-vocab row must cover everything")
+  }
+
+  test("sketch_bloom_fpr: filter + probes recounted driver-side; probes provably absent") {
+    val P = 2147483647L
+    import operators.Sketches._
+    val maxUser = sources.Tables.events(spark, sf).agg(max("user_id")).head.getLong(0)
+    assert(maxUser < BloomNegProbeBase, "negative probes must be outside the id space")
+    val rows = sources.Tables.events(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def h(u: Long, a: Long, b: Long): Int = ((((u % P) * a + b) % P) % 256L).toInt
+    // coefficient pairs mirror the operator's private BloomA/B constants
+    val (a1, b1, a2, b2) = (604297L, 12289L, 1103515245L, 12345L)
+    val out = operators.Sketches.sketchBloomFpr(spark, sf).collect()
+    rows.groupBy(_._1).foreach { case (tpe, es) =>
+      val bits = scala.collection.mutable.BitSet.empty
+      es.foreach { case (_, u) => bits += h(u, a1, b1); bits += h(u, a2, b2) }
+      val fp = (1L to BloomNegProbes).count { i =>
+        val u = i + BloomNegProbeBase
+        bits(h(u, a1, b1)) && bits(h(u, a2, b2))
+      }
+      val r = out.find(_.getAs[String]("event_type") == tpe).get
+      assert(r.getAs[Long]("set_bits") == bits.size.toLong, s"$tpe set_bits")
+      assert(r.getAs[Long]("false_pos") == fp.toLong, s"$tpe false positives")
+      assert(r.getAs[Long]("fpr_ppm") == fp * 1000000L / BloomNegProbes)
+      assert(r.getAs[Long]("predicted_ppm") ==
+        bits.size.toLong * bits.size * 1000000L / (256L * 256L))
+      // the k=2 independence prediction must track the measurement
+      assert(math.abs(r.getAs[Long]("fpr_ppm") - r.getAs[Long]("predicted_ppm")) <= 100000L,
+        s"$tpe: measured FPR far from the p^2 prediction")
+    }
+  }
+
   test("dedup_incremental_lsh: tail edits all caught, reversed docs all admitted") {
     val out = operators.Dedup.dedupIncrementalLsh(spark, sf).collect()
     val (edited, fresh) = out.partition(_.getAs[Long]("new_id") % 10 == 4)

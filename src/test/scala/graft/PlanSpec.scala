@@ -155,7 +155,10 @@ class PlanSpec extends SparkSpec {
       // round 10 batch 8: knn_ivf_drift inherits cellAssign's
       // centroid-broadcast cross (twice: index + batch) and attaches
       // its one-row totals
-      "knn_ivf_drift")
+      "knn_ivf_drift",
+      // round 10 batch 9: text_vocab_coverage attaches its ONE-ROW
+      // (n_total, n_types) aggregate (the q22 idiom)
+      "text_vocab_coverage")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
