@@ -181,8 +181,7 @@ object CorpusOps {
     require(ratesPpm.values.forall(r => r >= 0 && r <= 1000000L) &&
       defaultPpm >= 0 && defaultPpm <= 1000000L,
       "rates are parts-per-million: 0..1000000")
-    val h = pmod(col(idCol).cast("long") * lit(graft.operators.Corpus.SampleMixConst),
-      lit(1000000L))
+    val h = graft.operators.Corpus.mixHash(col(idCol).cast("long"), 1000000L)
     val rate = ratesPpm.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0L))) {
       case (acc, (s0, r)) => acc.when(col(strataCol) === s0, lit(r))
     }.otherwise(lit(defaultPpm))
@@ -656,8 +655,7 @@ object CorpusOps {
   def quotaSample(df: DataFrame, groupCol: String, q: Int,
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = pmod(col(idCol) * lit(graft.operators.Corpus.SampleMixConst),
-      lit(1000000007L))
+    val h = graft.operators.Corpus.mixHash(col(idCol), 1000000007L)
     val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= q).drop("__rk")

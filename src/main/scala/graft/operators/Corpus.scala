@@ -23,6 +23,28 @@ object Corpus {
   val SampleDefaultPpm = 500000L
   val SampleMixConst = 2654435761L // Knuth multiplicative constant
 
+  /** Overflow-safe Knuth mix hash: `((id mod m) * SampleMixConst) mod m`.
+    * Value-identical to `(id * const) mod m` for non-negative ids
+    * (modular arithmetic: the product mod m depends only on id mod m),
+    * but the intermediate product is bounded by (m-1)*const < 2^63 for
+    * any m <= 1e9+7, so it never wraps Int64. Without the pre-reduce,
+    * doc_id >= ~3.5e9 (inside the 100 TB regime) overflows the raw
+    * product and JVM signed `%`, Spark `pmod` and DuckDB
+    * sign-preserving `%` each diverge differently — the batch, stream
+    * and oracle paths would silently select different rows. All three
+    * paths (Spark column, oracle SQL, driver/stream JVM replay) use
+    * these helpers so they agree at ANY id.
+    */
+  def mixHash(id: org.apache.spark.sql.Column, m: Long): org.apache.spark.sql.Column =
+    pmod(pmod(id, lit(m)) * lit(SampleMixConst), lit(m))
+
+  /** DuckDB/Spark-SQL twin of [[mixHash]] (non-negative ids ⇒ `%` == pmod). */
+  def mixHashSql(idExpr: String, m: Long): String =
+    s"((($idExpr) % $m) * $SampleMixConst) % $m"
+
+  /** JVM twin of [[mixHash]] for stream-state and driver-recount paths. */
+  def mixHashJvm(id: Long, m: Long): Long = ((id % m) * SampleMixConst) % m
+
   /** Deterministic stratified sampler: keep a row iff
     * `(event_id * knuth) mod 1e6 < rate(stratum)`. No RNG state, no
     * sampleBy seed drift across retries — the decision is a pure
@@ -30,7 +52,7 @@ object Corpus {
     * per-stratum totals/kept so the realized rate is auditable.
     */
   def sampleStratified(s: SparkSession, dir: String): DataFrame = {
-    val h = pmod(col("event_id") * lit(SampleMixConst), lit(1000000L))
+    val h = mixHash(col("event_id"), 1000000L)
     val rate = SampleRatesPpm.foldLeft(when(lit(false), lit(0L))) {
       case (acc, (t, r)) => acc.when(col("event_type") === t, lit(r))
     }.otherwise(lit(SampleDefaultPpm))
@@ -57,7 +79,7 @@ object Corpus {
        |  CAST(ROUND(SUM(CASE WHEN kept = 1 THEN CAST(value AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS sum_value_sampled
        |FROM (
        |  SELECT event_type, value,
-       |    CASE WHEN (event_id * $SampleMixConst) % 1000000 <
+       |    CASE WHEN ${mixHashSql("event_id", 1000000L)} <
        |      (CASE $cases ELSE $SampleDefaultPpm END)
        |    THEN 1 ELSE 0 END AS kept
        |  FROM events) t
@@ -492,7 +514,7 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("h", pmod(col("doc_id") * lit(SampleMixConst), lit(1000000007L)))
+      .withColumn("h", mixHash(col("doc_id"), 1000000007L))
     val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
     val kept = d.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= QuotaPerSource)
@@ -510,7 +532,7 @@ object Corpus {
   val corpusQuotaSampleSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, source, n_chars,
-       |    (doc_id * $SampleMixConst) % 1000000007 AS h
+       |    ${mixHashSql("doc_id", 1000000007L)} AS h
        |  FROM documents
        |), ranked AS (
        |  SELECT source, doc_id, n_chars,
@@ -582,7 +604,7 @@ object Corpus {
           | 300000 * CAST(size(filter(words, w -> array_contains(array('the', 'a', 'and', 'of', 'to'), w))) AS BIGINT) div nw END"""
           .stripMargin.replaceAll("\\s+", " ")))
       .withColumn("kept", expr(
-        s"CASE WHEN (doc_id * $SampleMixConst) % 1000000007 % 1000000 < w_ppm THEN 1L ELSE 0L END"))
+        s"CASE WHEN ${mixHashSql("doc_id", 1000000007L)} % 1000000 < w_ppm THEN 1L ELSE 0L END"))
       .drop("words", "nw")
 
   val sampleWeightedSql: String =
@@ -598,7 +620,7 @@ object Corpus {
        |        list_filter(string_split(text, ' '), w -> w <> '') AS words
        |      FROM documents) t0) t1
        |), k AS (
-       |  SELECT *, CASE WHEN (doc_id * $SampleMixConst) % 1000000007 % 1000000 < w_ppm
+       |  SELECT *, CASE WHEN ${mixHashSql("doc_id", 1000000007L)} % 1000000 < w_ppm
        |    THEN 1 ELSE 0 END AS kept
        |  FROM d
        |)
@@ -646,13 +668,21 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum(massCol).as("chars"))
       .withColumn("tw", expr("CAST(floor(sqrt(CAST(chars AS DOUBLE))) AS BIGINT)"))
     val tot = byGrp.agg(sum("chars").as("total_chars"), sum("tw").as("total_tw"))
+    // chars·10⁶ and temp_share_ppm·total_chars cross 2⁶³ at
+    // total_chars ≈ 9.2×10¹² (~10 TB of text) — route the
+    // cross-multiplications through DECIMAL(38,0) like the sibling ppm
+    // operators (textVocabCoverage, tokenFertility); the oracle twin
+    // uses HUGEINT. boost_permille's operands are ppm-bounded (≤10⁹)
+    // and stay BIGINT.
     byGrp.join(broadcast(tot))
-      .withColumn("raw_share_ppm", expr("chars * 1000000 div total_chars"))
-      .withColumn("temp_share_ppm", expr("tw * 1000000 div total_tw"))
+      .withColumn("raw_share_ppm", expr(
+        "CAST(CAST(chars AS DECIMAL(38,0)) * 1000000 div total_chars AS BIGINT)"))
+      .withColumn("temp_share_ppm", expr(
+        "CAST(CAST(tw AS DECIMAL(38,0)) * 1000000 div total_tw AS BIGINT)"))
       .withColumn("boost_permille", expr(
-        "CASE WHEN raw_share_ppm = 0 THEN 0 ELSE temp_share_ppm * 1000 div raw_share_ppm END"))
+        "CASE WHEN raw_share_ppm = 0 THEN 0L ELSE temp_share_ppm * 1000 div raw_share_ppm END"))
       .withColumn("epochs_permille", expr(
-        "temp_share_ppm * total_chars div chars div 1000"))
+        "CAST(CAST(temp_share_ppm AS DECIMAL(38,0)) * total_chars div chars div 1000 AS BIGINT)"))
       .select(col(groupCol), col("n_docs"), col("chars"), col("raw_share_ppm"),
         col("temp_share_ppm"), col("boost_permille"), col("epochs_permille"))
   }
@@ -668,11 +698,11 @@ object Corpus {
        |    CAST(SUM(tw) AS BIGINT) AS total_tw FROM by_src
        |)
        |SELECT source, n_docs, chars,
-       |  chars * 1000000 // total_chars AS raw_share_ppm,
-       |  tw * 1000000 // total_tw AS temp_share_ppm,
-       |  CASE WHEN chars * 1000000 // total_chars = 0 THEN 0
-       |    ELSE (tw * 1000000 // total_tw) * 1000 // (chars * 1000000 // total_chars) END AS boost_permille,
-       |  (tw * 1000000 // total_tw) * total_chars // chars // 1000 AS epochs_permille
+       |  CAST(CAST(chars AS HUGEINT) * 1000000 // total_chars AS BIGINT) AS raw_share_ppm,
+       |  CAST(CAST(tw AS HUGEINT) * 1000000 // total_tw AS BIGINT) AS temp_share_ppm,
+       |  CAST(CASE WHEN CAST(chars AS HUGEINT) * 1000000 // total_chars = 0 THEN 0
+       |    ELSE (CAST(tw AS HUGEINT) * 1000000 // total_tw) * 1000 // (CAST(chars AS HUGEINT) * 1000000 // total_chars) END AS BIGINT) AS boost_permille,
+       |  CAST((CAST(tw AS HUGEINT) * 1000000 // total_tw) * total_chars // chars // 1000 AS BIGINT) AS epochs_permille
        |FROM by_src, t ORDER BY source""".stripMargin
 
   // ---- training-shard assignment audit ----------------------------------
@@ -701,8 +731,7 @@ object Corpus {
     */
   def corpusShards(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-      .withColumn("shard", pmod(pmod(col("doc_id") * lit(SampleMixConst),
-        lit(1000000007L)), lit(NumShards)))
+      .withColumn("shard", pmod(mixHash(col("doc_id"), 1000000007L), lit(NumShards)))
     val byShardSrc = Materialize.stable(d.groupBy("shard", "source")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("c")))
     val byShard = byShardSrc.groupBy("shard")
@@ -718,7 +747,7 @@ object Corpus {
 
   val corpusShardsSql: String =
     s"""WITH d AS (
-       |  SELECT ((doc_id * $SampleMixConst) % 1000000007) % $NumShards AS shard,
+       |  SELECT (${mixHashSql("doc_id", 1000000007L)}) % $NumShards AS shard,
        |    source, n_chars
        |  FROM documents
        |), bss AS (

@@ -69,7 +69,7 @@ object Dedup {
   def dedupPrefix(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val copies = d.filter(pmod(col("doc_id"), lit(10)) === 4)
-      .select((col("doc_id") + 200000).as("doc_id"),
+      .select(plantId(col("doc_id"), 200000L).as("doc_id"),
         concat(col("text"), lit(" editor note appended after republish")).as("text"))
     d.union(copies)
       .withColumn("p", expr(
@@ -178,6 +178,19 @@ object Dedup {
     */
   val ContainmentShift = 300000L
 
+  /** Fail-loud plant-id shift: planted ids live at base+shift WITHIN
+    * each 10⁷ replication block (ScaleSmoke's offset) — a corpus whose
+    * per-block ids reach the shift would silently alias planted copies
+    * onto genuine ids in BOTH engines (parity hides it). Same guard
+    * Audio.offsetCopies / Video.cornerSwappedCopies apply row-wise;
+    * here it is a codegen'd CASE that raises instead of corrupting.
+    */
+  def plantId(id: org.apache.spark.sql.Column, shift: Long): org.apache.spark.sql.Column =
+    when(pmod(id, lit(10000000L)) >= lit(shift),
+      raise_error(format_string(
+        s"plant-id collision: id %d mod 1e7 reaches the +$shift shift", id)))
+      .otherwise(id + lit(shift))
+
   /** Minimum distinct-shingle count of the SMALLER side for a
     * containment verdict. Tiny docs are trivially ≥90%-contained in
     * any long doc sharing their (common-word) shingles — without a
@@ -241,7 +254,7 @@ object Dedup {
         col("id1") === col("doc_id") + 1)
       .join(base.select(col("doc_id").as("id2"), col("text").as("t2")),
         col("id2") === col("doc_id") + 2)
-      .select((col("doc_id") + ContainmentShift).as("doc_id"),
+      .select(plantId(col("doc_id"), ContainmentShift).as("doc_id"),
         concat_ws(" ", col("text"), col("t1"), col("t2")).as("text"))
     containmentPairsFor(base.union(planted)).orderBy("doc_a", "doc_b")
   }
@@ -348,7 +361,7 @@ object Dedup {
         col("id1") === col("doc_id") + 1)
       .join(base.select(col("doc_id").as("id2"), col("text").as("t2")),
         col("id2") === col("doc_id") + 2)
-      .select((col("doc_id") + ContainmentShift).as("doc_id"),
+      .select(plantId(col("doc_id"), ContainmentShift).as("doc_id"),
         concat_ws(" ", col("text"), col("t1"), col("t2")).as("text"))
     containmentRecallFor(base.union(planted))
   }
@@ -910,9 +923,9 @@ object Dedup {
     val index = d.select(col("doc_id"), expr(sparkFingerprint("text")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("dup_of"))
     val batch = d.filter(pmod(col("doc_id"), lit(10)) === 3)
-      .select((col("doc_id") + 200000).as("new_id"), col("text"))
+      .select(plantId(col("doc_id"), 200000L).as("new_id"), col("text"))
       .union(d.filter(pmod(col("doc_id"), lit(10)) === 7)
-        .select((col("doc_id") + 200000).as("new_id"),
+        .select(plantId(col("doc_id"), 200000L).as("new_id"),
           concat(col("text"), lit(" fresh-suffix")).as("text")))
     batch.withColumn("fp", expr(sparkFingerprint("text")))
       .join(index, Seq("fp"), "left_outer")
@@ -969,10 +982,15 @@ object Dedup {
       .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mh"))
       .select(col("doc_id"), col("b"), expr(sparkBandValue("mh", "b")).as("bv"))
     val batch = d.filter(pmod(col("doc_id"), lit(10)) === 4)
-      .select((col("doc_id") + NearBatchShift).as("new_id"),
+      .select(plantId(col("doc_id"), NearBatchShift).as("new_id"),
         concat(col("text"), lit(" appendix")).as("text"))
       .union(d.filter(pmod(col("doc_id"), lit(10)) === 8)
-        .select((col("doc_id") + NearBatchShift).as("new_id"),
+        // ≥3 words: a shorter doc has an EMPTY 3-gram shingle set, whose
+        // minhash signature equals every other empty doc's (est-J = k/k)
+        // — the "genuinely new" reversal would be rejected as a dup and
+        // the operator's admit semantics would not hold on short docs
+        .filter(expr("size(filter(split(text, ' '), w -> w <> '')) >= 3"))
+        .select(plantId(col("doc_id"), NearBatchShift).as("new_id"),
           array_join(reverse(split(col("text"), " ")), " ").as("text")))
     val bSig = Materialize.stable(batch.select(col("new_id"),
       expr(sparkMinhash(sparkShingleHashes("text"))).as("mh")))
@@ -1006,6 +1024,7 @@ object Dedup {
        |  SELECT doc_id + $NearBatchShift,
        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
        |  FROM documents WHERE doc_id % 10 = 8
+       |    AND len(list_filter(string_split(text, ' '), w -> w <> '')) >= 3
        |), bsig AS (
        |  SELECT new_id, ${duckMinhash(duckShingleHashes("text"))} AS mh FROM batch
        |), bbands AS (

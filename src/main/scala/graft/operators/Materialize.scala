@@ -66,8 +66,47 @@ object Materialize {
       case Some(base) =>
         val path = s"$base/snap_${java.util.UUID.randomUUID().toString.take(12)}"
         df.write.parquet(path)
+        snapPaths.add(path)
+        if (hookRegistered.compareAndSet(false, true)) {
+          // mirror reliable-checkpoint cleanup: reap every snapshot at
+          // JVM exit (priority 30 — before Hadoop's FileSystem-cache
+          // close at 10), so a session that never calls
+          // cleanupSnapshots still leaves no disk behind
+          val conf = spark.sparkContext.hadoopConfiguration
+          org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+            new Runnable { def run(): Unit = deletePaths(conf) }, 30)
+        }
         spark.read.parquet(path)
       case None => df.localCheckpoint()
     }
   }
+
+  // snapshot(): each call writes a snap_<uuid> parquet dir that nothing
+  // would otherwise remove (localCheckpoint state at least dies with the
+  // SparkContext) — a long-lived session running the dedup/cluster query
+  // family repeatedly would accumulate unbounded checkpoint-dir disk.
+  private val snapPaths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val hookRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def deletePaths(conf: org.apache.hadoop.conf.Configuration): Long = {
+    var n = 0L
+    var p = snapPaths.poll()
+    while (p != null) {
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (hp.getFileSystem(conf).delete(hp, true)) n += 1
+      } catch { case _: java.io.IOException => } // best-effort, like cleanCheckpoints
+      p = snapPaths.poll()
+    }
+    n
+  }
+
+  /** Delete every snapshot written so far; returns the count removed.
+    * Safe to call between query families in a long-lived session — a
+    * snapshot is only read by the job that wrote it, so once that
+    * query's action has completed its snapshot is dead weight. The
+    * JVM shutdown hook reaps anything not explicitly cleaned.
+    */
+  def cleanupSnapshots(spark: org.apache.spark.sql.SparkSession): Long =
+    deletePaths(spark.sparkContext.hadoopConfiguration)
 }

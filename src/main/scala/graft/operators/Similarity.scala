@@ -1884,9 +1884,9 @@ object Similarity {
     val cents = Materialize.stable(refineCents(vecs))
     val idx = cellAssign(vecs, cents).groupBy("cell").agg(count(lit(1)).as("n_idx"))
     val batch = vecs.filter(pmod(col("vec_id"), lit(10)) === 5)
-      .select((col("vec_id") + DriftBatchShift).as("vec_id"), col("v"))
+      .select(Dedup.plantId(col("vec_id"), DriftBatchShift).as("vec_id"), col("v"))
       .union(vecs.filter(pmod(col("vec_id"), lit(10)) === 9)
-        .select((col("vec_id") + DriftBatchShift).as("vec_id"), reverse(col("v")).as("v")))
+        .select(Dedup.plantId(col("vec_id"), DriftBatchShift).as("vec_id"), reverse(col("v")).as("v")))
     val bat = cellAssign(batch, cents).groupBy("cell").agg(count(lit(1)).as("n_batch"))
     val joined = idx.join(bat, Seq("cell"), "full_outer")
       .select(col("cell"),

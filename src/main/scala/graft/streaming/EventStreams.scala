@@ -1012,7 +1012,7 @@ object EventStreams {
           val merged = scala.collection.mutable.ArrayBuffer.from(st.entries)
           it.foreach { case (id, _, chars) =>
             n += 1
-            merged += (((id * graft.operators.Corpus.SampleMixConst) % 1000000007L, id, chars))
+            merged += ((graft.operators.Corpus.mixHashJvm(id, 1000000007L), id, chars))
           }
           val kept = merged.sortBy { case (h, id, _) => (h, id) }.take(q).toList
           state.update(QuotaState(n, kept))

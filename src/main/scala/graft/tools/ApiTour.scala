@@ -492,7 +492,7 @@ object ApiTour {
       val wk = CorpusOps.weightedKeep(docs).cache()
       wk.filter(expr("w_ppm < 0 OR w_ppm > 1000000")).count() == 0 &&
         wk.filter(expr(
-          s"kept != CASE WHEN (doc_id * ${graft.operators.Corpus.SampleMixConst}) % 1000000007 % 1000000 < w_ppm THEN 1L ELSE 0L END"))
+          s"kept != CASE WHEN ${graft.operators.Corpus.mixHashSql("doc_id", 1000000007L)} % 1000000 < w_ppm THEN 1L ELSE 0L END"))
           .count() == 0 &&
         wk.filter(col("kept") === 1L).count() > 0
     })

@@ -39,6 +39,29 @@ class MaterializeSpec extends SparkSpec {
       "persist vs localCheckpoint diverged — Materialize.stable must be semantically invisible")
   }
 
+  test("snapshot dirs are tracked and reaped by cleanupSnapshots") {
+    import spark.implicits._
+    // drain anything earlier suites left behind so the count is ours
+    Materialize.cleanupSnapshots(spark)
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-snap-spec").toString)
+    val base = spark.sparkContext.getCheckpointDir
+    assert(base.isDefined)
+    def snapDirs(): Set[String] = {
+      val d = new java.io.File(new java.net.URI(base.get).getPath)
+      Option(d.list()).map(_.toSet.filter(_.startsWith("snap_"))).getOrElse(Set.empty)
+    }
+    val before = snapDirs()
+    val snapped = Materialize.snapshot((1 to 5).toDF("x"))
+    assert(snapped.count() == 5)
+    val during = snapDirs() -- before
+    assert(during.size == 1, s"expected one new snap dir, saw $during")
+    val reaped = Materialize.cleanupSnapshots(spark)
+    assert(reaped >= 1, "cleanupSnapshots must delete the tracked snapshot")
+    assert((snapDirs() -- before).isEmpty, "snap dir must be gone after cleanup")
+  }
+
   test("stable() honors the switch: localCheckpoint truncates lineage, persist keeps it") {
     import spark.implicits._
     val base = (1 to 10).toDF("x")

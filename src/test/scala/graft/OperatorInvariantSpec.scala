@@ -1505,7 +1505,7 @@ class OperatorInvariantSpec extends SparkSpec {
     docs.groupBy(_._2).foreach { case (src, ds) =>
       val r = out(src)
       val kept = ds.filter { case (id, _, _, t) =>
-        (id * operators.Corpus.SampleMixConst) % 1000000007L % 1000000L < wppm(t) }
+        operators.Corpus.mixHashJvm(id, 1000000007L) % 1000000L < wppm(t) }
       assert(r.getAs[Long]("n_docs") == ds.length.toLong)
       assert(r.getAs[Long]("n_kept") == kept.length.toLong, s"$src: kept count differs from driver")
       assert(r.getAs[Long]("sum_kept_ids") == kept.map(_._1).sum, s"$src: kept-id checksum")
@@ -1583,7 +1583,7 @@ class OperatorInvariantSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val ns = operators.Corpus.NumShards
     val byShard = docs.groupBy(d =>
-      (d._1 * operators.Corpus.SampleMixConst) % 1000000007L % ns)
+      operators.Corpus.mixHashJvm(d._1, 1000000007L) % ns)
     val out = operators.Corpus.corpusShards(spark, sf).collect()
       .map(r => r.getAs[Long]("shard") -> r).toMap
     assert(out.size == ns.toInt, s"expected $ns shards, got ${out.size}")
@@ -1841,7 +1841,7 @@ class OperatorInvariantSpec extends SparkSpec {
       assert(nd == ds.length.toLong)
       assert(nk == math.min(q, ds.length).toLong, s"$src: quota not exact")
       val kept = ds.sortBy(d =>
-        ((d._1 * operators.Corpus.SampleMixConst) % 1000000007L, d._1)).take(q)
+        (operators.Corpus.mixHashJvm(d._1, 1000000007L), d._1)).take(q)
       assert(sk == kept.map(_._1).sum, s"$src: kept-id checksum differs from driver rank")
       assert(kc == kept.map(_._3).sum && tc == ds.map(_._3).sum)
       assert(kc <= tc)

@@ -1715,8 +1715,7 @@ class StreamingSpec extends SparkSpec {
     // has the smallest hash rank — it must displace an earlier
     // admission (first-come-first-kept would get this wrong); the
     // audit row after each batch carries the current frontier
-    val mix = graft.operators.Corpus.SampleMixConst
-    def h(id: Long) = (id * mix) % 1000000007L
+    def h(id: Long) = graft.operators.Corpus.mixHashJvm(id, 1000000007L)
     val ids = (1L to 50L).sortBy(h).take(3) // three smallest-rank ids
     val (best, mid, worst) = (ids(0), ids(1), ids(2))
     val mem = MemoryStream[(Long, String, Long)]
