@@ -97,47 +97,91 @@ object Similarity {
     * Output (and the plain-LSH DuckDB oracle) bit-identical; only the
     * candidate volume changes — Σ C(k·m,2) → Σ C(k,2) + output-sized
     * expansion.
+    *
+    * CENSUS GATE: the collapse machinery (window + snapshot + two
+    * expansion joins + a self-join) is a fixed ~1.4s constant that is
+    * pure overhead on a duplicate-free corpus (the audit-scale regime:
+    * zero duplicate classes at sf0.1, measured r10 benchdiff 0.63→2.06s).
+    * One partial-aggregated census — count vs countDistinct over the
+    * 64-bit vector hash — decides the plan: distinct hashes PROVE
+    * distinct vectors (no false dup-free verdict is possible; a hash
+    * collision merely takes the safe slow path), so the plain-LSH plan
+    * runs when the corpus provably has no exact classes, and the
+    * collapse runs whenever it might. Both branches emit bit-identical
+    * output; the oracle is branchless plain LSH either way.
     */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
+    // census over the RAW float column (float→double is injective, so
+    // raw-distinct ⇔ cast-distinct) — skips the per-row double cast
+    val census = Tables.embeddings(s, dir)
+      .agg(count(lit(1)).as("n"), countDistinct(xxhash64(col("embedding"))).as("nh")).head()
+    neardupImpl(withVec(s, dir), collapse = census.getLong(0) != census.getLong(1))
+  }
+
+  /** library entry point over ANY (vec_id, v: array&lt;double&gt;) frame;
+    * census on the double column (equivalent gate, one cast paid).
+    */
+  def embedNeardupFor(vecs: DataFrame): DataFrame = {
+    val census = vecs
+      .agg(count(lit(1)).as("n"), countDistinct(xxhash64(col("v"))).as("nh")).head()
+    neardupImpl(vecs, collapse = census.getLong(0) != census.getLong(1))
+  }
+
+  /** both plans, switched by the census (asserted output-identical in
+    * OperatorInvariantSpec on a planted-duplicate corpus).
+    */
+  private[graft] def neardupImpl(vecs0: DataFrame, collapse: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vecs = withVec(s, dir)
-    // class key = (hash prefix, full vector): the hash makes the
-    // window's shuffle-sort compare 8 bytes in the common case, the
-    // full vector keeps equality EXACT (hash collisions just co-sort).
-    // snapshot, not persist: the frame feeds 4 downstream references
-    // and re-reads of a populated DISK_ONLY InMemoryRelation measured
-    // 13× slower than plain file scans on the big-join path
-    val members = Materialize.snapshot(vecs
-      .withColumn("rep", min("vec_id")
-        .over(Window.partitionBy(xxhash64(col("v")), col("v")))))
-    val reps = members.filter(col("vec_id") === col("rep"))
-      .select(col("vec_id"), col("v"))
-    val buckets = reps
-      .select(col("vec_id"), posexplode(expr(sparkLshBuckets("v"))).as(Seq("t", "bucket")))
-    // representative-pair candidates (cross-class)
-    val candRep = buckets.as("x").join(buckets.as("y"),
-        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("ra"), col("y.vec_id").as("rb"))
-      .distinct()
-    val ids = members.select(col("rep"), col("vec_id"))
-    // expand back to member pairs — exactly the pre-collapse candidate
-    // set, no distinct needed: a member pair maps to ONE class pair
-    // (cross branch) or ONE class (self branch, a0 < b0 dedups)
-    val cross = candRep
-      .join(ids.select(col("rep").as("ra"), col("vec_id").as("a0")), Seq("ra"))
-      .join(ids.select(col("rep").as("rb"), col("vec_id").as("b0")), Seq("rb"))
-      .select(least(col("a0"), col("b0")).as("vec_a"),
-        greatest(col("a0"), col("b0")).as("vec_b"))
-    // self-pairs of every multi-member class (identical vectors always
-    // collide in every table)
-    val self = ids.as("m1").join(ids.as("m2"),
-        col("m1.rep") === col("m2.rep") && col("m1.vec_id") < col("m2.vec_id"))
-      .select(col("m1.vec_id").as("vec_a"), col("m2.vec_id").as("vec_b"))
-    val cand = cross.union(self)
+    val cand =
+      if (!collapse) {
+        // provably duplicate-free: plain LSH over the raw vectors, no
+        // collapse — the pre-r10 plan, 0.6s-class at audit scale
+        val buckets = vecs0
+          .select(col("vec_id"), posexplode(expr(sparkLshBuckets("v"))).as(Seq("t", "bucket")))
+        buckets.as("x").join(buckets.as("y"),
+            col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+          .distinct()
+      } else {
+        // class key = (hash prefix, full vector): the hash makes the
+        // window's shuffle-sort compare 8 bytes in the common case, the
+        // full vector keeps equality EXACT (hash collisions just co-sort).
+        // snapshot, not persist: the frame feeds 4 downstream references
+        // and re-reads of a populated DISK_ONLY InMemoryRelation measured
+        // 13× slower than plain file scans on the big-join path
+        val members = Materialize.snapshot(vecs0
+          .withColumn("rep", min("vec_id")
+            .over(Window.partitionBy(xxhash64(col("v")), col("v")))))
+        val reps = members.filter(col("vec_id") === col("rep"))
+          .select(col("vec_id"), col("v"))
+        val buckets = reps
+          .select(col("vec_id"), posexplode(expr(sparkLshBuckets("v"))).as(Seq("t", "bucket")))
+        // representative-pair candidates (cross-class)
+        val candRep = buckets.as("x").join(buckets.as("y"),
+            col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("ra"), col("y.vec_id").as("rb"))
+          .distinct()
+        val ids = members.select(col("rep"), col("vec_id"))
+        // expand back to member pairs — exactly the pre-collapse candidate
+        // set, no distinct needed: a member pair maps to ONE class pair
+        // (cross branch) or ONE class (self branch, a0 < b0 dedups)
+        val cross = candRep
+          .join(ids.select(col("rep").as("ra"), col("vec_id").as("a0")), Seq("ra"))
+          .join(ids.select(col("rep").as("rb"), col("vec_id").as("b0")), Seq("rb"))
+          .select(least(col("a0"), col("b0")).as("vec_a"),
+            greatest(col("a0"), col("b0")).as("vec_b"))
+        // self-pairs of every multi-member class (identical vectors always
+        // collide in every table)
+        val self = ids.as("m1").join(ids.as("m2"),
+            col("m1.rep") === col("m2.rep") && col("m1.vec_id") < col("m2.vec_id"))
+          .select(col("m1.vec_id").as("vec_a"), col("m2.vec_id").as("vec_b"))
+        cross.union(self)
+      }
     cand
-      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
-      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .join(vecs0.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(vecs0.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
       .withColumn("cosine", expr(s"floor(${sparkCosine("va", "vb")} * 1000000) / CAST(1000000 AS DOUBLE)"))
       .filter(col("cosine") >= NearDupThreshold)
       .select("vec_a", "vec_b", "cosine")

@@ -375,6 +375,29 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("embed_neardup census gate: collapse and plain-LSH plans emit identical pairs") {
+    // planted-duplicate corpus (byte-identical replicas under shifted
+    // ids — the ×10 harness shape): the census must route to the
+    // collapse plan, and BOTH plans must emit bit-identical output
+    // (the r10 pair-explosion fix is a plan change, never a semantics
+    // change). sf0.001 keeps the quadratic plain-LSH side test-sized.
+    val vecs = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val planted = vecs.union(
+      vecs.filter(pmod(col("vec_id"), lit(10)) === 2)
+        .select(col("vec_id") + lit(500000L), col("v")))
+    val slow = operators.Similarity.neardupImpl(planted, collapse = true)
+      .collect().map(_.toString).toSeq
+    val fast = operators.Similarity.neardupImpl(planted, collapse = false)
+      .collect().map(_.toString).toSeq
+    assert(slow.nonEmpty, "planted replicas must produce at least the self-pairs")
+    assert(slow == fast, "collapse vs plain-LSH plans diverged")
+    // and the public census gate picks the collapse branch here,
+    // the fast branch on the duplicate-free base corpus — both equal
+    // the branchless result by the identity above
+    assert(operators.Similarity.embedNeardupFor(planted).collect().map(_.toString).toSeq == slow)
+  }
+
   test("embed_dim_stats: one row per dimension, moments consistent with the quantized range") {
     val out = operators.Similarity.embedDimStats(spark, sf).collect()
     assert(out.length == functions.VectorFns.Dim, "one row per embedding dimension")
