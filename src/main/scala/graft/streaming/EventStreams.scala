@@ -1035,6 +1035,69 @@ object EventStreams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dup admission — the twin of the batch
+    * [[graft.operators.Dedup.dedupIncrementalLsh]], and the one
+    * ingestion shape [[dedupStream]] cannot cover: exact-fingerprint
+    * admission wrongly ADMITS a tail-edited re-ingestion (appended
+    * correction, tracking footer), the most common real delta.
+    *
+    * The state IS the corpus band-bucket index, keyed by (band,
+    * band-value): rows tagged `kind=0` are index entries (a corpus
+    * doc's band row, carrying its full minhash signature) and
+    * accumulate into state; rows tagged `kind=1` are probe band rows
+    * (an incoming doc's band row, carrying ITS signature) and read
+    * state without writing it — the batch operator's contract, where
+    * the delta probes a fixed index and batch docs never dedup against
+    * each other. Verification happens in-state with the batch's exact
+    * integer predicate (2·matches ≥ k over full signatures), so a
+    * probe emits one row per VERIFIED candidate plus one presence
+    * marker (`cand = -1`) per band — the marker makes zero-candidate
+    * docs (admissions) visible in append mode. The last-write-wins
+    * view `min(cand ≥ 0)` per new_id IS the batch answer whenever
+    * index rows precede a doc's probe rows (any split of the index
+    * among earlier micro-batches and of the probes among later ones —
+    * both sides are order-independent: state accumulation is a set
+    * union, probes are read-only).
+    *
+    * State bound: one record per OCCUPIED (band, band-value) bucket,
+    * holding that bucket's (doc_id, signature) members — the
+    * band-bucket index cardinality, never pairs (asserted against the
+    * state store in StreamingSpec). Bucket occupancy is the measured
+    * text-LSH mega-bucket quantity (max 80 at ×10, SCALE.md) — at
+    * 100 TB apply the same `bucketCap` discipline the batch side
+    * carries before feeding a pathological bucket into state.
+    */
+  case class LshBandRow(kind: Int, id: Long, b: Int, bv: Long, mh: Seq[Long])
+  case class LshProbeHit(new_id: Long, cand: Long, matches: Int)
+
+  def dedupLshStream(rows: Dataset[LshBandRow])(implicit s: SparkSession): Dataset[LshProbeHit] = {
+    import s.implicits._
+    val k = graft.functions.PortableHash.MinhashK
+    rows.groupByKey(r => (r.b, r.bv))
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], LshProbeHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[LshBandRow],
+            state: GroupState[List[(Long, Seq[Long])]]) =>
+          var idx = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[LshProbeHit]
+          // index rows first: a same-batch index row is visible to
+          // same-batch probes (deterministic under any split)
+          val (idxRows, probes) = it.toSeq.partition(_.kind == 0)
+          idxRows.foreach { r =>
+            if (!idx.exists(_._1 == r.id)) idx = (r.id, r.mh) :: idx
+          }
+          if (idxRows.nonEmpty) state.update(idx)
+          probes.foreach { p =>
+            out += LshProbeHit(p.id, -1L, 0)
+            idx.foreach { case (docId, mb) =>
+              val m = (0 until k).count(i => p.mh(i) == mb(i))
+              if (2 * m >= k) out += LshProbeHit(p.id, docId, m)
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   /** manifest-delta stream: each micro-batch carries (key, size, etag)
     * observations; emits cumulative per-key change classification vs the
     * previously-committed state — the streaming twin of `change_detect`,

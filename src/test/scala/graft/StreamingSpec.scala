@@ -288,6 +288,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup_lsh == batch dedup_incremental_lsh admit/reject set, median split") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.PortableHash._
+    import graft.streaming.EventStreams.LshBandRow
+    graft.expressions.GraftFunctions.register(spark)
+    val d = graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def bandRows(docs: org.apache.spark.sql.DataFrame, idCol: String, kind: Int): Seq[LshBandRow] =
+      docs.select(col(idCol), expr(sparkMinhash(sparkShingleHashes("text"))).as("mh"))
+        .select(col(idCol), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mh"))
+        .select(col(idCol), col("b"), expr(sparkBandValue("mh", "b")).as("bv"), col("mh"))
+        .collect().map(r => LshBandRow(kind, r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getSeq[Long](3)))
+    // index = the corpus; probes = the SAME synthetic batch the batch
+    // operator plants (tail edits %4, reversed >=3-word docs %8)
+    val idxRows = bandRows(d, "doc_id", 0)
+    val probeDocs = d.filter(pmod(col("doc_id"), lit(10)) === 4)
+      .select((col("doc_id") + operators.Dedup.NearBatchShift).as("new_id"),
+        concat(col("text"), lit(" appendix")).as("text"))
+      .union(d.filter(pmod(col("doc_id"), lit(10)) === 8)
+        .filter(expr("size(filter(split(text, ' '), w -> w <> '')) >= 3"))
+        .select((col("doc_id") + operators.Dedup.NearBatchShift).as("new_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+    val probeRows = bandRows(probeDocs, "new_id", 1)
+    assert(idxRows.nonEmpty && probeRows.nonEmpty)
+
+    val mem = MemoryStream[LshBandRow]
+    val q = EventStreams.dedupLshStream(mem.toDS())
+      .toDF("new_id", "cand", "matches")
+      .writeStream.format("memory").queryName("lshdd").outputMode("append").start()
+    try {
+      // median split on BOTH sides: index rows across batches 1-2,
+      // probe rows across batches 3-4 — admission must not depend on
+      // either split point
+      val idMed = idxRows.map(_.id).sorted.apply(idxRows.size / 2)
+      val (i1, i2) = idxRows.partition(_.id < idMed)
+      val pMed = probeRows.map(_.id).sorted.apply(probeRows.size / 2)
+      val (p1, p2) = probeRows.partition(_.id < pMed)
+      Seq(i1, i2, p1, p2).foreach { b => mem.addData(b); q.processAllAvailable() }
+
+      val got = spark.table("lshdd").groupBy("new_id")
+        .agg(min(when(col("cand") >= 0, col("cand"))).as("dup_of"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val expected = operators.Dedup.dedupIncrementalLsh(spark, sfDir)
+        .collect().map(r => r.getAs[Long]("new_id") ->
+          Option(r.get(r.fieldIndex("dup_of"))).map(_.asInstanceOf[Long])).toMap
+      assert(got.keySet == expected.keySet,
+        s"probe coverage: stream ${got.size} docs vs batch ${expected.size}")
+      expected.foreach { case (id, dup) =>
+        assert(got(id) == dup, s"new_id $id: stream dup_of=${got(id)}, batch dup_of=$dup")
+      }
+      // the planted structure must actually exercise both verdicts
+      assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty))
+      // state-cardinality contract: ONE record per occupied (band,
+      // band-value) bucket of the INDEX — probes write nothing
+      val occupied = idxRows.map(r => (r.b, r.bv)).distinct.size.toLong
+      val stateRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal).max
+      assert(stateRows == occupied, s"state rows $stateRows != occupied buckets $occupied")
+    } finally q.stop()
+  }
+
   test("ingest pipeline: fingerprint -> dedup -> quality gate, end to end") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
