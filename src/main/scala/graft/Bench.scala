@@ -90,16 +90,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val failed = results.values.count(_._1 < 0)
+    // tier split (SparkEntry.auditTier): the audit gates are expensive
+    // BY CONTRACT and grow round over round — reporting their total
+    // separately keeps the contract-tier number comparable across
+    // rounds (benchdiff compares within tiers)
+    val auditTotal = results.collect {
+      case (k, (m, _)) if SparkEntry.auditTier(k) && m >= 0 => m }.sum
+    val contractTotal = total - auditTotal
+    val auditKeys = results.keys.filter(SparkEntry.auditTier)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision record (+ per-query spread) goes to bench.json — the
     // durable artifact. STDOUT gets a TOTAL-ONLY line (~150 bytes): the
     // harness captures only the last 2000 bytes of run output, and any
     // per-query map at 100+ queries overflows that window and parses as
     // nothing (rounds 3 AND 4 had BENCH parsed:null from exactly this).
     // The line stays parse-able at any future query count by construction.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"stat":"median","queries":${qmap("%.6f")},"spread":$spreads,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"stat":"median","tiers":{"contract":${"%.3f".format(contractTotal)},"audit":${"%.3f".format(auditTotal)}},"audit_keys":$auditKeys,"queries":${qmap("%.6f")},"spread":$spreads,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val compact = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","runs":$Runs,"stat":"median","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","runs":$Runs,"stat":"median","n_queries":${results.size},"failed":$failed,"contract_sec":${"%.3f".format(contractTotal)},"audit_sec":${"%.3f".format(auditTotal)},"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

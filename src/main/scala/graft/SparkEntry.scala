@@ -16,6 +16,29 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Audio.queries ++ Video.queries ++ Corpus.queries ++ Sketches.queries ++
       Maintenance.queries ++ CorpusQuality.queries ++ Growth.queries ++ AnalyticsMore.queries
 
+  /** AUDIT-tier keys: operators whose contract is a deliberately
+    * expensive evidence table — an exact grading side (recall gates,
+    * Σ df², exact order statistics), a parameter sweep, or a full-graph
+    * census — run on a SLICE at production cadence, not per-ingest
+    * (DEPLOY.md "Audit tier"). Bench reports this tier's total
+    * separately so cross-round diffs of the always-on contract tier
+    * aren't diluted every time a new audit gate lands; benchdiff
+    * compares within tiers. Membership is by CONTRACT (the operator's
+    * documented operating discipline), not by cost.
+    */
+  val auditTier: Set[String] = Set(
+    // exact-recall gates (brute-force / exact side paid by contract)
+    "knn_recall", "knn_pq_recall", "knn_ivf_pq_recall", "knn_mrl_recall",
+    "knn_hamming_recall", "knn_rerank_gain", "knn_probe_sweep",
+    "knn_ivf_drift", "knn_silhouette",
+    "dedup_minhash_recall", "dedup_containment_recall",
+    // parameter sweeps / evidence tables (Σ df² exact sides)
+    "dedup_banding_sweep", "dedup_threshold_sweep", "dedup_len_bias",
+    // full-graph / full-corpus censuses and exact-vs-sketch graders
+    "embed_clusters", "web_domain_components", "corpus_dedup_impact",
+    "sketch_bloom_fpr", "sketch_quantile_error", "events_median_exact",
+    "text_vocab_coverage", "corpus_ngram_inflation")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -64,9 +64,17 @@ class ContractSpec extends AnyFunSuite {
     // parsed:null because a per-query map outgrew the window; Bench now
     // prints a TOTAL-ONLY line whose length is independent of query
     // count. Reconstruct it with worst-case field widths and assert.
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","runs":5,"stat":"median","n_queries":${SparkEntry.queries.size},"failed":999,"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","runs":5,"stat":"median","n_queries":${SparkEntry.queries.size},"failed":999,"contract_sec":99999.999,"audit_sec":99999.999,"sf":"/root/testdata/sf0.1"}"""
     assert(line.length <= 1900,
       s"bench stdout line would be ${line.length} bytes — must stay under the 2000-byte tail window minus sbt trailer")
+  }
+
+  test("audit tier is a subset of the query map") {
+    val stray = SparkEntry.auditTier -- SparkEntry.queries.keySet
+    assert(stray.isEmpty, s"auditTier names unknown queries: $stray")
+    // the tier must stay a strict subset — an all-audit bench would
+    // make the contract total vacuous
+    assert(SparkEntry.auditTier.size < SparkEntry.queries.size / 2)
   }
 
   test("oracle SQL never contains an uncast integer SUM (HUGEINT trap)") {

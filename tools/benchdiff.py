@@ -91,6 +91,18 @@ def main():
           f"new total {tot_n:.2f}s ({tot_n/tot_o:.2f}x); "
           f"regressions (ratio>{ratio_min} and delta>spread): {len(rows)}; "
           f"improvements: {len(improved)}")
+    # tier-aware totals over COMMON keys (audit tier = deliberately
+    # expensive evidence gates; membership from either file's
+    # audit_keys so pre-tier files still diff cleanly)
+    audit = set(new.get("audit_keys", []) or old.get("audit_keys", []))
+    if audit:
+        for tier, keys in (("contract", [k for k in common if k not in audit]),
+                           ("audit", [k for k in common if k in audit])):
+            to = sum(oq[k] for k in keys if oq[k] > 0)
+            tn = sum(nq[k] for k in keys if nq[k] > 0)
+            if to > 0:
+                print(f"  {tier} tier ({len(keys)} common keys): "
+                      f"{to:.2f}s -> {tn:.2f}s ({tn/to:.2f}x)")
     if rows:
         print("\n| query | old s | new s | ratio | spread band s |")
         print("| --- | --- | --- | --- | --- |")
