@@ -680,16 +680,21 @@ object CorpusOps {
     graft.operators.Dedup.connectedComponents(pairs)
 
   /** The containment-LSH acceptance gate over any (id, text) frame:
-    * content-defined fingerprint candidates (Manber mod-p selected
-    * 8-word rolling hashes — offset-invariant, unlike a stride grid)
-    * graded against the exact ≥90%-containment pair set. One-row
-    * recall/precision/candidate-volume readout; the exact side is the
-    * Σ df² audit path — run on a slice, like [[minhashRecallGate]].
+    * content-defined fingerprint candidates (offset-invariant, unlike
+    * a stride grid) graded against the exact ≥90%-containment pair
+    * set — one row per selection scheme (`manber` mod-p at expected
+    * 1/3 density; `winnow` window-minimum at the same density with the
+    * hard ≥12-word-run guarantee). Recall/precision/candidate-volume
+    * readout; the exact side is the Σ df² audit path — run on a slice,
+    * like [[minhashRecallGate]]. `printCap`/`anchors` apply the
+    * band-occupancy rule to hot boilerplate prints (default off).
     */
   def containmentRecallGate(docs0: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", printCap: Long = Long.MaxValue,
+      anchors: Long = 16L): DataFrame =
     graft.operators.Dedup.containmentRecallFor(
-      prepared(docs0).select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      prepared(docs0).select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      printCap, anchors)
 
   /** Margin-based bitext mining (CCMatrix/LASER shape) between two
     * embedding frames: each query's top-k `b`-side candidates scored

@@ -69,6 +69,31 @@ object VectorFns {
        |      s + element_at($v, j + 1) * ${planeCoef(s"t * $LshBits + p", "j")}) > 0
        |    THEN shiftleft(1L, p) ELSE 0L END))""".stripMargin.replaceAll("\\s+", " ")
 
+  /** parameterized-geometry HOF twin of [[sparkLshBucketsHof]]: `tables`
+    * sign-sketch tables of `bits` planes each, same portable
+    * plane-coefficient PRN (index stream t·bits+p — so tables=16/bits=4
+    * reproduces the contract buckets bit-for-bit). The geometry DIAL:
+    * expected bucket occupancy is n / 2^bits per table, so bits must
+    * grow ~log₂(n) to hold candidate volume — embed_geometry_sweep is
+    * the gate that prices this (SCALE.md round-11 geometry law).
+    */
+  def sparkLshBucketsParam(v: String, tables: Int, bits: Int): String =
+    s"""transform(sequence(0, ${tables - 1}), t ->
+       |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, p) ->
+       |    acc + CASE WHEN aggregate(sequence(0, ${Dim - 1}), CAST(0 AS DOUBLE), (s, j) ->
+       |      s + element_at($v, j + 1) * ${planeCoef(s"t * $bits + p", "j")}) > 0
+       |    THEN shiftleft(1L, p) ELSE 0L END))""".stripMargin.replaceAll("\\s+", " ")
+
+  /** DuckDB bucket value for ONE (table, geometry) — `t` and `bits` are
+    * SQL expressions (column references allowed), so an oracle can cross
+    * join a config relation and compute every geometry in one pass.
+    */
+  def duckLshBucketValue(v: String, t: String, bits: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, $bits)), (acc, p) ->
+       |  acc + CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, $Dim), j ->
+       |    ($v)[j + 1]::DOUBLE * ${planeCoef(s"(($t) * ($bits) + p)", "j")})), (s, x) -> s + x) > 0
+       |  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)""".stripMargin.replaceAll("\\s+", " ")
+
   // ---- random projection (Johnson–Lindenstrauss dim reduction) ----------
   // Project Dim=64 → ProjDim=16 with coefficients from the same portable
   // PRN family as the LSH planes but a DISJOINT index stream (offset by

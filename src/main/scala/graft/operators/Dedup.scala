@@ -326,6 +326,45 @@ object Dedup {
        |   h -> h % $PrintMod = 0)) END""".stripMargin.replaceAll("\\s+", " ")
   }
 
+  /** Winnowing window (in rolling hashes): each length-[[WinnowWindow]]
+    * window of consecutive [[PrintWindow]]-word rolling hashes selects
+    * its MINIMUM hash. W=5 matches Manber mod-3's expected 1/3 density
+    * (winnowing's is 2/(W+1)), so the two schemes' candidate volumes
+    * compare like-for-like; what W buys is the HARD guarantee Manber
+    * lacks: ANY shared verbatim run of ≥ PrintWindow+W−1 = 12 words
+    * shares ≥ 1 selected print (Schleimer/Wilkerson/Aiken's winnowing
+    * theorem), vs Manber's (1−1/3)^(L−7) per-pair miss probability.
+    */
+  val WinnowWindow = 5
+
+  /** winnowing-selected containment fingerprints: same positional
+    * rolling hashes as [[sparkContainmentPrints]], selection = min per
+    * W-window instead of hash ≡ 0 mod p. Content-defined (a window
+    * minimum depends only on the W+w−1 words under it), hence
+    * offset-invariant exactly like Manber selection. Docs shorter than
+    * one full winnow window still select their global minimum, so every
+    * ≥ [[PrintWindow]]-word doc fingerprints.
+    */
+  def sparkWinnowPrints(text: String): String = {
+    val wh = s"transform(filter(split($text, ' '), w -> w <> ''), w -> ${sparkWordHash("w")})"
+    val rhs = s"transform(sequence(1, size($wh) - ${PrintWindow - 1}), i -> aggregate(slice($wh, i, $PrintWindow), 0L, (acc, h) -> (acc * 1000003 + h) % $P))"
+    s"""CASE WHEN size($wh) < $PrintWindow THEN array()
+       | ELSE element_at(transform(array($rhs), rh ->
+       |   CASE WHEN size(rh) < $WinnowWindow THEN array(array_min(rh))
+       |        ELSE array_distinct(transform(sequence(1, size(rh) - ${WinnowWindow - 1}),
+       |          i -> array_min(slice(rh, i, $WinnowWindow)))) END), 1) END""".stripMargin.replaceAll("\\s+", " ")
+  }
+
+  def duckWinnowPrints(text: String): String = {
+    val wh = s"list_transform(list_filter(string_split($text, ' '), w -> w <> ''), w -> ${duckWordHash("w")})"
+    val rhs = s"list_transform(range(1, len($wh) - ${PrintWindow - 2}), i -> list_reduce(list_prepend(CAST(0 AS BIGINT), ($wh)[i:i+${PrintWindow - 1}]), (acc, h) -> (acc * 1000003 + h) % $P))"
+    s"""CASE WHEN len($wh) < $PrintWindow THEN []
+       | ELSE list_transform([$rhs], rh ->
+       |   CASE WHEN len(rh) < $WinnowWindow THEN [list_min(rh)]
+       |        ELSE list_distinct(list_transform(range(1, len(rh) - ${WinnowWindow - 2}),
+       |          i -> list_min(rh[i:i+${WinnowWindow - 1}]))) END)[1] END""".stripMargin.replaceAll("\\s+", " ")
+  }
+
   /** The containment-LSH acceptance gate — the production-path twin
     * [[dedupContainment]]'s scaladoc promises. dedup_containment is the
     * audit-tier EXACT enumeration (Σ df² postings join, run-on-a-slice
@@ -342,17 +381,21 @@ object Dedup {
     * of exact ≥90%-containment pairs among candidates; the candidate
     * count prices the verify stage.
     *
-    * Detection on an L-word contained run is probabilistic, not
-    * guaranteed: P(no selected print) = (1−1/3)^(L−7), ≈ 4·10⁻⁴ at the
-    * plant's ≥26 words — the measured recall_ppm is the gate's point
-    * (winnowing's hard ≥(w+W−1) guarantee is the upgrade if a measured
-    * corpus demands it). Scale shape: prints are map-side; the
+    * The gate prices BOTH selection schemes side by side, one row per
+    * scheme: `manber` (hash ≡ 0 mod [[PrintMod]] — probabilistic:
+    * P(no selected print on an L-word run) = (1−1/3)^(L−7), ≈ 4·10⁻⁴
+    * at the plant's ≥26 words) and `winnow` ([[sparkWinnowPrints]] —
+    * the hard ≥ w+W−1 = 12-word guarantee at the same expected 1/3
+    * density). The row pair IS the manber-vs-winnow evidence table:
+    * same corpus, same exact side, recall and candidate volume
+    * directly comparable. Scale shape: prints are map-side; the
     * candidate join is an equi-join on the print hash whose bucket
     * sizes follow 8-gram phrase df — orders sparser than 3-gram
     * shingle df, with the same mega-bucket audit obligation as every
     * LSH band join (boilerplate 8-word phrases = hot prints; the
-    * occupancy histogram is the audit, [[minhashPairsFromSigs]]'s
-    * `bucketCap` the knob pattern if one ever saturates).
+    * occupancy histogram is measured in tools.BandOccupancy, and
+    * `printCap` is [[minhashPairsFromSigs]]'s bucketCap rule wired to
+    * the print join for template-heavy corpora).
     */
   def dedupContainmentRecall(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -368,24 +411,60 @@ object Dedup {
 
   /** the gate over ANY (doc_id, text) frame — the library entry point
     * (the exact side is the Σ df² audit path: price it for slices,
-    * like [[minhashRecallFor]]).
+    * like [[minhashRecallFor]]). One row per selection scheme
+    * (manber / winnow) against the SAME exact pair set, computed once
+    * and materialized. `printCap`/`anchors`: the band-join occupancy
+    * rule ([[minhashPairsFromSigs]]) applied to print buckets — at or
+    * below the cap a bucket emits all pairs (default Long.MaxValue
+    * keeps the contract query and its DuckDB oracle byte-identical);
+    * above it only the `anchors` lowest-id docs pair with the rest,
+    * A·k candidates per hot boilerplate print instead of C(k,2).
     */
-  def containmentRecallFor(docs: DataFrame): DataFrame = {
-    val prints = docs
-      .select(col("doc_id"), explode(expr(sparkContainmentPrints("text"))).as("pr"))
-    val cand = prints.as("x").join(prints.as("y"),
-        col("x.pr") === col("y.pr") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val exact = containmentPairsFor(docs).select("doc_a", "doc_b")
-    val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact_pairs"))
-      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidate_pairs"))))
-      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
-      .withColumn("recall_ppm", expr(
-        "CASE WHEN n_exact_pairs = 0 THEN 0 ELSE n_hits * 1000000 div n_exact_pairs END"))
-      .withColumn("precision_ppm", expr(
-        "CASE WHEN n_candidate_pairs = 0 THEN 0 ELSE n_hits * 1000000 div n_candidate_pairs END"))
+  def containmentRecallFor(docs: DataFrame, printCap: Long = Long.MaxValue,
+                           anchors: Long = 16L): DataFrame = {
+    val d = Materialize.stable(docs)
+    val exact = Materialize.stable(
+      containmentPairsFor(d).select("doc_a", "doc_b"))
+    def schemeRow(scheme: String, printsExpr: String): DataFrame = {
+      val cand = containmentCandidates(d, printsExpr, printCap, anchors)
+      val hits = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact_pairs"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidate_pairs"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .select(lit(scheme).as("scheme"), col("n_exact_pairs"),
+          col("n_candidate_pairs"), col("n_hits"))
+        .withColumn("recall_ppm", expr(
+          "CASE WHEN n_exact_pairs = 0 THEN 0 ELSE n_hits * 1000000 div n_exact_pairs END"))
+        .withColumn("precision_ppm", expr(
+          "CASE WHEN n_candidate_pairs = 0 THEN 0 ELSE n_hits * 1000000 div n_candidate_pairs END"))
+    }
+    schemeRow("manber", sparkContainmentPrints("text"))
+      .unionByName(schemeRow("winnow", sparkWinnowPrints("text")))
+      .orderBy("scheme")
+  }
+
+  private def containmentCandidates(d: DataFrame, printsExpr: String,
+      printCap: Long, anchors: Long): DataFrame =
+    cappedPairs(
+      d.select(col("doc_id"), explode(expr(printsExpr)).as("pr")),
+      Seq("pr"), "doc_id", printCap, anchors)
+
+  /** PRODUCTION containment candidates over ANY (doc_id, text) frame —
+    * the path [[dedupContainment]]'s scaladoc prices: content-defined
+    * print buckets generate (doc_a, doc_b) candidates for the verify
+    * stage, never the Σ df² exact enumeration. `scheme` = "manber"
+    * (mod-[[PrintMod]] selection) or "winnow" (window-minimum, hard
+    * ≥ 12-word-run guarantee at the same density);
+    * [[containmentRecallFor]] is the gate that grades both against the
+    * exact pair set. `printCap`/`anchors` = the shared mega-bucket rule
+    * ([[cappedPairs]]) for boilerplate-heavy corpora.
+    */
+  def containmentCandidatesFor(docs: DataFrame, scheme: String = "manber",
+      printCap: Long = Long.MaxValue, anchors: Long = 16L): DataFrame = {
+    require(scheme == "manber" || scheme == "winnow", s"unknown scheme $scheme")
+    containmentCandidates(docs,
+      if (scheme == "winnow") sparkWinnowPrints("text") else sparkContainmentPrints("text"),
+      printCap, anchors)
   }
 
   val dedupContainmentRecallSql: String =
@@ -400,10 +479,13 @@ object Dedup {
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id, text FROM planted
        |), prints AS (
-       |  SELECT doc_id, unnest(${duckContainmentPrints("text")}) AS pr FROM all_docs
+       |  SELECT 'manber' AS scheme, doc_id, unnest(${duckContainmentPrints("text")}) AS pr FROM all_docs
+       |  UNION ALL
+       |  SELECT 'winnow' AS scheme, doc_id, unnest(${duckWinnowPrints("text")}) AS pr FROM all_docs
        |), cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM prints x JOIN prints y ON x.pr = y.pr AND x.doc_id < y.doc_id
+       |  SELECT DISTINCT x.scheme, x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM prints x JOIN prints y
+       |    ON x.scheme = y.scheme AND x.pr = y.pr AND x.doc_id < y.doc_id
        |), sets AS (
        |  SELECT doc_id, list_distinct(${duckShingleHashes("text")}) AS sh FROM all_docs
        |), sized AS (
@@ -422,17 +504,21 @@ object Dedup {
        |  WHERE least(sa.n, sb.n) >= $MinContainSetSize
        |    AND 10 * i >= 9 * least(sa.n, sb.n) AND 3 * i < sa.n + sb.n
        |), hits AS (
-       |  SELECT e.doc_a FROM exact e JOIN cand c
+       |  SELECT c.scheme, e.doc_a FROM exact e JOIN cand c
        |    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
        |), n AS (
-       |  SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_pairs,
-       |    CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidate_pairs,
-       |    CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits
+       |  SELECT s.scheme,
+       |    CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+       |    CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_candidate_pairs,
+       |    CAST(COALESCE(hh.n, 0) AS BIGINT) AS n_hits
+       |  FROM (SELECT 'manber' AS scheme UNION ALL SELECT 'winnow') s
+       |  LEFT JOIN (SELECT scheme, COUNT(*) AS n FROM cand GROUP BY 1) cc USING (scheme)
+       |  LEFT JOIN (SELECT scheme, COUNT(*) AS n FROM hits GROUP BY 1) hh USING (scheme)
        |)
-       |SELECT n_exact_pairs, n_candidate_pairs, n_hits,
+       |SELECT scheme, n_exact_pairs, n_candidate_pairs, n_hits,
        |  CASE WHEN n_exact_pairs = 0 THEN 0 ELSE n_hits * 1000000 // n_exact_pairs END AS recall_ppm,
        |  CASE WHEN n_candidate_pairs = 0 THEN 0 ELSE n_hits * 1000000 // n_candidate_pairs END AS precision_ppm
-       |FROM n""".stripMargin
+       |FROM n ORDER BY scheme""".stripMargin
 
   /** MinHash (k=12) + LSH (4 bands × 3 rows): candidates share a band
     * bucket; verified by signature agreement ≥ 0.5.
@@ -451,6 +537,46 @@ object Dedup {
     // signatures before any LSH pipeline for exactly this reason
     minhashPairsFromSigs(Materialize.stable(docs
       .select(col("doc_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("mh"))))
+  }
+
+  /** THE shared occupancy-capped bucket self-join — the one primitive
+    * under every LSH candidate stage in the library (text minhash
+    * bands, containment prints, video first-frame aHash bands,
+    * embedding hyperplane buckets; audio_dedup keeps its own inline
+    * copy because its cap is CONTRACT semantics its DuckDB oracle
+    * replays). `rows` = one row per (id, bucket-key); emits distinct
+    * (doc_a, doc_b) id pairs sharing any bucket, doc_a < doc_b.
+    *
+    * With `bucketCap` = Long.MaxValue (the default) every bucket emits
+    * all C(k,2) pairs — bit-identical to a plain self-join, which keeps
+    * the contract queries and their oracles unchanged. Below it, a
+    * bucket larger than the cap pairs only its `anchors` lowest-id
+    * members with the rest: A·k candidates per mega-bucket, never
+    * C(k,2), and the anchor star keeps the bucket CONNECTED for
+    * connected-components consumers (every member that verifies against
+    * an anchor joins the cluster). The cap plans as two window
+    * functions over the bucket partitioning — one shuffle, no
+    * driver-side inspection; the uncapped branch adds nothing.
+    */
+  def cappedPairs(rows: DataFrame, bucketCols: Seq[String], idCol: String,
+                  bucketCap: Long = Long.MaxValue, anchors: Long = 16L): DataFrame = {
+    val left =
+      if (bucketCap == Long.MaxValue) rows
+      else {
+        val bw = org.apache.spark.sql.expressions.Window
+          .partitionBy(bucketCols.map(col): _*).orderBy(idCol)
+        val bwAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(bucketCols.map(col): _*)
+        rows.withColumn("rn", row_number().over(bw))
+          .withColumn("bsize", count(lit(1)).over(bwAll))
+          .filter(col("bsize") <= bucketCap || col("rn") <= anchors)
+          .select(idCol, bucketCols: _*)
+      }
+    val cond = bucketCols.map(c => col(s"x.$c") === col(s"y.$c"))
+      .reduce(_ && _) && col(s"x.$idCol") < col(s"y.$idCol")
+    left.as("x").join(rows.as("y"), cond)
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+      .distinct()
   }
 
   /** the LSH band join + verification over an ALREADY-materialized
@@ -475,22 +601,7 @@ object Dedup {
     val bands = sig
       .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mh"))
       .select(col("doc_id"), col("b"), expr(sparkBandValue("mh", "b")).as("bv"))
-    val left =
-      if (bucketCap == Long.MaxValue) bands
-      else {
-        val bw = org.apache.spark.sql.expressions.Window
-          .partitionBy("b", "bv").orderBy("doc_id")
-        val bwAll = org.apache.spark.sql.expressions.Window.partitionBy("b", "bv")
-        bands.withColumn("rn", row_number().over(bw))
-          .withColumn("bsize", count(lit(1)).over(bwAll))
-          .filter(col("bsize") <= bucketCap || col("rn") <= anchors)
-          .select("doc_id", "b", "bv")
-      }
-    val cand = left.as("x").join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = cappedPairs(bands, Seq("b", "bv"), "doc_id", bucketCap, anchors)
     cand
       .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("ma")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mb")), Seq("doc_b"))

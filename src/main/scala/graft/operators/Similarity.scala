@@ -121,16 +121,25 @@ object Similarity {
   /** library entry point over ANY (vec_id, v: array&lt;double&gt;) frame;
     * census on the double column (equivalent gate, one cast paid).
     */
-  def embedNeardupFor(vecs: DataFrame): DataFrame = {
+  def embedNeardupFor(vecs: DataFrame, bucketCap: Long = Long.MaxValue,
+      anchors: Long = 16L): DataFrame = {
     val census = vecs
       .agg(count(lit(1)).as("n"), countDistinct(xxhash64(col("v"))).as("nh")).head()
-    neardupImpl(vecs, collapse = census.getLong(0) != census.getLong(1))
+    neardupImpl(vecs, collapse = census.getLong(0) != census.getLong(1),
+      bucketCap, anchors)
   }
 
   /** both plans, switched by the census (asserted output-identical in
     * OperatorInvariantSpec on a planted-duplicate corpus).
+    * `bucketCap`/`anchors`: the shared hyperplane-bucket occupancy rule
+    * ([[graft.operators.Dedup.cappedPairs]]) — default inert (oracle
+    * byte-identical). The collapse removes BYTE-identical vectors; the
+    * cap guards near-identical FAMILIES (k re-embeddings of boilerplate
+    * text differing in low-order float bits) that land distinct vectors
+    * in one bucket of every table — measured in tools.BandOccupancy.
     */
-  private[graft] def neardupImpl(vecs0: DataFrame, collapse: Boolean): DataFrame = {
+  private[graft] def neardupImpl(vecs0: DataFrame, collapse: Boolean,
+      bucketCap: Long = Long.MaxValue, anchors: Long = 16L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cand =
       if (!collapse) {
@@ -138,11 +147,8 @@ object Similarity {
         // collapse — the pre-r10 plan, 0.6s-class at audit scale
         val buckets = vecs0
           .select(col("vec_id"), posexplode(expr(sparkLshBuckets("v"))).as(Seq("t", "bucket")))
-        buckets.as("x").join(buckets.as("y"),
-            col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-          .distinct()
+        Dedup.cappedPairs(buckets, Seq("t", "bucket"), "vec_id", bucketCap, anchors)
+          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
       } else {
         // class key = (hash prefix, full vector): the hash makes the
         // window's shuffle-sort compare 8 bytes in the common case, the
@@ -158,11 +164,9 @@ object Similarity {
         val buckets = reps
           .select(col("vec_id"), posexplode(expr(sparkLshBuckets("v"))).as(Seq("t", "bucket")))
         // representative-pair candidates (cross-class)
-        val candRep = buckets.as("x").join(buckets.as("y"),
-            col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("ra"), col("y.vec_id").as("rb"))
-          .distinct()
+        val candRep = Dedup.cappedPairs(buckets, Seq("t", "bucket"), "vec_id",
+            bucketCap, anchors)
+          .select(col("doc_a").as("ra"), col("doc_b").as("rb"))
         val ids = members.select(col("rep"), col("vec_id"))
         // expand back to member pairs — exactly the pre-collapse candidate
         // set, no distinct needed: a member pair maps to ONE class pair
@@ -2128,7 +2132,115 @@ object Similarity {
        |SELECT node AS vec_id, MIN(label) AS cluster_id
        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
 
+  /** The GEOMETRY dial for hyperplane LSH — the evidence table behind
+    * SCALE.md's round-11 geometry law (a band join's expected bucket
+    * occupancy is n / 2^bits per table, so candidate volume is
+    * Θ(n²/2^bits): bits must grow ~log₂ n, the knn_ivf √n-cells rule's
+    * sibling). One row per bits ∈ {3,4,5,6} at the contract's 16
+    * tables; bits=4 IS the contract geometry (identical plane-index
+    * stream), so the sweep prices embed_neardup's own setting against
+    * its neighbors. Columns per config: slice-anchored true pair count
+    * (cosine ≥ [[NearDupThreshold]], computed ONCE — the
+    * knn_probe_sweep share-the-exact-side rule), candidate volume,
+    * hits, recall/precision ppm, and the measured max bucket occupancy
+    * (the n/2^bits law read directly).
+    *
+    * Scale shape: the exact side and candidate joins are all anchored
+    * on a [[GeomSliceSize]] query slice (broadcast crosses, the
+    * knn_bruteforce idiom — audit-tier slice contract); max_occupancy
+    * is a full-corpus (t, bucket) rollup, bucket-count-bounded. Nothing
+    * here is corpus²: the gate measures the quadratic so production
+    * never pays it.
+    */
+  val GeomBitsConfigs = Seq(3, 4, 5, 6)
+  val GeomSliceSize = 100L
+
+  def embedGeometrySweep(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Materialize.stable(withVec(s, dir))
+    val slice = vecs.filter(col("vec_id") < GeomSliceSize)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = Materialize.stable(vecs.crossJoin(broadcast(slice))
+      .filter(col("vec_id") =!= col("qid"))
+      .filter(expr(s"${sparkCosine("qv", "v")} >= $NearDupThreshold"))
+      .select(least(col("qid"), col("vec_id")).as("pa"),
+        greatest(col("qid"), col("vec_id")).as("pb"))
+      .distinct())
+    GeomBitsConfigs.map { bits =>
+      val buckets = vecs.select(col("vec_id"),
+        posexplode(expr(sparkLshBucketsParam("v", LshTables, bits))).as(Seq("t", "bucket")))
+      val qb = buckets.filter(col("vec_id") < GeomSliceSize)
+        .select(col("t"), col("bucket"), col("vec_id").as("qid"))
+      val cand = qb.join(buckets, Seq("t", "bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(least(col("qid"), col("vec_id")).as("pa"),
+          greatest(col("qid"), col("vec_id")).as("pb"))
+        .distinct()
+      val hits = exact.join(cand, Seq("pa", "pb"), "left_semi")
+      val occ = buckets.groupBy("t", "bucket").count()
+        .agg(max("count").as("max_occupancy"))
+      exact.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .crossJoin(broadcast(occ))
+        .select(lit(bits.toLong).as("bits"), col("n_true"), col("n_candidates"),
+          col("n_hits"),
+          expr("CASE WHEN n_true = 0 THEN 0 ELSE n_hits * 1000000 div n_true END")
+            .as("recall_ppm"),
+          expr("CASE WHEN n_candidates = 0 THEN 0 ELSE n_hits * 1000000 div n_candidates END")
+            .as("precision_ppm"),
+          col("max_occupancy"))
+    }.reduce(_ unionByName _).orderBy("bits")
+  }
+
+  val embedGeometrySweepSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), slice AS (
+       |  SELECT vec_id AS qid, v AS qv FROM vecs WHERE vec_id < $GeomSliceSize
+       |), exact AS (
+       |  SELECT DISTINCT least(qid, vec_id) AS pa, greatest(qid, vec_id) AS pb
+       |  FROM vecs CROSS JOIN slice
+       |  WHERE vec_id <> qid AND ${duckCosine("qv", "v")} >= $NearDupThreshold
+       |), cfg AS (
+       |  SELECT unnest([${GeomBitsConfigs.mkString(", ")}]) AS bits
+       |), buckets AS (
+       |  SELECT c.bits, vec_id, ts.t AS t,
+       |    ${duckLshBucketValue("v", "ts.t", "c.bits")} AS bucket
+       |  FROM vecs CROSS JOIN cfg c
+       |  CROSS JOIN (SELECT unnest(range(0, $LshTables)) AS t) ts
+       |), cand AS (
+       |  SELECT DISTINCT q.bits, least(q.vec_id, b.vec_id) AS pa,
+       |    greatest(q.vec_id, b.vec_id) AS pb
+       |  FROM buckets q JOIN buckets b
+       |    ON q.bits = b.bits AND q.t = b.t AND q.bucket = b.bucket
+       |   AND q.vec_id <> b.vec_id
+       |  WHERE q.vec_id < $GeomSliceSize
+       |), hits AS (
+       |  SELECT c.bits, c.pa FROM cand c
+       |  JOIN exact e ON c.pa = e.pa AND c.pb = e.pb
+       |), occ AS (
+       |  SELECT bits, MAX(n) AS max_occupancy FROM (
+       |    SELECT bits, t, bucket, CAST(COUNT(*) AS BIGINT) AS n
+       |    FROM buckets GROUP BY 1, 2, 3) GROUP BY 1
+       |), n AS (
+       |  SELECT CAST(c.bits AS BIGINT) AS bits,
+       |    CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_true,
+       |    CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_candidates,
+       |    CAST(COALESCE(hh.n, 0) AS BIGINT) AS n_hits,
+       |    o.max_occupancy
+       |  FROM cfg c
+       |  LEFT JOIN (SELECT bits, COUNT(*) AS n FROM cand GROUP BY 1) cc USING (bits)
+       |  LEFT JOIN (SELECT bits, COUNT(*) AS n FROM hits GROUP BY 1) hh USING (bits)
+       |  JOIN occ o USING (bits)
+       |)
+       |SELECT bits, n_true, n_candidates, n_hits,
+       |  CASE WHEN n_true = 0 THEN 0 ELSE n_hits * 1000000 // n_true END AS recall_ppm,
+       |  CASE WHEN n_candidates = 0 THEN 0 ELSE n_hits * 1000000 // n_candidates END AS precision_ppm,
+       |  max_occupancy
+       |FROM n ORDER BY bits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_geometry_sweep" -> (embedGeometrySweep _),
     "embed_bitext" -> (embedBitext _),
     "embed_clusters" -> (embedClusters _),
     "knn_ivf_balance" -> (knnIvfBalance _),
@@ -2159,6 +2271,7 @@ object Similarity {
     "embed_project" -> (embedProject _))
 
   val oracles: Map[String, String] = Map(
+    "embed_geometry_sweep" -> embedGeometrySweepSql,
     "embed_bitext" -> embedBitextSql,
     "embed_clusters" -> embedClustersSql,
     "knn_ivf_balance" -> knnIvfBalanceSql,

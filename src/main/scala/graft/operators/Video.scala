@@ -195,7 +195,8 @@ object Video {
     * image (aHash), audio (envelope hash), video (frame-hash
     * sequence).
     */
-  def videoNearDupPairs(vids: Dataset[VideoPayload], stride: Int = 1): DataFrame = {
+  def videoNearDupPairs(vids: Dataset[VideoPayload], stride: Int = 1,
+      bucketCap: Long = Long.MaxValue, anchors: Long = 16L): DataFrame = {
     val sigs = Multimodal.aHash(frameFeatures(vids, stride))
       .select(col("doc_id"), col("frame_idx"), col("ahash"))
     val bands = 16
@@ -204,11 +205,7 @@ object Video {
         s"transform(sequence(0, ${bands - 1}), b -> " +
           s"named_struct('b', b, 'v', shiftrightunsigned(ahash, b * ${64 / bands}) % ${1L << (64 / bands)}))")).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
-    val cand = f0.as("x").join(f0.as("y"),
-        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = Dedup.cappedPairs(f0, Seq("b", "v"), "doc_id", bucketCap, anchors)
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("frame_idx"), col("ahash").as("ha")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("frame_idx"), col("ahash").as("hb")),
@@ -384,7 +381,16 @@ object Video {
     seqs.join(classes, Seq("sig_fp")).select("doc_id", "rep", "n_members")
   }
 
-  def videoDedup(s: SparkSession, dir: String): DataFrame = {
+  /** `bucketCap`/`anchors`: the shared band-occupancy rule
+    * ([[graft.operators.Dedup.cappedPairs]]) on the first-frame band
+    * join — default inert (oracle byte-identical). The exact-class
+    * collapse already removes BYTE-identical re-encodes before banding;
+    * the cap is the guard for near-identical template FAMILIES (same
+    * footage, k slightly-different encodes) that survive collapse into
+    * one band bucket — measured in tools.BandOccupancy.
+    */
+  def videoDedup(s: SparkSession, dir: String,
+                 bucketCap: Long = Long.MaxValue, anchors: Long = 16L): DataFrame = {
     val base = encodeVideos(s, dir)
     val allSigs = Materialize.stable(aHashLoHi(base.union(cornerSwappedCopies(base))))
     // EXACT class collapse before the fuzzy stage — the production
@@ -406,11 +412,7 @@ object Video {
           "CASE WHEN b < 8 THEN shiftright(ahash_lo, b * 4) % 16 " +
           "ELSE shiftright(ahash_hi, (b - 8) * 4) % 16 END))")).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
-    val cand = f0.as("x").join(f0.as("y"),
-        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = Dedup.cappedPairs(f0, Seq("b", "v"), "doc_id", bucketCap, anchors)
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("frame_idx"),
         col("ahash_lo").as("la"), col("ahash_hi").as("ha"),
@@ -496,7 +498,7 @@ object Video {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "video_meta" -> (videoMeta _),
     "video_ahash" -> (videoAhash _),
-    "video_dedup" -> (videoDedup _))
+    "video_dedup" -> ((s: SparkSession, dir: String) => videoDedup(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "video_meta" -> videoMetaSql,

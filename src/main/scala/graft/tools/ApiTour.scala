@@ -475,9 +475,10 @@ object ApiTour {
       // embed at odd word offset 3 — content-defined prints must still hit
       val host = "p1 p2 p3 " + small + " " + (100 to 190).map(i => s"pad$i").mkString(" ")
       val g = CorpusOps.containmentRecallGate(
-        Seq((1L, small), (2L, host)).toDF("doc_id", "text")).head
-      g.getAs[Long]("n_exact_pairs") == 1L && g.getAs[Long]("n_hits") == 1L &&
-        g.getAs[Long]("recall_ppm") == 1000000L
+        Seq((1L, small), (2L, host)).toDF("doc_id", "text")).collect()
+      g.map(_.getAs[String]("scheme")).toSet == Set("manber", "winnow") &&
+        g.forall(r => r.getAs[Long]("n_exact_pairs") == 1L &&
+          r.getAs[Long]("n_hits") == 1L && r.getAs[Long]("recall_ppm") == 1000000L)
     })
     check("corpus.bitextMine: k scored candidates per query, mutual/aligned flags coherent")({
       val emb = Tables.embeddings(spark, sfDir)

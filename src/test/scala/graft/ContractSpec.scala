@@ -69,6 +69,22 @@ class ContractSpec extends AnyFunSuite {
       s"bench stdout line would be ${line.length} bytes — must stay under the 2000-byte tail window minus sbt trailer")
   }
 
+  test("TRISCALE.json stamp covers the current query map and is all green") {
+    // the tri-scale closing artifact (round-11): one record proving the
+    // FULL contract hash-green at sf0.001/sf0.01/sf0.1 from one commit.
+    // Regenerate with tools/triscale.py over three Verify dumps whenever
+    // the contract grows — this assert is the staleness guard.
+    val f = new java.io.File("TRISCALE.json")
+    assert(f.exists, "TRISCALE.json missing — run tools/triscale.py")
+    val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+    val keys = "\"queries\": \\[([^\\]]*)\\]".r.findFirstMatchIn(txt.replaceAll("\\s+", " "))
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet)
+      .getOrElse(Set.empty)
+    val q = SparkEntry.queries.keySet
+    assert(keys == q, s"TRISCALE stale: stamp-only=${keys -- q}, queries-only=${q -- keys} — re-run tools/triscale.py")
+    assert(txt.contains("\"all_green\": true"), "TRISCALE.json records failures")
+  }
+
   test("audit tier is a subset of the query map") {
     val stray = SparkEntry.auditTier -- SparkEntry.queries.keySet
     assert(stray.isEmpty, s"auditTier names unknown queries: $stray")

@@ -46,6 +46,17 @@ class KernelSpec extends SparkSpec {
     assertSame("a", "b", d)
   }
 
+  test("param lsh buckets at the contract geometry (16, 4) == graft_lsh_buckets") {
+    // the plane-index stream t*bits+p makes tables=16/bits=4 reproduce
+    // the contract sketch bit-for-bit — embed_geometry_sweep's bits=4
+    // row therefore prices embed_neardup's OWN setting
+    val d = Tables.embeddings(spark, sfDir)
+      .withColumn("v", expr(VectorFns.sparkToDouble("embedding")))
+      .withColumn("a", expr(VectorFns.sparkLshBuckets("v")))
+      .withColumn("b", expr(VectorFns.sparkLshBucketsParam("v", 16, 4)))
+    assertSame("a", "b", d)
+  }
+
   test("graft_project == HOF JL projection (bit-identical IEEE)") {
     val d = Tables.embeddings(spark, sfDir)
       .withColumn("v", expr(VectorFns.sparkToDouble("embedding")))

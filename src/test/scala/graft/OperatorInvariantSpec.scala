@@ -1450,21 +1450,92 @@ class OperatorInvariantSpec extends SparkSpec {
       assert(base.subsetOf(printSets(h)),
         s"host $h lost ${(base -- printSets(h)).size} of the embedded doc's prints — selection is not content-defined")
     }
-    // the gate itself: sf0.01 measured recall is 100% (deterministic
-    // corpus ⇒ fixed number; the analytic floor is (1-1/3)^(L-7) miss
-    // probability per pair ≈ 4·10⁻⁴, so anything under ~99% means the
-    // candidate join lost pairs, not sampling luck)
-    val r = operators.Dedup.dedupContainmentRecall(spark, sf).collect().head
-    val (ex, cand, hits) = (r.getAs[Long]("n_exact_pairs"),
-      r.getAs[Long]("n_candidate_pairs"), r.getAs[Long]("n_hits"))
-    assert(ex > 100, s"exact side lost the plant: $ex pairs")
-    assert(hits <= ex && hits <= cand)
-    assert(r.getAs[Long]("recall_ppm") >= 990000L,
-      s"containment-print recall ${r.getAs[Long]("recall_ppm")} ppm — candidate path is losing real pairs")
-    // candidate volume prices the verify stage: it must stay within a
-    // small multiple of the true pair count on this corpus, or the
-    // print df distribution has a mega-bucket
-    assert(cand <= 10 * ex, s"candidate volume $cand vs $ex exact — print buckets exploding")
+    // the gate itself, one row per scheme: sf0.01 measured recall is
+    // 100% for both (deterministic corpus ⇒ fixed numbers; manber's
+    // analytic floor is (1-1/3)^(L-7) miss probability per pair
+    // ≈ 4·10⁻⁴, winnow's guarantee is hard at runs ≥ 12 words — so
+    // anything under ~99% means the candidate join lost pairs)
+    val rows = operators.Dedup.dedupContainmentRecall(spark, sf).collect()
+      .map(r => r.getAs[String]("scheme") -> r).toMap
+    assert(rows.keySet == Set("manber", "winnow"), s"schemes: ${rows.keySet}")
+    rows.foreach { case (scheme, r) =>
+      val (ex, cand, hits) = (r.getAs[Long]("n_exact_pairs"),
+        r.getAs[Long]("n_candidate_pairs"), r.getAs[Long]("n_hits"))
+      assert(ex > 100, s"[$scheme] exact side lost the plant: $ex pairs")
+      assert(hits <= ex && hits <= cand)
+      assert(r.getAs[Long]("recall_ppm") >= 990000L,
+        s"[$scheme] containment-print recall ${r.getAs[Long]("recall_ppm")} ppm — candidate path is losing real pairs")
+      // candidate volume prices the verify stage: it must stay within a
+      // small multiple of the true pair count on this corpus, or the
+      // print df distribution has a mega-bucket
+      assert(cand <= 10 * ex, s"[$scheme] candidate volume $cand vs $ex exact — print buckets exploding")
+    }
+    // W=5 holds winnow's expected density at manber's 1/3, so its
+    // candidate volume must be the same order — the like-for-like
+    // comparison is the row pair's point
+    val (cm, cw) = (rows("manber").getAs[Long]("n_candidate_pairs"),
+      rows("winnow").getAs[Long]("n_candidate_pairs"))
+    assert(cw <= 3 * cm && cm <= 3 * cw,
+      s"scheme candidate volumes diverged: manber=$cm winnow=$cw — density mismatch")
+  }
+
+  test("embed_geometry_sweep: the n/2^bits occupancy law and candidate monotonicity hold") {
+    val rows = operators.Similarity.embedGeometrySweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("bits") -> r).toMap
+    assert(rows.keySet == Set(3L, 4L, 5L, 6L), s"configs: ${rows.keySet}")
+    val trues = rows.values.map(_.getAs[Long]("n_true")).toSet
+    assert(trues.size == 1 && trues.head > 0,
+      s"exact side must be shared and non-empty: $trues")
+    rows.foreach { case (b, r) =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_candidates"))
+    }
+    // the geometry law, read directly: widening the sketch (more bits)
+    // must shrink both the hottest bucket and the candidate volume
+    Seq((3L, 4L), (4L, 5L), (5L, 6L)).foreach { case (lo, hi) =>
+      assert(rows(lo).getAs[Long]("max_occupancy") >= rows(hi).getAs[Long]("max_occupancy"),
+        s"max_occupancy not monotone between bits=$lo and bits=$hi")
+      assert(rows(lo).getAs[Long]("n_candidates") >= rows(hi).getAs[Long]("n_candidates"),
+        s"candidate volume not monotone between bits=$lo and bits=$hi")
+    }
+    // and recall can only be paid FOR by volume: the narrowest sketch
+    // must recall at least as much as the widest
+    assert(rows(3L).getAs[Long]("recall_ppm") >= rows(6L).getAs[Long]("recall_ppm"))
+  }
+
+  test("winnowing prints: offset-invariant and hard-guaranteed on >=12-word runs") {
+    import spark.implicits._
+    // offset-invariance: same property as manber selection (window
+    // minima depend only on content)
+    val doc = (1 to 40).map(i => s"w$i").mkString(" ")
+    val hosts = Seq(doc, s"pad1 pad2 pad3 $doc", s"$doc tail1", s"a b c d e f g $doc z")
+    val printSets = hosts.zipWithIndex.toDF("text", "id")
+      .select(col("id"), expr(operators.Dedup.sparkWinnowPrints("text")).as("pr"))
+      .collect().map(r => r.getAs[Int]("id") -> r.getSeq[Long](1).toSet).toMap
+    val base = printSets(0)
+    assert(base.nonEmpty, "40-word doc selected no winnow prints")
+    (1 to 3).foreach { h =>
+      assert(base.subsetOf(printSets(h)),
+        s"host $h lost ${(base -- printSets(h)).size} winnow prints — selection not content-defined")
+    }
+    // the HARD guarantee manber lacks: EVERY >=12-word shared run
+    // yields a shared print, including runs manber misses with
+    // probability (2/3)^(L-7). Exhaustive over offsets of a 12-word
+    // run inside two different hosts.
+    val run = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val pads = (1 to 30).map(i => s"padA$i").mkString(" ")
+    val padsB = (1 to 30).map(i => s"padB$i").mkString(" ")
+    val embedded = (0 to 25).flatMap(off => Seq(
+      (off * 2, s"${pads.split(" ").take(off).mkString(" ")} $run ${pads.split(" ").drop(off).mkString(" ")}".trim),
+      (off * 2 + 1, s"${padsB.split(" ").take(off).mkString(" ")} $run ${padsB.split(" ").drop(off).mkString(" ")}".trim)))
+    val sets = embedded.toDF("id", "text")
+      .select(col("id"), expr(operators.Dedup.sparkWinnowPrints("text")).as("pr"))
+      .collect().map(r => r.getAs[Int]("id") -> r.getSeq[Long](1).toSet).toMap
+    (0 to 25).foreach { off =>
+      val shared = sets(off * 2) intersect sets(off * 2 + 1)
+      assert(shared.nonEmpty,
+        s"offset $off: 12-word run produced no shared winnow print — guarantee broken")
+    }
   }
 
   test("embed_bitext: margins, mutuality, and top-k match a full driver-side recompute") {

@@ -158,7 +158,11 @@ class PlanSpec extends SparkSpec {
       "knn_ivf_drift",
       // round 10 batch 9: text_vocab_coverage attaches its ONE-ROW
       // (n_total, n_types) aggregate (the q22 idiom)
-      "text_vocab_coverage")
+      "text_vocab_coverage",
+      // round 11: embed_geometry_sweep's exact side is a slice-anchored
+      // broadcast cross (the knn_bruteforce idiom) and each config row
+      // attaches four ONE-ROW count aggregates (the sweep idiom)
+      "embed_geometry_sweep")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Tri-scale closing stamp: run the parity gate (tools/parity.py) over
+pre-dumped Verify outputs at sf0.001 / sf0.01 / sf0.1 and record ONE
+artifact (TRISCALE.json) proving the full contract hash-green at all
+three scales from the same HEAD commit.
+
+Usage:
+  python3 tools/triscale.py <out001> <out01> <out1>
+where each <outN> is a `graft.Verify` dump directory produced at the
+matching scale from the CURRENT commit. The commit hash is recorded;
+ContractSpec asserts TRISCALE.json's query-key set matches
+SparkEntry.queries, so the stamp goes stale (and the suite fails)
+whenever the contract grows without re-stamping.
+"""
+import sys, os, json, re, subprocess
+
+SCALES = ["sf0.001", "sf0.01", "sf0.1"]
+
+def run_parity(sfdir, outdir):
+    p = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "parity.py"),
+         sfdir, outdir],
+        capture_output=True, text=True)
+    oks = re.findall(r"^OK   (\S+)", p.stdout, re.M)
+    fails = re.findall(r"^FAIL (\S+)", p.stdout, re.M)
+    return sorted(oks), sorted(set(f.rstrip(":") for f in fails)), p.stdout
+
+def main():
+    outdirs = sys.argv[1:4]
+    if len(outdirs) != 3:
+        sys.exit(__doc__)
+    commit = subprocess.run(["git", "rev-parse", "HEAD"],
+                            capture_output=True, text=True).stdout.strip()
+    dirty = subprocess.run(["git", "status", "--porcelain"],
+                           capture_output=True, text=True).stdout
+    src_dirty = [l for l in dirty.splitlines()
+                 if re.search(r"\.(scala|sbt)\b", l)]
+    if src_dirty:
+        sys.exit("refusing to stamp: uncommitted source changes:\n" +
+                 "\n".join(src_dirty))
+    record = {"commit": commit, "scales": {}}
+    keys = None
+    for sf, outdir in zip(SCALES, outdirs):
+        sfdir = f"/root/testdata/{sf}"
+        oks, fails, _ = run_parity(sfdir, outdir)
+        record["scales"][sf] = {"ok": len(oks), "fail": len(fails),
+                                "failed_queries": fails}
+        ks = set(oks) | set(fails)
+        keys = ks if keys is None else keys
+        if ks != keys:
+            sys.exit(f"query-key drift between scales: {ks ^ keys}")
+        print(f"{sf}: {len(oks)} ok, {len(fails)} fail")
+    record["queries"] = sorted(keys)
+    record["all_green"] = all(s["fail"] == 0 for s in record["scales"].values())
+    with open("TRISCALE.json", "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"TRISCALE.json written: commit {commit[:12]}, "
+          f"{len(record['queries'])} queries, all_green={record['all_green']}")
+    sys.exit(0 if record["all_green"] else 1)
+
+if __name__ == "__main__":
+    main()
