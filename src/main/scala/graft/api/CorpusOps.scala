@@ -646,6 +646,22 @@ object CorpusOps {
     graft.operators.Dedup.containmentPairsFor(
       prepared(docs0).select(col(idCol).as("doc_id"), col(textCol).as("text")))
 
+  /** PRODUCTION containment candidates over any (id, text) frame — the
+    * scale path [[containmentPairs]]'s Σ df² exact enumeration prices:
+    * content-defined print buckets → (doc_a, doc_b) candidates for a
+    * verify stage. `scheme` = "manber" (mod-3 selection) or "winnow"
+    * (window-minimum — hard ≥12-word-run guarantee at the same 1/3
+    * density); [[containmentRecallGate]] grades both. `printCap`/
+    * `anchors` = the shared mega-bucket rule for boilerplate-heavy
+    * corpora (tools.BandOccupancy measured prints bounded at ×10).
+    */
+  def containmentCandidates(docs0: DataFrame, scheme: String = "manber",
+      idCol: String = "doc_id", textCol: String = "text",
+      printCap: Long = Long.MaxValue, anchors: Long = 16L): DataFrame =
+    graft.operators.Dedup.containmentCandidatesFor(
+      prepared(docs0).select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      scheme, printCap, anchors)
+
   /** Per-group quota downsample of any frame: keep the `q` rows with
     * the smallest deterministic hash rank inside each group (pure
     * function of the id — reproducible, engine-independent, no RNG).

@@ -469,6 +469,20 @@ object ApiTour {
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap ==
         Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 7L, 8L -> 7L)
     })
+    check("corpus.containmentCandidates: both schemes surface a middle-embedded doc; cap keeps coverage")({
+      import spark.implicits._
+      val small = (1 to 30).map(i => s"ctok$i").mkString(" ")
+      val host = "q1 q2 q3 q4 q5 " + small + " " + (300 to 360).map(i => s"cpad$i").mkString(" ")
+      val frame = Seq((1L, small), (2L, host), (3L, (500 to 540).map(i => s"other$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      Seq("manber", "winnow").forall { scheme =>
+        val c = CorpusOps.containmentCandidates(frame, scheme).collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+        val capped = CorpusOps.containmentCandidates(frame, scheme, printCap = 1L, anchors = 1L)
+          .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+        c.contains((1L, 2L)) && capped.contains((1L, 2L)) && capped.subsetOf(c)
+      }
+    })
     check("corpus.containmentRecallGate finds a middle-embedded doc a stride grid would miss")({
       import spark.implicits._
       val small = (1 to 30).map(i => s"tok$i").mkString(" ")
