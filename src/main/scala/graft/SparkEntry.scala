@@ -34,7 +34,7 @@ object SparkEntry {
     "dedup_minhash_recall", "dedup_containment_recall",
     // parameter sweeps / evidence tables (Σ df² exact sides)
     "dedup_banding_sweep", "dedup_threshold_sweep", "dedup_len_bias",
-    "embed_geometry_sweep",
+    "embed_geometry_sweep", "video_band_sweep",
     // full-graph / full-corpus censuses and exact-vs-sketch graders
     "embed_clusters", "web_domain_components", "corpus_dedup_impact",
     "sketch_bloom_fpr", "sketch_quantile_error", "events_median_exact",

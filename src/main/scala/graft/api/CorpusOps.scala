@@ -662,6 +662,22 @@ object CorpusOps {
       prepared(docs0).select(col(idCol).as("doc_id"), col(textCol).as("text")),
       scheme, printCap, anchors)
 
+  /** The PRODUCTION containment dedup over any (id, text) frame —
+    * winnow-print candidates verified per candidate pair by direct
+    * shingle-set intersection (same output schema and ≥90% / J<0.5 /
+    * set-size-floor predicates as [[containmentPairs]], but the verify
+    * cost is candidates × min-set-size, never Σ df²). On corpora whose
+    * embedded runs sit inside winnowing's ≥12-word guarantee the
+    * output equals the exact enumeration's; [[containmentRecallGate]]
+    * prices the boundary.
+    */
+  def containmentDedup(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", printCap: Long = Long.MaxValue,
+      anchors: Long = 16L): DataFrame =
+    graft.operators.Dedup.containmentLshPairsFor(
+      prepared(docs0).select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      printCap, anchors)
+
   /** Per-group quota downsample of any frame: keep the `q` rows with
     * the smallest deterministic hash rank inside each group (pure
     * function of the id — reproducible, engine-independent, no RNG).

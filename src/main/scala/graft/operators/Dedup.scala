@@ -467,6 +467,89 @@ object Dedup {
       printCap, anchors)
   }
 
+  /** The PRODUCTION containment dedup — the full scale path whose
+    * recall [[containmentRecallFor]] certifies and whose output
+    * contract [[containmentPairsFor]] defines: winnow-print candidates
+    * (the hard ≥ 12-word-run guarantee at 1/3 density), then each
+    * CANDIDATE pair verified directly on its two shingle sets
+    * (`size(array_intersect)`) — verify cost is candidates ×
+    * min(set size), never the exact side's Σ df² postings join, and
+    * the corpus text is read once (prints and shingle sets from the
+    * same scan). Same output schema and predicates as
+    * dedup_containment (≥90% containment, J < 0.5,
+    * [[MinContainSetSize]] floor). The semantic difference IS the
+    * contract: pairs whose shared runs all sit below winnowing's
+    * 12-word guarantee can be missed — the gate's measured winnow
+    * recall (10⁶ ppm on the planted corpus) prices exactly that, and
+    * on corpora inside the guarantee the output equals the exact
+    * enumeration's (asserted in OperatorInvariantSpec).
+    */
+  def containmentLshPairsFor(docs: DataFrame, printCap: Long = Long.MaxValue,
+      anchors: Long = 16L): DataFrame = {
+    val d = Materialize.stable(docs)
+    val cand = containmentCandidates(d, sparkWinnowPrints("text"), printCap, anchors)
+    val sets = Materialize.stable(d
+      .select(col("doc_id"),
+        expr(s"array_distinct(${sparkShingleHashes("text")})").as("sh"))
+      .withColumn("n_sh", expr("CAST(size(sh) AS BIGINT)")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+        col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+        col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("i", expr("CAST(size(array_intersect(sha, shb)) AS BIGINT)"))
+      .filter(expr(s"least(na, nb) >= $MinContainSetSize" +
+        " AND 10 * i >= 9 * least(na, nb) AND 3 * i < na + nb"))
+      .withColumn("containment_ppm", expr("i * 1000000 div least(na, nb)"))
+      .select("doc_a", "doc_b", "na", "nb", "i", "containment_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupContainmentLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = base.filter(pmod(col("doc_id"), lit(10)) === 6)
+      .join(base.select(col("doc_id").as("id1"), col("text").as("t1")),
+        col("id1") === col("doc_id") + 1)
+      .join(base.select(col("doc_id").as("id2"), col("text").as("t2")),
+        col("id2") === col("doc_id") + 2)
+      .select(plantId(col("doc_id"), ContainmentShift).as("doc_id"),
+        concat_ws(" ", col("text"), col("t1"), col("t2")).as("text"))
+    containmentLshPairsFor(base.union(planted))
+  }
+
+  val dedupContainmentLshSql: String =
+    s"""WITH planted AS (
+       |  SELECT a.doc_id + $ContainmentShift AS doc_id,
+       |    a.text || ' ' || b.text || ' ' || c.text AS text
+       |  FROM documents a
+       |  JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  JOIN documents c ON c.doc_id = a.doc_id + 2
+       |  WHERE a.doc_id % 10 = 6
+       |), all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM planted
+       |), prints AS (
+       |  SELECT doc_id, unnest(${duckWinnowPrints("text")}) AS pr FROM all_docs
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM prints x JOIN prints y ON x.pr = y.pr AND x.doc_id < y.doc_id
+       |), sized AS (
+       |  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n FROM (
+       |    SELECT doc_id, list_distinct(${duckShingleHashes("text")}) AS sh FROM all_docs)
+       |), scored AS (
+       |  SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS i
+       |  FROM cand
+       |  JOIN sized sa ON cand.doc_a = sa.doc_id
+       |  JOIN sized sb ON cand.doc_b = sb.doc_id
+       |)
+       |SELECT doc_a, doc_b, na, nb, i,
+       |  i * 1000000 // least(na, nb) AS containment_ppm
+       |FROM scored
+       |WHERE least(na, nb) >= $MinContainSetSize
+       |  AND 10 * i >= 9 * least(na, nb) AND 3 * i < na + nb
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val dedupContainmentRecallSql: String =
     s"""WITH planted AS (
        |  SELECT a.doc_id + $ContainmentShift AS doc_id,
@@ -1587,6 +1670,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_prefix" -> (dedupPrefix _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_containment_lsh" -> (dedupContainmentLsh _),
     "dedup_containment_recall" -> (dedupContainmentRecall _),
     "dedup_len_bias" -> (dedupLenBias _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -1608,6 +1692,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_prefix" -> dedupPrefixSql,
     "dedup_containment" -> dedupContainmentSql,
+    "dedup_containment_lsh" -> dedupContainmentLshSql,
     "dedup_containment_recall" -> dedupContainmentRecallSql,
     "dedup_len_bias" -> dedupLenBiasSql,
     "dedup_minhash" -> dedupMinhashSql,

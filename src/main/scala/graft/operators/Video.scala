@@ -495,7 +495,173 @@ object Video {
        |WHERE hamming_total <= $VideoDedupMaxMeanHamming * n_frames
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The BAND-WIDTH geometry dial for the visual modality — the video
+    * twin of embed_geometry_sweep, pricing SCALE.md's round-11 geometry
+    * law where it bites hardest: the contract's 16×4-bit first-frame
+    * bands have a 16-value space per band, so bucket occupancy is
+    * Θ(classes/16) — linear in corpus size. One row per band width
+    * w ∈ {4, 8, 16} bits (nb = 64/w bands; w=4 IS videoDedup's
+    * contract geometry): slice-anchored candidates from the f0 band
+    * join at that width, graded against the slice-anchored exact set
+    * (TOTAL aligned-frame hamming ≤ [[VideoDedupMaxMeanHamming]] ·
+    * frames — videoDedup's own verify predicate), plus the measured
+    * max band-bucket occupancy. Pigeonhole: width-w banding is
+    * complete for f0 hamming < 64/w, so recall decays exactly where
+    * true pairs concentrate their hamming budget on frame 0 — the
+    * trade the dial prices.
+    *
+    * Scale shape: signatures from ONE codec pass (shared, class-rep
+    * collapsed); the exact side is anchored on a [[VideoSliceMax]]-id
+    * class slice (broadcast frames join — the knn_bruteforce idiom,
+    * audit-tier slice contract); per config only the slice-anchored
+    * band join; occupancy a bucket-count rollup. Both-in-slice pairs
+    * appear in both orientations of the exact frame join; count and
+    * hamming sum double together, so the ≤ 2·frames predicate is
+    * orientation-invariant (and the pair still groups to ONE row).
+    */
+  val VideoSweepWidths = Seq(4, 8, 16)
+  val VideoSliceMax = 200L
+
+  def videoBandSweep(s: SparkSession, dir: String): DataFrame = {
+    val base = encodeVideos(s, dir)
+    val allSigs = Materialize.stable(aHashLoHi(base.union(cornerSwappedCopies(base))))
+    val reps = signatureClasses(allSigs)
+      .filter(col("doc_id") === col("rep")).select("doc_id")
+    val sigs = Materialize.stable(allSigs.join(reps, Seq("doc_id")))
+    val sa = sigs.filter(col("doc_id") < VideoSliceMax)
+      .select(col("doc_id").as("qa"), col("frame_idx"),
+        col("ahash_lo").as("la"), col("ahash_hi").as("ha"))
+    val exact = Materialize.stable(
+      sigs.select(col("doc_id").as("qb"), col("frame_idx"),
+          col("ahash_lo").as("lb"), col("ahash_hi").as("hb"))
+        .join(broadcast(sa), Seq("frame_idx"))
+        .filter(col("qa") =!= col("qb"))
+        .groupBy(least(col("qa"), col("qb")).as("pa"),
+          greatest(col("qa"), col("qb")).as("pb"))
+        .agg(count(lit(1)).as("nf"),
+          sum(expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)")).as("ht"))
+        .filter(col("ht") <= lit(VideoDedupMaxMeanHamming) * col("nf"))
+        .select("pa", "pb"))
+    VideoSweepWidths.map { w =>
+      val nb = 64 / w
+      val f0 = sigs.filter(col("frame_idx") === 0)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, ${nb - 1}), b -> named_struct('b', b, 'v', " +
+            s"CASE WHEN b < ${nb / 2} THEN shiftright(ahash_lo, b * $w) % ${1L << w} " +
+            s"ELSE shiftright(ahash_hi, (b - ${nb / 2}) * $w) % ${1L << w} END))")).as("band"))
+        .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+      val qf0 = f0.filter(col("doc_id") < VideoSliceMax)
+        .select(col("b"), col("v"), col("doc_id").as("qa"))
+      val cand = qf0.join(f0, Seq("b", "v"))
+        .filter(col("qa") =!= col("doc_id"))
+        .select(least(col("qa"), col("doc_id")).as("pa"),
+          greatest(col("qa"), col("doc_id")).as("pb"))
+        .distinct()
+      val hits = exact.join(cand, Seq("pa", "pb"), "left_semi")
+      val occ = f0.groupBy("b", "v").count().agg(max("count").as("max_occupancy"))
+      exact.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .crossJoin(broadcast(occ))
+        .select(lit(w.toLong).as("band_bits"), lit(nb.toLong).as("n_bands"),
+          col("n_true"), col("n_candidates"), col("n_hits"),
+          expr("CASE WHEN n_true = 0 THEN 0 ELSE n_hits * 1000000 div n_true END")
+            .as("recall_ppm"),
+          expr("CASE WHEN n_candidates = 0 THEN 0 ELSE n_hits * 1000000 div n_candidates END")
+            .as("precision_ppm"),
+          col("max_occupancy"))
+    }.reduce(_ unionByName _).orderBy("band_bits")
+  }
+
+  val videoBandSweepSql: String =
+    s"""WITH vids AS (
+       |  SELECT doc_id AS vid, doc_id AS orig, 0 AS is_copy FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $DedupCopyShift, doc_id, 1 FROM documents WHERE doc_id % 10 = 3
+       |), fr AS (
+       |  SELECT vid, orig, is_copy, UNNEST(generate_series(0, 1 + orig % 3)) AS frame_idx
+       |  FROM vids
+       |), px AS (
+       |  SELECT vid, frame_idx,
+       |    ((i // $W) // ${H / 8}) * 8 + (i % $W) // ${W / 8} AS cell,
+       |    (orig * 1000003 + frame_idx * 8191 +
+       |      (CASE WHEN is_copy > 0 AND (i // $W) < 2 AND (i % $W) < 3
+       |              THEN ((i // $W) + 14) * $W + ((i % $W) + 21)
+       |            WHEN is_copy > 0 AND (i // $W) >= 14 AND (i % $W) >= 21
+       |              THEN ((i // $W) - 14) * $W + ((i % $W) - 21)
+       |            ELSE i END) * 2654435761) % 256 AS v
+       |  FROM fr, UNNEST(generate_series(0, ${W * H - 1})) AS t(i)
+       |), cells AS (
+       |  SELECT vid, frame_idx, cell, CAST(SUM(v) AS BIGINT) AS cs
+       |  FROM px GROUP BY 1, 2, 3
+       |), tot AS (
+       |  SELECT vid, frame_idx, CAST(SUM(cs) AS BIGINT) AS total
+       |  FROM cells GROUP BY 1, 2
+       |), sigs AS (
+       |  SELECT c.vid, c.frame_idx,
+       |    CAST(SUM(CASE WHEN c.cs * 64 > t.total AND c.cell < 32
+       |      THEN (CAST(1 AS BIGINT) << CAST(c.cell AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN c.cs * 64 > t.total AND c.cell >= 32
+       |      THEN (CAST(1 AS BIGINT) << CAST(c.cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM cells c JOIN tot t USING (vid, frame_idx)
+       |  GROUP BY 1, 2
+       |), seqs AS (
+       |  SELECT vid,
+       |    string_agg(frame_idx || ':' || lo || ':' || hi, '|' ORDER BY frame_idx) AS sig_fp
+       |  FROM sigs GROUP BY 1
+       |), classes AS (
+       |  SELECT sig_fp, MIN(vid) AS rep FROM seqs GROUP BY 1
+       |), rsigs AS (
+       |  SELECT s.vid, s.frame_idx, s.lo, s.hi
+       |  FROM sigs s JOIN classes c ON s.vid = c.rep
+       |), slice AS (
+       |  SELECT vid, frame_idx, lo, hi FROM rsigs WHERE vid < $VideoSliceMax
+       |), exact AS (
+       |  SELECT pa, pb FROM (
+       |    SELECT least(a.vid, b.vid) AS pa, greatest(a.vid, b.vid) AS pb,
+       |      CAST(COUNT(*) AS BIGINT) AS nf,
+       |      CAST(SUM(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))) AS BIGINT) AS ht
+       |    FROM slice a JOIN rsigs b ON a.frame_idx = b.frame_idx AND a.vid <> b.vid
+       |    GROUP BY 1, 2) t
+       |  WHERE ht <= $VideoDedupMaxMeanHamming * nf
+       |), cfg AS (
+       |  SELECT unnest([${VideoSweepWidths.mkString(", ")}]) AS w
+       |), f0 AS (
+       |  SELECT c.w, vid, bs.b AS b,
+       |    CASE WHEN bs.b < (64 // c.w) // 2
+       |         THEN (lo >> (bs.b * c.w)) % (CAST(1 AS BIGINT) << c.w)
+       |         ELSE (hi >> ((bs.b - (64 // c.w) // 2) * c.w)) % (CAST(1 AS BIGINT) << c.w) END AS v
+       |  FROM rsigs, cfg c, UNNEST(range(0, 64 // c.w)) AS bs(b)
+       |  WHERE frame_idx = 0
+       |), cand AS (
+       |  SELECT DISTINCT x.w, least(x.vid, y.vid) AS pa, greatest(x.vid, y.vid) AS pb
+       |  FROM f0 x JOIN f0 y ON x.w = y.w AND x.b = y.b AND x.v = y.v AND x.vid <> y.vid
+       |  WHERE x.vid < $VideoSliceMax
+       |), hits AS (
+       |  SELECT c.w, c.pa FROM cand c JOIN exact e ON c.pa = e.pa AND c.pb = e.pb
+       |), occ AS (
+       |  SELECT w, MAX(n) AS max_occupancy FROM (
+       |    SELECT w, b, v, CAST(COUNT(*) AS BIGINT) AS n FROM f0 GROUP BY 1, 2, 3)
+       |  GROUP BY 1
+       |), n AS (
+       |  SELECT CAST(c.w AS BIGINT) AS band_bits, CAST(64 // c.w AS BIGINT) AS n_bands,
+       |    CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_true,
+       |    CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_candidates,
+       |    CAST(COALESCE(hh.n, 0) AS BIGINT) AS n_hits,
+       |    o.max_occupancy
+       |  FROM cfg c
+       |  LEFT JOIN (SELECT w, COUNT(*) AS n FROM cand GROUP BY 1) cc USING (w)
+       |  LEFT JOIN (SELECT w, COUNT(*) AS n FROM hits GROUP BY 1) hh USING (w)
+       |  JOIN occ o USING (w)
+       |)
+       |SELECT band_bits, n_bands, n_true, n_candidates, n_hits,
+       |  CASE WHEN n_true = 0 THEN 0 ELSE n_hits * 1000000 // n_true END AS recall_ppm,
+       |  CASE WHEN n_candidates = 0 THEN 0 ELSE n_hits * 1000000 // n_candidates END AS precision_ppm,
+       |  max_occupancy
+       |FROM n ORDER BY band_bits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "video_band_sweep" -> (videoBandSweep _),
     "video_meta" -> (videoMeta _),
     "video_ahash" -> (videoAhash _),
     "video_dedup" -> ((s: SparkSession, dir: String) => videoDedup(s, dir)))
@@ -503,5 +669,6 @@ object Video {
   val oracles: Map[String, String] = Map(
     "video_meta" -> videoMetaSql,
     "video_ahash" -> videoAhashSql,
-    "video_dedup" -> videoDedupSql)
+    "video_dedup" -> videoDedupSql,
+    "video_band_sweep" -> videoBandSweepSql)
 }

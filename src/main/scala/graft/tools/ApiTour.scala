@@ -483,6 +483,17 @@ object ApiTour {
         c.contains((1L, 2L)) && capped.contains((1L, 2L)) && capped.subsetOf(c)
       }
     })
+    check("corpus.containmentDedup verifies the embedded pair with exact intersection counts")({
+      import spark.implicits._
+      val small = (1 to 30).map(i => s"dtok$i").mkString(" ")
+      val host = "h1 h2 h3 " + small + " " + (700 to 760).map(i => s"dpad$i").mkString(" ")
+      val out = CorpusOps.containmentDedup(
+        Seq((1L, small), (2L, host)).toDF("doc_id", "text")).collect()
+      out.length == 1 && out.head.getAs[Long]("doc_a") == 1L &&
+        out.head.getAs[Long]("doc_b") == 2L &&
+        out.head.getAs[Long]("i") == out.head.getAs[Long]("na") &&
+        out.head.getAs[Long]("containment_ppm") == 1000000L
+    })
     check("corpus.containmentRecallGate finds a middle-embedded doc a stride grid would miss")({
       import spark.implicits._
       val small = (1 to 30).map(i => s"tok$i").mkString(" ")

@@ -1503,6 +1503,42 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows(3L).getAs[Long]("recall_ppm") >= rows(6L).getAs[Long]("recall_ppm"))
   }
 
+  test("dedup_containment_lsh: the production path reproduces the exact enumeration on the contract corpus") {
+    // the scaladoc's promise: with every planted embedded run ≥ 26
+    // words (deep inside winnowing's ≥12-word guarantee), the
+    // candidates-filtered pair set equals the Σ df² exact enumeration
+    // bit for bit — same rows, same intersection counts
+    val exact = operators.Dedup.dedupContainment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("i"), r.getAs[Long]("containment_ppm"))).toSet
+    val lsh = operators.Dedup.dedupContainmentLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("i"), r.getAs[Long]("containment_ppm"))).toSet
+    assert(exact.nonEmpty, "exact side lost the plant")
+    assert(lsh == exact,
+      s"production path diverged: missing=${(exact -- lsh).size}, extra=${(lsh -- exact).size}")
+  }
+
+  test("video_band_sweep: wider bands shrink candidates and occupancy; recall never improves") {
+    val rows = operators.Video.videoBandSweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("band_bits") -> r).toMap
+    assert(rows.keySet == Set(4L, 8L, 16L), s"configs: ${rows.keySet}")
+    val trues = rows.values.map(_.getAs[Long]("n_true")).toSet
+    assert(trues.size == 1 && trues.head > 0, s"shared exact side: $trues")
+    rows.foreach { case (w, r) =>
+      assert(r.getAs[Long]("n_bands") == 64 / w)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_candidates"))
+    }
+    Seq((4L, 8L), (8L, 16L)).foreach { case (lo, hi) =>
+      assert(rows(lo).getAs[Long]("n_candidates") >= rows(hi).getAs[Long]("n_candidates"),
+        s"candidates not monotone between w=$lo and w=$hi")
+      assert(rows(lo).getAs[Long]("max_occupancy") >= rows(hi).getAs[Long]("max_occupancy"),
+        s"occupancy not monotone between w=$lo and w=$hi")
+    }
+    assert(rows(4L).getAs[Long]("recall_ppm") >= rows(16L).getAs[Long]("recall_ppm"))
+  }
+
   test("winnowing prints: offset-invariant and hard-guaranteed on >=12-word runs") {
     import spark.implicits._
     // offset-invariance: same property as manber selection (window

@@ -161,8 +161,10 @@ class PlanSpec extends SparkSpec {
       "text_vocab_coverage",
       // round 11: embed_geometry_sweep's exact side is a slice-anchored
       // broadcast cross (the knn_bruteforce idiom) and each config row
-      // attaches four ONE-ROW count aggregates (the sweep idiom)
-      "embed_geometry_sweep")
+      // attaches four ONE-ROW count aggregates (the sweep idiom);
+      // video_band_sweep is its visual twin (slice-anchored broadcast
+      // frames join + the same one-row count attachments)
+      "embed_geometry_sweep", "video_band_sweep")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
