@@ -30,11 +30,14 @@ object SparkEntry {
     // exact-recall gates (brute-force / exact side paid by contract)
     "knn_recall", "knn_pq_recall", "knn_ivf_pq_recall", "knn_mrl_recall",
     "knn_hamming_recall", "knn_rerank_gain", "knn_probe_sweep",
-    "knn_ivf_drift", "knn_silhouette",
+    "knn_ivf_drift", "knn_ivf_refresh", "knn_silhouette",
     "dedup_minhash_recall", "dedup_containment_recall",
+    // Σ df² exact enumeration (Dedup.scala documents it run-on-a-slice;
+    // the PRODUCTION path is dedup_containment_lsh, which stays contract)
+    "dedup_containment",
     // parameter sweeps / evidence tables (Σ df² exact sides)
     "dedup_banding_sweep", "dedup_threshold_sweep", "dedup_len_bias",
-    "embed_geometry_sweep", "video_band_sweep",
+    "embed_geometry_sweep", "embed_bits_rule", "video_band_sweep",
     // full-graph / full-corpus censuses and exact-vs-sketch graders
     "embed_clusters", "web_domain_components", "corpus_dedup_impact",
     "sketch_bloom_fpr", "sketch_quantile_error", "events_median_exact",

@@ -15,10 +15,29 @@ import graft.functions.Globs
   */
 class PathMatcher(nocase: Boolean = false) {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val negCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Seq[String])]
 
-  /** compiled, cached, anchored regex for a glob (reference getRegex). */
+  /** compiled, cached, anchored regex for a glob (reference getRegex).
+    * Fails loud on extglob negation `!(…)` — one regex cannot express
+    * it in RE2∩Java; use [[isMatch]], which hoists it.
+    */
   def getRegex(pattern: String): String =
     cache.getOrElseUpdate(pattern, "^(?:" + Globs.compile(pattern, nocase) + ")$")
+
+  /** anchored (positive, negatives) pair for a glob that may carry
+    * extglob negation — the column-level negation path.
+    */
+  private def getRegexPair(pattern: String): (String, Seq[String]) =
+    negCache.getOrElseUpdate(pattern, {
+      val (pos, negs) = Globs.compileWithNegation(pattern, nocase)
+      ("^(?:" + pos + ")$", negs.map("^(?:" + _ + ")$"))
+    })
+
+  private def matchOne(path: Column, pattern: String): Column = {
+    val (pos, negs) = getRegexPair(pattern)
+    negs.foldLeft(path.rlike(pos))((acc, nre) => acc && !path.rlike(nre))
+  }
 
   private def anyRegex(patterns: Seq[String]): String =
     cache.getOrElseUpdate(patterns.mkString("\u0000"),
@@ -26,19 +45,30 @@ class PathMatcher(nocase: Boolean = false) {
 
   /** true where `path` matches ANY pattern (reference isMatch).
     * Micromatch list semantics: `!`-prefixed entries are negations —
-    * the path must match some positive pattern and no negated one.
+    * the path must match some positive pattern and no negated one —
+    * EXCEPT a leading `!(`, which is an extglob at position 0, not a
+    * list negation (micromatch's own disambiguation). Patterns carrying
+    * extglob negation compile per-pattern through the hoisted
+    * (positive, negatives) pair; the rest keep the one-regex batch
+    * plan, so the common path stays a single codegen'd RLIKE.
     */
   def isMatch(path: Column, patterns: String*): Column = {
-    val (neg, pos) = patterns.partition(_.startsWith("!"))
-    val hit =
-      if (pos.isEmpty) lit(false) else path.rlike(anyRegex(pos))
+    val (neg, pos) = patterns.partition(p =>
+      p.startsWith("!") && !p.startsWith("!("))
+    val (posExtNeg, posPlain) = pos.partition(_.contains("!("))
+    val plainHit =
+      if (posPlain.isEmpty) lit(false) else path.rlike(anyRegex(posPlain))
+    val hit = posExtNeg.map(matchOne(path, _)).foldLeft(plainHit)(_ || _)
     if (neg.isEmpty) hit
-    else hit && !path.rlike(anyRegex(neg.map(_.drop(1))))
+    else hit && !path.rlike(anyRegex(neg.map(p =>
+      if (p.drop(1).contains("!(")) throw new IllegalArgumentException(
+        s"extglob negation inside a !-negated list entry is unsupported: $p")
+      else p.drop(1))))
   }
 
   /** true where `path` matches EVERY pattern (reference all). */
   def all(path: Column, patterns: String*): Column =
-    patterns.map(p => path.rlike(getRegex(p))).reduce(_ && _)
+    patterns.map(matchOne(path, _)).reduce(_ && _)
 
   /** rows whose `keyCol` matches any pattern (reference match/matchFast). */
   def filterMatching(df: DataFrame, patterns: Seq[String], keyCol: String = "key"): DataFrame =

@@ -18,6 +18,16 @@ package graft.functions
   *   - `?`   single non-`/` char
   *   - `{a,b}` alternation (nestable)
   *   - `[abc]` / `[!abc]` char classes
+  *   - extglobs `@(a|b)` / `+(x)` / `?(x)` / `*(x)` — exactly-one /
+  *     one-or-more / zero-or-one / zero-or-more of the inner
+  *     alternatives (micromatch's documented extglob set; each compiles
+  *     to a plain RE2∩Java group + quantifier). A star-RUN binds before
+  *     the extglob reading, so `**(a)` is `**` + literal parens, not
+  *     `*` + `*(a)`.
+  *   - extglob negation `!(a|b)` — via [[compileWithNegation]] ONLY
+  *     (the list-negation path): RE2 has no lookahead, so a single
+  *     regex cannot express it; [[translate]] fails loud rather than
+  *     emit a silently-literal `!`.
   *   - `nocase` option → `(?i)`
   */
 object Globs {
@@ -26,6 +36,76 @@ object Globs {
   def compile(glob: String, nocase: Boolean = false): String = {
     val body = translate(glob)
     if (nocase) "(?i)" + body else body
+  }
+
+  /** Compile a glob that may contain extglob NEGATION `!(a|b)` into the
+    * hoisted pair (positive regex, negative regexes) a caller combines
+    * as `path RLIKE pos AND NOT path RLIKE neg_k ∀k` — the same
+    * column-level negation path `!`-prefixed pattern lists use
+    * (api.PathMatcher.isMatch), which is what keeps the compiled
+    * dialect inside RE2∩Java (no lookahead).
+    *
+    * Semantics: positive = the glob with every `!(…)` loosened to `*`;
+    * negative_k = the glob with occurrence k hardened to `@(…)` and the
+    * others loosened. A path matches iff it matches the loosened
+    * pattern and NO single `!(…)` position is instantiated by an
+    * excluded alternative — equal to bash/micromatch whenever the
+    * negated segment's alignment is unambiguous (it always is unless
+    * `**` appears on BOTH sides of the `!(…)` segment). `!(…)` must
+    * span a whole path segment (fail-loud otherwise): partial-segment
+    * negation (`f!(oo)bar`) has no RE2-expressible equivalent.
+    */
+  def compileWithNegation(glob: String, nocase: Boolean = false): (String, Seq[String]) = {
+    val spans = extNegSpans(glob)
+    if (spans.isEmpty) (compile(glob, nocase), Nil)
+    else {
+      spans.foreach { case (s, e) =>
+        val okL = s == 0 || glob.charAt(s - 1) == '/'
+        val okR = e == glob.length - 1 || glob.charAt(e + 1) == '/'
+        require(okL && okR,
+          s"extglob negation !(…) is supported only as a whole path segment: $glob")
+      }
+      def rebuild(replaceAt: Int => String): String = {
+        val sb = new StringBuilder
+        var last = 0
+        spans.zipWithIndex.foreach { case ((s, e), k) =>
+          sb.append(glob.substring(last, s)).append(replaceAt(k))
+          last = e + 1
+        }
+        sb.append(glob.substring(last))
+        sb.toString
+      }
+      val positive = rebuild(_ => "*")
+      val negatives = spans.indices.map { k =>
+        rebuild(j =>
+          if (j == k) "@(" + glob.substring(spans(k)._1 + 2, spans(k)._2) + ")"
+          else "*")
+      }
+      (compile(positive, nocase), negatives.map(compile(_, nocase)).toList)
+    }
+  }
+
+  /** top-level `!(…)` occurrence spans (start of `!`, index of `)`),
+    * skipping escapes and char classes.
+    */
+  private def extNegSpans(g: String): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < g.length) {
+      g.charAt(i) match {
+        case '\\' => i += 2
+        case '[' =>
+          val close = g.indexOf(']', i + 2)
+          i = if (close < 0) i + 1 else close + 1
+        case '!' if i + 1 < g.length && g.charAt(i + 1) == '(' &&
+            matchingParen(g, i + 1) > 0 =>
+          val close = matchingParen(g, i + 1)
+          out += ((i, close))
+          i = close + 1
+        case _ => i += 1
+      }
+    }
+    out.toSeq
   }
 
   /** Compile a pattern list (OR semantics, like micromatch(paths, [..])). */
@@ -73,14 +153,37 @@ object Globs {
     val sb = new StringBuilder
     var i = 0
     val n = g.length
+    // extglob `X(alts)` for X ∈ @ + ? * → RE2∩Java group + quantifier;
+    // returns the index after ')' or -1 if not an extglob at i
+    def extglob(i0: Int): Int = {
+      if (i0 + 1 >= n || g.charAt(i0 + 1) != '(') return -1
+      val close = matchingParen(g, i0 + 1)
+      if (close < 0) return -1
+      val alts = splitTopLevelAlt(g.substring(i0 + 2, close)).map(translate)
+      sb.append(alts.mkString("(?:", "|", ")"))
+      g.charAt(i0) match {
+        case '+' => sb.append('+')
+        case '?' => sb.append('?')
+        case '*' => sb.append('*')
+        case _ => // '@': exactly one
+      }
+      close + 1
+    }
     while (i < n) {
       g.charAt(i) match {
+        case '!' if i + 1 < n && g.charAt(i + 1) == '(' && matchingParen(g, i + 1) > 0 =>
+          throw new IllegalArgumentException(
+            s"extglob negation !(…) cannot compile to one RE2∩Java regex — use Globs.compileWithNegation / PathMatcher.isMatch: $g")
+        case '@' | '+' if i + 1 < n && g.charAt(i + 1) == '(' && matchingParen(g, i + 1) > 0 =>
+          i = extglob(i)
         case '*' =>
           var j = i
           while (j < n && g.charAt(j) == '*') j += 1
           val prevIsSlashOrStart = i == 0 || g.charAt(i - 1) == '/'
           val nextIsSlash = j < n && g.charAt(j) == '/'
-          if (j - i >= 2) {
+          if (j - i == 1 && j < n && g.charAt(j) == '(' && matchingParen(g, j) > 0) {
+            i = extglob(i) // single `*(` = zero-or-more extglob
+          } else if (j - i >= 2) {
             if (prevIsSlashOrStart && nextIsSlash) {
               // "a/**/b" or "**/b": zero or more whole dirs (incl. none)
               sb.append("(?:[^/]*/)*"); i = j + 1
@@ -91,6 +194,8 @@ object Globs {
           } else {
             sb.append("[^/]*"); i = j
           }
+        case '?' if i + 1 < n && g.charAt(i + 1) == '(' && matchingParen(g, i + 1) > 0 =>
+          i = extglob(i)
         case '?' => sb.append("[^/]"); i += 1
         case '{' =>
           val close = matchingBrace(g, i)
@@ -119,6 +224,36 @@ object Globs {
       }
     }
     sb.toString
+  }
+
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** split extglob alternatives on top-level `|` (parens nest). */
+  private def splitTopLevelAlt(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '|' if depth == 0 => out += cur.toString; cur.clear()
+      case c =>
+        if (c == '(') depth += 1
+        if (c == ')') depth -= 1
+        cur.append(c)
+    }
+    out += cur.toString
+    out.toSeq
   }
 
   private def matchingBrace(s: String, open: Int): Int = {

@@ -53,7 +53,32 @@ object VectorFns {
   val LshBits = 4
   val Dim = 64
 
-  private def planeCoef(idx: String, j: String): String =
+  /** Census-driven hyperplane-count rule — the n/2^bits occupancy law
+    * (embed_geometry_sweep; SCALE.md round-11 geometry law) turned into
+    * a production dial: the smallest `bits ≥ LshBits` that holds the
+    * EXPECTED per-table bucket occupancy n/2^bits at or under
+    * [[LshTargetOcc]], so candidate volume is bounded by geometry at
+    * every corpus size instead of by the `bucketCap` backstop.
+    *
+    * Portable + floor-quantized (the `centroidModFor` isqrt idiom):
+    * pure integer arithmetic, replayed bit-identically by the DuckDB
+    * oracle (embed_bits_rule computes the same min-b scan in SQL). The
+    * target is the largest power of two keeping every contract scale on
+    * the contract 4-bit geometry (n ≤ 4096 → bits = 4 — testdata peaks
+    * at 2000 vectors), so all existing oracle frames are unchanged; the
+    * curve bends exactly where the sweep priced it (n = 2·10⁴ → 7 bits,
+    * 2·10⁹ → 23 bits — occupancy ≤ 256 throughout).
+    */
+  val LshTargetOcc = 256L
+  val LshMaxBits = 31
+
+  def lshBitsFor(n: Long): Int = {
+    var b = LshBits
+    while (b < LshMaxBits && n > LshTargetOcc * (1L << b)) b += 1
+    b
+  }
+
+  private[graft] def planeCoef(idx: String, j: String): String =
     s"(CAST((($idx) * 64 + $j) * 2654435761 % 2147483647 % 2001 - 1000 AS DOUBLE) / 1000.0)"
 
   /** per-table bucket ids for vector expr `v` (array<double>, len 64) →

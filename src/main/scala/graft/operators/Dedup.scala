@@ -1238,6 +1238,137 @@ object Dedup {
        |FROM batch b LEFT JOIN ver v USING (new_id)
        |ORDER BY new_id""".stripMargin
 
+  /** id shift for the containment-ingestion batch — distinct from the
+    * 200000 exact batch, the 300000 near-dup batch / containment plant
+    * namespaces (one query never mixes two plants, but the shifts stay
+    * globally unique so cross-gate specs can union batches safely).
+    */
+  val ContainBatchShift = 400000L
+
+  /** Containment-aware incremental admission — the THIRD admission
+    * gate, closing the gap both existing gates provably leak: a corpus
+    * doc re-ingested INSIDE a longer digest (the %10==6 composite —
+    * doc + two successors concatenated) is byte-unequal, so
+    * [[dedupIncremental]]'s exact-fingerprint probe admits it, and its
+    * symmetric Jaccard vs the contained doc is ≈ 1/3 < 1/2, so
+    * [[dedupIncrementalLsh]]'s est-J verify admits it too (the
+    * cross-gate leak is asserted in OperatorInvariantSpec). This gate
+    * probes the corpus WINNOW-PRINT index ([[sparkWinnowPrints]] — the
+    * hard ≥ 12-word-run guarantee) with the batch's own prints and
+    * verifies candidates with the dedup_containment predicates
+    * (array_intersect of distinct shingle sets: ≥ 90% of the smaller
+    * side, J < 0.5, [[MinContainSetSize]] floor). Genuinely-new docs
+    * (%10==1, word order reversed — every 8-word window and every
+    * 3-gram shingle changes) are admitted.
+    *
+    * 100 TB shape: the index (prints + shingle sets per corpus doc) is
+    * built once and amortized across batches (bucketed on the print
+    * hash in production → exchange-free probes); the probe join
+    * shuffles only the BATCH postings (delta-sized); verification is
+    * candidate-bounded, never Σ df². Docs under [[PrintWindow]] words
+    * select no prints and are trivially admitted — too short for a
+    * containment verdict either way.
+    */
+  def dedupIncrementalContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 6)
+      .join(d.select(col("doc_id").as("id1"), col("text").as("t1")),
+        col("id1") === col("doc_id") + 1)
+      .join(d.select(col("doc_id").as("id2"), col("text").as("t2")),
+        col("id2") === col("doc_id") + 2)
+      .select(plantId(col("doc_id"), ContainBatchShift).as("new_id"),
+        concat_ws(" ", col("text"), col("t1"), col("t2")).as("text"))
+      .union(d.filter(pmod(col("doc_id"), lit(10)) === 1)
+        .select(plantId(col("doc_id"), ContainBatchShift).as("new_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+    containmentAdmissionFor(d, batch)
+  }
+
+  /** the admission gate over ANY corpus/batch (doc_id|new_id, text)
+    * frames — the library entry point (api.CorpusOps). `printCap`/
+    * `anchors`: the posting-list occupancy rule for boilerplate-hot
+    * prints — above the cap only the `anchors` lowest-id corpus docs
+    * remain probe-able for that print (the [[cappedPairs]] anchor
+    * discipline on a bipartite probe join; default inert, oracle
+    * byte-identical).
+    */
+  def containmentAdmissionFor(corpus: DataFrame, batch: DataFrame,
+      printCap: Long = Long.MaxValue, anchors: Long = 16L): DataFrame = {
+    val idx = Materialize.stable(corpus
+      .select(col("doc_id"), expr(sparkWinnowPrints("text")).as("prs"),
+        expr(s"array_distinct(${sparkShingleHashes("text")})").as("sh"))
+      .withColumn("n_sh", expr("CAST(size(sh) AS BIGINT)")))
+    val iPost0 = idx.select(col("doc_id"), explode(col("prs")).as("pr"))
+    val iPost =
+      if (printCap == Long.MaxValue) iPost0
+      else {
+        val bw = org.apache.spark.sql.expressions.Window
+          .partitionBy("pr").orderBy("doc_id")
+        val bwAll = org.apache.spark.sql.expressions.Window.partitionBy("pr")
+        iPost0.withColumn("rn", row_number().over(bw))
+          .withColumn("bsize", count(lit(1)).over(bwAll))
+          .filter(col("bsize") <= printCap || col("rn") <= anchors)
+          .select("doc_id", "pr")
+      }
+    val b = Materialize.stable(batch
+      .select(col("new_id"), expr(sparkWinnowPrints("text")).as("prs"),
+        expr(s"array_distinct(${sparkShingleHashes("text")})").as("sh"))
+      .withColumn("n_sh", expr("CAST(size(sh) AS BIGINT)")))
+    val bPost = b.select(col("new_id"), explode(col("prs")).as("pr"))
+    val cand = bPost.join(iPost, Seq("pr"))
+      .select("new_id", "doc_id").distinct()
+    val verified = cand
+      .join(b.select(col("new_id"), col("sh").as("sha"), col("n_sh").as("na")), Seq("new_id"))
+      .join(idx.select(col("doc_id"), col("sh").as("shb"), col("n_sh").as("nb")), Seq("doc_id"))
+      .withColumn("i", expr("CAST(size(array_intersect(sha, shb)) AS BIGINT)"))
+      .filter(expr(s"least(na, nb) >= $MinContainSetSize" +
+        " AND 10 * i >= 9 * least(na, nb) AND 3 * i < na + nb"))
+      .groupBy("new_id").agg(min("doc_id").as("dup_of"))
+    b.select("new_id").join(verified, Seq("new_id"), "left")
+      .select(col("new_id"), col("dup_of").isNull.as("admitted"), col("dup_of"))
+      .orderBy("new_id")
+  }
+
+  val dedupIncrementalContainmentSql: String =
+    s"""WITH batch AS (
+       |  SELECT a.doc_id + $ContainBatchShift AS new_id,
+       |    a.text || ' ' || b.text || ' ' || c.text AS text
+       |  FROM documents a
+       |  JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  JOIN documents c ON c.doc_id = a.doc_id + 2
+       |  WHERE a.doc_id % 10 = 6
+       |  UNION ALL
+       |  SELECT doc_id + $ContainBatchShift,
+       |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |  FROM documents WHERE doc_id % 10 = 1
+       |), idx AS (
+       |  SELECT doc_id, ${duckWinnowPrints("text")} AS prs,
+       |    list_distinct(${duckShingleHashes("text")}) AS sh
+       |  FROM documents
+       |), bidx AS (
+       |  SELECT new_id, ${duckWinnowPrints("text")} AS prs,
+       |    list_distinct(${duckShingleHashes("text")}) AS sh
+       |  FROM batch
+       |), ipost AS (
+       |  SELECT doc_id, unnest(prs) AS pr FROM idx
+       |), bpost AS (
+       |  SELECT new_id, unnest(prs) AS pr FROM bidx
+       |), cand AS (
+       |  SELECT DISTINCT new_id, doc_id FROM bpost JOIN ipost USING (pr)
+       |), ver AS (
+       |  SELECT new_id, MIN(doc_id) AS dup_of FROM (
+       |    SELECT c.new_id, c.doc_id,
+       |      CAST(len(list_intersect(b.sh, i.sh)) AS BIGINT) AS i,
+       |      CAST(len(b.sh) AS BIGINT) AS na, CAST(len(i.sh) AS BIGINT) AS nb
+       |    FROM cand c JOIN bidx b USING (new_id) JOIN idx i USING (doc_id)) t
+       |  WHERE least(na, nb) >= $MinContainSetSize
+       |    AND 10 * i >= 9 * least(na, nb) AND 3 * i < na + nb
+       |  GROUP BY 1
+       |)
+       |SELECT b.new_id, v.dup_of IS NULL AS admitted, v.dup_of
+       |FROM bidx b LEFT JOIN ver v USING (new_id)
+       |ORDER BY new_id""".stripMargin
+
   /** Threshold sensitivity sweep over the verified minhash pair frame:
     * near-dup pair count and affected-doc count at est-Jaccard ≥ 1/2,
     * 3/4, 11/12 and = 1 — the dedup-aggressiveness dial read BEFORE
@@ -1665,6 +1796,7 @@ object Dedup {
     "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_lsh" -> (dedupIncrementalLsh _),
+    "dedup_incremental_containment" -> (dedupIncrementalContainment _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_exact" -> (dedupExact _),
@@ -1687,6 +1819,7 @@ object Dedup {
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_lsh" -> dedupIncrementalLshSql,
+    "dedup_incremental_containment" -> dedupIncrementalContainmentSql,
     "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_exact" -> dedupExactSql,

@@ -112,21 +112,29 @@ object Similarity {
     */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
     // census over the RAW float column (float→double is injective, so
-    // raw-distinct ⇔ cast-distinct) — skips the per-row double cast
+    // raw-distinct ⇔ cast-distinct) — skips the per-row double cast.
+    // EAGER BY DESIGN: `.head()` runs the census at CONSTRUCTION time,
+    // so merely building this frame costs one partial-aggregated corpus
+    // scan — the price of plan selection (collapse vs plain) and of the
+    // census-driven bit geometry below happening before Catalyst sees
+    // the plan. Callers that need plan-only construction should call
+    // [[neardupImpl]] with an explicit census verdict instead.
     val census = Tables.embeddings(s, dir)
       .agg(count(lit(1)).as("n"), countDistinct(xxhash64(col("embedding"))).as("nh")).head()
-    neardupImpl(withVec(s, dir), collapse = census.getLong(0) != census.getLong(1))
+    neardupImpl(withVec(s, dir), collapse = census.getLong(0) != census.getLong(1),
+      bits = lshBitsFor(census.getLong(0)))
   }
 
   /** library entry point over ANY (vec_id, v: array&lt;double&gt;) frame;
-    * census on the double column (equivalent gate, one cast paid).
+    * census on the double column (equivalent gate, one cast paid —
+    * eager at construction time, see [[embedNeardup]]).
     */
   def embedNeardupFor(vecs: DataFrame, bucketCap: Long = Long.MaxValue,
       anchors: Long = 16L): DataFrame = {
     val census = vecs
       .agg(count(lit(1)).as("n"), countDistinct(xxhash64(col("v"))).as("nh")).head()
     neardupImpl(vecs, collapse = census.getLong(0) != census.getLong(1),
-      bucketCap, anchors)
+      bucketCap, anchors, bits = lshBitsFor(census.getLong(0)))
   }
 
   /** both plans, switched by the census (asserted output-identical in
@@ -137,16 +145,29 @@ object Similarity {
     * cap guards near-identical FAMILIES (k re-embeddings of boilerplate
     * text differing in low-order float bits) that land distinct vectors
     * in one bucket of every table — measured in tools.BandOccupancy.
+    *
+    * `bits`: the hyperplane count per table — callers pass
+    * [[graft.functions.VectorFns.lshBitsFor]] of their census count, so
+    * the per-table bucket occupancy n/2^bits is held ≤ LshTargetOcc by
+    * GEOMETRY at any corpus size (the cap stays as backstop for skewed
+    * families). At every contract scale the rule pins at the 4-bit
+    * floor, where the native codegen'd `graft_lsh_buckets` expression
+    * runs — the plan and the oracle are unchanged; off the floor the
+    * parameterized HOF twin computes the same plane-index stream.
     */
   private[graft] def neardupImpl(vecs0: DataFrame, collapse: Boolean,
-      bucketCap: Long = Long.MaxValue, anchors: Long = 16L): DataFrame = {
+      bucketCap: Long = Long.MaxValue, anchors: Long = 16L,
+      bits: Int = LshBits): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bucketsExpr =
+      if (bits == LshBits) sparkLshBuckets("v")
+      else sparkLshBucketsParam("v", LshTables, bits)
     val cand =
       if (!collapse) {
         // provably duplicate-free: plain LSH over the raw vectors, no
         // collapse — the pre-r10 plan, 0.6s-class at audit scale
         val buckets = vecs0
-          .select(col("vec_id"), posexplode(expr(sparkLshBuckets("v"))).as(Seq("t", "bucket")))
+          .select(col("vec_id"), posexplode(expr(bucketsExpr)).as(Seq("t", "bucket")))
         Dedup.cappedPairs(buckets, Seq("t", "bucket"), "vec_id", bucketCap, anchors)
           .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
       } else {
@@ -162,7 +183,7 @@ object Similarity {
         val reps = members.filter(col("vec_id") === col("rep"))
           .select(col("vec_id"), col("v"))
         val buckets = reps
-          .select(col("vec_id"), posexplode(expr(sparkLshBuckets("v"))).as(Seq("t", "bucket")))
+          .select(col("vec_id"), posexplode(expr(bucketsExpr)).as(Seq("t", "bucket")))
         // representative-pair candidates (cross-class)
         val candRep = Dedup.cappedPairs(buckets, Seq("t", "bucket"), "vec_id",
             bucketCap, anchors)
@@ -279,8 +300,14 @@ object Similarity {
     * sum is a (cell, pos) partial aggregate — the shuffle carries
     * cells×64 rows, not the corpus.
     */
-  private def refineCents(vecs: DataFrame): DataFrame = {
-    val seeds = seedCents(vecs)
+  private def refineCents(vecs: DataFrame): DataFrame =
+    refineCentsFromSeeds(vecs, seedCents(vecs))
+
+  /** the Lloyd step from an EXPLICIT seed table — split out so
+    * knn_ivf_refresh can re-seed from a drifted union with the
+    * mix-hash residue rule instead of the plain id residue.
+    */
+  private[graft] def refineCentsFromSeeds(vecs: DataFrame, seeds: DataFrame): DataFrame = {
     val assign0 = vecs.crossJoin(broadcast(seeds))
       .withColumn("ccos", expr(sparkCosine("v", "cv")))
       .groupBy(col("vec_id"))
@@ -1979,6 +2006,262 @@ object Similarity {
        |  abs(n_idx * 1000000 // t_idx - n_batch * 1000000 // t_batch) AS drift_ppm
        |FROM joined, t ORDER BY cell""".stripMargin
 
+  /** id cap bounding the refresh audit's query slice: shifted %10==9
+    * plant ids below DriftBatchShift + cap are the probe queries.
+    */
+  val RefreshQueryCap = 200L
+
+  /** plane-PRN stream base for the refresh audit's new-mode plant —
+    * far above every LSH/projection plane slot (≤ 80) and the sweep
+    * geometries, so the streams never collide.
+    */
+  val NewModeIdx = 90000L
+
+  /** the drifted-mode vector for plant id `idExpr`: a fixed mode
+    * direction plus a 0.8-weighted per-vector PRN spread, every
+    * coefficient from the portable integer plane PRN — bit-identical
+    * across engines, intra-mode cosine ≈ 0.6 (coherent: a mode
+    * vector's true top-k ARE mode vectors), mode-to-corpus ≈ 0.
+    */
+  private def newModeVec(idExpr: String): String =
+    s"transform(sequence(0, ${graft.functions.VectorFns.Dim - 1}), j -> " +
+      s"${graft.functions.VectorFns.planeCoef(NewModeIdx.toString, "j")} + " +
+      s"CAST(0.8 AS DOUBLE) * ${graft.functions.VectorFns.planeCoef(s"($NewModeIdx + 1 + $idExpr)", "j")})"
+
+  private def duckNewModeVec(idExpr: String): String =
+    s"list_transform(range(0, ${graft.functions.VectorFns.Dim}), j -> " +
+      s"${graft.functions.VectorFns.planeCoef(NewModeIdx.toString, "j")} + " +
+      s"CAST(0.8 AS DOUBLE) * ${graft.functions.VectorFns.planeCoef(s"($NewModeIdx + 1 + $idExpr)", "j")})"
+
+  /** IVF index REFRESH audit — the closure of [[knnIvfDrift]]'s loop:
+    * drift says WHEN to rebuild; this gate proves the rebuild WORKED.
+    * Two phases over the SAME drifted union (corpus + %10==5 verbatim
+    * re-ingestions + a %10==9 NEW-MODE batch: [[newModeVec]], the
+    * "new embedding model" shape — one common direction per batch with
+    * a strong per-vector spread): `frozen` routes the union through
+    * the UNREFRESHED index's centroids (the production state the drift
+    * gate fires on); `refreshed` re-seeds and re-refines from the
+    * union itself. Each phase emits cell balance (cell count, max cell
+    * share) and recall@[[KnnK]] at nprobe=1 for the MODE queries
+    * against the exact brute-force top-k over the union (computed
+    * once, both phases graded against the same side — the
+    * knn_probe_sweep rule). Frozen centroids see the mode at near-zero
+    * near-TIED cosines, so per-vector spread flips the argmax and the
+    * mode's mutual neighbors scatter across cells (recall collapses);
+    * the refreshed index seeds inside the mode and recovers them.
+    *
+    * Why not the drift gate's dimension-REVERSAL plant here: reversal
+    * shifts cell occupancy (what knn_ivf_drift measures) but is
+    * NN-incoherent in this embedding geometry — a reversed query's
+    * exact top-k are 82% ORIGINAL vectors (measured, r12), so no index
+    * geometry can "recover" what was never a retrievable mode; its
+    * frozen/refreshed recall both sit at the in-distribution nprobe=1
+    * baseline. A refresh gate needs a mode whose neighbors exist.
+    *
+    * The refresh re-seed hashes the id's DECIMAL STRING with the
+    * portable poly-31 word hash ([[graft.functions.PortableHash]])
+    * before taking the residue, not the plain id residue — and not a
+    * multiplicative mix either: an appended batch lives in a shifted id
+    * namespace whose congruence classes STRUCTURALLY exclude it from
+    * `id % m == r` seeding (this plant: shift ≡ 0 (mod 50) and
+    * %10∈{5,9} ids can never hit residue 7), and any affine mix
+    * `(id % m)·c % m` is a BIJECTION of residues mod m, so it provably
+    * cannot escape those classes either (measured: zero batch seeds,
+    * recall unrecovered). The digit-string hash depends on every digit
+    * through distinct powers of 31 mod P, so seed eligibility is
+    * congruence-free and the drifted mass seeds in proportion to its
+    * share — the rebuild rule an ingest-shifted corpus actually needs.
+    * Censuses (union count → the √n modulus) are eager at
+    * construction, the audit-tier discipline.
+    *
+    * 100 TB shape: both phases are cellAssign broadcast argmins over
+    * the union (one row per vector pre-shuffle); the exact side is
+    * query-slice × union (broadcast cross, knn_bruteforce's plan);
+    * everything else is cells- or queries-bounded.
+    */
+  def knnIvfRefresh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Materialize.stable(withVec(s, dir))
+    val batch = vecs.filter(pmod(col("vec_id"), lit(10)) === 5)
+      .select(Dedup.plantId(col("vec_id"), DriftBatchShift).as("vec_id"), col("v"))
+      .union(vecs.filter(pmod(col("vec_id"), lit(10)) === 9)
+        .select(Dedup.plantId(col("vec_id"), DriftBatchShift).as("vec_id"),
+          expr(newModeVec("vec_id")).as("v")))
+    val union = Materialize.stable(vecs.union(batch))
+    val queries = union
+      .filter(col("vec_id") >= DriftBatchShift && pmod(col("vec_id"), lit(10)) === 9
+        && col("vec_id") < DriftBatchShift + RefreshQueryCap)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = Materialize.stable(union.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(sparkCosine("qv", "v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= KnnK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id")))
+    def phaseRow(name: String, cents: DataFrame): DataFrame = {
+      val assign = Materialize.stable(cellAssign(union, Materialize.stable(cents)))
+      val bal = assign.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_cells"), max("n").as("max_n"), sum("n").as("t"))
+      val qc = assign.join(queries, col("vec_id") === col("query_id"))
+        .select(col("query_id"), col("cell"), col("qv"))
+      val ivf = qc
+        .join(assign.select(col("cell"), col("vec_id").as("neighbor_id"),
+          col("v").as("nv")), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", expr(sparkCosine("qv", "nv")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+        .filter(col("rank") <= KnnK)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .crossJoin(broadcast(bal))
+        .select(lit(name).as("phase"), col("n_cells"),
+          expr("max_n * 1000000 div t").as("max_cell_share_ppm"),
+          col("n_exact"), col("n_hits"),
+          expr("CASE WHEN n_exact = 0 THEN 0 ELSE n_hits * 1000000 div n_exact END")
+            .as("recall_ppm"))
+    }
+    val nUnion = union.count()
+    val mR = centroidModFor(nUnion)
+    val seedsR = union
+      .filter(expr(s"pmod(${graft.functions.PortableHash.sparkWordHash(
+        "CAST(vec_id AS STRING)")}, $mR)") === lit(SeedResidue.toLong))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    phaseRow("frozen", refineCents(vecs))
+      .unionByName(phaseRow("refreshed", refineCentsFromSeeds(union, seedsR)))
+      .orderBy("phase")
+  }
+
+  val knnIvfRefreshSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), batch AS (
+       |  SELECT vec_id + $DriftBatchShift AS vec_id, v FROM vecs WHERE vec_id % 10 = 5
+       |  UNION ALL
+       |  SELECT vec_id + $DriftBatchShift, ${duckNewModeVec("vec_id")} FROM vecs WHERE vec_id % 10 = 9
+       |), uni AS (
+       |  SELECT * FROM vecs UNION ALL SELECT * FROM batch
+       |), cmodf AS (
+       |  SELECT greatest(CAST($MinCentroidMod AS BIGINT),
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) // $CentroidGrid * $CentroidGrid) AS m
+       |  FROM vecs
+       |), seedsf AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM vecs, cmodf WHERE vec_id % m = $SeedResidue
+       |), assign0f AS (
+       |  SELECT cell, v FROM (
+       |    SELECT vecs.vec_id, s.cent_id AS cell, vecs.v,
+       |      ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+       |        ORDER BY ${duckCosine("vecs.v", "s.cv")} DESC, s.cent_id) AS crank
+       |    FROM vecs CROSS JOIN seedsf s) t
+       |  WHERE crank = 1
+       |), compf AS (
+       |  SELECT cell, p.pos AS pos,
+       |    SUM(CAST(floor(v[p.pos + 1] * 1000) AS BIGINT)) AS qs, COUNT(*) AS n
+       |  FROM assign0f CROSS JOIN (SELECT unnest(range(0, ${graft.functions.VectorFns.Dim})) AS pos) p
+       |  GROUP BY 1, 2
+       |), centsf AS (
+       |  SELECT cell AS cent_id,
+       |    list(floor(CAST(qs AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(1000 AS DOUBLE) ORDER BY pos) AS cv
+       |  FROM compf GROUP BY 1
+       |), cmodr AS (
+       |  SELECT greatest(CAST($MinCentroidMod AS BIGINT),
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) // $CentroidGrid * $CentroidGrid) AS m
+       |  FROM uni
+       |), seedsr AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM uni, cmodr
+       |  WHERE (${graft.functions.PortableHash.duckWordHash("CAST(vec_id AS VARCHAR)")}) % m = $SeedResidue
+       |), assign0r AS (
+       |  SELECT cell, v FROM (
+       |    SELECT uni.vec_id, s.cent_id AS cell, uni.v,
+       |      ROW_NUMBER() OVER (PARTITION BY uni.vec_id
+       |        ORDER BY ${duckCosine("uni.v", "s.cv")} DESC, s.cent_id) AS crank
+       |    FROM uni CROSS JOIN seedsr s) t
+       |  WHERE crank = 1
+       |), compr AS (
+       |  SELECT cell, p.pos AS pos,
+       |    SUM(CAST(floor(v[p.pos + 1] * 1000) AS BIGINT)) AS qs, COUNT(*) AS n
+       |  FROM assign0r CROSS JOIN (SELECT unnest(range(0, ${graft.functions.VectorFns.Dim})) AS pos) p
+       |  GROUP BY 1, 2
+       |), centsr AS (
+       |  SELECT cell AS cent_id,
+       |    list(floor(CAST(qs AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(1000 AS DOUBLE) ORDER BY pos) AS cv
+       |  FROM compr GROUP BY 1
+       |), af AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT uni.vec_id, c.cent_id AS cell, uni.v,
+       |      ROW_NUMBER() OVER (PARTITION BY uni.vec_id
+       |        ORDER BY ${duckCosine("uni.v", "c.cv")} DESC, c.cent_id) AS crank
+       |    FROM uni CROSS JOIN centsf c) t
+       |  WHERE crank = 1
+       |), ar AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT uni.vec_id, c.cent_id AS cell, uni.v,
+       |      ROW_NUMBER() OVER (PARTITION BY uni.vec_id
+       |        ORDER BY ${duckCosine("uni.v", "c.cv")} DESC, c.cent_id) AS crank
+       |    FROM uni CROSS JOIN centsr c) t
+       |  WHERE crank = 1
+       |), queries AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM uni
+       |  WHERE vec_id >= $DriftBatchShift AND vec_id % 10 = 9
+       |    AND vec_id < ${DriftBatchShift + RefreshQueryCap}
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, u.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckCosine("q.qv", "u.v")} DESC, u.vec_id) AS rank
+       |    FROM queries q JOIN uni u ON u.vec_id <> q.query_id) t
+       |  WHERE rank <= $KnnK
+       |), ivff AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, n.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckCosine("q.qv", "n.v")} DESC, n.vec_id) AS rank
+       |    FROM queries q
+       |    JOIN af mine ON mine.vec_id = q.query_id
+       |    JOIN af n ON n.cell = mine.cell AND n.vec_id <> q.query_id) t
+       |  WHERE rank <= $KnnK
+       |), ivfr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, n.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckCosine("q.qv", "n.v")} DESC, n.vec_id) AS rank
+       |    FROM queries q
+       |    JOIN ar mine ON mine.vec_id = q.query_id
+       |    JOIN ar n ON n.cell = mine.cell AND n.vec_id <> q.query_id) t
+       |  WHERE rank <= $KnnK
+       |), balf AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |    CAST(MAX(n) AS BIGINT) AS max_n, CAST(SUM(n) AS BIGINT) AS t
+       |  FROM (SELECT cell, COUNT(*) AS n FROM af GROUP BY 1)
+       |), balr AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |    CAST(MAX(n) AS BIGINT) AS max_n, CAST(SUM(n) AS BIGINT) AS t
+       |  FROM (SELECT cell, COUNT(*) AS n FROM ar GROUP BY 1)
+       |), ne AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact
+       |), hf AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM exact e JOIN ivff i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+       |), hr AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM exact e JOIN ivfr i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+       |)
+       |SELECT 'frozen' AS phase, b.n_cells,
+       |  b.max_n * 1000000 // b.t AS max_cell_share_ppm,
+       |  ne.n_exact, hf.n_hits,
+       |  CASE WHEN ne.n_exact = 0 THEN 0 ELSE hf.n_hits * 1000000 // ne.n_exact END AS recall_ppm
+       |FROM balf b, ne, hf
+       |UNION ALL
+       |SELECT 'refreshed', b.n_cells,
+       |  b.max_n * 1000000 // b.t,
+       |  ne.n_exact, hr.n_hits,
+       |  CASE WHEN ne.n_exact = 0 THEN 0 ELSE hr.n_hits * 1000000 // ne.n_exact END
+       |FROM balr b, ne, hr
+       |ORDER BY phase""".stripMargin
+
   /** Margin-based bitext mining (the CCMatrix / LASER production
     * shape): the corpus splits into two "language" sides (synthetic
     * stand-in: even / odd vec_id — on a real multilingual lake the
@@ -2239,12 +2522,85 @@ object Similarity {
        |  max_occupancy
        |FROM n ORDER BY bits""".stripMargin
 
+  /** The PRODUCTION geometry rule graded as an evidence table — the
+    * round-11 sweep (embed_geometry_sweep) PRICED the n/2^bits law;
+    * this query proves the [[graft.functions.VectorFns.lshBitsFor]]
+    * rule that now DRIVES [[embedNeardup]]'s hyperplane count is
+    * replayable by an independent engine at off-contract corpus sizes.
+    * One row per projected scale factor ([[BitsRuleScales]]): the rule
+    * input n·scale, the bits it selects, the buckets-per-table and
+    * expected occupancy that follow (expected ≤ LshTargetOcc by
+    * construction — the geometry holding the ceiling), plus the
+    * MEASURED max occupancy and occupied-bucket count of the REAL
+    * corpus hashed at that geometry — occupancy falls as the rule adds
+    * bits, read directly. The DuckDB oracle recomputes the min-b scan
+    * in SQL (range(4,32) + the same integer inequality) and the
+    * parameterized bucket value per config row, so the cross-engine
+    * claim covers the rule OFF the 4-bit contract floor (scale ≥ 10
+    * moves it) without needing an off-contract corpus.
+    *
+    * Census is eager ([[embedNeardup]]'s documented discipline); the
+    * five geometries rescan one materialized corpus frame.
+    */
+  val BitsRuleScales = Seq(1L, 10L, 100L, 10000L, 1000000L)
+
+  def embedBitsRule(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Materialize.stable(withVec(s, dir))
+    val n = vecs.count()
+    BitsRuleScales.map { f =>
+      val nProj = n * f
+      val bits = graft.functions.VectorFns.lshBitsFor(nProj)
+      val buckets = vecs.select(col("vec_id"),
+        posexplode(expr(sparkLshBucketsParam("v", LshTables, bits))).as(Seq("t", "bucket")))
+      buckets.groupBy("t", "bucket").count()
+        .agg(max("count").as("max_occupancy"),
+          count(lit(1)).as("occupied_buckets"))
+        .select(lit(f).as("scale"), lit(nProj).as("n_projected"),
+          lit(bits.toLong).as("bits"),
+          lit(1L << bits).as("buckets_per_table"),
+          lit(nProj / (1L << bits)).as("expected_occupancy"),
+          col("max_occupancy"), col("occupied_buckets"))
+    }.reduce(_ unionByName _).orderBy("scale")
+  }
+
+  val embedBitsRuleSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), census AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vecs
+       |), cfg AS (
+       |  SELECT unnest([${BitsRuleScales.mkString(", ")}]::BIGINT[]) AS scale
+       |), rule AS (
+       |  SELECT c.scale, census.n * c.scale AS n_projected,
+       |    (SELECT MIN(b) FROM range(${graft.functions.VectorFns.LshBits}, ${graft.functions.VectorFns.LshMaxBits + 1}) t(b)
+       |     WHERE census.n * c.scale <= ${graft.functions.VectorFns.LshTargetOcc} * (CAST(1 AS BIGINT) << b)) AS bits
+       |  FROM cfg c, census
+       |), buckets AS (
+       |  SELECT r.scale, vec_id, ts.t AS t,
+       |    ${duckLshBucketValue("v", "ts.t", "r.bits")} AS bucket
+       |  FROM vecs CROSS JOIN rule r
+       |  CROSS JOIN (SELECT unnest(range(0, $LshTables)) AS t) ts
+       |), occ AS (
+       |  SELECT scale, MAX(c) AS max_occupancy, CAST(COUNT(*) AS BIGINT) AS occupied_buckets
+       |  FROM (SELECT scale, t, bucket, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM buckets GROUP BY 1, 2, 3)
+       |  GROUP BY 1
+       |)
+       |SELECT r.scale, r.n_projected, CAST(r.bits AS BIGINT) AS bits,
+       |  (CAST(1 AS BIGINT) << r.bits) AS buckets_per_table,
+       |  r.n_projected // (CAST(1 AS BIGINT) << r.bits) AS expected_occupancy,
+       |  o.max_occupancy, o.occupied_buckets
+       |FROM rule r JOIN occ o USING (scale)
+       |ORDER BY r.scale""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_bits_rule" -> (embedBitsRule _),
     "embed_geometry_sweep" -> (embedGeometrySweep _),
     "embed_bitext" -> (embedBitext _),
     "embed_clusters" -> (embedClusters _),
     "knn_ivf_balance" -> (knnIvfBalance _),
     "knn_ivf_drift" -> (knnIvfDrift _),
+    "knn_ivf_refresh" -> (knnIvfRefresh _),
     "embed_pca_power" -> (embedPcaPower _),
     "embed_kmeans_step" -> (embedKmeansStep _),
     "knn_silhouette" -> (knnSilhouette _),
@@ -2271,11 +2627,13 @@ object Similarity {
     "embed_project" -> (embedProject _))
 
   val oracles: Map[String, String] = Map(
+    "embed_bits_rule" -> embedBitsRuleSql,
     "embed_geometry_sweep" -> embedGeometrySweepSql,
     "embed_bitext" -> embedBitextSql,
     "embed_clusters" -> embedClustersSql,
     "knn_ivf_balance" -> knnIvfBalanceSql,
     "knn_ivf_drift" -> knnIvfDriftSql,
+    "knn_ivf_refresh" -> knnIvfRefreshSql,
     "embed_pca_power" -> embedPcaPowerSql,
     "embed_kmeans_step" -> embedKmeansStepSql,
     "knn_silhouette" -> knnSilhouetteSql,

@@ -1060,31 +1060,42 @@ object EventStreams {
     * union, probes are read-only).
     *
     * State bound: one record per OCCUPIED (band, band-value) bucket,
-    * holding that bucket's (doc_id, signature) members — the
-    * band-bucket index cardinality, never pairs (asserted against the
+    * holding that bucket's (doc_id, signature) members as a Map keyed
+    * by id — membership checks are O(1), never a linear scan, so a
+    * mega-bucket costs O(k) per batch, not O(k²) (asserted against the
     * state store in StreamingSpec). Bucket occupancy is the measured
-    * text-LSH mega-bucket quantity (max 80 at ×10, SCALE.md) — at
-    * 100 TB apply the same `bucketCap` discipline the batch side
-    * carries before feeding a pathological bucket into state.
+    * text-LSH mega-bucket quantity (max 80 at ×10, SCALE.md); the
+    * `bucketCap`/`anchors` parameters carry [[graft.operators.Dedup
+    * .cappedPairs]]'s discipline INTO the operator: once a bucket's
+    * occupancy exceeds `bucketCap`, state truncates to the `anchors`
+    * lowest-id members (the anchor star — probes then verify against
+    * anchors only, the exact per-probe candidate set the batch capped
+    * join emits for a mega-bucket). The default cap is MaxValue so the
+    * contract corpus — where no bucket approaches any cap — stays
+    * bit-identical to the uncapped batch twin.
     */
   case class LshBandRow(kind: Int, id: Long, b: Int, bv: Long, mh: Seq[Long])
   case class LshProbeHit(new_id: Long, cand: Long, matches: Int)
 
-  def dedupLshStream(rows: Dataset[LshBandRow])(implicit s: SparkSession): Dataset[LshProbeHit] = {
+  def dedupLshStream(rows: Dataset[LshBandRow], bucketCap: Int = Int.MaxValue,
+      anchors: Int = 16)(implicit s: SparkSession): Dataset[LshProbeHit] = {
     import s.implicits._
     val k = graft.functions.PortableHash.MinhashK
     rows.groupByKey(r => (r.b, r.bv))
-      .flatMapGroupsWithState[List[(Long, Seq[Long])], LshProbeHit](
+      .flatMapGroupsWithState[Map[Long, Seq[Long]], LshProbeHit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, Long), it: Iterator[LshBandRow],
-            state: GroupState[List[(Long, Seq[Long])]]) =>
-          var idx = state.getOption.getOrElse(Nil)
+            state: GroupState[Map[Long, Seq[Long]]]) =>
+          var idx = state.getOption.getOrElse(Map.empty[Long, Seq[Long]])
           val out = Seq.newBuilder[LshProbeHit]
           // index rows first: a same-batch index row is visible to
           // same-batch probes (deterministic under any split)
           val (idxRows, probes) = it.toSeq.partition(_.kind == 0)
-          idxRows.foreach { r =>
-            if (!idx.exists(_._1 == r.id)) idx = (r.id, r.mh) :: idx
+          idxRows.foreach { r => if (!idx.contains(r.id)) idx += (r.id -> r.mh) }
+          if (idx.size > bucketCap) {
+            // mega-bucket: keep only the anchor star (lowest ids) —
+            // bounded state, and future probes pair with anchors only
+            idx = idx.toSeq.sortBy(_._1).take(anchors).toMap
           }
           if (idxRows.nonEmpty) state.update(idx)
           probes.foreach { p =>
@@ -1092,6 +1103,67 @@ object EventStreams {
             idx.foreach { case (docId, mb) =>
               val m = (0 until k).count(i => p.mh(i) == mb(i))
               if (2 * m >= k) out += LshProbeHit(p.id, docId, m)
+            }
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Streaming CONTAINMENT admission — the twin of the batch
+    * [[graft.operators.Dedup.dedupIncrementalContainment]], and the
+    * ingestion shape neither [[dedupStream]] (exact fingerprint) nor
+    * [[dedupLshStream]] (est-Jaccard ≥ 1/2) can cover: a corpus doc
+    * re-ingested INSIDE a longer digest is byte-unequal AND sits at
+    * J ≈ 1/3, so both existing admission streams pass it.
+    *
+    * The state IS the corpus winnow-print posting index, keyed by the
+    * print hash: `kind=0` rows are index postings (a corpus doc's
+    * print, carrying its distinct shingle set) and accumulate;
+    * `kind=1` rows are probe postings (a batch doc's print, carrying
+    * ITS shingle set) and read state without writing. Verification
+    * happens in-state with the batch gate's exact integer predicates
+    * (≥ 90% of the smaller distinct-shingle set, J < 0.5, the
+    * MinContainSetSize floor); a probe emits one presence marker
+    * (`cand = -1`) per print plus one row per VERIFIED corpus doc, so
+    * `min(cand ≥ 0)` per new_id is the batch `dup_of` under ANY split
+    * of index rows before probe rows. Docs with no prints (under
+    * [[graft.operators.Dedup.PrintWindow]] words) produce no rows —
+    * trivially admitted, the batch contract.
+    *
+    * State bound: one record per OCCUPIED print bucket, holding that
+    * print's (doc_id → shingle set) members in a Map (O(1) membership);
+    * `bucketCap`/`anchors` = the [[dedupLshStream]] mega-bucket
+    * truncation for boilerplate-hot prints (default inert).
+    */
+  case class ContainPrintRow(kind: Int, id: Long, pr: Long, sh: Seq[Long])
+  case class ContainProbeHit(new_id: Long, cand: Long, i: Long)
+
+  def dedupContainmentStream(rows: Dataset[ContainPrintRow],
+      bucketCap: Int = Int.MaxValue, anchors: Int = 16)(
+      implicit s: SparkSession): Dataset[ContainProbeHit] = {
+    import s.implicits._
+    val minSet = graft.operators.Dedup.MinContainSetSize
+    rows.groupByKey(_.pr)
+      .flatMapGroupsWithState[Map[Long, Seq[Long]], ContainProbeHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[ContainPrintRow],
+            state: GroupState[Map[Long, Seq[Long]]]) =>
+          var idx = state.getOption.getOrElse(Map.empty[Long, Seq[Long]])
+          val out = Seq.newBuilder[ContainProbeHit]
+          val (idxRows, probes) = it.toSeq.partition(_.kind == 0)
+          idxRows.foreach { r => if (!idx.contains(r.id)) idx += (r.id -> r.sh) }
+          if (idx.size > bucketCap) idx = idx.toSeq.sortBy(_._1).take(anchors).toMap
+          if (idxRows.nonEmpty) state.update(idx)
+          probes.foreach { p =>
+            out += ContainProbeHit(p.id, -1L, 0L)
+            val sha = p.sh.toSet
+            val na = sha.size.toLong
+            idx.foreach { case (docId, shb) =>
+              val nb = shb.size.toLong
+              val i = shb.count(sha.contains).toLong
+              val mn = math.min(na, nb)
+              if (mn >= minSet && 10 * i >= 9 * mn && 3 * i < na + nb)
+                out += ContainProbeHit(p.id, docId, i)
             }
           }
           out.result().iterator

@@ -83,6 +83,33 @@ class ContractSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     assert(keys == q, s"TRISCALE stale: stamp-only=${keys -- q}, queries-only=${q -- keys} — re-run tools/triscale.py")
     assert(txt.contains("\"all_green\": true"), "TRISCALE.json records failures")
+    // source-tree identity: the key-set guard above misses a SEMANTIC
+    // change to an existing operator; the stamp records a digest over
+    // src/ + tools/parity.py (tools/triscale.py src_tree_id, identical
+    // algorithm) and any source edit since stamping fails here until
+    // the tri-scale parity run is repeated from the new tree
+    val stamped = "\"src_id\": \"([0-9a-f]{64})\"".r.findFirstMatchIn(txt).map(_.group(1))
+    assert(stamped.nonEmpty, "TRISCALE.json lacks src_id — re-stamp with the current tools/triscale.py")
+    assert(stamped.contains(srcTreeId()),
+      s"TRISCALE src_id ${stamped.get.take(12)}… predates current source tree ${srcTreeId().take(12)}… — source changed since the tri-scale stamp; re-run tools/triscale.py over fresh Verify dumps")
+  }
+
+  /** Lockstep twin of tools/triscale.py src_tree_id: SHA-256 over every
+    * file under src/ plus tools/parity.py, sorted relative paths,
+    * path\0content\0 per file. */
+  private def srcTreeId(): String = {
+    import java.nio.file.{Files, Paths}
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    Files.walk(Paths.get("src")).forEach { p =>
+      if (Files.isRegularFile(p)) buf += p.toString.replace('\\', '/')
+    }
+    buf += "tools/parity.py"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    buf.sorted.foreach { p =>
+      md.update(p.getBytes("UTF-8")); md.update(0.toByte)
+      md.update(Files.readAllBytes(Paths.get(p))); md.update(0.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
 
   test("audit tier is a subset of the query map") {

@@ -82,6 +82,39 @@ class GlobsPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("extglob invariants: @(seg|alt) matches; k-fold repeat obeys + * ?") {
+    // wrapping any one segment as @(seg|other) must keep matching, and
+    // the quantified forms must track their repetition contracts for a
+    // RANDOM inner token and count — the structural claims behind the
+    // hand-picked extglob spec cases
+    check(Prop.forAll(pathGen, segGen, Gen.chooseNum(0, 3)) { (segs, alt, i0) =>
+      val i = i0 % segs.length
+      val pat = segs.updated(i, s"@(${segs(i)}|$alt)").mkString("/")
+      matches(segs.mkString("/"), pat)
+    })
+    check(Prop.forAll(segGen, Gen.chooseNum(0, 4)) { (tok, k) =>
+      val rep = tok * k
+      (matches(rep, s"*($tok)")
+        && (matches(rep, s"+($tok)") == (k >= 1))
+        && (matches(rep, s"?($tok)") == (k <= 1)))
+    })
+  }
+
+  test("extglob negation: !(seg) rejects exactly the excluded alternatives") {
+    check(Prop.forAll(pathGen, segGen, Gen.chooseNum(0, 3)) { (segs, other, i0) =>
+      val i = i0 % segs.length
+      val glob = segs.updated(i, s"!(${segs(i)})").mkString("/")
+      val (pos, negs) = Globs.compileWithNegation(glob)
+      def mNeg(path: String): Boolean =
+        path.matches("^(?:" + pos + ")$") &&
+          !negs.exists(n => path.matches("^(?:" + n + ")$"))
+      // the original path instantiates the negated segment with the
+      // excluded literal → reject; swapping in a DIFFERENT segment → match
+      !mNeg(segs.mkString("/")) &&
+        (other == segs(i) || mNeg(segs.updated(i, other).mkString("/")))
+    })
+  }
+
   test("capture groups reassemble the path (lossless for :name segments)") {
     check(Prop.forAll(pathGen) { segs =>
       val pattern = segs.indices.map(i => s":k$i").mkString("/")

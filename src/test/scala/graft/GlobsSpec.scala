@@ -59,6 +59,65 @@ class GlobsSpec extends AnyFunSuite {
     assert(!m("FOO/Bar.TXT", "**/*.txt"))
   }
 
+  test("extglobs @( + ( ?( *( — micromatch documented semantics") {
+    // @(…) exactly one of the alternatives
+    assert(m("a/b.txt", "a/@(b|c).txt"))
+    assert(m("a/c.txt", "a/@(b|c).txt"))
+    assert(!m("a/d.txt", "a/@(b|c).txt"))
+    assert(!m("a/bb.txt", "a/@(b|c).txt"))
+    // +(…) one or more
+    assert(m("ab.txt", "+(ab).txt"))
+    assert(m("abab.txt", "+(ab).txt"))
+    assert(!m(".txt", "+(ab).txt"))
+    assert(m("xyyz", "x+(y)z"))
+    assert(!m("xz", "x+(y)z"))
+    // ?(…) zero or one
+    assert(m("xz", "x?(y)z"))
+    assert(m("xyz", "x?(y)z"))
+    assert(!m("xyyz", "x?(y)z"))
+    // *(…) zero or more
+    assert(m("xz", "x*(y)z"))
+    assert(m("xyyyz", "x*(y)z"))
+    assert(m("farbfrbfb", "f*(ar|r)b*(f*(ar|r)b)"))
+    // alternatives may themselves hold glob tokens
+    assert(m("a/b12/c", "a/@(b??|z*)/c"))
+    assert(m("a/zoo/c", "a/@(b??|z*)/c"))
+    assert(!m("a/b1/c", "a/@(b??|z*)/c"))
+    // a star-RUN binds before the extglob reading: **(a) = ** + literal (a)
+    assert(m("x/y/(a)", "**(a)"))
+  }
+
+  test("extglob negation !(…) via compileWithNegation (hoisted, RE2-safe)") {
+    def mNeg(path: String, glob: String): Boolean = {
+      val (pos, negs) = Globs.compileWithNegation(glob)
+      path.matches("^(?:" + pos + ")$") &&
+        !negs.exists(n => path.matches("^(?:" + n + ")$"))
+    }
+    assert(mNeg("a/x/c", "a/!(b)/c"))
+    assert(!mNeg("a/b/c", "a/!(b)/c"))
+    assert(mNeg("a/bb/c", "a/!(b)/c")) // bb is not b
+    assert(!mNeg("a/b/c", "a/!(b|bb)/c"))
+    assert(!mNeg("a/bb/c", "a/!(b|bb)/c"))
+    // whole-segment at string edges
+    assert(mNeg("x", "!(a)"))
+    assert(!mNeg("a", "!(a)"))
+    assert(mNeg("d/e", "!(a)/e"))
+    assert(!mNeg("a/e", "!(a)/e"))
+    // inner glob tokens: exclude by pattern, not just literal
+    assert(!mNeg("a/b9/c", "a/!(b?)/c"))
+    assert(mNeg("a/b99/c", "a/!(b?)/c"))
+    // two independent negated segments conjoin
+    assert(mNeg("x/y", "!(a)/!(b)"))
+    assert(!mNeg("a/y", "!(a)/!(b)"))
+    assert(!mNeg("x/b", "!(a)/!(b)"))
+    // the one-regex path must fail LOUD, not match a literal '!'
+    intercept[IllegalArgumentException](Globs.compile("a/!(b)/c"))
+    // partial-segment negation has no RE2 equivalent — fail loud
+    intercept[IllegalArgumentException](Globs.compileWithNegation("f!(oo)bar"))
+    // [!…] classes are untouched by extglob scanning
+    assert(m("ax.log", "a[!0-9].log"))
+  }
+
   test("literal dots are escaped") {
     assert(!m("fooXtxt", "foo.txt"))
     assert(m("foo.txt", "foo.txt"))

@@ -57,6 +57,27 @@ class KernelSpec extends SparkSpec {
     assertSame("a", "b", d)
   }
 
+  test("lshBitsFor: occupancy law held by geometry, contract floor intact") {
+    import VectorFns._
+    // floor: every contract scale (500 / 2000 vectors, and headroom to
+    // 4096) stays on the 4-bit contract geometry — oracles unchanged
+    Seq(1L, 500L, 2000L, 4096L).foreach(n => assert(lshBitsFor(n) == LshBits))
+    assert(lshBitsFor(4097L) == 5)
+    // the law: expected occupancy n/2^bits ≤ LshTargetOcc at every n,
+    // and bits is MINIMAL (one fewer bit would break the bound)
+    Seq(4097L, 20000L, 200000L, 20000000L, 2000000000L, Long.MaxValue / 4).foreach { n =>
+      val b = lshBitsFor(n)
+      assert(b <= LshMaxBits)
+      if (b < LshMaxBits) assert(n <= LshTargetOcc * (1L << b), s"n=$n bits=$b")
+      if (b > LshBits) assert(n > LshTargetOcc * (1L << (b - 1)), s"n=$n bits=$b not minimal")
+    }
+    // monotone in n (rebuild stability: a growing corpus never drops bits)
+    val pts = Seq(1L, 4096L, 4097L, 1e5.toLong, 1e7.toLong, 1e9.toLong, 1e12.toLong)
+    pts.zip(pts.tail).foreach { case (a, b) => assert(lshBitsFor(a) <= lshBitsFor(b)) }
+    // the SCALE.md anchor points the scaladoc claims
+    assert(lshBitsFor(20000L) == 7 && lshBitsFor(2000000000L) == 23)
+  }
+
   test("graft_project == HOF JL projection (bit-identical IEEE)") {
     val d = Tables.embeddings(spark, sfDir)
       .withColumn("v", expr(VectorFns.sparkToDouble("embedding")))

@@ -1503,6 +1503,77 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows(3L).getAs[Long]("recall_ppm") >= rows(6L).getAs[Long]("recall_ppm"))
   }
 
+  test("dedup_incremental_containment: digest re-ingestion passes BOTH existing admission gates; this gate pins it") {
+    // the cross-gate leak the operator exists for: a %10==6 composite
+    // (corpus doc + two successors) is byte-UNEQUAL (exact-fp gate
+    // admits) and sits at J ≈ 1/3 < 1/2 (minhash est-J gate admits) —
+    // prove BOTH admissions hold for every doc the containment gate
+    // rejects, so the rejection set is exactly the coverage gap
+    import graft.functions.PortableHash._
+    graft.expressions.GraftFunctions.register(spark)
+    val d = sources.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val out = operators.Dedup.dedupIncrementalContainment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Boolean]("admitted"))).toMap
+    val rejected = out.collect { case (id, false) => id }.toSet
+    assert(rejected.nonEmpty, "plant produced no containment rejections")
+    assert(out.valuesIterator.exists(identity), "plant produced no admissions")
+    val composites = d.filter(pmod(col("doc_id"), lit(10)) === 6)
+      .join(d.select(col("doc_id").as("id1"), col("text").as("t1")),
+        col("id1") === col("doc_id") + 1)
+      .join(d.select(col("doc_id").as("id2"), col("text").as("t2")),
+        col("id2") === col("doc_id") + 2)
+      .select((col("doc_id") + operators.Dedup.ContainBatchShift).as("new_id"),
+        concat_ws(" ", col("text"), col("t1"), col("t2")).as("text"))
+    // gate 1 — exact fingerprint (dedup_incremental's probe): every
+    // rejected composite must be byte-unequal to the whole corpus
+    val corpusFps = d.select(expr(sparkFingerprint("text"))).collect()
+      .map(_.getLong(0)).toSet
+    val compFp = composites
+      .select(col("new_id"), expr(sparkFingerprint("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rejected.foreach { id =>
+      assert(!corpusFps.contains(compFp(id)),
+        s"composite $id byte-equals a corpus doc — the exact gate would already catch it")
+    }
+    // gate 2 — minhash est-J ≥ 1/2 verify (dedup_incremental_lsh's
+    // pipeline, run verbatim over the composite batch): no rejected
+    // composite may have ANY qualifying corpus candidate
+    val idxBands = d
+      .select(col("doc_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("mb"))
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mb"))
+      .select(col("doc_id"), col("b"), expr(sparkBandValue("mb", "b")).as("bv"), col("mb"))
+    val bBands = composites
+      .select(col("new_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("ma"))
+      .select(col("new_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("ma"))
+      .select(col("new_id"), col("b"), expr(sparkBandValue("ma", "b")).as("bv"), col("ma"))
+    val caughtByLsh = bBands.join(idxBands, Seq("b", "bv"))
+      .filter(expr(
+        s"size(filter(sequence(1, $MinhashK), i -> element_at(ma, i) = element_at(mb, i))) * 2 >= $MinhashK"))
+      .select("new_id").distinct().collect().map(_.getLong(0)).toSet
+    // the LEAK SET: containment-rejected composites that BOTH existing
+    // gates admit. Expected ratio ≈ 1/3 puts est-J's k=12 binomial tail
+    // above the 6-match verify line for a minority of composites, so
+    // the minhash gate may catch SOME — the gap this operator closes is
+    // the (majority) remainder, and it must be non-empty and strictly
+    // beyond both gates by construction
+    val leak = rejected.filterNot(caughtByLsh)
+    assert(leak.nonEmpty,
+      s"no containment-only leak: all ${rejected.size} rejections already caught by the minhash gate")
+    assert(2 * leak.size >= rejected.size,
+      s"minhash gate catches most composites (${caughtByLsh.size}/${rejected.size}) — plant no longer pins the gap")
+  }
+
+  test("knn_ivf_refresh: rebuild recovers mode recall and improves balance") {
+    val rows = operators.Similarity.knnIvfRefresh(spark, sf).collect()
+      .map(r => r.getAs[String]("phase") ->
+        (r.getAs[Long]("recall_ppm"), r.getAs[Long]("max_cell_share_ppm"))).toMap
+    val (fr, fb) = rows("frozen")
+    val (rr, rb) = rows("refreshed")
+    assert(fr < 1000000L, s"frozen index shows no degradation on the mode plant (recall $fr ppm)")
+    assert(rr > fr, s"refresh did not recover recall: frozen $fr -> refreshed $rr ppm")
+    assert(rb <= fb, s"refresh worsened balance: max share $fb -> $rb ppm")
+  }
+
   test("dedup_containment_lsh: the production path reproduces the exact enumeration on the contract corpus") {
     // the scaladoc's promise: with every planted embedded run ≥ 26
     // words (deep inside winnowing's ≥12-word guarantee), the

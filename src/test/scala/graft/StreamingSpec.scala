@@ -350,6 +350,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup_containment == batch dedup_incremental_containment admit/reject set, median split") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.PortableHash._
+    import graft.streaming.EventStreams.ContainPrintRow
+    graft.expressions.GraftFunctions.register(spark)
+    val d = graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def printRows(docs: org.apache.spark.sql.DataFrame, idCol: String, kind: Int): Seq[ContainPrintRow] =
+      docs.select(col(idCol),
+          expr(operators.Dedup.sparkWinnowPrints("text")).as("prs"),
+          expr(s"array_distinct(${sparkShingleHashes("text")})").as("sh"))
+        .select(col(idCol), explode(col("prs")).as("pr"), col("sh"))
+        .collect().map(r => ContainPrintRow(kind, r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    // index = the corpus; probes = the SAME synthetic batch the batch
+    // operator plants (digest composites %10==6, reversed docs %10==1)
+    val idxRows = printRows(d, "doc_id", 0)
+    val probeDocs = d.filter(pmod(col("doc_id"), lit(10)) === 6)
+      .join(d.select(col("doc_id").as("id1"), col("text").as("t1")),
+        col("id1") === col("doc_id") + 1)
+      .join(d.select(col("doc_id").as("id2"), col("text").as("t2")),
+        col("id2") === col("doc_id") + 2)
+      .select((col("doc_id") + operators.Dedup.ContainBatchShift).as("new_id"),
+        concat_ws(" ", col("text"), col("t1"), col("t2")).as("text"))
+      .union(d.filter(pmod(col("doc_id"), lit(10)) === 1)
+        .select((col("doc_id") + operators.Dedup.ContainBatchShift).as("new_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text")))
+    val probeRows = printRows(probeDocs, "new_id", 1)
+    assert(idxRows.nonEmpty && probeRows.nonEmpty)
+
+    val mem = MemoryStream[ContainPrintRow]
+    val q = EventStreams.dedupContainmentStream(mem.toDS())
+      .toDF("new_id", "cand", "i")
+      .writeStream.format("memory").queryName("cntdd").outputMode("append").start()
+    try {
+      // median split on BOTH sides: index rows across batches 1-2,
+      // probe rows across batches 3-4 — admission must not depend on
+      // either split point
+      val idMed = idxRows.map(_.id).sorted.apply(idxRows.size / 2)
+      val (i1, i2) = idxRows.partition(_.id < idMed)
+      val pMed = probeRows.map(_.id).sorted.apply(probeRows.size / 2)
+      val (p1, p2) = probeRows.partition(_.id < pMed)
+      Seq(i1, i2, p1, p2).foreach { b => mem.addData(b); q.processAllAvailable() }
+
+      val got = spark.table("cntdd").groupBy("new_id")
+        .agg(min(when(col("cand") >= 0, col("cand"))).as("dup_of"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val expected = operators.Dedup.dedupIncrementalContainment(spark, sfDir)
+        .collect().map(r => r.getAs[Long]("new_id") ->
+          Option(r.get(r.fieldIndex("dup_of"))).map(_.asInstanceOf[Long])).toMap
+      // stream coverage = batch docs WITH ≥1 winnow print; a printless
+      // doc produces no stream rows and the batch gate provably admits
+      // it (no posting → no candidate)
+      assert(got.keySet.subsetOf(expected.keySet),
+        s"stream emitted unknown ids: ${got.keySet -- expected.keySet}")
+      expected.foreach { case (id, dup) =>
+        if (got.contains(id))
+          assert(got(id) == dup, s"new_id $id: stream dup_of=${got(id)}, batch dup_of=$dup")
+        else
+          assert(dup.isEmpty, s"new_id $id rejected by batch but absent from stream")
+      }
+      // the planted structure must exercise both verdicts, and every
+      // REJECTION must have flowed through the stream
+      assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty))
+      assert(expected.collect { case (id, Some(_)) => id }.toSet.subsetOf(got.keySet))
+      // state-cardinality contract: ONE record per occupied print
+      // bucket of the INDEX — probes write nothing
+      val occupied = idxRows.map(_.pr).distinct.size.toLong
+      val stateRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal).max
+      assert(stateRows == occupied, s"state rows $stateRows != occupied print buckets $occupied")
+    } finally q.stop()
+  }
+
   test("ingest pipeline: fingerprint -> dedup -> quality gate, end to end") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -84,24 +84,29 @@ def main():
         elif ratio < 1.0 / ratio_min and (o - n) > band:
             improved.append((k, o, n, ratio))
     rows.sort(key=lambda r: -r[3])
-    tot_o = sum(v for v in oq.values() if v > 0)
-    tot_n = sum(v for v in nq.values() if v > 0)
+    # totals and ratios compare IDENTICAL key sets: only keys present
+    # and successful (>0) on BOTH sides, so a query failing in one
+    # round drops from both sums instead of skewing the ratio
+    both_ok = [k for k in common if oq[k] > 0 and nq[k] > 0]
+    tot_o = sum(oq[k] for k in both_ok)
+    tot_n = sum(nq[k] for k in both_ok)
     print(f"## benchdiff: {args[0]} -> {args[1]}")
-    print(f"common keys: {len(common)}; old total {tot_o:.2f}s, "
+    print(f"common keys: {len(common)} ({len(both_ok)} ok both sides); "
+          f"old total {tot_o:.2f}s, "
           f"new total {tot_n:.2f}s ({tot_n/tot_o:.2f}x); "
           f"regressions (ratio>{ratio_min} and delta>spread): {len(rows)}; "
           f"improvements: {len(improved)}")
-    # tier-aware totals over COMMON keys (audit tier = deliberately
-    # expensive evidence gates; membership from either file's
-    # audit_keys so pre-tier files still diff cleanly)
+    # tier-aware totals over keys ok on BOTH sides (audit tier =
+    # deliberately expensive evidence gates; membership from either
+    # file's audit_keys so pre-tier files still diff cleanly)
     audit = set(new.get("audit_keys", []) or old.get("audit_keys", []))
     if audit:
-        for tier, keys in (("contract", [k for k in common if k not in audit]),
-                           ("audit", [k for k in common if k in audit])):
-            to = sum(oq[k] for k in keys if oq[k] > 0)
-            tn = sum(nq[k] for k in keys if nq[k] > 0)
+        for tier, keys in (("contract", [k for k in both_ok if k not in audit]),
+                           ("audit", [k for k in both_ok if k in audit])):
+            to = sum(oq[k] for k in keys)
+            tn = sum(nq[k] for k in keys)
             if to > 0:
-                print(f"  {tier} tier ({len(keys)} common keys): "
+                print(f"  {tier} tier ({len(keys)} common-ok keys): "
                       f"{to:.2f}s -> {tn:.2f}s ({tn/to:.2f}x)")
     if rows:
         print("\n| query | old s | new s | ratio | spread band s |")

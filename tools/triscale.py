@@ -12,9 +12,29 @@ ContractSpec asserts TRISCALE.json's query-key set matches
 SparkEntry.queries, so the stamp goes stale (and the suite fails)
 whenever the contract grows without re-stamping.
 """
-import sys, os, json, re, subprocess
+import sys, os, json, re, subprocess, hashlib
 
 SCALES = ["sf0.001", "sf0.01", "sf0.1"]
+
+def src_tree_id():
+    """SHA-256 over every file under src/ plus tools/parity.py (sorted
+    relative paths, path\\0content\\0 per file). ContractSpec recomputes
+    the same digest and asserts it matches the stamp, so a SEMANTIC
+    change to an existing operator (not just a key-set change) goes
+    stale-loud until re-stamped. Keep the algorithm in lockstep with
+    ContractSpec.srcTreeId."""
+    files = []
+    for root, _dirs, names in os.walk("src"):
+        for n in names:
+            files.append(os.path.join(root, n).replace(os.sep, "/"))
+    files.append("tools/parity.py")
+    h = hashlib.sha256()
+    for p in sorted(files):
+        h.update(p.encode("utf-8")); h.update(b"\0")
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+        h.update(b"\0")
+    return h.hexdigest()
 
 def run_parity(sfdir, outdir):
     p = subprocess.run(
@@ -34,11 +54,11 @@ def main():
     dirty = subprocess.run(["git", "status", "--porcelain"],
                            capture_output=True, text=True).stdout
     src_dirty = [l for l in dirty.splitlines()
-                 if re.search(r"\.(scala|sbt)\b", l)]
+                 if re.search(r"\.(scala|sbt|py)\b", l)]
     if src_dirty:
         sys.exit("refusing to stamp: uncommitted source changes:\n" +
                  "\n".join(src_dirty))
-    record = {"commit": commit, "scales": {}}
+    record = {"commit": commit, "src_id": src_tree_id(), "scales": {}}
     keys = None
     for sf, outdir in zip(SCALES, outdirs):
         sfdir = f"/root/testdata/{sf}"
