@@ -154,6 +154,94 @@ object CorpusOps {
       .drop("__cum", "text")
   }
 
+  /** Unified MULTIMODAL curation: one keep/drop verdict per doc with
+    * per-modality reasons, over ONE frame carrying `doc_id` plus any
+    * subset of `text` (string), `audio` (binary — a decodable audio
+    * container), `video` (binary — a decodable video container);
+    * absent modalities are null cells or missing columns. Each present
+    * modality contributes its dedup family's drop-list:
+    *
+    *   - text: exact fingerprint non-reps (`text_exact`), near-dup
+    *     component non-reps (`text_neardup`, minhash-LSH + connected
+    *     components), containment drops (`text_containment`,
+    *     winnow-print candidates + ≥90%/J<0.5 verify — the digest
+    *     shape the other two gates pass)
+    *   - audio: exact envelope-class non-reps (`audio_exact`) and the
+    *     envelope band-LSH star (`audio_neardup`)
+    *   - video: exact aHash-sequence-class non-reps (`video_exact`)
+    *     and the first-frame band join verified on total hamming
+    *     (`video_neardup`, min-id partner per dropped doc)
+    *
+    * Output: (doc_id, keep, reasons: sorted array — empty when keep).
+    * The union IS the per-modality drops, nothing more (asserted in
+    * OperatorInvariantSpec): a multimodal doc survives iff every one of
+    * its modalities survives its own gate, and each modality's
+    * signatures are computed once from one scan of that column.
+    */
+  def curateMultimodal(frame0: DataFrame): DataFrame = {
+    val frame = prepared(frame0)
+    val s = frame.sparkSession
+    import s.implicits._
+    val D = graft.operators.Dedup
+    val has = frame.columns.toSet
+    val noDrops = Seq.empty[(Long, String)].toDF("doc_id", "reason")
+    def tagged(df: DataFrame, reason: String): DataFrame =
+      df.select(col("doc_id"), lit(reason).as("reason"))
+
+    val textDrops =
+      if (!has("text")) noDrops
+      else {
+        val docs = frame.filter(col("text").isNotNull).select("doc_id", "text")
+        val fpRep = docs.withColumn("fp", fingerprint())
+          .groupBy("fp").agg(min("doc_id").as("rep"))
+        val exact = tagged(docs.withColumn("fp", fingerprint())
+          .join(fpRep, Seq("fp")).filter(col("doc_id") =!= col("rep")), "text_exact")
+        val near = tagged(dedupKeepList(docs).filter(!col("keep")), "text_neardup")
+        val contain = tagged(D.containmentLshPairsFor(docs)
+          .select(col("doc_b").as("doc_id")), "text_containment")
+        exact.unionByName(near).unionByName(contain)
+      }
+
+    val audioDrops =
+      if (!has("audio")) noDrops
+      else {
+        val A = graft.operators.Audio
+        val ds = frame.filter(col("audio").isNotNull)
+          .select(col("doc_id"), col("audio"))
+          .as[(Long, Array[Byte])].map { case (id, b) => A.AudioPayload(id, b) }
+        val env = graft.operators.Materialize.stable(A.envelope16(ds))
+        val exact = tagged(A.envelopeClasses(env)
+          .filter(col("doc_id") =!= col("rep")), "audio_exact")
+        val near = tagged(A.dedupFromEnvelopes(env), "audio_neardup")
+        exact.unionByName(near)
+      }
+
+    val videoDrops =
+      if (!has("video")) noDrops
+      else {
+        val V = graft.operators.Video
+        val ds = frame.filter(col("video").isNotNull)
+          .select(col("doc_id"), col("video"))
+          .as[(Long, Array[Byte])].map { case (id, b) => V.VideoPayload(id, b) }
+        val sigs = graft.operators.Materialize.stable(V.aHashLoHi(ds))
+        val exact = tagged(V.signatureClasses(sigs)
+          .filter(col("doc_id") =!= col("rep")), "video_exact")
+        // pair frame between class reps → star: min-id partner per drop
+        val near = tagged(V.videoDedupFromSigs(sigs)
+          .groupBy(col("doc_b").as("doc_id"))
+          .agg(min("doc_a").as("rep")), "video_neardup")
+        exact.unionByName(near)
+      }
+
+    val allDrops = textDrops.unionByName(audioDrops).unionByName(videoDrops)
+    frame.select("doc_id").distinct()
+      .join(allDrops.groupBy("doc_id")
+        .agg(sort_array(collect_set("reason")).as("reasons")), Seq("doc_id"), "left")
+      .withColumn("keep", col("reasons").isNull)
+      .withColumn("reasons",
+        coalesce(col("reasons"), expr("CAST(array() AS array<string>)")))
+  }
+
   /** fixed-size overlapping context-window chunks; one output row per
     * chunk with an arithmetic chunk id (no ordering shuffle).
     */

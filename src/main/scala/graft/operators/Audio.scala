@@ -326,7 +326,7 @@ object Audio {
     * total-preserving corner swap).
     */
   val DedupCopyShift = 100000L
-  private def offsetCopies(base: Dataset[AudioPayload]): Dataset[AudioPayload] = {
+  private[graft] def offsetCopies(base: Dataset[AudioPayload]): Dataset[AudioPayload] = {
     import base.sparkSession.implicits._
     base.filter(_.doc_id % 10 == 3).mapPartitions { rows =>
       rows.map { p =>
@@ -481,14 +481,26 @@ object Audio {
     * mega-cluster frames (AudioSpec) and measurable at ×k
     * (tools.AudioMegaBucket) without re-running the codec pass.
     */
-  def dedupFromEnvelopes(env: DataFrame): DataFrame = {
+  /** per-doc exact envelope-class mapping (doc_id, rep, n_members) —
+    * the audio twin of [[Video.signatureClasses]], exposed so the
+    * multimodal curation pipeline (api.CorpusOps.curateMultimodal) can
+    * read exact-dup drops from the same collapse the near-dup chain
+    * keys on.
+    */
+  def envelopeClasses(env: DataFrame): DataFrame = {
     val seqs = env.groupBy("doc_id")
       .agg(expr("array_join(transform(array_sort(collect_list(struct(window, m)))," +
         " s -> concat(s.window, ':', s.m)), '|')").as("sig_fp"))
-    val classes = Materialize.stable(seqs.groupBy("sig_fp")
-      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members")))
+    val classes = seqs.groupBy("sig_fp")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
+    seqs.join(classes, Seq("sig_fp")).select("doc_id", "rep", "n_members")
+  }
+
+  def dedupFromEnvelopes(env: DataFrame): DataFrame = {
+    val mapping = Materialize.stable(envelopeClasses(env))
     val sigs = env.join(
-      classes.select(col("rep").as("doc_id"), col("n_members")), Seq("doc_id"))
+      mapping.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("n_members")), Seq("doc_id"))
     val bands = sigs
       .withColumn("b", expr("window div 4"))
       .groupBy("doc_id", "n_members", "b")

@@ -295,7 +295,7 @@ object Video {
     * explains the 0/2-bit dichotomy).
     */
   val DedupCopyShift = 100000L
-  private def cornerSwappedCopies(base: Dataset[VideoPayload]): Dataset[VideoPayload] = {
+  private[graft] def cornerSwappedCopies(base: Dataset[VideoPayload]): Dataset[VideoPayload] = {
     import base.sparkSession.implicits._
     base.filter(_.doc_id % 10 == 3).mapPartitions { rows =>
         Multimodal.imageIoMemCache
@@ -392,7 +392,17 @@ object Video {
   def videoDedup(s: SparkSession, dir: String,
                  bucketCap: Long = Long.MaxValue, anchors: Long = 16L): DataFrame = {
     val base = encodeVideos(s, dir)
-    val allSigs = Materialize.stable(aHashLoHi(base.union(cornerSwappedCopies(base))))
+    videoDedupFromSigs(
+      Materialize.stable(aHashLoHi(base.union(cornerSwappedCopies(base)))),
+      bucketCap, anchors)
+  }
+
+  /** the dedup chain over an ALREADY-materialized aHash signature frame
+    * — the composition point for pipelines that compute signatures once
+    * (api.CorpusOps.curateMultimodal).
+    */
+  def videoDedupFromSigs(allSigs: DataFrame,
+                 bucketCap: Long = Long.MaxValue, anchors: Long = 16L): DataFrame = {
     // EXACT class collapse before the fuzzy stage — the production
     // dedup chain. A crawl's mega-duplicate clusters (one clip
     // re-hosted 10⁶×) make pair emission Σ C(k,2) — the ×10 scale

@@ -575,6 +575,34 @@ object ApiTour {
         out.filter(col("bin") < 0 || col("score") < 0 || col("score") > 1).count() == 0
     })
 
+    check("corpus.curateMultimodal: cross-modality keep/drop with per-modality reasons")({
+      // one multimodal frame: text from documents, audio/video payloads
+      // from the REAL codecs (the modality corpora share the doc_id
+      // space), plus the modality plants so every family has drops
+      import spark.implicits._
+      val aBase = graft.operators.Audio.encodeAudio(spark, sfDir)
+      val audio = aBase.union(graft.operators.Audio.offsetCopies(aBase))
+        .map(p => (p.doc_id, p.payload)).toDF("doc_id", "audio")
+      val vBase = graft.operators.Video.encodeVideos(spark, sfDir)
+      val video = vBase.union(graft.operators.Video.cornerSwappedCopies(vBase))
+        .map(p => (p.doc_id, p.container)).toDF("doc_id", "video")
+      val frame = docs.select("doc_id", "text")
+        .join(audio, Seq("doc_id"), "full_outer")
+        .join(video, Seq("doc_id"), "full_outer")
+      val out = CorpusOps.curateMultimodal(frame).cache()
+      val reasons = out.select(explode(col("reasons")).as("r"))
+        .distinct().collect().map(_.getString(0)).toSet
+      out.count() == frame.select("doc_id").distinct().count() &&
+        out.filter(col("keep")).count() > 0 &&
+        out.filter(!col("keep")).count() > 0 &&
+        reasons.nonEmpty &&
+        reasons.subsetOf(Set("text_exact", "text_neardup", "text_containment",
+          "audio_exact", "audio_neardup", "video_exact", "video_neardup")) &&
+        // the planted modality copies guarantee all three families fire
+        Set("text_neardup", "audio_neardup", "video_neardup").subsetOf(reasons) &&
+        out.filter(col("keep") && size(col("reasons")) > 0).count() == 0
+    })
+
     check("sql kernels survive newSession (injected, not temp-registered)")({
       // a temp-function-only registration dies with the session; the
       // extensions-injected one is part of the cloned function registry

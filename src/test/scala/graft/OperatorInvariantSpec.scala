@@ -1563,6 +1563,62 @@ class OperatorInvariantSpec extends SparkSpec {
       s"minhash gate catches most composites (${caughtByLsh.size}/${rejected.size}) — plant no longer pins the gap")
   }
 
+  test("curateMultimodal: drop-list union == the per-modality contract operators' drops") {
+    import spark.implicits._
+    // text side carries the containment plant (the dedup_containment
+    // composites) so the text_containment family actually fires — the
+    // raw corpus has no natural ≥90%-containment pairs
+    val base = sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val docs = base.union(base.filter(pmod(col("doc_id"), lit(10)) === 6)
+      .join(base.select(col("doc_id").as("id1"), col("text").as("t1")),
+        col("id1") === col("doc_id") + 1)
+      .join(base.select(col("doc_id").as("id2"), col("text").as("t2")),
+        col("id2") === col("doc_id") + 2)
+      .select((col("doc_id") + operators.Dedup.ContainmentShift).as("doc_id"),
+        concat_ws(" ", col("text"), col("t1"), col("t2")).as("text")))
+    val aBase = operators.Audio.encodeAudio(spark, sf)
+    val aAll = aBase.union(operators.Audio.offsetCopies(aBase))
+    val audio = aAll.map(p => (p.doc_id, p.payload)).toDF("doc_id", "audio")
+    val vBase = operators.Video.encodeVideos(spark, sf)
+    val vAll = vBase.union(operators.Video.cornerSwappedCopies(vBase))
+    val video = vAll.map(p => (p.doc_id, p.container)).toDF("doc_id", "video")
+    val frame = docs.join(audio, Seq("doc_id"), "full_outer")
+      .join(video, Seq("doc_id"), "full_outer")
+    val got = api.CorpusOps.curateMultimodal(frame)
+      .select(col("doc_id"), explode(col("reasons")).as("r")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    import graft.functions.PortableHash._
+    val fpRep = docs.withColumn("fp", expr(sparkFingerprint("text")))
+      .groupBy("fp").agg(min("doc_id").as("rep"))
+    val textExact = ids(docs.withColumn("fp", expr(sparkFingerprint("text")))
+      .join(fpRep, Seq("fp")).filter(col("doc_id") =!= col("rep")))
+    val textNear = ids(api.CorpusOps.dedupKeepList(docs).filter(!col("keep")))
+    val textContain = ids(operators.Dedup.containmentLshPairsFor(docs)
+      .select(col("doc_b").as("doc_id")).distinct())
+    val env = operators.Audio.envelope16(aAll)
+    val audioExact = ids(operators.Audio.envelopeClasses(env)
+      .filter(col("doc_id") =!= col("rep")))
+    val audioNear = ids(operators.Audio.audioDedup(spark, sf))
+    val vSigs = operators.Video.aHashLoHi(vAll)
+    val videoExact = ids(operators.Video.signatureClasses(vSigs)
+      .filter(col("doc_id") =!= col("rep")))
+    val videoNear = ids(operators.Video.videoDedup(spark, sf)
+      .select(col("doc_b").as("doc_id")).distinct())
+    val expected =
+      textExact.map(_ -> "text_exact") ++ textNear.map(_ -> "text_neardup") ++
+        textContain.map(_ -> "text_containment") ++
+        audioExact.map(_ -> "audio_exact") ++ audioNear.map(_ -> "audio_neardup") ++
+        videoExact.map(_ -> "video_exact") ++ videoNear.map(_ -> "video_neardup")
+    assert(got == expected,
+      s"pipeline-only=${got -- expected}, modality-only=${expected -- got}")
+    // every family must actually fire on the planted corpora
+    assert(Set("text_neardup", "audio_neardup", "video_neardup", "text_containment")
+      .subsetOf(got.map(_._2)))
+  }
+
   test("knn_ivf_refresh: rebuild recovers mode recall and improves balance") {
     val rows = operators.Similarity.knnIvfRefresh(spark, sf).collect()
       .map(r => r.getAs[String]("phase") ->
