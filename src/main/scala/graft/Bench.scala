@@ -82,6 +82,32 @@ object Bench {
           if (med > 0) (sorted(Runs - 2) - sorted(1)) / med else 0.0)
       }
     }
+    // CONTROL KEYS, re-measured at a FIXED position (end of suite, same
+    // protocol: cache-clear, two untimed warmups, five timed runs,
+    // median) — the host-noise adjudication written INTO the artifact.
+    // A contended-host run inflates the controls by the same factor as
+    // the totals (round-11's 1.6× driver artifact needed manual solo
+    // probes to prove that); with the controls in-band, a uniform drift
+    // is machine-readable: compare control medians across rounds before
+    // believing any total. Keys chosen cheap, stable, and covering both
+    // shapes (q_rollup = shuffle agg, glob_match = scan + regex).
+    val controlKeys = Seq("q_rollup", "glob_match")
+    val controls = controlKeys.map { name =>
+      val fn = SparkEntry.queries(name)
+      spark.catalog.clearCache()
+      try { fn(spark, sfDir).count(); fn(spark, sfDir).count() }
+      catch { case _: Throwable => () }
+      System.gc()
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => Double.NaN }
+      }
+      name -> (if (times.exists(_.isNaN)) -1.0 else times.sorted.apply(Runs / 2))
+    }
+    val controlJson = controls
+      .map { case (k, m) => "\"" + k + "\":" + (if (m < 0) "-1" else f"$m%.6f") }
+      .mkString("{", ",", "}")
     def jnum(v: Double, fmt: String) = if (v == -1.0) "-1" else fmt.format(v)
     def qmap(fmt: String) = results
       .map { case (k, (m, _)) => s"\"" + k + "\":" + jnum(m, fmt) }
@@ -105,10 +131,10 @@ object Bench {
     // per-query map at 100+ queries overflows that window and parses as
     // nothing (rounds 3 AND 4 had BENCH parsed:null from exactly this).
     // The line stays parse-able at any future query count by construction.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"stat":"median","tiers":{"contract":${"%.3f".format(contractTotal)},"audit":${"%.3f".format(auditTotal)}},"audit_keys":$auditKeys,"queries":${qmap("%.6f")},"spread":$spreads,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,"stat":"median","tiers":{"contract":${"%.3f".format(contractTotal)},"audit":${"%.3f".format(auditTotal)}},"audit_keys":$auditKeys,"control":$controlJson,"queries":${qmap("%.6f")},"spread":$spreads,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val compact = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","runs":$Runs,"stat":"median","n_queries":${results.size},"failed":$failed,"contract_sec":${"%.3f".format(contractTotal)},"audit_sec":${"%.3f".format(auditTotal)},"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","runs":$Runs,"stat":"median","n_queries":${results.size},"failed":$failed,"contract_sec":${"%.3f".format(contractTotal)},"audit_sec":${"%.3f".format(auditTotal)},"control":$controlJson,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -58,16 +58,30 @@ object SkewProbe {
     // disable that too, or it quietly broadcasts the dim and the probe
     // measures nothing (first run of this probe did exactly that)
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // per-run max TASK duration — the straggler a wall-clock total hides
+    // on local[32] (one slow task among 32 lanes barely moves the total;
+    // on a 1000-executor cluster it IS the job time). Reset per run.
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val nTasks = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = t.taskInfo.duration
+        nTasks.incrementAndGet()
+        var cur = maxTaskMs.get()
+        while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+      }
+    })
     def run(label: String)(joined: => DataFrame): DataFrame = {
       // inspect the EXECUTED aggregate's plan — AQE's final plan (and
       // its skew-split rewrite) exists only after execution
       val agg = joined.agg(sum(col("w") * col("value")))
+      maxTaskMs.set(0L); nTasks.set(0L)
       val t0 = System.nanoTime()
       // collect(), not head(): head() plans a separate limit query and
       // leaves THIS frame's AQE plan undriven (isFinalPlan=false)
       val got = agg.collect()(0).getDouble(0)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[skew-probe] $label%-14s sec=$sec%6.2f sum=$got%.3f")
+      println(f"[skew-probe] $label%-14s sec=$sec%6.2f max_task_ms=${maxTaskMs.get()}%6d tasks=${nTasks.get()}%4d sum=$got%.3f")
       agg
     }
 

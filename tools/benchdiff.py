@@ -91,6 +91,18 @@ def main():
     tot_o = sum(oq[k] for k in both_ok)
     tot_n = sum(nq[k] for k in both_ok)
     print(f"## benchdiff: {args[0]} -> {args[1]}")
+    # control-key adjudication (round-12 artifacts carry end-of-suite
+    # control medians): a uniform control inflation ≈ the total's ratio
+    # marks the NEW run as host-noise, not a code regression
+    co, cn = old.get("control", {}), new.get("control", {})
+    ck = sorted(set(co) & set(cn))
+    if ck:
+        ratios = {k: cn[k] / co[k] for k in ck if co[k] > 0 and cn[k] > 0}
+        if ratios:
+            print("controls: " + ", ".join(
+                f"{k} {co[k]:.2f}s -> {cn[k]:.2f}s ({r:.2f}x)"
+                for k, r in sorted(ratios.items())) +
+                " — if these track the total ratio, the drift is host noise")
     print(f"common keys: {len(common)} ({len(both_ok)} ok both sides); "
           f"old total {tot_o:.2f}s, "
           f"new total {tot_n:.2f}s ({tot_n/tot_o:.2f}x); "
