@@ -64,6 +64,19 @@ object ApiTour {
     check("matcher nocase")(Graft.matcher(nocase = true)
       .filterMatching(manifest.select(upper(col("key")).as("key")), Seq("data/**"))
       .count() == manifest.count())
+    check("matcher extglobs: @() selects, !() hoisted negation excludes")({
+      // @(…|…) one-of over real manifest keys; !(…) must equal the
+      // complement computed by the plain glob pair (the hoisted
+      // column-level negation path, since RE2 has no lookahead)
+      val all = manifest.filter(pm.isMatch(col("key"),
+        "data/@(year=2024)/**")).count()
+      val clicks = manifest.filter(pm.isMatch(col("key"),
+        "data/year=2024/month=01/*/@(event_type=click)/*")).count()
+      val notClicks = manifest.filter(pm.isMatch(col("key"),
+        "data/year=2024/month=01/*/!(event_type=click)/*")).count()
+      all == manifest.count() && clicks > 0 && notClicks > 0 &&
+        clicks + notClicks == all
+    })
 
     // ---- Graft.partition / HivePartitionParser ----
     import org.apache.spark.sql.types.{IntegerType, StringType}

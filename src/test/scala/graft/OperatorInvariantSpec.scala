@@ -1619,6 +1619,34 @@ class OperatorInvariantSpec extends SparkSpec {
       .subsetOf(got.map(_._2)))
   }
 
+  test("embed_bits_rule: the occupancy law holds in the output, geometry monotone") {
+    val rows = operators.Similarity.embedBitsRule(spark, sf).collect()
+    assert(rows.length == operators.Similarity.BitsRuleScales.length)
+    val target = graft.functions.VectorFns.LshTargetOcc
+    rows.foreach { r =>
+      val bits = r.getAs[Long]("bits")
+      val nProj = r.getAs[Long]("n_projected")
+      // the law: expected occupancy ≤ target at the selected bits, and
+      // the selection is minimal (one fewer bit would break the bound)
+      assert(r.getAs[Long]("expected_occupancy") <= target)
+      assert(r.getAs[Long]("buckets_per_table") == (1L << bits))
+      if (bits > graft.functions.VectorFns.LshBits)
+        assert(nProj > target * (1L << (bits - 1)), s"bits $bits not minimal at n=$nProj")
+      // the measured ceiling must actually fall as the rule adds bits
+      assert(r.getAs[Long]("max_occupancy") >= 1L)
+    }
+    val byScale = rows.sortBy(_.getAs[Long]("scale"))
+    byScale.zip(byScale.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("bits") <= b.getAs[Long]("bits"))
+      assert(a.getAs[Long]("max_occupancy") >= b.getAs[Long]("max_occupancy"),
+        "measured occupancy should not rise as the rule adds bits")
+    }
+    // the ×1 row grades the PRODUCTION setting: bits == lshBitsFor(corpus n)
+    val n = sources.Tables.embeddings(spark, sf).count()
+    assert(byScale.head.getAs[Long]("bits") ==
+      graft.functions.VectorFns.lshBitsFor(n).toLong)
+  }
+
   test("knn_ivf_refresh: rebuild recovers mode recall and improves balance") {
     val rows = operators.Similarity.knnIvfRefresh(spark, sf).collect()
       .map(r => r.getAs[String]("phase") ->
