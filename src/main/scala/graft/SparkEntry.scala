@@ -14,7 +14,7 @@ object SparkEntry {
     Queries.queries ++ QueriesDeep.queries ++ EventsMore.queries ++ WebCorpus.queries ++ AnalyticsPlus.queries ++ PathMatching.queries ++ ContentTypes.queries ++
       HivePartitions.queries ++ TimePartitions.queries ++ ChangeDetection.queries ++ S3Utils.queries ++ Lifecycle.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Audio.queries ++ Video.queries ++ Corpus.queries ++ Sketches.queries ++
-      Maintenance.queries ++ CorpusQuality.queries ++ Growth.queries ++ AnalyticsMore.queries
+      Maintenance.queries ++ CorpusQuality.queries ++ Growth.queries ++ AnalyticsMore.queries ++ CorpusClean.queries
 
   /** AUDIT-tier keys: operators whose contract is a deliberately
     * expensive evidence table — an exact grading side (recall gates,
@@ -49,5 +49,5 @@ object SparkEntry {
     Queries.oracles ++ QueriesDeep.oracles ++ EventsMore.oracles ++ WebCorpus.oracles ++ AnalyticsPlus.oracles ++ PathMatching.oracles ++ ContentTypes.oracles ++
       HivePartitions.oracles ++ TimePartitions.oracles ++ ChangeDetection.oracles ++ S3Utils.oracles ++ Lifecycle.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Audio.oracles ++ Video.oracles ++ Corpus.oracles ++ Sketches.oracles ++
-      Maintenance.oracles ++ CorpusQuality.oracles ++ Growth.oracles ++ AnalyticsMore.oracles
+      Maintenance.oracles ++ CorpusQuality.oracles ++ Growth.oracles ++ AnalyticsMore.oracles ++ CorpusClean.oracles
 }

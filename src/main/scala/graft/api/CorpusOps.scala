@@ -848,4 +848,37 @@ object CorpusOps {
     */
   def temperatureShares(df: DataFrame, groupCol: String, massCol: String): DataFrame =
     graft.operators.Corpus.temperatureSharesFor(df, groupCol, massCol)
+
+  /** Line-level boilerplate census over ANY (doc_id, source, text)
+    * frame — the CCNet/RefinedWeb pass: lines repeating verbatim across
+    * ≥ sharePct% of a source's docs (nav chrome, subscribe footers).
+    * Returns one row per flagged (source, line) with df / n_docs; see
+    * [[graft.operators.CorpusClean.censusFrame]] for the scale shape
+    * (shuffle key = 64-bit line fingerprint, never the raw line).
+    */
+  def boilerplateCensus(docs: DataFrame,
+      sharePct: Int = graft.operators.CorpusClean.BoilerSharePct,
+      minDf: Int = graft.operators.CorpusClean.BoilerMinDf): DataFrame =
+    graft.operators.CorpusClean.censusFrame(
+      prepared(docs), sharePct = sharePct, minDf = minDf)
+
+  /** Apply the boilerplate census to the same frame: every doc's text
+    * rewritten with flagged lines removed (rejoined in order). The
+    * census is tiny by construction → broadcast anti-join; the only
+    * shuffle is the per-doc regroup.
+    */
+  def scrubBoilerplate(docs: DataFrame,
+      sharePct: Int = graft.operators.CorpusClean.BoilerSharePct,
+      minDf: Int = graft.operators.CorpusClean.BoilerMinDf): DataFrame =
+    graft.operators.CorpusClean.scrubFrame(
+      prepared(docs), sharePct = sharePct, minDf = minDf)
+
+  /** Duplication-aware sampling weights (soft dedup) over ANY frame:
+    * adds `cluster_size` and `weight_ppm` = 1e6/cluster_size so a
+    * training sampler sees every byte-exact duplicate cluster with
+    * total mass 1 instead of dropping members — preserves the corpus
+    * mixture where a hard dedup would shift it.
+    */
+  def dedupWeights(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.operators.CorpusClean.weightFrame(prepared(docs), textCol)
 }

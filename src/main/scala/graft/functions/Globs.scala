@@ -28,6 +28,12 @@ package graft.functions
   *     (the list-negation path): RE2 has no lookahead, so a single
   *     regex cannot express it; [[translate]] fails loud rather than
   *     emit a silently-literal `!`.
+  *   - POSIX bracket classes `[[:alpha:]]`, `[![:digit:]x]`, … — every
+  *     name micromatch's posix mode documents (alnum alpha ascii blank
+  *     cntrl digit graph lower print punct space upper word xdigit),
+  *     each expanded to an EXPLICIT ASCII range (hex escapes — valid
+  *     and identical in Java and RE2, unlike `\p{…}` whose Unicode
+  *     semantics differ between engines). Unknown names fail loud.
   *   - `nocase` option → `(?i)`
   */
 object Globs {
@@ -206,13 +212,10 @@ object Globs {
             i = close + 1
           }
         case '[' =>
-          val close = g.indexOf(']', i + 2) // min class width 1
-          if (close < 0) { sb.append("\\["); i += 1 }
-          else {
-            val inner0 = g.substring(i + 1, close)
-            val inner = if (inner0.startsWith("!")) "^" + inner0.drop(1) else inner0
-            sb.append('[').append(inner).append(']')
-            i = close + 1
+          parseBracketClass(g, i) match {
+            case Some((body, next)) =>
+              sb.append('[').append(body).append(']'); i = next
+            case None => sb.append("\\["); i += 1
           }
         case '\\' if i + 1 < n =>
           val c = g.charAt(i + 1)
@@ -224,6 +227,64 @@ object Globs {
       }
     }
     sb.toString
+  }
+
+  /** POSIX class names → explicit ASCII ranges, hex-escaped so the
+    * expansion is byte-identical under Java regex and RE2 (micromatch
+    * posix mode's documented name set; `\p{…}` is avoided because its
+    * Unicode reading differs between the two engines).
+    */
+  private val PosixClasses: Map[String, String] = Map(
+    "alnum" -> "a-zA-Z0-9",
+    "alpha" -> "a-zA-Z",
+    "ascii" -> "\\x00-\\x7f",
+    "blank" -> "\\x09\\x20",
+    "cntrl" -> "\\x00-\\x1f\\x7f",
+    "digit" -> "0-9",
+    "graph" -> "\\x21-\\x7e",
+    "lower" -> "a-z",
+    "print" -> "\\x20-\\x7e",
+    "punct" -> "\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e",
+    "space" -> "\\x09-\\x0d\\x20",
+    "upper" -> "A-Z",
+    "word" -> "a-zA-Z0-9_",
+    "xdigit" -> "0-9A-Fa-f")
+
+  /** Parse a glob bracket class starting at `open` (`g(open) == '['`),
+    * expanding embedded POSIX `[:name:]` tokens and honoring leading
+    * `!` negation. Returns (compiled class body, index after the
+    * closing `]`), or None when the class never closes (the caller
+    * emits a literal `[`, the pre-POSIX behavior). A `]` in the first
+    * content position is literal (min class width 1 — unchanged).
+    * Unknown `[:name:]` fails loud rather than matching literally.
+    */
+  private def parseBracketClass(g: String, open: Int): Option[(String, Int)] = {
+    val sb = new StringBuilder
+    var i = open + 1
+    if (i < g.length && g.charAt(i) == '!') { sb.append('^'); i += 1 }
+    val start = i
+    while (i < g.length) {
+      if (g.startsWith("[:", i)) {
+        val end = g.indexOf(":]", i + 2)
+        val name = if (end > i + 2) g.substring(i + 2, end) else ""
+        if (name.nonEmpty && name.forall(c => c >= 'a' && c <= 'z')) {
+          sb.append(PosixClasses.getOrElse(name,
+            throw new IllegalArgumentException(
+              s"unknown POSIX class [:$name:] in glob: $g")))
+          i = end + 2
+        } else { sb.append("\\["); i += 1 } // literal '[' content
+      } else if (g.charAt(i) == ']' && i > start) {
+        return Some((sb.toString, i + 1))
+      } else {
+        // escape the two chars Java treats specially INSIDE a class
+        // ('[' opens a nested class union; ']' in first position would
+        // close an empty class) — literal in RE2 either way
+        val c = g.charAt(i)
+        if (c == '[' || c == ']') sb.append('\\')
+        sb.append(c); i += 1
+      }
+    }
+    None
   }
 
   private def matchingParen(s: String, open: Int): Int = {

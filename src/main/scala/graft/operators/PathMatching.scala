@@ -15,7 +15,12 @@ import graft.sources.Manifest
   */
 object PathMatching {
 
-  private val matchGlobs = Seq("data/**/event_type=click/*.{json,csv}", "**/*.png")
+  // the third pattern exercises POSIX classes (micromatch posix mode)
+  // cross-engine: compiled ONCE, the same regex literal runs under
+  // Spark's Java rlike and the oracle's RE2 regexp_matches
+  private val matchGlobs = Seq(
+    "data/**/event_type=click/*.{json,csv}", "**/*.png",
+    "data/**/day=0[[:digit:]]/*/part-*.txt")
   private val notGlobs = Seq("**/*.parquet", "**/*.json", "**/*.csv")
   private val capturePattern = "data/year=:y/month=:m/day=:d/event_type=:t/part-*"
 

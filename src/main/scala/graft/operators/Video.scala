@@ -284,6 +284,112 @@ object Video {
        |FROM cells c JOIN tot t USING (doc_id, frame_idx)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** consecutive-frame aHash hamming at or above this = a scene cut.
+    * 2 is the dial FITTED TO THIS CORPUS' geometry: the frame formula
+    * advances every pixel by 8191 ≡ −1 (mod 256) per frame, so a
+    * transition moves only the wrap-adjacent cells' hash bits
+    * (measured 2–4 across the corpus) while the freeze plants score
+    * exactly 0 — deterministic separation either side of 2. A real
+    * deployment re-fits the dial to its content (16 of 64 is the
+    * common shot-boundary default); the OPERATOR — xor + bit_count
+    * over a per-video lag — is threshold-independent.
+    */
+  val SceneCutBits = 2
+  val SceneCopyShift = 200000L
+
+  /** Freeze-frame plant for [[videoSceneCut]]: every doc_id % 10 == 6
+    * video rebuilt with frame 0's PNG bytes repeated n times under a
+    * shifted id — a static clip (slideshow card, test pattern) whose
+    * every transition must score hamming 0. Demux-only (frame-0 bytes
+    * copied verbatim, no decode): the cheap container walk.
+    */
+  private[graft] def freezeFrameCopies(base: Dataset[VideoPayload]): Dataset[VideoPayload] = {
+    import base.sparkSession.implicits._
+    base.filter(_.doc_id % 10 == 6).map { v =>
+      require(v.doc_id % 10000000L < SceneCopyShift,
+        s"doc_id ${v.doc_id} collides with the +$SceneCopyShift freeze-id plant")
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v.container))
+      val magic = new Array[Byte](4); in.readFully(magic)
+      require(new String(magic, "US-ASCII") == "GVID", s"bad magic for doc ${v.doc_id}")
+      val n = in.readInt()
+      val len0 = in.readInt()
+      val f0 = new Array[Byte](len0); in.readFully(f0)
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(baos)
+      out.writeBytes("GVID"); out.writeInt(n)
+      var i = 0
+      while (i < n) { out.writeInt(len0); out.write(f0); i += 1 }
+      VideoPayload(v.doc_id + SceneCopyShift, baos.toByteArray)
+    }
+  }
+
+  /** Scene-cut detection (the shot-segmentation primitive a video
+    * training pipeline samples keyframes by): consecutive-frame aHash
+    * hamming distance per video, flagged at [[SceneCutBits]]. Runs on
+    * the corpus ∪ freeze-frame plants — the static clips prove the
+    * threshold separates motion from stillness: every planted
+    * transition scores exactly 0, every original ≥ 2 (see the
+    * [[SceneCutBits]] geometry note). One codec mapPartitions
+    * pass for the hashes; the lag window partitions by doc_id (frames
+    * per video is bounded), so NO global sort or corpus-wide shuffle —
+    * at 100 TB each video's frames hash inside its own scan split.
+    */
+  def videoSceneCut(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = encodeVideos(s, dir)
+    val h = aHashLoHi(base.union(freezeFrameCopies(base)))
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    h.select(col("doc_id"), col("frame_idx"),
+        col("ahash_lo"), col("ahash_hi"),
+        lag("ahash_lo", 1).over(w).as("plo"),
+        lag("ahash_hi", 1).over(w).as("phi"))
+      .filter(col("plo").isNotNull)
+      .select(col("doc_id"), col("frame_idx"),
+        expr("CAST(bit_count(ahash_lo ^ plo) + bit_count(ahash_hi ^ phi) AS BIGINT)")
+          .as("hamming_bits"))
+      .withColumn("is_cut", col("hamming_bits") >= SceneCutBits)
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val videoSceneCutSql: String =
+    s"""WITH vids AS (
+       |  SELECT doc_id, doc_id AS src, 0 AS frozen FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $SceneCopyShift, doc_id, 1 FROM documents WHERE doc_id % 10 = 6),
+       |f AS (
+       |  SELECT doc_id, src, frozen, UNNEST(generate_series(0, 1 + src % 3)) AS frame_idx
+       |  FROM vids),
+       |px AS (
+       |  SELECT doc_id, frame_idx,
+       |    ((i // $W) // ${H / 8}) * 8 + (i % $W) // ${W / 8} AS cell,
+       |    (src * 1000003 + (CASE WHEN frozen = 1 THEN 0 ELSE frame_idx END) * 8191
+       |      + i * 2654435761) % 256 AS v
+       |  FROM f, UNNEST(generate_series(0, ${W * H - 1})) AS t(i)),
+       |cells AS (
+       |  SELECT doc_id, frame_idx, cell, CAST(SUM(v) AS BIGINT) AS cs
+       |  FROM px GROUP BY 1, 2, 3),
+       |tot AS (
+       |  SELECT doc_id, frame_idx, CAST(SUM(cs) AS BIGINT) AS total
+       |  FROM cells GROUP BY 1, 2),
+       |h AS (
+       |  SELECT c.doc_id, c.frame_idx,
+       |    CAST(SUM(CASE WHEN c.cs * 64 > t.total AND c.cell < 32
+       |      THEN (CAST(1 AS BIGINT) << CAST(c.cell AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN c.cs * 64 > t.total AND c.cell >= 32
+       |      THEN (CAST(1 AS BIGINT) << CAST(c.cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM cells c JOIN tot t USING (doc_id, frame_idx)
+       |  GROUP BY 1, 2),
+       |lagged AS (
+       |  SELECT doc_id, frame_idx, lo, hi,
+       |    lag(lo) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS plo,
+       |    lag(hi) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS phi
+       |  FROM h)
+       |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       |  CAST(bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) AS BIGINT) AS hamming_bits,
+       |  bit_count(xor(lo, plo)) + bit_count(xor(hi, phi)) >= $SceneCutBits AS is_cut
+       |FROM lagged WHERE plo IS NOT NULL
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** The "same clip re-ingested after a filter" case: every
     * doc_id % 10 == 3 video re-encoded (REAL decode → total-preserving
     * corner-block swap: cell 0's pixels exchange with cell 63's →
@@ -674,11 +780,13 @@ object Video {
     "video_band_sweep" -> (videoBandSweep _),
     "video_meta" -> (videoMeta _),
     "video_ahash" -> (videoAhash _),
+    "video_scene_cut" -> (videoSceneCut _),
     "video_dedup" -> ((s: SparkSession, dir: String) => videoDedup(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "video_meta" -> videoMetaSql,
     "video_ahash" -> videoAhashSql,
+    "video_scene_cut" -> videoSceneCutSql,
     "video_dedup" -> videoDedupSql,
     "video_band_sweep" -> videoBandSweepSql)
 }

@@ -1332,4 +1332,51 @@ object EventStreams {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  case class DfState(df: Long)
+
+  /** Streaming half of the batch `text_boilerplate` census: keyed by
+    * (source, line fingerprint) with ONE long of state (the line's
+    * within-source doc frequency so far), emitting the CUMULATIVE
+    * (source, line_fp, df) on every touch. df is monotone per key, so
+    * a last-write-wins (max-df) view is order- and split-independent;
+    * joined with [[docCountStream]]'s per-source totals and filtered by
+    * the batch operator's share bar it rebuilds the batch census
+    * EXACTLY — the flagged set is a pure function of two monotone
+    * counters. State is one long per DISTINCT (source, line) — the same
+    * cardinality the batch census shuffles, kept in the state store; a
+    * production deployment ages out lines that stay far under the df
+    * floor with a timeout (the dedupStreamBounded discipline).
+    */
+  def boilerplateStream(lines: Dataset[(String, Long)])
+      : Dataset[(String, Long, Long)] = {
+    import lines.sparkSession.implicits._
+    lines
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long)],
+            state: GroupState[DfState]) =>
+          val df = state.getOption.map(_.df).getOrElse(0L) + rows.size
+          state.update(DfState(df))
+          Iterator.single((key._1, key._2, df))
+      }
+  }
+
+  /** The census' denominator as a stream: cumulative docs-seen per
+    * source (ONE long of state per source — sources-bounded, the
+    * cheapest state in the twin family), emitted as (source, n_docs)
+    * upserts. Monotone, so last-write-wins = max.
+    */
+  def docCountStream(docs: Dataset[(String, Long)]): Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long)],
+            state: GroupState[DfState]) =>
+          val n = state.getOption.map(_.df).getOrElse(0L) + rows.size
+          state.update(DfState(n))
+          Iterator.single((source, n))
+      }
+  }
 }

@@ -616,6 +616,29 @@ object ApiTour {
         out.filter(col("keep") && size(col("reasons")) > 0).count() == 0
     })
 
+    check("corpus.scrubBoilerplate/dedupWeights: census-driven line scrub + soft-dedup mass")({
+      // plant line structure over the real docs (the CorpusClean
+      // convention): a footer on ~75% of each source crosses the 50%
+      // share bar; scrubbing must strip EXACTLY that line and nothing
+      // from the df=1 body lines
+      val lined = graft.operators.CorpusClean.lined(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("lt").as("text"))
+      val census = CorpusOps.boilerplateCensus(lined).cache()
+      val scrubbed = CorpusOps.scrubBoilerplate(lined).cache()
+      val w = CorpusOps.dedupWeights(
+        docs.select("doc_id", "source", "text")
+          .union(docs.select("doc_id", "source", "text").limit(40)))
+      census.count() > 0 &&
+        census.filter(!col("line").startsWith("subscribe to ")).count() == 0 &&
+        scrubbed.filter(col("text").contains("subscribe to ")).count() == 0 &&
+        // the 10%-share copyright line sits UNDER the bar — it survives
+        scrubbed.filter(col("text").contains("copyright ")).count() ==
+          lined.filter(col("text").contains("copyright ")).count() &&
+        w.filter(col("cluster_size") === 2 && col("weight_ppm") =!= 500000L).count() == 0 &&
+        w.filter(col("cluster_size") === 1 && col("weight_ppm") =!= 1000000L).count() == 0 &&
+        w.filter(col("cluster_size") === 2).count() == 80
+    })
+
     check("sql kernels survive newSession (injected, not temp-registered)")({
       // a temp-function-only registration dies with the session; the
       // extensions-injected one is part of the cloned function registry

@@ -153,7 +153,12 @@ object ScaleSmoke {
       // threshold rollup over the paid-once pair frame, IVF drift audit
       "dedup_incremental_lsh", "dedup_threshold_sweep", "knn_ivf_drift",
       // round-10 batch 9: vocab-frame rank rollup, types-bounded probe fold
-      "text_vocab_coverage", "sketch_bloom_fpr")
+      "text_vocab_coverage", "sketch_bloom_fpr",
+      // round-12: line-census boilerplate pass (fp-keyed partial agg +
+      // broadcast anti-join scrub), the soft-dedup weight window, and
+      // the codec-pass scene-cut lag (watch: stays one pass, no global sort)
+      "text_boilerplate", "text_boilerplate_scrub", "corpus_dedup_weights",
+      "video_scene_cut")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty
     else targets.filter(t => only.forall(_.contains(t))).map { name =>
       val t0 = System.nanoTime()

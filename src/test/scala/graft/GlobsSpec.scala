@@ -118,6 +118,41 @@ class GlobsSpec extends AnyFunSuite {
     assert(m("ax.log", "a[!0-9].log"))
   }
 
+  test("POSIX bracket classes — micromatch posix-mode name set") {
+    assert(m("a1.log", "a[[:digit:]].log"))
+    assert(!m("ax.log", "a[[:digit:]].log"))
+    assert(m("ax.log", "a[[:alpha:]].log"))
+    assert(!m("a1.log", "a[[:alpha:]].log"))
+    assert(m("aB.log", "a[[:upper:]].log"))
+    assert(!m("ab.log", "a[[:upper:]].log"))
+    assert(m("a_.log", "a[[:word:]].log"))
+    assert(m("aF.log", "a[[:xdigit:]].log"))
+    assert(!m("aG.log", "a[[:xdigit:]].log"))
+    assert(m("a;.log", "a[[:punct:]].log"))
+    assert(!m("a1.log", "a[[:punct:]].log"))
+    assert(m("a .log", "a[[:space:]].log"))
+    assert(m("a\t.log", "a[[:blank:]].log"))
+    assert(!m("a1.log", "a[[:blank:]].log"))
+    // negation and mixing with plain class members
+    assert(m("ax.log", "a[![:digit:]].log"))
+    assert(!m("a1.log", "a[![:digit:]].log"))
+    assert(m("a1.log", "a[[:alpha:]1].log"))
+    assert(m("az.log", "a[[:alpha:]1].log"))
+    assert(!m("a2.log", "a[[:alpha:]1].log"))
+    // two classes in one bracket
+    assert(m("a1.log", "a[[:alpha:][:digit:]].log"))
+    assert(m("ax.log", "a[[:alpha:][:digit:]].log"))
+    assert(!m("a;.log", "a[[:alpha:][:digit:]].log"))
+    // the compiled form stays inside RE2∩Java: hex escapes, no \p{…}
+    assert(!Globs.compile("a[[:alpha:]]").contains("\\p"))
+    // unknown names fail loud, never silently-literal
+    intercept[IllegalArgumentException](Globs.compile("a[[:bogus:]].log"))
+    // a '[' that is NOT a posix token stays literal content
+    assert(m("a[.log", "a[[].log"))
+    // unclosed class still degrades to a literal '[' as before
+    assert(m("a[b", "a[b"))
+  }
+
   test("literal dots are escaped") {
     assert(!m("fooXtxt", "foo.txt"))
     assert(m("foo.txt", "foo.txt"))

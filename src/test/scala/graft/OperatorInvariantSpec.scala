@@ -2132,4 +2132,76 @@ class OperatorInvariantSpec extends SparkSpec {
       assert(kc <= tc)
     }
   }
+
+  test("text_boilerplate: scrub conserves unflagged lines and is IDEMPOTENT") {
+    // mass conservation: per doc, kept = total minus this doc's flagged
+    // lines (recounted driver-side from the census)
+    val census = operators.CorpusClean.textBoilerplate(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("line_fp"))).toSet
+    val lines = operators.CorpusClean.lines(spark, sf)
+      .select("doc_id", "source", "line_fp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expectKept = lines.groupBy(_._1).map { case (id, ls) =>
+      id -> ls.count(l => !census.contains((l._2, l._3))).toLong
+    }
+    val scrub = operators.CorpusClean.textBoilerplateScrub(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"))).toMap
+    assert(scrub.keySet == expectKept.keySet)
+    scrub.foreach { case (id, (nl, nk)) =>
+      assert(nk == expectKept(id), s"doc $id: kept $nk != driver recount ${expectKept(id)}")
+      assert(nk <= nl && nk >= 1, s"doc $id: kept $nk outside [1, $nl]")
+    }
+    // idempotence: a census over the SCRUBBED corpus flags nothing —
+    // the pass converges in one application (the CCNet property; a
+    // share-bar pass that re-flags its own output would loop forever)
+    val scrubbed = graft.api.CorpusOps.scrubBoilerplate(
+      operators.CorpusClean.lined(spark, sf)
+        .select(col("doc_id"), col("source"), col("lt").as("text")))
+    assert(graft.api.CorpusOps.boilerplateCensus(scrubbed).count() == 0L,
+      "census over scrubbed corpus must be empty (idempotence)")
+  }
+
+  test("video_scene_cut: freeze plants score exactly 0, originals all clear the fitted dial") {
+    val rows = operators.Video.videoSceneCut(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hamming_bits"),
+        r.getAs[Boolean]("is_cut")))
+    val (plants, orig) = rows.partition(_._1 >= operators.Video.SceneCopyShift)
+    assert(plants.nonEmpty && orig.nonEmpty)
+    assert(plants.forall(r => r._2 == 0L && !r._3),
+      "planted static transition scored nonzero / flagged as cut")
+    assert(orig.forall(r => r._2 >= operators.Video.SceneCutBits && r._3),
+      "original transition under the dial — the corpus dichotomy broke")
+    // structural recount: transitions per video == n_frames - 1
+    rows.groupBy(_._1).foreach { case (id, ts) =>
+      val src = if (id >= operators.Video.SceneCopyShift)
+        id - operators.Video.SceneCopyShift else id
+      assert(ts.length == operators.Video.nFrames(src) - 1,
+        s"doc $id: ${ts.length} transitions != ${operators.Video.nFrames(src) - 1}")
+    }
+  }
+
+  test("corpus_dedup_weights: every cluster carries total mass ~1e6 ppm; audit recounts") {
+    val out = operators.CorpusClean.corpusDedupWeights(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dup_docs"), r.getAs[Long]("effective_docs_ppm"),
+        r.getAs[Long]("max_cluster"))).toMap
+    val docs = sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val (nd, ndup, eff, maxc) = out(src)
+      val c2 = ds.count(d => (d._1 / 20) % 10 == 3) // planted cluster-2 members
+      val c3 = ds.count(d => (d._1 / 20) % 10 == 7) // planted cluster-3 members
+      assert(nd == ds.length.toLong + c2 + 2 * c3, s"$src: raw doc mass")
+      assert(ndup == 2L * c2 + 3L * c3, s"$src: dup-member census")
+      // effective mass: uniques at 1e6 each; cluster-2 at 2·500000;
+      // cluster-3 at 3·333333 (ppm floor — 1 ppm lost per 3-cluster,
+      // the deterministic integer-truncation invoice)
+      val expected = (ds.length - c2 - c3).toLong * 1000000L +
+        c2.toLong * 1000000L + c3.toLong * 999999L
+      assert(eff == expected, s"$src: effective mass $eff != $expected")
+      assert(maxc == (if (c3 > 0) 3L else if (c2 > 0) 2L else 1L))
+    }
+  }
 }

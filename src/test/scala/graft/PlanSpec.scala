@@ -164,7 +164,13 @@ class PlanSpec extends SparkSpec {
       // attaches four ONE-ROW count aggregates (the sweep idiom);
       // video_band_sweep is its visual twin (slice-anchored broadcast
       // frames join + the same one-row count attachments)
-      "embed_geometry_sweep", "video_band_sweep")
+      "embed_geometry_sweep", "video_band_sweep",
+      // round 12: knn_ivf_refresh composes knn_ivf_drift's shapes — the
+      // slice-anchored broadcast cross for its exact side (the
+      // knn_bruteforce idiom, NOT-self-pair predicate) plus one-row
+      // recall/balance total attachments (the q22 idiom); audit-tier,
+      // query-slice-bounded by contract
+      "knn_ivf_refresh")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

@@ -1901,4 +1901,76 @@ class StreamingSpec extends SparkSpec {
         s"state rows $stateRows != sources ${batch.size}")
     } finally q2.stop()
   }
+
+  test("stream_boilerplate: monotone census counters rebuild the batch flagged set") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // hand case: a line crosses the 50% bar only in the SECOND batch.
+    // batch 1: docs 1,2 both carry line 100 (df=2, n=2 → df under the
+    // floor of 3, not flagged); batch 2: doc 3 carries it too, doc 4
+    // doesn't (df=3, n=4 → 3≥3 and 300≥200 → flagged).
+    val memL = MemoryStream[(String, Long)]
+    val memD = MemoryStream[(String, Long)]
+    val qL = EventStreams.boilerplateStream(memL.toDS())
+      .toDF("source", "line_fp", "df")
+      .writeStream.format("memory").queryName("boiler_df").outputMode("append").start()
+    val qD = EventStreams.docCountStream(memD.toDS())
+      .toDF("source", "n_docs")
+      .writeStream.format("memory").queryName("boiler_nd").outputMode("append").start()
+    def flaggedView(dfTable: String, ndTable: String): Set[(String, Long, Long, Long)] =
+      spark.table(dfTable).groupBy("source", "line_fp").agg(max("df").as("df"))
+        .join(spark.table(ndTable).groupBy("source").agg(max("n_docs").as("n_docs")), Seq("source"))
+        .filter(col("df") >= graft.operators.CorpusClean.BoilerMinDf &&
+          col("df") * 100 >= col("n_docs") * graft.operators.CorpusClean.BoilerSharePct)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      memL.addData(("s", 100L), ("s", 100L), ("s", 7L), ("s", 8L))
+      memD.addData(("s", 1L), ("s", 2L))
+      qL.processAllAvailable(); qD.processAllAvailable()
+      assert(flaggedView("boiler_df", "boiler_nd").isEmpty, "flagged too early (df floor)")
+      memL.addData(("s", 100L), ("s", 9L), ("s", 10L))
+      memD.addData(("s", 3L), ("s", 4L))
+      qL.processAllAvailable(); qD.processAllAvailable()
+      assert(flaggedView("boiler_df", "boiler_nd") == Set(("s", 100L, 3L, 4L)))
+    } finally { qL.stop(); qD.stop() }
+
+    // equivalence on the real documents table (planted line structure,
+    // the batch operator's own frame) under a median split of doc_ids
+    val lineRows = graft.operators.CorpusClean.lines(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("line_fp"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val docRows = graft.operators.CorpusClean.lined(spark, sfDir)
+      .select(col("source"), col("doc_id"))
+      .as[(String, Long)].collect().sortBy(_._2)
+    val medianId = docRows(docRows.length / 2)._2
+    val memL2 = MemoryStream[(String, Long)]
+    val memD2 = MemoryStream[(String, Long)]
+    val qL2 = EventStreams.boilerplateStream(memL2.toDS())
+      .toDF("source", "line_fp", "df")
+      .writeStream.format("memory").queryName("boiler_df_eq").outputMode("append").start()
+    val qD2 = EventStreams.docCountStream(memD2.toDS())
+      .toDF("source", "n_docs")
+      .writeStream.format("memory").queryName("boiler_nd_eq").outputMode("append").start()
+    try {
+      // reversed halves on purpose — the counters are order-independent
+      memL2.addData(lineRows.filter(_._1 >= medianId).map(r => (r._2, r._3)).toSeq)
+      memD2.addData(docRows.filter(_._2 >= medianId).toSeq)
+      qL2.processAllAvailable(); qD2.processAllAvailable()
+      memL2.addData(lineRows.filter(_._1 < medianId).map(r => (r._2, r._3)).toSeq)
+      memD2.addData(docRows.filter(_._2 < medianId).toSeq)
+      qL2.processAllAvailable(); qD2.processAllAvailable()
+      val streamed = flaggedView("boiler_df_eq", "boiler_nd_eq")
+      val batch = graft.operators.CorpusClean.textBoilerplate(spark, sfDir)
+        .select("source", "line_fp", "df", "n_docs")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch, "streamed boilerplate census != batch text_boilerplate")
+      // state-size contract: one row per DISTINCT (source, line) — the
+      // batch census' own shuffle cardinality, never corpus-line-sized
+      val stateRows = qL2.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).max
+      val distinctLines = lineRows.map(r => (r._2, r._3)).distinct.length.toLong
+      assert(stateRows == distinctLines,
+        s"state rows $stateRows != distinct (source, line) $distinctLines")
+    } finally { qL2.stop(); qD2.stop() }
+  }
 }
