@@ -881,4 +881,21 @@ object CorpusOps {
     */
   def dedupWeights(docs: DataFrame, textCol: String = "text"): DataFrame =
     graft.operators.CorpusClean.weightFrame(prepared(docs), textCol)
+
+  /** Soft dedup over TRANSITIVE near-dup clusters of ANY (doc_id,
+    * text) frame: weight = 1/component-size over the connected
+    * components of the verified minhash pairs — family members are
+    * down-weighted instead of dropped, so every near-dup cluster keeps
+    * total sampling mass ~1 while its duplication skew disappears.
+    * Adds `cluster_id`, `cluster_size`, `weight_ppm`.
+    */
+  def neardupWeights(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = graft.operators.Dedup.connectedComponents(
+      nearDupPairs(docs).select("doc_a", "doc_b"))
+    docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+  }
 }

@@ -265,15 +265,64 @@ object CorpusClean {
        |  max(cluster_size) AS max_cluster
        |FROM w GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- corpus_neardup_weights: soft dedup over TRANSITIVE near-dup clusters
+
+  /** The near-dup sibling of [[corpusDedupWeights]]: weight =
+    * 1/component-size over the TRANSITIVE closure of the verified
+    * minhash pairs (A~B, B~C ⇒ one cluster of 3 even when A~C is below
+    * threshold) — the SlimPajama-style soft dedup where near-dup
+    * family members are down-weighted rather than dropped, keeping the
+    * mixture's mass while removing its duplication skew. Docs in no
+    * pair are singletons at full weight. Output is the same per-source
+    * raw-vs-effective mass audit.
+    *
+    * 100 TB shape: the pair frame is the LSH-bounded candidate set the
+    * dedup family already pays (paid ONCE, snapshot inside
+    * connectedComponents); label propagation is O(log diameter) keyed
+    * joins; then ONE component-keyed window (cluster-bounded
+    * partitions) + ONE source-keyed agg — no new corpus-sized shuffle
+    * beyond the component census dedup_clusters already prices.
+    */
+  def corpusNeardupWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val comp = Dedup.connectedComponents(
+      Dedup.dedupMinhash(s, dir).select(col("doc_a"), col("doc_b")))
+    docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("cid")))
+      .withColumn("weight_ppm", expr("1000000 div csize"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_neardup_docs"),
+        sum("weight_ppm").as("effective_docs_ppm"),
+        max("csize").as("max_cluster"))
+      .orderBy("source")
+  }
+
+  val corpusNeardupWeightsSql: String =
+    s"""WITH comp AS (${Dedup.dedupClustersSql}),
+       |lab AS (
+       |  SELECT d.doc_id, d.source, COALESCE(c.cluster_id, d.doc_id) AS cid
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |w AS (SELECT source, COUNT(*) OVER (PARTITION BY cid) AS csize FROM lab)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_docs,
+       |  CAST(SUM(1000000 // csize) AS BIGINT) AS effective_docs_ppm,
+       |  CAST(MAX(csize) AS BIGINT) AS max_cluster
+       |FROM w GROUP BY source ORDER BY source""".stripMargin
+
   // ---- registration --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_boilerplate" -> (textBoilerplate _),
     "text_boilerplate_scrub" -> (textBoilerplateScrub _),
-    "corpus_dedup_weights" -> (corpusDedupWeights _))
+    "corpus_dedup_weights" -> (corpusDedupWeights _),
+    "corpus_neardup_weights" -> (corpusNeardupWeights _))
 
   val oracles: Map[String, String] = Map(
     "text_boilerplate" -> textBoilerplateSql,
     "text_boilerplate_scrub" -> textBoilerplateScrubSql,
-    "corpus_dedup_weights" -> corpusDedupWeightsSql)
+    "corpus_dedup_weights" -> corpusDedupWeightsSql,
+    "corpus_neardup_weights" -> corpusNeardupWeightsSql)
 }

@@ -1379,4 +1379,43 @@ object EventStreams {
           Iterator.single((source, n))
       }
   }
+
+  case class SceneState(idx: Int, lo: Long, hi: Long)
+
+  /** Streaming twin of the batch `video_scene_cut` boundary feed — the
+    * first VIDEO twin: frame hashes arrive as (doc_id, frame_idx,
+    * ahash_lo, ahash_hi) (the aHashLoHi codec pass runs upstream,
+    * map-side), keyed by doc_id with ONE (idx, lo, hi) record of state;
+    * each frame emits its transition against the carried previous
+    * frame, so a transition straddling a micro-batch boundary is
+    * computed from state exactly like the batch lag window. Frames
+    * arrive in non-decreasing frame_idx order per video (the live
+    * decode order; the ohlc/forecast twins' convention) — within a
+    * batch they are sorted. JVM Long.bitCount over xor is bit-identical
+    * to the batch operator's SQL bit_count, so the union of batch
+    * outputs equals batch video_scene_cut EXACTLY under any split.
+    */
+  def sceneCutStream(frames: Dataset[(Long, Int, Long, Long)])
+      : Dataset[(Long, Int, Long, Boolean)] = {
+    import frames.sparkSession.implicits._
+    frames
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (doc: Long, rows: Iterator[(Long, Int, Long, Long)],
+            state: GroupState[SceneState]) =>
+          val sorted = rows.toSeq.sortBy(_._2)
+          val out = Seq.newBuilder[(Long, Int, Long, Boolean)]
+          var prev = state.getOption
+          sorted.foreach { case (_, idx, lo, hi) =>
+            prev.foreach { p =>
+              val d = (java.lang.Long.bitCount(p.lo ^ lo) +
+                java.lang.Long.bitCount(p.hi ^ hi)).toLong
+              out += ((doc, idx, d, d >= graft.operators.Video.SceneCutBits))
+            }
+            prev = Some(SceneState(idx, lo, hi))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

@@ -639,6 +639,17 @@ object ApiTour {
         w.filter(col("cluster_size") === 2).count() == 80
     })
 
+    check("corpus.neardupWeights: every near-dup component keeps total mass ~1e6 ppm")({
+      val w = CorpusOps.neardupWeights(docs.select("doc_id", "text")).cache()
+      val perCluster = w.groupBy("cluster_id")
+        .agg(sum("weight_ppm").as("mass"), max("cluster_size").as("cs"))
+      w.count() == docs.count() &&
+        w.filter(col("cluster_size") > 1).count() > 0 && // corpus has near-dups
+        w.filter(col("cluster_size") === 1 && col("weight_ppm") =!= 1000000L).count() == 0 &&
+        // integer-floor invoice only: 1e6 - cs < Σ(1e6 div cs)·1 ≤ 1e6
+        perCluster.filter(col("mass") > 1000000L || col("mass") <= lit(1000000L) - col("cs")).count() == 0
+    })
+
     check("sql kernels survive newSession (injected, not temp-registered)")({
       // a temp-function-only registration dies with the session; the
       // extensions-injected one is part of the cloned function registry

@@ -158,7 +158,10 @@ object ScaleSmoke {
       // broadcast anti-join scrub), the soft-dedup weight window, and
       // the codec-pass scene-cut lag (watch: stays one pass, no global sort)
       "text_boilerplate", "text_boilerplate_scrub", "corpus_dedup_weights",
-      "video_scene_cut")
+      "video_scene_cut",
+      // transitive near-dup soft dedup: rides the component census —
+      // watch that the window stays cluster-bounded
+      "corpus_neardup_weights")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty
     else targets.filter(t => only.forall(_.contains(t))).map { name =>
       val t0 = System.nanoTime()

@@ -1973,4 +1973,36 @@ class StreamingSpec extends SparkSpec {
         s"state rows $stateRows != distinct (source, line) $distinctLines")
     } finally { qL2.stop(); qD2.stop() }
   }
+
+  test("stream_scene_cut: boundary-spanning transitions from carried state == batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // the batch operator's own frame universe: corpus ∪ freeze plants
+    val base = graft.operators.Video.encodeVideos(spark, sfDir)
+    val frames = graft.operators.Video
+      .aHashLoHi(base.union(graft.operators.Video.freezeFrameCopies(base)))
+      .as[(Long, Int, Long, Long)].collect()
+    // split at frame_idx 2: every 3-4 frame video's later transitions
+    // must compute against state carried across the batch boundary
+    val (w1, w2) = frames.partition(_._2 < 2)
+    assert(w2.nonEmpty, "split produced no boundary-spanning frames")
+    val mem = MemoryStream[(Long, Int, Long, Long)]
+    val q = EventStreams.sceneCutStream(mem.toDS())
+      .toDF("doc_id", "frame_idx", "hamming_bits", "is_cut")
+      .writeStream.format("memory").queryName("scenecut").outputMode("append").start()
+    try {
+      mem.addData(w1.toSeq); q.processAllAvailable()
+      mem.addData(w2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("scenecut").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+      val batch = graft.operators.Video.videoSceneCut(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSet
+      assert(streamed == batch, "streamed scene cuts != batch video_scene_cut")
+      // state-size contract: ONE record per video, never frame-history-sized
+      val stateRows = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).max
+      val nVideos = frames.map(_._1).distinct.length.toLong
+      assert(stateRows == nVideos, s"state rows $stateRows != videos $nVideos")
+    } finally q.stop()
+  }
 }
