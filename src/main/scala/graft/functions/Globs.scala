@@ -17,6 +17,11 @@ package graft.functions
   *   - `*`   within a segment: `[^/]*`
   *   - `?`   single non-`/` char
   *   - `{a,b}` alternation (nestable)
+  *   - `{2021..2023}` / `{01..12}` / `{0..30..5}` / `{a..e}` sequence
+  *     ranges (bash brace expansion: zero-padded iff an endpoint is
+  *     written padded, optional step, either direction) — expanded to
+  *     the explicit alternation at compile time, capped at
+  *     [[MaxBraceRange]] so a runaway range fails loud
   *   - `[abc]` / `[!abc]` char classes
   *   - extglobs `@(a|b)` / `+(x)` / `?(x)` / `*(x)` — exactly-one /
   *     one-or-more / zero-or-one / zero-or-more of the inner
@@ -207,7 +212,7 @@ object Globs {
           val close = matchingBrace(g, i)
           if (close < 0) { sb.append("\\{"); i += 1 }
           else {
-            val alts = splitTopLevel(g.substring(i + 1, close))
+            val alts = braceAlternatives(g.substring(i + 1, close))
             sb.append(alts.map(translate).mkString("(?:", "|", ")"))
             i = close + 1
           }
@@ -276,11 +281,15 @@ object Globs {
       } else if (g.charAt(i) == ']' && i > start) {
         return Some((sb.toString, i + 1))
       } else {
-        // escape the two chars Java treats specially INSIDE a class
+        // escape the chars Java treats specially INSIDE a class
         // ('[' opens a nested class union; ']' in first position would
-        // close an empty class) — literal in RE2 either way
+        // close an empty class; '&&' is Java class intersection while
+        // RE2 reads '&' as a literal) — literal in RE2 either way, so
+        // escaping keeps the two engines agreeing on [a&&b] etc.
+        // '\' stays unescaped: both engines give backslash-escapes
+        // inside classes the same literal meaning ([a\-z] etc.).
         val c = g.charAt(i)
-        if (c == '[' || c == ']') sb.append('\\')
+        if (c == '[' || c == ']' || c == '&') sb.append('\\')
         sb.append(c); i += 1
       }
     }
@@ -329,6 +338,51 @@ object Globs {
       i += 1
     }
     -1
+  }
+
+  /** max alternatives a `{A..B}` range may expand to — partition paths
+    * (years, months, days, hours) are tiny; a huge range is a mistake
+    * that should fail loud, not compile to a megabyte regex.
+    */
+  val MaxBraceRange = 4096
+
+  private val NumRange = """(-?\d+)\.\.(-?\d+)(?:\.\.(\d+))?""".r
+  private val ChrRange = """([a-zA-Z])\.\.([a-zA-Z])""".r
+
+  /** Brace alternatives with bash/micromatch SEQUENCE expansion: when
+    * the whole brace body is `A..B` (numeric, optionally negative,
+    * optional `..step`) or a single-char `a..z` range, expand it to the
+    * explicit value list at COMPILE time — `{2021..2023}` ≡
+    * `{2021,2022,2023}`, `{01..12}` zero-pads to the endpoint width
+    * (the Hive partition-path forms `month=01`). Otherwise the body is
+    * a plain comma list. Expansion happens on the driver, once per
+    * compile; the executor still sees one codegen'd rlike.
+    */
+  private[functions] def braceAlternatives(inner: String): Seq[String] = inner match {
+    case NumRange(a, b, st) =>
+      val step = Option(st).map(_.toLong).getOrElse(1L)
+      require(step > 0, s"brace range step must be positive: {$inner}")
+      val (lo, hi) = (a.toLong, b.toLong)
+      val count = math.abs(hi - lo) / step + 1
+      require(count <= MaxBraceRange,
+        s"brace range {$inner} expands to $count alternatives (max $MaxBraceRange)")
+      // zero-pad iff an endpoint is written padded (bash semantics)
+      def padded(s: String) = { val d = s.stripPrefix("-"); d.length > 1 && d.startsWith("0") }
+      val width = if (padded(a) || padded(b))
+        math.max(a.stripPrefix("-").length, b.stripPrefix("-").length) else 0
+      val dir = if (hi >= lo) step else -step
+      Iterator.iterate(lo)(_ + dir).takeWhile(v => if (dir > 0) v <= hi else v >= hi)
+        .map { v =>
+          val digits = math.abs(v).toString
+          val pad = "0" * math.max(0, width - digits.length)
+          (if (v < 0) "-" else "") + pad + digits
+        }.toSeq
+    case ChrRange(a, b) =>
+      val (x, y) = (a.head, b.head)
+      val dir = if (y >= x) 1 else -1
+      Iterator.iterate(x.toInt)(_ + dir).takeWhile(c => if (dir > 0) c <= y.toInt else c >= y.toInt)
+        .map(_.toChar.toString).toSeq
+    case _ => splitTopLevel(inner)
   }
 
   private def splitTopLevel(s: String): Seq[String] = {

@@ -89,8 +89,11 @@ object CorpusClean {
       .withColumnRenamed("col", "line")
       .withColumn("line_fp", expr(sparkFingerprint("line")))
 
-  /** GENERIC census over ANY doc frame: lines whose within-source doc
-    * frequency crosses the share bar and the df floor.
+  /** GENERIC census over ANY doc frame: lines whose within-source DOC
+    * frequency (distinct documents containing the line — NOT line
+    * occurrences; a doc repeating a line, e.g. blank lines from
+    * consecutive newlines, counts once) crosses the share bar and the
+    * df floor. df ≤ n_docs by construction, so share_pct ≤ 100.
     */
   def censusFrame(docs: DataFrame, idCol: String = "doc_id",
       sourceCol: String = "source", textCol: String = "text",
@@ -98,6 +101,11 @@ object CorpusClean {
     val perSource = docs
       .groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs"))
     lineFrame(docs, idCol, sourceCol, textCol)
+      // dedup intra-doc repeats BEFORE the census agg: partial agg on
+      // (source, line_fp, doc_id) collapses repeats map-side, so the
+      // second shuffle carries one row per (line, doc) pair.
+      .groupBy("source", "line_fp", "doc_id")
+      .agg(min("line").as("line"))
       .groupBy("source", "line_fp")
       .agg(min("line").as("line"), count(lit(1)).as("df"))
       .join(perSource, Seq("source")) // sources-bounded — auto-broadcast
@@ -108,20 +116,26 @@ object CorpusClean {
   /** GENERIC scrub over ANY doc frame: drop census-flagged lines and
     * reassemble each doc's text (lines rejoined in order). The census
     * crossed a share bar so it is tiny by construction → broadcast
-    * anti-join; only shuffle is the doc_id regroup.
+    * anti-join; only shuffle is the doc_id regroup. Output cardinality
+    * EQUALS input cardinality: a doc whose every line is flagged comes
+    * back with empty text (left join + coalesce ''), never silently
+    * dropped — callers joining the scrubbed frame back lose nothing.
     */
   def scrubFrame(docs: DataFrame, idCol: String = "doc_id",
       sourceCol: String = "source", textCol: String = "text",
       sharePct: Int = BoilerSharePct, minDf: Int = BoilerMinDf): DataFrame = {
     val flagged = censusFrame(docs, idCol, sourceCol, textCol, sharePct, minDf)
       .select("source", "line_fp")
-    lineFrame(docs, idCol, sourceCol, textCol)
+    val kept = lineFrame(docs, idCol, sourceCol, textCol)
       .join(broadcast(flagged), Seq("source", "line_fp"), "left_anti")
       .groupBy("doc_id")
-      .agg(min("source").as("source"),
+      .agg(
         expr("array_join(transform(sort_array(collect_list(struct(ln, line))), x -> x.line), char(10))")
-          .as(textCol))
-      .select(col("doc_id").as(idCol), col("source").as(sourceCol), col(textCol))
+          .as("__scrubbed"))
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol), col("source").as(sourceCol),
+        coalesce(col("__scrubbed"), lit("")).as(textCol))
   }
 
   /** GENERIC soft-dedup weights over ANY doc frame: every row gains
@@ -160,7 +174,7 @@ object CorpusClean {
   private val duckBoilerCensus: String =
     s"""SELECT c.source, c.line_fp, c.line, c.df, n.n_docs
        |FROM (
-       |  SELECT source, line_fp, min(line) AS line, COUNT(*) AS df
+       |  SELECT source, line_fp, min(line) AS line, COUNT(DISTINCT doc_id) AS df
        |  FROM lines GROUP BY source, line_fp) c
        |JOIN (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source) n
        |  USING (source)

@@ -1788,7 +1788,192 @@ object Dedup {
        |            // CAST(SUM(n_tokens) AS BIGINT) END AS token_drop_ppm
        |FROM flagged GROUP BY source ORDER BY source""".stripMargin
 
+  /** fixed stage order of [[dedupAttribution]] — a production
+    * pipeline's cost ordering, cheapest first: a doc removed by an
+    * early stage never pays a later one.
+    */
+  val AttributionStages: Seq[String] =
+    Seq("exact", "url", "prefix", "minhash", "containment", "semantic", "kept")
+
+  /** Per-stage dedup attribution: ONE table saying which removal stage
+    * fires FIRST on each document and what doc/token mass it takes —
+    * the number a deployment reads to decide which stages are worth
+    * their cost (corpus_dedup_impact prices only the near-dup stage;
+    * this is the whole lattice). Stage rules are each stage's own
+    * documented removal discipline over the union corpus (base ∪ the
+    * three planted re-ingestion families, so every content stage
+    * demonstrably fires):
+    *   - exact / url / prefix: min-id keep within the byte-fingerprint /
+    *     canonical-URL / prefix-fingerprint group (the synthesized
+    *     4-variant URL groups make `url` the dominant remover on THIS
+    *     corpus — exactly the mixture-shift readout the table exists
+    *     to surface);
+    *   - minhash: non-representative member of the verified near-dup
+    *     components (dedup_clusters' min-label rule);
+    *   - containment: the CONTAINED side (smaller shingle set; id
+    *     tiebreak) of any verified containment pair — NOT components:
+    *     a host doc is a hub joining unrelated contained docs, so
+    *     transitive closure would wrongly merge them;
+    *   - semantic: SemDeDup keep=false over the embeddings, linked by
+    *     the shared id space (docs without an embedding — the corpus
+    *     tail past the embedded slice — cannot fire this stage, as in
+    *     production where the semantic pass sees only embedded docs).
+    * First-to-fire attribution is per-doc and stage-independent, so the
+    * lattice needs no sequential keep-list materialization.
+    *
+    * Measured lattice at sf0.01 (the readout in action): minhash
+    * attributes ZERO docs — every verified near-dup in this corpus
+    * shares its 24-word prefix, so the cheaper prefix stage fires
+    * first. That is the table's purpose: it says a deployment on this
+    * mixture could drop the minhash pass (or re-order it) and lose
+    * nothing — the per-stage invoice no single-stage impact query
+    * (corpus_dedup_impact) can produce.
+    *
+    * Scale shape: features (tokens, byte/prefix fingerprints, canonical
+    * url) are map-side column math and TEXT IS DROPPED before the three
+    * census windows, so each of the three key-shuffles carries ~40-byte
+    * rows; minhash components and containment pairs are the frames the
+    * dedup family already prices (output-sized, equi-joined back on
+    * doc_id); the rollup is a 7-row axis LEFT JOIN + the q22 one-row
+    * totals broadcast (intended BroadcastNestedLoopJoin).
+    */
+  def dedupAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val exactP = base.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val prefixP = base.filter(pmod(col("doc_id"), lit(10)) === 4)
+      .select(plantId(col("doc_id"), 200000L).as("doc_id"),
+        concat(col("text"), lit(" editor note appended after republish")).as("text"))
+    val containP = base.filter(pmod(col("doc_id"), lit(10)) === 6)
+      .join(base.select(col("doc_id").as("id1"), col("text").as("t1")),
+        col("id1") === col("doc_id") + 1)
+      .join(base.select(col("doc_id").as("id2"), col("text").as("t2")),
+        col("id2") === col("doc_id") + 2)
+      .select(plantId(col("doc_id"), ContainmentShift).as("doc_id"),
+        concat_ws(" ", col("text"), col("t1"), col("t2")).as("text"))
+    // map-side features, then DROP the text: the census windows below
+    // shuffle narrow (id, tokens, 3 keys) rows, never the corpus bytes
+    val feat = base.union(exactP).union(prefixP).union(containP)
+      .withColumn("n_tokens",
+        expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)"))
+      .withColumn("fp", expr(sparkFingerprint("text")))
+      .withColumn("canon", WebCorpus.canonicalize(WebCorpus.urlCol))
+      .withColumn("pfp", expr(sparkFingerprint(
+        s"array_join(slice(filter(split(text, ' '), w -> w <> ''), 1, $PrefixWords), ' ')")))
+      .select("doc_id", "n_tokens", "fp", "canon", "pfp")
+    val mh = dedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    val contDrops = dedupContainmentLsh(s, dir)
+      .select(when(col("na") < col("nb"), col("doc_a"))
+        .when(col("nb") < col("na"), col("doc_b"))
+        .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct().withColumn("cont_drop", lit(true))
+    val semDrops = Similarity.dedupSemantic(s, dir).filter(!col("keep"))
+      .select(col("vec_id").as("doc_id")).withColumn("sem_drop", lit(true))
+    val staged = feat
+      .withColumn("drop_exact", col("doc_id") > min("doc_id").over(Window.partitionBy("fp")))
+      .withColumn("drop_url", col("doc_id") > min("doc_id").over(Window.partitionBy("canon")))
+      .withColumn("drop_prefix", col("doc_id") > min("doc_id").over(Window.partitionBy("pfp")))
+      .join(mh, Seq("doc_id"), "left")
+      .join(contDrops, Seq("doc_id"), "left")
+      .join(semDrops, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("drop_exact"), "exact")
+          .when(col("drop_url"), "url")
+          .when(col("drop_prefix"), "prefix")
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), "minhash")
+          .when(col("cont_drop").isNotNull, "containment")
+          .when(col("sem_drop").isNotNull, "semantic")
+          .otherwise("kept"))
+    val agg = staged.groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val axis = AttributionStages.zipWithIndex
+      .map { case (st, i) => (i + 1, st) }.toDF("stage_ord", "stage")
+    val tot = agg.agg(sum("n_docs").as("td"), sum("n_tokens").as("tt"))
+    axis.join(agg, Seq("stage"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("stage_ord"), col("stage"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        expr("coalesce(n_docs, CAST(0 AS BIGINT)) * 1000000 div td").as("doc_ppm"),
+        expr("coalesce(n_tokens, CAST(0 AS BIGINT)) * 1000000 div tt").as("token_ppm"))
+      .orderBy("stage_ord")
+  }
+
+  val dedupAttributionSql: String = {
+    val arr = WebCorpus.Domains.map(d => s"'$d'").mkString("[", ",", "]")
+    val prefExpr = s"array_to_string(list_slice(list_filter(string_split(text, ' '), w -> w <> ''), 1, $PrefixWords), ' ')"
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text || ' editor note appended after republish'
+       |  FROM documents WHERE doc_id % 10 = 4
+       |  UNION ALL
+       |  SELECT a.doc_id + $ContainmentShift, a.text || ' ' || b.text || ' ' || c.text
+       |  FROM documents a
+       |  JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  JOIN documents c ON c.doc_id = a.doc_id + 2
+       |  WHERE a.doc_id % 10 = 6
+       |), urls AS (
+       |  SELECT doc_id, ($arr)[CAST((doc_id // 4) % 8 + 1 AS INT)] AS dom,
+       |    '/p' || CAST(doc_id // 4 AS VARCHAR) AS page
+       |  FROM all_docs
+       |), feat AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+       |    ${duckFingerprint("text")} AS fp,
+       |    ${WebCorpus.duckCanon(s"(${WebCorpus.duckUrl})")} AS canon,
+       |    ${duckFingerprint(prefExpr)} AS pfp
+       |  FROM all_docs d JOIN urls USING (doc_id)
+       |), flags AS (
+       |  SELECT doc_id, n_tokens,
+       |    doc_id > MIN(doc_id) OVER (PARTITION BY fp) AS drop_exact,
+       |    doc_id > MIN(doc_id) OVER (PARTITION BY canon) AS drop_url,
+       |    doc_id > MIN(doc_id) OVER (PARTITION BY pfp) AS drop_prefix
+       |  FROM feat
+       |), mh AS (
+       |  SELECT doc_id, cluster_id FROM ($dedupClustersSql) t
+       |), cont AS (
+       |  SELECT DISTINCT CASE WHEN na < nb THEN doc_a WHEN nb < na THEN doc_b
+       |    ELSE greatest(doc_a, doc_b) END AS doc_id
+       |  FROM ($dedupContainmentLshSql) t
+       |), sem AS (
+       |  SELECT vec_id AS doc_id FROM (${Similarity.dedupSemanticSql}) t WHERE NOT keep
+       |), staged AS (
+       |  SELECT fl.n_tokens,
+       |    CASE WHEN fl.drop_exact THEN 'exact'
+       |         WHEN fl.drop_url THEN 'url'
+       |         WHEN fl.drop_prefix THEN 'prefix'
+       |         WHEN m.cluster_id IS NOT NULL AND m.cluster_id <> fl.doc_id THEN 'minhash'
+       |         WHEN co.doc_id IS NOT NULL THEN 'containment'
+       |         WHEN se.doc_id IS NOT NULL THEN 'semantic'
+       |         ELSE 'kept' END AS stage
+       |  FROM flags fl
+       |  LEFT JOIN mh m ON m.doc_id = fl.doc_id
+       |  LEFT JOIN cont co ON co.doc_id = fl.doc_id
+       |  LEFT JOIN sem se ON se.doc_id = fl.doc_id
+       |), agg AS (
+       |  SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM staged GROUP BY 1
+       |), axis(stage_ord, stage) AS (
+       |  VALUES ${AttributionStages.zipWithIndex.map { case (st, i) => s"(${i + 1}, '$st')" }.mkString(", ")}
+       |), tot AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS td, CAST(SUM(n_tokens) AS BIGINT) AS tt FROM agg
+       |)
+       |SELECT axis.stage_ord, axis.stage,
+       |  COALESCE(a.n_docs, 0) AS n_docs, COALESCE(a.n_tokens, 0) AS n_tokens,
+       |  COALESCE(a.n_docs, 0) * 1000000 // tot.td AS doc_ppm,
+       |  COALESCE(a.n_tokens, 0) * 1000000 // tot.tt AS token_ppm
+       |FROM axis LEFT JOIN agg a USING (stage) CROSS JOIN tot
+       |ORDER BY stage_ord""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_attribution" -> (dedupAttribution _),
     "dedup_clusters_hist" -> (dedupClustersHist _),
     "corpus_dedup_impact" -> (corpusDedupImpact _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
@@ -1812,6 +1997,7 @@ object Dedup {
     "text_contamination" -> (textContamination _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_attribution" -> dedupAttributionSql,
     "dedup_clusters_hist" -> dedupClustersHistSql,
     "corpus_dedup_impact" -> corpusDedupImpactSql,
     "dedup_minhash_recall" -> dedupMinhashRecallSql,

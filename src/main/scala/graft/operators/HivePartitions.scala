@@ -93,13 +93,51 @@ object HivePartitions {
        |WHERE regexp_matches(key, '(?:^|/)year=2024/month=[^/]*/day=[^/]*/event_type=click(?:/|$$)')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** createGlobPattern with a bash SEQUENCE range spec — the
+    * backfill-window prune (`month={01..06}`, `day={01..09}`) a user
+    * writes instead of enumerating twelve alternatives by hand. The
+    * numeric ranges expand at COMPILE time (driver-side, once:
+    * [[graft.functions.Globs]] brace-sequence expansion, zero-padded
+    * because the endpoints are written padded — matching the lpad'd
+    * Hive path format) and the executor still sees ONE codegen'd
+    * rlike over the scan: same single-scan-no-shuffle plan as
+    * [[hivePrune]]. The identical regex literal runs under DuckDB's
+    * RE2 in the oracle.
+    */
+  private val pruneRangeGlob =
+    "data/year={2023..2024}/month={01..06}/day={01..09}/event_type={click,view}/part-*.{json,csv}"
+
+  def hivePruneRange(s: SparkSession, dir: String): DataFrame = {
+    val re = "^" + graft.functions.Globs.compile(pruneRangeGlob) + "$"
+    Manifest.manifest(s, dir)
+      .filter(col("key").rlike(re))
+      .groupBy(
+        regexp_extract(col("key"), "(?:^|/)month=([^/]*)", 1).cast("int").as("month"),
+        regexp_extract(col("key"), "(?:^|/)event_type=([^/]*)", 1).as("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("size")).as("total_size"))
+      .orderBy("month", "event_type")
+  }
+
+  val hivePruneRangeSql: String = {
+    val re = "^" + graft.functions.Globs.compile(pruneRangeGlob) + "$"
+    s"""${Manifest.duckWith}
+       |SELECT CAST(regexp_extract(key, '(?:^|/)month=([^/]*)', 1) AS INT) AS month,
+       |  regexp_extract(key, '(?:^|/)event_type=([^/]*)', 1) AS event_type,
+       |  COUNT(*) AS n, CAST(SUM(size) AS BIGINT) AS total_size
+       |FROM manifest
+       |WHERE regexp_matches(key, '$re')
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hive_parse" -> (hiveParse _),
     "hive_format" -> (hiveFormat _),
-    "hive_prune" -> (hivePrune _))
+    "hive_prune" -> (hivePrune _),
+    "hive_prune_range" -> (hivePruneRange _))
 
   val oracles: Map[String, String] = Map(
     "hive_parse" -> hiveParseSql,
     "hive_format" -> hiveFormatSql,
-    "hive_prune" -> hivePruneSql)
+    "hive_prune" -> hivePruneSql,
+    "hive_prune_range" -> hivePruneRangeSql)
 }

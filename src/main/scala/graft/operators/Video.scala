@@ -305,9 +305,15 @@ object Video {
     */
   private[graft] def freezeFrameCopies(base: Dataset[VideoPayload]): Dataset[VideoPayload] = {
     import base.sparkSession.implicits._
-    base.filter(_.doc_id % 10 == 6).map { v =>
-      require(v.doc_id % 10000000L < SceneCopyShift,
-        s"doc_id ${v.doc_id} collides with the +$SceneCopyShift freeze-id plant")
+    base.map { v =>
+      // corpus-WIDE id-space guard, not just on the plant slice: every
+      // base id must sit below the shift, else some other original in
+      // [shift, 2·shift) could collide with a plant id unchecked (and
+      // the invariant-spec partition on id >= shift would mislabel it).
+      require(v.doc_id < SceneCopyShift,
+        s"base doc_id ${v.doc_id} >= $SceneCopyShift — freeze-plant id space collides")
+      v
+    }.filter(_.doc_id % 10 == 6).map { v =>
       val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v.container))
       val magic = new Array[Byte](4); in.readFully(magic)
       require(new String(magic, "US-ASCII") == "GVID", s"bad magic for doc ${v.doc_id}")

@@ -1389,9 +1389,12 @@ object EventStreams {
     * each frame emits its transition against the carried previous
     * frame, so a transition straddling a micro-batch boundary is
     * computed from state exactly like the batch lag window. Frames
-    * arrive in non-decreasing frame_idx order per video (the live
-    * decode order; the ohlc/forecast twins' convention) — within a
-    * batch they are sorted. JVM Long.bitCount over xor is bit-identical
+    * arrive in increasing frame_idx order per video (the live decode
+    * order) — within a batch they are sorted, and ACROSS batches the
+    * order is enforced: a frame at/behind the carried frontier is
+    * dropped rather than diffed against the wrong neighbor (bound
+    * lateness upstream with a watermark if the source can regress).
+    * JVM Long.bitCount over xor is bit-identical
     * to the batch operator's SQL bit_count, so the union of batch
     * outputs equals batch video_scene_cut EXACTLY under any split.
     */
@@ -1407,12 +1410,19 @@ object EventStreams {
           val out = Seq.newBuilder[(Long, Int, Long, Boolean)]
           var prev = state.getOption
           sorted.foreach { case (_, idx, lo, hi) =>
-            prev.foreach { p =>
-              val d = (java.lang.Long.bitCount(p.lo ^ lo) +
-                java.lang.Long.bitCount(p.hi ^ hi)).toLong
-              out += ((doc, idx, d, d >= graft.operators.Video.SceneCutBits))
+            // the cross-batch ordering convention is ENFORCED, not
+            // assumed: a frame at/behind the carried frontier would be
+            // diffed against the wrong neighbor (emitting a transition
+            // the batch operator never computes) — drop it instead, so
+            // the exact-equivalence contract can't silently break.
+            if (prev.forall(_.idx < idx)) {
+              prev.foreach { p =>
+                val d = (java.lang.Long.bitCount(p.lo ^ lo) +
+                  java.lang.Long.bitCount(p.hi ^ hi)).toLong
+                out += ((doc, idx, d, d >= graft.operators.Video.SceneCutBits))
+              }
+              prev = Some(SceneState(idx, lo, hi))
             }
-            prev = Some(SceneState(idx, lo, hi))
           }
           prev.foreach(state.update)
           out.result().iterator

@@ -41,6 +41,38 @@ class GlobsSpec extends AnyFunSuite {
     assert(m("data/y/f.csv", "data/**/f.{json,csv}"))
   }
 
+  test("{A..B} sequence ranges — bash brace expansion semantics") {
+    // plain numeric range
+    assert(m("year=2022/x", "year={2021..2023}/x"))
+    assert(!m("year=2024/x", "year={2021..2023}/x"))
+    // zero-padded iff an endpoint is written padded
+    assert(m("month=01", "month={01..12}"))
+    assert(m("month=12", "month={01..12}"))
+    assert(!m("month=1", "month={01..12}"))  // padded form only
+    assert(m("d=7", "d={1..12}"))            // unpadded form stays bare
+    assert(!m("d=07", "d={1..12}"))
+    assert(!m("month=13", "month={01..12}"))
+    // step + descending + negative
+    assert(m("h=10", "h={0..20..5}"))
+    assert(!m("h=7", "h={0..20..5}"))
+    assert(m("v=3", "v={5..1}"))
+    assert(m("t=-2", "t={-3..3}"))
+    // alpha range
+    assert(m("c", "{a..e}"))
+    assert(!m("f", "{a..e}"))
+    // a range inside a larger path + extension alternation composes
+    assert(m("data/year=2024/month=03/f.csv", "data/year={2023..2024}/month={01..06}/f.{json,csv}"))
+    assert(!m("data/year=2024/month=07/f.csv", "data/year={2023..2024}/month={01..06}/f.{json,csv}"))
+    // NOT a range: with a comma present the body is a plain list, so
+    // "a..b" stays a literal alternative (bash: seq expansion applies
+    // only when the WHOLE body is the A..B form)
+    assert(m("a..b", "{a..b,x}"))
+    assert(m("x", "{a..b,x}"))
+    assert(!m("a", "{a..b,x}"))
+    // runaway range fails loud instead of compiling a megabyte regex
+    intercept[IllegalArgumentException](Globs.compile("{1..1000000}"))
+  }
+
   test("mid-path ** matches zero or more whole dirs") {
     assert(m("a/b", "a/**/b"))
     assert(m("a/x/b", "a/**/b"))
