@@ -2593,7 +2593,285 @@ object Similarity {
        |FROM rule r JOIN occ o USING (scale)
        |ORDER BY r.scale""".stripMargin
 
+  // ---- k-means convergence audit ------------------------------------------
+
+  /** iterations of the [[embedKmeansConverge]] ladder — small and FIXED
+    * so the oracle replays the identical chain.
+    */
+  val KmeansConvIters = 4
+
+  /** The when-to-stop gate for Lloyd training ([[embedKmeansStep]] run
+    * as a ladder — the knn_ivf_drift idiom applied to TRAINING): from
+    * the same deterministic seeds, run [[KmeansConvIters]] exact Lloyd
+    * iterations and emit one row per iteration with the two numbers a
+    * training loop stops on — centroid movement (integer milli L∞ vs
+    * the previous iteration's table) and assignment churn (ppm of
+    * vectors that changed cluster). Movement/churn falling to ~0 IS
+    * convergence; a deployment reads the ladder once per corpus and
+    * fixes its iteration budget from it.
+    *
+    * Portability: the entire ladder is integer milli math (floored
+    * means, squared-milli distances, lexicographic (dist, cluster)
+    * tie-break), so Spark's partial aggregation and DuckDB's serial
+    * replay produce bit-identical tables at every rung. Iteration 1's
+    * centroid table equals embed_kmeans_step's output by construction
+    * (asserted in OperatorInvariantSpec).
+    *
+    * Scale shape: the milli grid materializes ONCE ([[Materialize]]
+    * discipline) and every iteration is embed_kmeans_step's plan —
+    * K×dims centroids BROADCAST onto the map-side grid, K-bounded
+    * fanout, argmin via min(struct), ONE (cluster, pos) partial agg.
+    * Per-iteration state checkpoints ([[Materialize.iteration]]) so the
+    * logical plan stays FLAT across rungs instead of doubling per
+    * round. Movement/churn rows are cluster- and vector-cardinality
+    * joins + one-row folds (the q22 broadcast idiom — intended
+    * BroadcastNestedLoopJoin).
+    */
+  def embedKmeansConverge(s: SparkSession, dir: String): DataFrame = {
+    val grid = Materialize.stable(Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(expr(sparkToDouble("embedding"))).as(Seq("pos", "x")))
+      .withColumn("milli", expr("CAST(floor(x * 1000) AS BIGINT)"))
+      .select("vec_id", "pos", "milli"))
+    def assignTo(cents: DataFrame): DataFrame =
+      grid.join(broadcast(cents), Seq("pos"))
+        .withColumn("d", col("milli") - col("c_milli"))
+        .groupBy("vec_id", "cluster")
+        .agg(sum(expr("d * d")).as("dist_sq"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist_sq"), col("cluster"))).as("best"))
+        .select(col("vec_id"), col("best.cluster").as("cluster"))
+    def recompute(assign: DataFrame): DataFrame =
+      grid.join(assign, Seq("vec_id"))
+        .groupBy("cluster", "pos")
+        .agg(sum("milli").as("sum_milli"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("pos"), expr("sum_milli div n").as("c_milli"))
+    var cents = Materialize.iteration(grid.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cluster"), col("pos"), col("milli").as("c_milli")))
+    var assign = Materialize.iteration(assignTo(cents))
+    val rows = (1 to KmeansConvIters).map { t =>
+      val nc = Materialize.iteration(recompute(assign))
+      val na = Materialize.iteration(assignTo(nc))
+      val moved = cents.select(col("cluster"), col("pos"), col("c_milli").as("prev"))
+        .join(nc, Seq("cluster", "pos"))
+        .agg(countDistinct("cluster").as("n_clusters"),
+          max(abs(col("c_milli") - col("prev"))).as("moved_linf_milli"))
+      val churn = assign.select(col("vec_id"), col("cluster").as("prev"))
+        .join(na, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("cluster") =!= col("prev"), 1L).otherwise(0L)).as("n_churn"))
+      cents = nc; assign = na
+      moved.crossJoin(broadcast(churn))
+        .select(lit(t.toLong).as("iter"), col("n_clusters"), col("moved_linf_milli"),
+          col("n_vecs"), col("n_churn"),
+          expr("n_churn * 1000000 div n_vecs").as("churn_ppm"))
+    }
+    rows.reduce(_ union _).orderBy("iter")
+  }
+
+  val embedKmeansConvergeSql: String = {
+    val dim = graft.functions.VectorFns.Dim
+    def dists(t: Int, cents: String) =
+      s"""d$t AS (
+         |  SELECT g.vec_id, c.cluster,
+         |    CAST(SUM((g.milli - c.c_milli) * (g.milli - c.c_milli)) AS BIGINT) AS dist_sq
+         |  FROM grid g JOIN $cents c USING (pos) GROUP BY 1, 2
+         |), a$t AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_sq, cluster) AS r
+         |    FROM d$t) t WHERE r = 1
+         |)""".stripMargin
+    val iters = (1 to KmeansConvIters).map { t =>
+      s"""cents$t AS (
+         |  SELECT a.cluster, g.pos,
+         |    CAST(SUM(g.milli) AS BIGINT) // COUNT(*) AS c_milli
+         |  FROM grid g JOIN a${t - 1} a USING (vec_id) GROUP BY 1, 2
+         |), ${dists(t, s"cents$t")}, row$t AS (
+         |  SELECT CAST($t AS BIGINT) AS iter, mv.n_clusters, mv.moved_linf_milli,
+         |    ch.n_vecs, ch.n_churn, ch.n_churn * 1000000 // ch.n_vecs AS churn_ppm
+         |  FROM (
+         |    SELECT CAST(COUNT(DISTINCT n.cluster) AS BIGINT) AS n_clusters,
+         |      CAST(MAX(ABS(n.c_milli - p.c_milli)) AS BIGINT) AS moved_linf_milli
+         |    FROM cents$t n JOIN cents${t - 1} p ON n.cluster = p.cluster AND n.pos = p.pos) mv
+         |  CROSS JOIN (
+         |    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |      CAST(SUM(CASE WHEN n.cluster <> p.cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_churn
+         |    FROM a$t n JOIN a${t - 1} p USING (vec_id)) ch
+         |)""".stripMargin
+    }.mkString(", ")
+    val unions = (1 to KmeansConvIters).map(t => s"SELECT * FROM row$t").mkString(" UNION ALL ")
+    s"""WITH grid AS (
+       |  SELECT vec_id, p.pos AS pos,
+       |    CAST(floor(list_transform(embedding, x -> x::DOUBLE)[p.pos + 1] * 1000) AS BIGINT) AS milli
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $dim)) AS pos) p
+       |), cents0 AS (
+       |  SELECT vec_id AS cluster, pos, milli AS c_milli FROM grid WHERE vec_id < $KmeansK
+       |), ${dists(0, "cents0")}, $iters
+       |$unions ORDER BY iter""".stripMargin
+  }
+
+  // ---- PQ codebook training -----------------------------------------------
+
+  /** milli-quantized per-subspace grid of the NORMALIZED corpus:
+    * (vec_id, m, pos, milli) — the integer training substrate shared by
+    * [[knnPqTrain]] and its gain gate.
+    */
+  private def pqMilliGrid(nvecs: DataFrame): DataFrame =
+    pqSubvecs(nvecs)
+      .select(col("vec_id"), col("m"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .withColumn("milli", expr("CAST(floor(x * 1000) AS BIGINT)"))
+      .select("vec_id", "m", "pos", "milli")
+
+  /** milli seed codebook: the SAME deterministic rows [[knnPq]] seeds
+    * from (vec_id % PqSeedMod == PqSeedOffset, first PqK), per subspace.
+    */
+  private def pqMilliSeeds(grid: DataFrame): DataFrame =
+    grid.filter(pmod(col("vec_id"), lit(PqSeedMod)) === PqSeedOffset &&
+        col("vec_id") < PqSeedOffset + PqSeedMod * PqK)
+      .select(expr(s"(vec_id - $PqSeedOffset) div $PqSeedMod").as("j"),
+        col("m"), col("pos"), col("milli").as("c_milli"))
+
+  /** one per-subspace Lloyd assignment: nearest codeword per
+    * (vector, subspace), squared-milli distance, (dist, j) tie-break.
+    */
+  private def pqAssign(grid: DataFrame, codebook: DataFrame): DataFrame =
+    grid.join(broadcast(codebook), Seq("m", "pos"))
+      .withColumn("d", col("milli") - col("c_milli"))
+      .groupBy("vec_id", "m", "j")
+      .agg(sum(expr("d * d")).as("dist_sq"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist_sq"), col("j"))).as("best"))
+
+  /** TRAIN the PQ codebook — one exact Lloyd step PER SUBSPACE (the
+    * FAISS IVFADC training shape, Jégou et al. §IV: codebooks come from
+    * per-subspace k-means, not raw sample rows): every normalized
+    * subvector assigns to its nearest seed codeword (squared milli
+    * distance), and each (subspace, codeword) recomputes as the integer
+    * milli mean of its assignees. Output = the refined codebook table
+    * (m, j, pos, n_assigned, c_milli); the [[knnPqTrainGain]] gate
+    * prices what the step buys.
+    *
+    * Scale shape: [[embedKmeansStep]]'s machinery applied M times in
+    * ONE plan — the M×K×SubDim seed grid (1k rows) BROADCASTS onto the
+    * map-side subvector grid, distance fanout is K-bounded per
+    * (vector, subspace), argmin folds via min(struct), and the
+    * recompute is ONE (m, j, pos) partial agg. Σ milli per cell is
+    * BIGINT-safe (|milli| ≤ 10³ · vectors).
+    */
+  def knnPqTrain(s: SparkSession, dir: String): DataFrame = {
+    val grid = Materialize.stable(pqMilliGrid(pqNormalize(withVec(s, dir))))
+    val assign = pqAssign(grid, pqMilliSeeds(grid))
+      .select(col("vec_id"), col("m"), col("best.j").as("j"))
+    grid.join(assign, Seq("vec_id", "m"))
+      .groupBy("m", "j", "pos")
+      .agg(count(lit(1)).as("n_assigned"), sum("milli").as("sum_milli"))
+      .select(col("m").cast("long").as("m"), col("j"), col("pos").cast("long").as("pos"),
+        col("n_assigned"), expr("sum_milli div n_assigned").as("c_milli"))
+      .orderBy("m", "j", "pos")
+  }
+
+  /** shared oracle prefix: normalized corpus → milli subvector grid →
+    * seed codebook → Lloyd assignment → refined codebook.
+    */
+  private val duckPqTrainWith: String =
+    s"""grid AS (
+       |  SELECT vec_id, ms.m AS m, p.pos AS pos,
+       |    CAST(floor(v[ms.m * $PqSubDim + p.pos + 1] * 1000) AS BIGINT) AS milli
+       |  FROM (
+       |    SELECT vec_id, list_transform(v, x -> x / nrm) AS v
+       |    FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+       |            ${graft.functions.VectorFns.duckNorm("list_transform(embedding, x -> x::DOUBLE)")} AS nrm
+       |          FROM embeddings) t0) t1
+       |  CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms
+       |  CROSS JOIN (SELECT unnest(range(0, $PqSubDim)) AS pos) p
+       |), seedbook AS (
+       |  SELECT (vec_id - $PqSeedOffset) // $PqSeedMod AS j, m, pos, milli AS c_milli
+       |  FROM grid
+       |  WHERE vec_id % $PqSeedMod = $PqSeedOffset
+       |    AND vec_id < $PqSeedOffset + $PqSeedMod * $PqK
+       |), sdist AS (
+       |  SELECT g.vec_id, g.m, c.j,
+       |    CAST(SUM((g.milli - c.c_milli) * (g.milli - c.c_milli)) AS BIGINT) AS dist_sq
+       |  FROM grid g JOIN seedbook c ON g.m = c.m AND g.pos = c.pos
+       |  GROUP BY 1, 2, 3
+       |), sassign AS (
+       |  SELECT vec_id, m, j, dist_sq FROM (
+       |    SELECT vec_id, m, j, dist_sq,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist_sq, j) AS r
+       |    FROM sdist) t WHERE r = 1
+       |), refined AS (
+       |  SELECT g.m, a.j, g.pos, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       |    CAST(SUM(g.milli) AS BIGINT) // COUNT(*) AS c_milli
+       |  FROM grid g JOIN sassign a ON g.vec_id = a.vec_id AND g.m = a.m
+       |  GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  val knnPqTrainSql: String =
+    s"""WITH $duckPqTrainWith
+       |SELECT m, j, pos, n_assigned, c_milli FROM refined ORDER BY m, j, pos""".stripMargin
+
+  /** The training gate: per-subspace reconstruction SSE (squared milli,
+    * each subvector against its NEAREST codeword) under the seed
+    * codebook vs the Lloyd-refined one, with the improvement in ppm —
+    * the evidence that the train step is worth running (Lloyd
+    * monotonically decreases SSE; the floor-quantized means keep the
+    * claim oracle-checkable). Audit tier: the exact nearest-codeword
+    * scoring is paid TWICE over the corpus by contract.
+    *
+    * SSE sums accumulate DECIMAL(38,0)/HUGEINT — per-subvector dist²
+    * ≤ SubDim·(2·10³)² ≈ 3×10⁷, which crosses 2⁶³ past ~3×10¹¹
+    * vectors (the numeric-bounds rule); the ppm quotient divides back
+    * to a safe BIGINT.
+    */
+  def knnPqTrainGain(s: SparkSession, dir: String): DataFrame = {
+    val grid = Materialize.stable(pqMilliGrid(pqNormalize(withVec(s, dir))))
+    val seeds = pqMilliSeeds(grid)
+    val seedAssign = pqAssign(grid, seeds)
+      .select(col("vec_id"), col("m"), col("best.j").as("j"), col("best.dist_sq").as("d_seed"))
+    val refined = grid.join(seedAssign.select("vec_id", "m", "j"), Seq("vec_id", "m"))
+      .groupBy("m", "j", "pos")
+      .agg(sum("milli").as("sum_milli"), count(lit(1)).as("n"))
+      .select(col("m"), col("j"), col("pos"), expr("sum_milli div n").as("c_milli"))
+    val refAssign = pqAssign(grid, refined)
+      .select(col("vec_id"), col("m"), col("best.dist_sq").as("d_ref"))
+    seedAssign.select("vec_id", "m", "d_seed")
+      .join(refAssign, Seq("vec_id", "m"))
+      .groupBy(col("m").cast("long").as("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(d_seed AS DECIMAL(38,0))")).as("sse_seed_d"),
+        sum(expr("CAST(d_ref AS DECIMAL(38,0))")).as("sse_refined_d"))
+      .select(col("m"), col("n_vecs"),
+        expr("CAST(sse_seed_d AS BIGINT)").as("sse_seed"),
+        expr("CAST(sse_refined_d AS BIGINT)").as("sse_refined"),
+        expr("CAST((sse_seed_d - sse_refined_d) * 1000000 div sse_seed_d AS BIGINT)")
+          .as("gain_ppm"))
+      .orderBy("m")
+  }
+
+  val knnPqTrainGainSql: String =
+    s"""WITH $duckPqTrainWith, rdist AS (
+       |  SELECT g.vec_id, g.m, c.j,
+       |    CAST(SUM((g.milli - c.c_milli) * (g.milli - c.c_milli)) AS BIGINT) AS dist_sq
+       |  FROM grid g JOIN refined c ON g.m = c.m AND g.pos = c.pos
+       |  GROUP BY 1, 2, 3
+       |), rassign AS (
+       |  SELECT vec_id, m, dist_sq AS d_ref FROM (
+       |    SELECT vec_id, m, dist_sq,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist_sq, j) AS r
+       |    FROM rdist) t WHERE r = 1
+       |)
+       |SELECT s.m, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(CAST(s.dist_sq AS HUGEINT)) AS BIGINT) AS sse_seed,
+       |  CAST(SUM(CAST(r.d_ref AS HUGEINT)) AS BIGINT) AS sse_refined,
+       |  CAST((SUM(CAST(s.dist_sq AS HUGEINT)) - SUM(CAST(r.d_ref AS HUGEINT))) * 1000000
+       |    // SUM(CAST(s.dist_sq AS HUGEINT)) AS BIGINT) AS gain_ppm
+       |FROM sassign s JOIN rassign r ON s.vec_id = r.vec_id AND s.m = r.m
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_kmeans_converge" -> (embedKmeansConverge _),
+    "knn_pq_train" -> (knnPqTrain _),
+    "knn_pq_train_gain" -> (knnPqTrainGain _),
     "embed_bits_rule" -> (embedBitsRule _),
     "embed_geometry_sweep" -> (embedGeometrySweep _),
     "embed_bitext" -> (embedBitext _),
@@ -2627,6 +2905,9 @@ object Similarity {
     "embed_project" -> (embedProject _))
 
   val oracles: Map[String, String] = Map(
+    "embed_kmeans_converge" -> embedKmeansConvergeSql,
+    "knn_pq_train" -> knnPqTrainSql,
+    "knn_pq_train_gain" -> knnPqTrainGainSql,
     "embed_bits_rule" -> embedBitsRuleSql,
     "embed_geometry_sweep" -> embedGeometrySweepSql,
     "embed_bitext" -> embedBitextSql,

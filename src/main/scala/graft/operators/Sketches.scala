@@ -842,7 +842,229 @@ object Sketches {
        |FROM est JOIN ndays n ON est.wday = n.wday JOIN exact x ON est.wday = x.wday
        |ORDER BY window_end""".stripMargin
 
+  // ---- KLL-style deterministic compactor quantile sketch -----------------
+
+  /** per-level buffer capacity of the [[kllState]] compactor. */
+  val KllCapacity = 32L
+
+  /** static rung count in the DuckDB oracle replay — enough for
+    * [[KllCapacity]]·2²⁴ ≈ 5×10⁸ items per group; rungs past
+    * convergence are no-ops (no level exceeds capacity), so the
+    * Spark side running exactly the needed rungs matches bit-for-bit.
+    */
+  val KllOracleLevels = 24
+
+  /** ONE deterministic compaction rung over a KLL state frame
+    * (group, cents, tie, lvl): every (group, lvl) buffer over
+    * [[KllCapacity]] ranks its items by (cents, tie), pairs
+    * consecutive ranks, and promotes one survivor per pair to lvl+1
+    * (weight doubles implicitly — weight IS 2^lvl); the unpaired
+    * leftover of an odd buffer stays at lvl. The kept pair element
+    * alternates with level parity (rank%2 == 1−lvl%2) — the classic
+    * deterministic de-biasing coin, portable because it depends only
+    * on rank. Items promoted into an occupied level MERGE with it —
+    * which is exactly why two independently-built states can be
+    * unioned and re-compacted (mergeability; total weight Σ2^lvl is
+    * conserved by construction: a (w, w) pair becomes one 2w item).
+    */
+  private[graft] def kllCompactRung(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCnt = Window.partitionBy("event_type", "lvl")
+    val wOrd = Window.partitionBy("event_type", "lvl").orderBy("cents", "tie")
+    val paired = col("rk") <= col("cnt") - pmod(col("cnt"), lit(2L))
+    state
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .filter(col("cnt") <= KllCapacity || !paired ||
+        pmod(col("rk"), lit(2L)) === lit(1L) - pmod(col("lvl"), lit(2L)))
+      .select(col("event_type"), col("cents"), col("tie"),
+        when(col("cnt") > KllCapacity && paired, col("lvl") + 1L)
+          .otherwise(col("lvl")).as("lvl"))
+  }
+
+  /** Compact ANY (event_type, cents, tie, lvl) item frame to a fixed
+    * point — no (group, level) buffer over capacity. Each rung
+    * checkpoints ([[Materialize.iteration]]) so the plan stays flat,
+    * and the loop stops on a convergence census (state shrinks
+    * geometrically, so rungs ≈ log₂(n/K)). Library entry point: the
+    * MERGE of two sketches is `kllState(a.union(b))` — union the
+    * states, re-compact (the error bound, not the exact state, is the
+    * merge invariant; OperatorInvariantSpec grades a split-corpus
+    * merge against the same rank-error bar as the one-shot build).
+    */
+  def kllState(items: DataFrame): DataFrame = {
+    var state = Materialize.iteration(items)
+    var rung = 0
+    while (rung < 64 && state.groupBy("event_type", "lvl")
+        .count().filter(col("count") > KllCapacity).limit(1).count() > 0L) {
+      state = Materialize.iteration(kllCompactRung(state))
+      rung += 1
+    }
+    state
+  }
+
+  private def kllItems(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+      col("event_id").as("tie"), lit(0L).as("lvl"))
+
+  /** The KLL-style mergeable RANK-error quantile sketch —
+    * [[sketchQuantile]]'s 0.1-wide integer bins assume a known bounded
+    * value range; the compactor does not (production telemetry has
+    * none): per event type, items enter at level 0 / weight 1 and
+    * deterministic pair compaction (see [[kllCompactRung]]) halves any
+    * over-capacity level into the next, so the retained state is
+    * ≤ [[KllCapacity]] + log₂(n) weighted order statistics whose rank
+    * error is capacity-bounded regardless of the value distribution.
+    * Output = the per-(type, level) state digest: item count, weight
+    * (2^lvl), Σ/min/max cents and a portable checksum — the exact
+    * state, oracle-replayed level by level.
+    *
+    * Contract honesty: THIS query materializes the compactor
+    * deterministically with per-(type, level) rank windows — the
+    * exact-order-statistic price (events_median_exact's documented
+    * contract), paid so the DuckDB oracle can replay compaction
+    * bit-for-bit (audit tier). The production path runs the SAME
+    * compactor executor-local over stream chunks and merges states
+    * (union + re-compact, [[kllState]]); its state differs item-wise
+    * but obeys the identical capacity/weight invariants and rank-error
+    * bound — that path is graded in OperatorInvariantSpec's
+    * split-merge test against [[sketchKllError]]'s bar.
+    */
+  def sketchKll(s: SparkSession, dir: String): DataFrame =
+    kllState(kllItems(s, dir))
+      .groupBy(col("event_type"), col("lvl"))
+      .agg(count(lit(1)).as("n_items"),
+        sum("cents").as("sum_cents"),
+        min("cents").as("min_cents"),
+        max("cents").as("max_cents"),
+        sum(expr("pmod(cents * 1000003 + tie, 1000000007)")).as("chk"))
+      .select(col("event_type"), col("lvl"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))").as("weight"),
+        col("n_items"), col("sum_cents"), col("min_cents"), col("max_cents"), col("chk"))
+      .orderBy("event_type", "lvl")
+
+  /** shared oracle replay: items at level 0 → [[KllOracleLevels]]
+    * chained compaction rungs (each a rank window over the shrinking
+    * state; rungs past convergence are no-ops).
+    */
+  private val duckKllState: String = {
+    val rungs = (1 to KllOracleLevels).map { r =>
+      s"""l$r AS (
+         |  SELECT event_type, cents, tie,
+         |    CASE WHEN cnt > $KllCapacity AND rk <= cnt - cnt % 2
+         |         THEN lvl + 1 ELSE lvl END AS lvl
+         |  FROM (
+         |    SELECT event_type, cents, tie, lvl,
+         |      CAST(COUNT(*) OVER (PARTITION BY event_type, lvl) AS BIGINT) AS cnt,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY event_type, lvl
+         |        ORDER BY cents, tie) AS BIGINT) AS rk
+         |    FROM l${r - 1}) t
+         |  WHERE cnt <= $KllCapacity OR rk > cnt - cnt % 2
+         |     OR rk % 2 = 1 - lvl % 2
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""l0 AS (
+       |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+       |    event_id AS tie, CAST(0 AS BIGINT) AS lvl
+       |  FROM events
+       |), $rungs""".stripMargin
+  }
+
+  val sketchKllSql: String =
+    s"""WITH $duckKllState
+       |SELECT event_type, lvl,
+       |  (CAST(1 AS BIGINT) << CAST(lvl AS INT)) AS weight,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+       |  CAST(SUM(((cents * 1000003 + tie) % 1000000007 + 1000000007) % 1000000007) AS BIGINT) AS chk
+       |FROM l$KllOracleLevels
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** the three graded quantiles, in ppm of the rank axis. */
+  val KllQuantilesPpm: Seq[Long] = Seq(500000L, 950000L, 990000L)
+
+  /** The sketch's acceptance gate (sketch_quantile_error's idiom on
+    * the RANK axis, where KLL's guarantee actually lives): estimate
+    * p50/p95/p99 from the weighted state (smallest item whose
+    * cumulative weight reaches ⌈q·W⌉), then grade each estimate by its
+    * TRUE rank interval in the corpus — err = distance from the target
+    * rank to [count(<est)+1, count(≤est)], 0 when the target falls
+    * inside (ties make rank an interval), in ppm of n. All integer:
+    * rank targets ceil-divide in BIGINT, the corpus-side rank count is
+    * one broadcast of the 3·|types| estimate rows onto a single scan.
+    * Audit tier (the state build pays the oracle-replayable
+    * materialization; the grade pays one exact corpus rank pass).
+    */
+  def sketchKllError(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val state = kllState(kllItems(s, dir))
+      .withColumn("weight", expr("shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))"))
+    val wOrd = Window.partitionBy("event_type").orderBy("cents", "tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val cum = state
+      .withColumn("cumw", sum("weight").over(wOrd))
+      .withColumn("w_total", sum("weight").over(wAll))
+    val qs = KllQuantilesPpm.map { q =>
+      cum.groupBy("event_type")
+        .agg(max("w_total").as("n"),
+          min(when(col("cumw") * 1000000L >= col("w_total") * q, col("cents"))).as("est_cents"))
+        .select(col("event_type"), lit(q).as("q_ppm"), col("n"),
+          expr(s"(n * $q + 999999) div 1000000").as("target_rank"), col("est_cents"))
+    }.reduce(_ union _)
+    Tables.events(s, dir)
+      .select(col("event_type"), expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .join(broadcast(qs), Seq("event_type"))
+      .groupBy("event_type", "q_ppm")
+      .agg(max("n").as("n"), max("target_rank").as("target_rank"),
+        max("est_cents").as("est_cents"),
+        (sum(when(col("cents") < col("est_cents"), 1L).otherwise(0L)) + 1L).as("rank_lo"),
+        sum(when(col("cents") <= col("est_cents"), 1L).otherwise(0L)).as("rank_hi"))
+      .withColumn("rank_err_ppm", expr(
+        """CASE WHEN target_rank BETWEEN rank_lo AND rank_hi THEN CAST(0 AS BIGINT)
+          |ELSE least(abs(target_rank - rank_lo), abs(target_rank - rank_hi)) * 1000000 div n END"""
+          .stripMargin.replaceAll("\\s+", " ")))
+      .select("event_type", "q_ppm", "n", "target_rank", "est_cents",
+        "rank_lo", "rank_hi", "rank_err_ppm")
+      .orderBy("event_type", "q_ppm")
+  }
+
+  val sketchKllErrorSql: String = {
+    val qVals = KllQuantilesPpm.map(q => s"(CAST($q AS BIGINT))").mkString(", ")
+    s"""WITH $duckKllState, cum AS (
+       |  SELECT event_type, cents,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(lvl AS INT)) OVER (PARTITION BY event_type
+       |      ORDER BY cents, tie ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(lvl AS INT)) OVER (PARTITION BY event_type) AS BIGINT) AS w_total
+       |  FROM l$KllOracleLevels
+       |), qs AS (
+       |  SELECT event_type, q.q_ppm, MAX(w_total) AS n,
+       |    (MAX(w_total) * q.q_ppm + 999999) // 1000000 AS target_rank,
+       |    MIN(CASE WHEN cumw * 1000000 >= w_total * q.q_ppm THEN cents END) AS est_cents
+       |  FROM cum CROSS JOIN (SELECT * FROM (VALUES $qVals) v(q_ppm)) q
+       |  GROUP BY 1, 2
+       |), graded AS (
+       |  SELECT e.event_type, q.q_ppm, MAX(q.n) AS n, MAX(q.target_rank) AS target_rank,
+       |    MAX(q.est_cents) AS est_cents,
+       |    CAST(SUM(CASE WHEN CAST(floor(e.value * 100) AS BIGINT) < q.est_cents
+       |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS rank_lo,
+       |    CAST(SUM(CASE WHEN CAST(floor(e.value * 100) AS BIGINT) <= q.est_cents
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS rank_hi
+       |  FROM events e JOIN qs q USING (event_type)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT event_type, q_ppm, n, target_rank, est_cents, rank_lo, rank_hi,
+       |  CASE WHEN target_rank BETWEEN rank_lo AND rank_hi THEN CAST(0 AS BIGINT)
+       |       ELSE least(abs(target_rank - rank_lo), abs(target_rank - rank_hi)) * 1000000 // n END
+       |    AS rank_err_ppm
+       |FROM graded ORDER BY event_type, q_ppm""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kll" -> (sketchKll _),
+    "sketch_kll_error" -> (sketchKllError _),
     "sketch_hll_sliding" -> (sketchHllSliding _),
     "sketch_hll_setops" -> (sketchHllSetops _),
     "sketch_hll" -> (sketchHll _),
@@ -854,6 +1076,8 @@ object Sketches {
     "source_similarity" -> (sourceSimilarity _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_kll" -> sketchKllSql,
+    "sketch_kll_error" -> sketchKllErrorSql,
     "sketch_hll_sliding" -> sketchHllSlidingSql,
     "sketch_hll_setops" -> sketchHllSetopsSql,
     "sketch_hll" -> sketchHllSql,
