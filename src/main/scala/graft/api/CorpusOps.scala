@@ -889,11 +889,24 @@ object CorpusOps {
     * total sampling mass ~1 while its duplication skew disappears.
     * Adds `cluster_id`, `cluster_size`, `weight_ppm`.
     */
-  def neardupWeights(docs: DataFrame): DataFrame = {
+  def neardupWeights(docs: DataFrame): DataFrame =
+    neardupWeightsFor(graft.operators.Dedup.connectedComponents(
+      nearDupPairs(docs).select("doc_a", "doc_b")), docs)
+
+  /** [[neardupWeights]] parameterized on a PRE-COMPUTED component
+    * frame (doc_id, cluster_id — [[components]]' / dedup_clusters'
+    * artifact): the component census is the expensive invoice of the
+    * soft-dedup family, and weights, histograms and impact audits all
+    * consume the SAME frame — pay it ONCE, pass it to every consumer
+    * (`neardupWeightsFor(c, docs)`, `Dedup.dedupImpactFor(docs, c)`,
+    * …) instead of re-deriving it snapshot-per-query. Docs in no
+    * component are singletons at full weight. Adds `cluster_id`,
+    * `cluster_size`, `weight_ppm`; the only work beyond the passed
+    * frame is one component-keyed window (cluster-bounded partitions).
+    */
+  def neardupWeightsFor(components: DataFrame, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = graft.operators.Dedup.connectedComponents(
-      nearDupPairs(docs).select("doc_a", "doc_b"))
-    docs.join(comp, Seq("doc_id"), "left")
+    docs.join(components.select("doc_id", "cluster_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
       .withColumn("weight_ppm", expr("1000000 div cluster_size"))

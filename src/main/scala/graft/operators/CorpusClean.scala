@@ -298,19 +298,19 @@ object CorpusClean {
     * beyond the component census dedup_clusters already prices.
     */
   def corpusNeardupWeights(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    // the component frame is the family's shared invoice — derived
+    // once here and passed through the parameterized library entry
+    // (graft.api.CorpusOps.neardupWeightsFor), the same frame impact /
+    // histogram consumers reuse
     val comp = Dedup.connectedComponents(
       Dedup.dedupMinhash(s, dir).select(col("doc_a"), col("doc_b")))
-    docs.join(comp, Seq("doc_id"), "left")
-      .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("csize", count(lit(1)).over(Window.partitionBy("cid")))
-      .withColumn("weight_ppm", expr("1000000 div csize"))
+    graft.api.CorpusOps.neardupWeightsFor(comp, docs)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_neardup_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_neardup_docs"),
         sum("weight_ppm").as("effective_docs_ppm"),
-        max("csize").as("max_cluster"))
+        max("cluster_size").as("max_cluster"))
       .orderBy("source")
   }
 

@@ -650,6 +650,23 @@ object ApiTour {
         perCluster.filter(col("mass") > 1000000L || col("mass") <= lit(1000000L) - col("cs")).count() == 0
     })
 
+    check("corpus.neardupWeightsFor: shared component frame — pay the census once, every consumer agrees")({
+      // the parameterized entry consumes a PRE-COMPUTED component frame;
+      // weights through it must equal the self-deriving path exactly,
+      // and the same frame feeds the impact rollup without re-derivation
+      val d = docs.select("doc_id", "text")
+      val comp = CorpusOps.components(
+        CorpusOps.nearDupPairs(d).select("doc_a", "doc_b")).cache()
+      val viaFor = CorpusOps.neardupWeightsFor(comp, d)
+        .select("doc_id", "cluster_id", "cluster_size", "weight_ppm")
+      val viaSelf = CorpusOps.neardupWeights(d)
+        .select("doc_id", "cluster_id", "cluster_size", "weight_ppm")
+      viaFor.exceptAll(viaSelf).isEmpty && viaSelf.exceptAll(viaFor).isEmpty &&
+        graft.operators.Dedup.dedupImpactFor(
+          docs.select(col("doc_id"), col("source"), col("n_chars").as("n_tokens")),
+          comp).count() > 0
+    })
+
     check("sql kernels survive newSession (injected, not temp-registered)")({
       // a temp-function-only registration dies with the session; the
       // extensions-injected one is part of the cloned function registry
