@@ -1974,6 +1974,138 @@ class StreamingSpec extends SparkSpec {
     } finally { qL2.stop(); qD2.stop() }
   }
 
+  test("restart harness: index-carrying twins recover the corpus index from checkpoint") {
+    // the A/B crash-between-waves harness applied to the five twins
+    // whose keyed state IS the production corpus index (LSH band
+    // buckets, containment print postings, boilerplate df counters,
+    // per-video frame frontier, per-source quota frontier): a recovery
+    // bug there silently re-admits duplicates after a crash — a
+    // deployment correctness bug, not a latency one. Wave 2's probes /
+    // increments only produce the right rows if wave 1's index state
+    // came back from the checkpoint; the uninterrupted run is the
+    // ground truth, and the multisets must match EXACTLY.
+    implicit val s = spark
+    import spark.implicits._
+    import java.nio.file.Files
+    import org.apache.spark.sql.DataFrame
+    import graft.functions.PortableHash._
+    import graft.streaming.EventStreams.{ContainPrintRow, LshBandRow}
+    graft.expressions.GraftFunctions.register(spark)
+
+    val d = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    def bandRows(docs: DataFrame, idCol: String, kind: Int): Seq[LshBandRow] =
+      docs.select(col(idCol), expr(sparkMinhash(sparkShingleHashes("text"))).as("mh"))
+        .select(col(idCol), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mh"))
+        .select(col(idCol), col("b"), expr(sparkBandValue("mh", "b")).as("bv"), col("mh"))
+        .collect().map(r => LshBandRow(kind, r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getSeq[Long](3)))
+    def printRows(docs: DataFrame, idCol: String, kind: Int): Seq[ContainPrintRow] =
+      docs.select(col(idCol),
+          expr(operators.Dedup.sparkWinnowPrints("text")).as("prs"),
+          expr(s"array_distinct(${sparkShingleHashes("text")})").as("sh"))
+        .select(col(idCol), explode(col("prs")).as("pr"), col("sh"))
+        .collect().map(r => ContainPrintRow(kind, r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+    // probes = the incremental operators' own planted batches (tail
+    // edits, digest composites, reversed docs) over the subset corpus
+    val lshProbeDocs = d.filter(pmod(col("doc_id"), lit(10)) === 4)
+      .select((col("doc_id") + operators.Dedup.NearBatchShift).as("new_id"),
+        concat(col("text"), lit(" appendix")).as("text"))
+    val contProbeDocs = d.filter(pmod(col("doc_id"), lit(10)) === 6)
+      .join(d.select(col("doc_id").as("id1"), col("text").as("t1")),
+        col("id1") === col("doc_id") + 1)
+      .join(d.select(col("doc_id").as("id2"), col("text").as("t2")),
+        col("id2") === col("doc_id") + 2)
+      .select((col("doc_id") + operators.Dedup.ContainBatchShift).as("new_id"),
+        concat_ws(" ", col("text"), col("t1"), col("t2")).as("text"))
+    val lshIdx = bandRows(d, "doc_id", 0)
+    val lshProbes = bandRows(lshProbeDocs, "new_id", 1)
+    val contIdx = printRows(d, "doc_id", 0)
+    val contProbes = printRows(contProbeDocs, "new_id", 1)
+    assert(lshIdx.nonEmpty && lshProbes.nonEmpty && contIdx.nonEmpty && contProbes.nonEmpty)
+    // wave 1 carries HALF the index + half the probes; wave 2's probes
+    // hit wave-1 index entries only via the recovered state store
+    def halves[T](xs: Seq[T], key: T => Long): (Seq[T], Seq[T]) = {
+      val med = xs.map(key).sorted.apply(xs.size / 2)
+      xs.partition(x => key(x) < med)
+    }
+    val (li1, li2) = halves[LshBandRow](lshIdx, _.id)
+    val (lp1, lp2) = halves[LshBandRow](lshProbes, _.id)
+    val (ci1, ci2) = halves[ContainPrintRow](contIdx, _.id)
+    val (cp1, cp2) = halves[ContainPrintRow](contProbes, _.id)
+
+    val lineRows = graft.operators.CorpusClean.lines(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("line_fp"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val lineMed = lineRows(lineRows.length / 2)._1
+    val vbase = graft.operators.Video.encodeVideos(spark, sfDir)
+      .filter(_.doc_id < 60)
+    val frames = graft.operators.Video
+      .aHashLoHi(vbase.union(graft.operators.Video.freezeFrameCopies(vbase)))
+      .as[(Long, Int, Long, Long)].collect()
+    val (f1, f2) = frames.partition(_._2 < 2)
+    assert(f2.nonEmpty, "scene split produced no boundary-spanning frames")
+    val qdocs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val (qd1, qd2) = qdocs.splitAt(qdocs.length / 2)
+
+    val cases: Seq[(String, String, DataFrame, DataFrame, DataFrame => DataFrame)] = Seq(
+      ("dedup_lsh", "kind INT, id LONG, b INT, bv LONG, mh ARRAY<LONG>",
+        (li1 ++ lp1).toDF(), (li2 ++ lp2).toDF(),
+        (df: DataFrame) => EventStreams.dedupLshStream(df.as[LshBandRow])
+          .toDF("new_id", "cand", "matches")),
+      ("dedup_containment", "kind INT, id LONG, pr LONG, sh ARRAY<LONG>",
+        (ci1 ++ cp1).toDF(), (ci2 ++ cp2).toDF(),
+        (df: DataFrame) => EventStreams.dedupContainmentStream(df.as[ContainPrintRow])
+          .toDF("new_id", "cand", "i")),
+      ("boilerplate", "source STRING, line_fp LONG",
+        lineRows.filter(_._1 < lineMed).map(r => (r._2, r._3)).toSeq.toDF("source", "line_fp"),
+        lineRows.filter(_._1 >= lineMed).map(r => (r._2, r._3)).toSeq.toDF("source", "line_fp"),
+        (df: DataFrame) => EventStreams.boilerplateStream(df.as[(String, Long)])
+          .toDF("source", "line_fp", "df")),
+      ("scene_cut", "doc_id LONG, frame_idx INT, ahash_lo LONG, ahash_hi LONG",
+        f1.toSeq.toDF("doc_id", "frame_idx", "ahash_lo", "ahash_hi"),
+        f2.toSeq.toDF("doc_id", "frame_idx", "ahash_lo", "ahash_hi"),
+        (df: DataFrame) => EventStreams.sceneCutStream(df.as[(Long, Int, Long, Long)])
+          .toDF("doc_id", "frame_idx", "hamming_bits", "is_cut")),
+      ("quota", "doc_id LONG, source STRING, n_chars LONG",
+        qd1.toSeq.toDF("doc_id", "source", "n_chars"),
+        qd2.toSeq.toDF("doc_id", "source", "n_chars"),
+        (df: DataFrame) => EventStreams.quotaStream(
+          df.as[(Long, String, Long)], graft.operators.Corpus.QuotaPerSource.toInt)
+          .toDF("source", "n_seen", "n_kept", "sum_kept_ids", "kept_chars")))
+
+    cases.foreach { case (name, schema, b1, b2, twin) =>
+      val root = Files.createTempDirectory(s"graft-index-restart-$name").toString
+      def run(in: String, out: String, ck: String) =
+        twin(spark.readStream.schema(schema).json(in))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck).outputMode("append").start()
+      // A: both waves inside one query lifetime
+      b1.coalesce(1).write.mode("append").json(s"$root/inA")
+      val qa = run(s"$root/inA", s"$root/outA", s"$root/ckA")
+      try {
+        qa.processAllAvailable()
+        b2.coalesce(1).write.mode("append").json(s"$root/inA")
+        qa.processAllAvailable()
+      } finally qa.stop()
+      // B: "crash" between the waves, restart from checkpoint
+      b1.coalesce(1).write.mode("append").json(s"$root/inB")
+      val qb1 = run(s"$root/inB", s"$root/outB", s"$root/ckB")
+      try qb1.processAllAvailable() finally qb1.stop()
+      b2.coalesce(1).write.mode("append").json(s"$root/inB")
+      val qb2 = run(s"$root/inB", s"$root/outB", s"$root/ckB")
+      try qb2.processAllAvailable() finally qb2.stop()
+
+      val a = spark.read.parquet(s"$root/outA").collect().map(_.toString).sorted.toSeq
+      val b = spark.read.parquet(s"$root/outB").collect().map(_.toString).sorted.toSeq
+      assert(a.nonEmpty, s"$name: harness produced no rows")
+      assert(a == b,
+        s"$name: restarted run diverges from uninterrupted run (${a.length} vs ${b.length} rows)")
+    }
+  }
+
   test("stream_scene_cut: boundary-spanning transitions from carried state == batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
