@@ -2181,6 +2181,180 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("embed_kmeans_converge: ladder equals a driver-side Lloyd replay, rung by rung") {
+    // strongest possible ground truth: replay the ENTIRE integer-milli
+    // Lloyd ladder in plain Scala on the driver and demand the
+    // distributed operator's (n_clusters, movement, churn) row per
+    // rung match exactly — parity proves Spark == DuckDB; this proves
+    // both run the RIGHT iteration.
+    val k = operators.Similarity.KmeansK
+    val iters = operators.Similarity.KmeansConvIters
+    val vecs = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    val dim = vecs.head._2.length
+    var cents: Map[Long, Array[Long]] =
+      vecs.filter(_._1 < k).map { case (id, v) => id -> v.clone() }.toMap
+    def assign(cs: Map[Long, Array[Long]]): Map[Long, Long] =
+      vecs.map { case (id, v) =>
+        id -> cs.toSeq.map { case (c, cv) =>
+          (v.indices.map(i => { val d = v(i) - cv(i); d * d }).sum, c)
+        }.min._2
+      }.toMap
+    var as = assign(cents)
+    val expected = (1 to iters).map { t =>
+      val nc = as.groupBy(_._2).map { case (c, members) =>
+        val ids = members.keys.toSeq
+        // Spark `div` / DuckDB `//` truncate toward zero — Java `/`
+        c -> Array.tabulate(dim)(i =>
+          ids.map(id => vecs(id.toInt)._2(i)).sum / ids.size.toLong)
+      }
+      val moved = nc.toSeq.collect { case (c, cv) if cents.contains(c) =>
+        cv.indices.map(i => math.abs(cv(i) - cents(c)(i))).max }.max
+      if (t == 1) {
+        // rung 1's centroid table IS embed_kmeans_step (scaladoc claim)
+        val step = operators.Similarity.embedKmeansStep(spark, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("centroid_milli")).toMap
+        val replay = nc.flatMap { case (c, cv) =>
+          cv.indices.map(i => (c, i.toLong) -> cv(i)) }.toMap
+        assert(step == replay, "ladder rung 1 != embed_kmeans_step")
+      }
+      val na = assign(nc)
+      val churn = vecs.count { case (id, _) => na(id) != as(id) }.toLong
+      cents = nc; as = na
+      (t.toLong, nc.size.toLong, moved, vecs.length.toLong, churn,
+        churn * 1000000L / vecs.length)
+    }
+    val got = operators.Similarity.embedKmeansConverge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"ladder diverges from driver replay:\n$got\nvs\n$expected")
+    // and the ladder's convergence story holds: movement and churn
+    // both strictly smaller at the last rung than the first
+    assert(got.last._3 < got.head._3 && got.last._5 < got.head._5)
+  }
+
+  test("knn_pq_train: complete per-subspace assignment; the Lloyd step buys SSE in every subspace") {
+    val m = operators.Similarity.PqM
+    val subDim = operators.Similarity.PqSubDim
+    val book = operators.Similarity.knnPqTrain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nVecs = sources.Tables.embeddings(spark, sf).count()
+    // every vector assigned exactly once per (subspace, position):
+    // Σ_j n_assigned == n for each of the M×SubDim (m, pos) cells
+    book.groupBy(b => (b._1, b._3)).foreach { case ((mm, pos), rows) =>
+      assert(rows.map(_._4).sum == nVecs, s"(m=$mm, pos=$pos): assignment mass != corpus")
+    }
+    // a codeword's positions agree on n_assigned (one argmin per (vec, m))
+    book.groupBy(b => (b._1, b._2)).foreach { case ((mm, j), rows) =>
+      assert(rows.map(_._4).distinct.size == 1, s"(m=$mm, j=$j): n_assigned varies by pos")
+      assert(rows.map(_._3).sorted.toSeq == (0 until subDim).map(_.toLong),
+        s"(m=$mm, j=$j): incomplete position coverage")
+    }
+    assert(book.map(_._1).distinct.length == m)
+    // the gate: refined SSE strictly below seed SSE in EVERY subspace
+    val gain = operators.Similarity.knnPqTrainGain(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(gain.length == m)
+    gain.foreach { case (mm, seed, refined, ppm) =>
+      assert(refined < seed && ppm > 0L,
+        s"subspace $mm: Lloyd step did not improve reconstruction ($seed -> $refined)")
+      assert(ppm == (seed - refined) * 1000000L / seed, s"subspace $mm: ppm recount")
+    }
+  }
+
+  test("sketch_kll: weight conservation, capacity, rank-error bound, and MERGE under the same bar") {
+    import spark.implicits._
+    val cap = operators.Sketches.KllCapacity
+    val state = operators.Sketches.sketchKll(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nByType = sources.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total weight Σ n_items·2^lvl == corpus count (pair compaction
+    // conserves mass by construction) and no buffer exceeds capacity
+    state.groupBy(_._1).foreach { case (t, rows) =>
+      assert(rows.map(r => r._4 * r._3).sum == nByType(t), s"$t: weight mass != corpus")
+      rows.foreach(r => assert(r._4 <= cap, s"$t lvl ${r._2}: buffer over capacity"))
+    }
+    // rank error ≤ the state's top weight (the deterministic
+    // compactor's systematic-sampling gap) for every graded quantile
+    val wmax = state.groupBy(_._1).map { case (t, rows) => t -> rows.map(_._3).max }
+    operators.Sketches.sketchKllError(spark, sf).collect().foreach { r =>
+      val (t, target, lo, hi) = (r.getString(0), r.getLong(3), r.getLong(5), r.getLong(6))
+      val errAbs = if (target >= lo && target <= hi) 0L
+        else math.min(math.abs(target - lo), math.abs(target - hi))
+      assert(errAbs <= wmax(t),
+        s"$t q=${r.getLong(1)}: rank error $errAbs exceeds top weight ${wmax(t)}")
+    }
+    // MERGE: build two sketches over an event_id-parity split, union
+    // the states, re-compact — the merged sketch must obey the same
+    // capacity/mass invariants and land its p50 within 2× the bar
+    // (one extra generation of compaction) of the exact median rank
+    val items = sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+        col("event_id").as("tie"), lit(0L).as("lvl"))
+    val sA = operators.Sketches.kllState(items.filter(pmod(col("tie"), lit(2)) === 0))
+    val sB = operators.Sketches.kllState(items.filter(pmod(col("tie"), lit(2)) === 1))
+    val merged = operators.Sketches.kllState(sA.union(sB)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    merged.groupBy(r => (r._1, r._4)).foreach { case ((t, lvl), rows) =>
+      assert(rows.size <= cap, s"merged $t lvl $lvl: buffer over capacity")
+    }
+    val exact = sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    merged.groupBy(_._1).foreach { case (t, rows) =>
+      assert(rows.map(r => 1L << r._4.toInt).sum == nByType(t), s"merged $t: weight mass")
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val w = nByType(t)
+      val target = (w * 500000L + 999999L) / 1000000L
+      var cum = 0L
+      val est = sorted.find { r => cum += 1L << r._4.toInt; cum >= target }.get._2
+      val vs = exact(t)
+      val lo = vs.count(_ < est) + 1L
+      val hi = vs.count(_ <= est).toLong
+      val errAbs = if (target >= lo && target <= hi) 0L
+        else math.min(math.abs(target - lo), math.abs(target - hi))
+      val mergedWmax = rows.map(r => 1L << r._4.toInt).max
+      assert(errAbs <= 2L * mergedWmax,
+        s"merged $t: p50 rank error $errAbs exceeds 2x top weight $mergedWmax")
+    }
+  }
+
+  test("dedup_attribution: the lattice is an exact partition of the union corpus") {
+    val out = operators.Dedup.dedupAttribution(spark, sf).collect()
+      .map(r => r.getString(1) -> (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // the 7-row axis is complete and ordered
+    assert(out.keySet == operators.Dedup.AttributionStages.toSet)
+    operators.Dedup.AttributionStages.zipWithIndex.foreach { case (st, i) =>
+      assert(out(st)._1 == i + 1, s"$st: stage_ord")
+    }
+    // first-to-fire is a PARTITION: doc and token masses sum to the
+    // union corpus (base + the three planted re-ingestion families)
+    val base = sources.Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val expectDocs = base.length + base.count(_ % 10 == 3) +
+      base.count(_ % 10 == 4) + base.count(id => id % 10 == 6 &&
+        base.contains(id + 1) && base.contains(id + 2))
+    assert(out.values.map(_._2).sum == expectDocs.toLong, "doc mass != union corpus")
+    val dppm = out.values.map(_._4).sum
+    val tppm = out.values.map(_._5).sum
+    assert(dppm <= 1000000L && dppm >= 1000000L - 7,
+      s"doc ppm shares must sum to ~1e6 (integer floors): $dppm")
+    assert(tppm <= 1000000L && tppm >= 1000000L - 7, s"token ppm shares: $tppm")
+    // planted families land at their stage: exact >= the %10==3 plants,
+    // prefix fires, containment fires, and something is kept
+    assert(out("exact")._2 >= base.count(_ % 10 == 3).toLong)
+    assert(out("prefix")._2 > 0L && out("containment")._2 > 0L && out("kept")._2 > 0L)
+    // the documented lattice readout on THIS corpus: prefix subsumes
+    // minhash (near-dups share their 24-word prefix)
+    assert(out("minhash")._2 == 0L,
+      "minhash attribution expected 0 on this corpus (prefix fires first)")
+  }
+
   test("corpus_dedup_weights: every cluster carries total mass ~1e6 ppm; audit recounts") {
     val out = operators.CorpusClean.corpusDedupWeights(spark, sf).collect()
       .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),
