@@ -41,7 +41,16 @@ object SparkEntry {
     // full-graph / full-corpus censuses and exact-vs-sketch graders
     "embed_clusters", "web_domain_components", "corpus_dedup_impact",
     "sketch_bloom_fpr", "sketch_quantile_error", "events_median_exact",
-    "text_vocab_coverage", "corpus_ngram_inflation")
+    "text_vocab_coverage", "corpus_ngram_inflation",
+    // round 13: dedup_attribution is the whole-lattice census
+    // (corpus_dedup_impact's family); embed_kmeans_converge pays
+    // KmeansConvIters full Lloyd passes by contract (the when-to-stop
+    // evidence ladder); knn_pq_train_gain scores the exact
+    // nearest-codeword side twice; sketch_kll/_error materialize the
+    // compactor with per-(group, level) rank windows so the oracle can
+    // replay it (the production path is executor-local compactors)
+    "dedup_attribution", "embed_kmeans_converge", "knn_pq_train_gain",
+    "sketch_kll", "sketch_kll_error")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

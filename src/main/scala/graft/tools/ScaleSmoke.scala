@@ -161,7 +161,17 @@ object ScaleSmoke {
       "video_scene_cut",
       // transitive near-dup soft dedup: rides the component census —
       // watch that the window stays cluster-bounded
-      "corpus_neardup_weights")
+      "corpus_neardup_weights",
+      // round 13: the whole-lattice attribution census (watch: three
+      // NARROW-row key shuffles after text is dropped + the family's
+      // paid-once pair frames), the Lloyd convergence ladder and PQ
+      // training (K-bounded broadcast fanout per rung — watch rung
+      // count stays log-bounded), the KLL compactor build + its rank
+      // gate (per-(group, level) windows over geometrically shrinking
+      // state — watch rung 0 dominates and the tail rungs are no-ops)
+      "dedup_attribution", "embed_kmeans_converge",
+      "knn_pq_train", "knn_pq_train_gain",
+      "sketch_kll", "sketch_kll_error")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty
     else targets.filter(t => only.forall(_.contains(t))).map { name =>
       val t0 = System.nanoTime()

@@ -170,7 +170,13 @@ class PlanSpec extends SparkSpec {
       // knn_bruteforce idiom, NOT-self-pair predicate) plus one-row
       // recall/balance total attachments (the q22 idiom); audit-tier,
       // query-slice-bounded by contract
-      "knn_ivf_refresh")
+      "knn_ivf_refresh",
+      // round 13: dedup_attribution inherits dedup_semantic's
+      // centroid-broadcast assignment cross and attaches its ONE-ROW
+      // (total docs, total tokens) aggregate (the q22 idiom);
+      // embed_kmeans_converge joins each rung's two ONE-ROW aggregates
+      // (movement × churn — the events_funnel count-combine shape)
+      "dedup_attribution", "embed_kmeans_converge")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
