@@ -1841,8 +1841,11 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // plantId guard on ALL THREE plants (the SQL side replays the bare
+    // arithmetic — the guard asymmetry is deliberate: Spark fails loud
+    // where parity would otherwise hide an id-space collision)
     val exactP = base.filter(pmod(col("doc_id"), lit(10)) === 3)
-      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .select(plantId(col("doc_id"), 100000L).as("doc_id"), col("text"))
     val prefixP = base.filter(pmod(col("doc_id"), lit(10)) === 4)
       .select(plantId(col("doc_id"), 200000L).as("doc_id"),
         concat(col("text"), lit(" editor note appended after republish")).as("text"))

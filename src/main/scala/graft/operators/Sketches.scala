@@ -885,22 +885,86 @@ object Sketches {
   /** Compact ANY (event_type, cents, tie, lvl) item frame to a fixed
     * point — no (group, level) buffer over capacity. Each rung
     * checkpoints ([[Materialize.iteration]]) so the plan stays flat,
-    * and the loop stops on a convergence census (state shrinks
-    * geometrically, so rungs ≈ log₂(n/K)). Library entry point: the
+    * and the loop stops on a COUNT fixpoint (compaction strictly
+    * shrinks the state, so rungs ≈ log₂(n/K) and the convergence read
+    * is one shuffle-free agg per rung). Library entry point: the
     * MERGE of two sketches is `kllState(a.union(b))` — union the
     * states, re-compact (the error bound, not the exact state, is the
     * merge invariant; OperatorInvariantSpec grades a split-corpus
     * merge against the same rank-error bar as the one-shot build).
     */
   def kllState(items: DataFrame): DataFrame = {
+    // convergence by COUNT FIXPOINT, not a per-rung group census: a
+    // rung that compacts anything strictly shrinks the item count (an
+    // over-capacity level loses (cnt - cnt%2)/2 ≥ 16 items), and a rung
+    // that shrinks nothing passes every row through untouched — so
+    // "count unchanged" ⟺ "no (group, level) buffer over capacity".
+    // The census is therefore ONE shuffle-free agg over the
+    // already-checkpointed rung output (the old groupBy census paid a
+    // key shuffle per rung), at the price of one trailing no-op rung.
+    def census(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(max(col("lvl")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     var state = Materialize.iteration(items)
+    var (n, maxLvl) = census(state)
     var rung = 0
-    while (rung < 64 && state.groupBy("event_type", "lvl")
-        .count().filter(col("count") > KllCapacity).limit(1).count() > 0L) {
+    var converged = false
+    while (!converged && rung < 64) {
       state = Materialize.iteration(kllCompactRung(state))
+      val (n2, m2) = census(state)
+      converged = n2 == n
+      n = n2; maxLvl = m2
       rung += 1
     }
+    // fail LOUD where the oracle-replayability precondition breaks
+    // instead of silently returning a state DuckDB cannot reproduce:
+    // past ~capacity·2^KllOracleLevels items per group the static
+    // oracle replay runs out of rungs (same discipline as
+    // connectedComponents' convergence require).
+    require(converged, s"kllState: no fixpoint within $rung rungs")
+    require(maxLvl <= KllOracleLevels,
+      s"kllState: max level $maxLvl exceeds the $KllOracleLevels-rung oracle replay")
     state
+  }
+
+  /** Executor-local spelling of the SAME rung semantics as
+    * [[kllCompactRung]] — the production path ([[kllState]]'s scaladoc:
+    * "runs the same compactor executor-local over stream chunks and
+    * merges") and the kernel of the `stream_kll` keyed-state twin:
+    * every over-capacity level compacts SIMULTANEOUSLY per rung
+    * (sort by (cents, tie), pair consecutive ranks, promote the
+    * parity-kept survivor, odd leftover stays), promotions merge into
+    * the next level, repeat to fixpoint. Items are (cents, tie, lvl);
+    * output is canonically sorted so state bytes are deterministic
+    * under any input order.
+    */
+  private[graft] def kllCompactLocal(items: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
+    var cur = items
+    var rung = 0
+    var changed = true
+    while (changed && rung < 64) {
+      changed = false
+      val next = Seq.newBuilder[(Long, Long, Long)]
+      cur.groupBy(_._3).foreach { case (lvl, rows) =>
+        if (rows.size <= KllCapacity) next ++= rows
+        else {
+          changed = true
+          val sorted = rows.sortBy(r => (r._1, r._2))
+          val cnt = sorted.size.toLong
+          val keepParity = 1L - (lvl % 2L)
+          sorted.zipWithIndex.foreach { case ((c, t, _), i) =>
+            val rk = i + 1L
+            if (rk > cnt - cnt % 2) next += ((c, t, lvl)) // odd leftover stays
+            else if (rk % 2 == keepParity) next += ((c, t, lvl + 1))
+          }
+        }
+      }
+      cur = next.result()
+      rung += 1
+    }
+    require(!changed, s"kllCompactLocal: no fixpoint within $rung rungs")
+    cur.sortBy(r => (r._3, r._1, r._2))
   }
 
   private def kllItems(s: SparkSession, dir: String): DataFrame =

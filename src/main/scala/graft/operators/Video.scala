@@ -307,11 +307,14 @@ object Video {
     import base.sparkSession.implicits._
     base.map { v =>
       // corpus-WIDE id-space guard, not just on the plant slice: every
-      // base id must sit below the shift, else some other original in
-      // [shift, 2·shift) could collide with a plant id unchecked (and
-      // the invariant-spec partition on id >= shift would mislabel it).
-      require(v.doc_id < SceneCopyShift,
-        s"base doc_id ${v.doc_id} >= $SceneCopyShift — freeze-plant id space collides")
+      // base id must sit below the shift WITHIN ITS REPLICATION BLOCK
+      // (ids live at doc_id + i·10⁷ under ScaleSmoke's ×N replication —
+      // the plantId block convention, same as the :418 sibling), else
+      // some other original in [shift, 2·shift) could collide with a
+      // plant id unchecked (and the invariant-spec partition on
+      // id >= shift would mislabel it).
+      require(v.doc_id % 10000000L < SceneCopyShift,
+        s"base doc_id ${v.doc_id} % 1e7 >= $SceneCopyShift — freeze-plant id space collides")
       v
     }.filter(_.doc_id % 10 == 6).map { v =>
       val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(v.container))

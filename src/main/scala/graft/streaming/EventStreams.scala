@@ -1337,9 +1337,15 @@ object EventStreams {
 
   /** Streaming half of the batch `text_boilerplate` census: keyed by
     * (source, line fingerprint) with ONE long of state (the line's
-    * within-source doc frequency so far), emitting the CUMULATIVE
-    * (source, line_fp, df) on every touch. df is monotone per key, so
-    * a last-write-wins (max-df) view is order- and split-independent;
+    * within-source DOC frequency so far — distinct documents, the batch
+    * census' own counter), emitting the CUMULATIVE (source, line_fp,
+    * df) on every touch. Input rows are (source, line_fp, doc_id); a
+    * doc repeating a line (blank lines from consecutive newlines)
+    * counts ONCE — the batch contract — via an intra-batch distinct on
+    * doc_id, which is exact under the docs-arrive-whole convention (a
+    * document's lines land in one micro-batch; the same convention the
+    * per-doc twins rely on). df is monotone per key, so a
+    * last-write-wins (max-df) view is order- and split-independent;
     * joined with [[docCountStream]]'s per-source totals and filtered by
     * the batch operator's share bar it rebuilds the batch census
     * EXACTLY — the flagged set is a pure function of two monotone
@@ -1348,15 +1354,16 @@ object EventStreams {
     * production deployment ages out lines that stay far under the df
     * floor with a timeout (the dedupStreamBounded discipline).
     */
-  def boilerplateStream(lines: Dataset[(String, Long)])
+  def boilerplateStream(lines: Dataset[(String, Long, Long)])
       : Dataset[(String, Long, Long)] = {
     import lines.sparkSession.implicits._
     lines
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: (String, Long), rows: Iterator[(String, Long)],
+        (key: (String, Long), rows: Iterator[(String, Long, Long)],
             state: GroupState[DfState]) =>
-          val df = state.getOption.map(_.df).getOrElse(0L) + rows.size
+          val df = state.getOption.map(_.df).getOrElse(0L) +
+            rows.map(_._3).toSet.size
           state.update(DfState(df))
           Iterator.single((key._1, key._2, df))
       }
@@ -1426,6 +1433,51 @@ object EventStreams {
           }
           prev.foreach(state.update)
           out.result().iterator
+      }
+  }
+
+  case class KllItem(cents: Long, tie: Long, lvl: Long)
+  case class KllGroupState(ver: Long, items: Seq[KllItem])
+
+  /** Streaming twin of the batch `sketch_kll` compactor — the sketch
+    * family's one previously-ungraded production path (every other
+    * mergeable sketch already has its keyed-state twin): items arrive
+    * as (group, cents, tie, lvl) rows, keyed by group with the
+    * CURRENT COMPACTED STATE as keyed state; each micro-batch merges
+    * the incoming chunk into the carried state and re-compacts with
+    * [[graft.operators.Sketches.kllCompactLocal]] — the SAME rung
+    * semantics as the batch operator, run executor-local (union +
+    * re-compact IS the KLL merge, so chunked arrival is just repeated
+    * merge). Each batch emits the full post-compaction state tagged
+    * with a per-group version counter; the final sketch is the max-ver
+    * slice per group — order- and split-independent up to the
+    * rank-error bar (the state is NOT split-invariant item-wise, by
+    * the batch scaladoc's own contract; the ERROR BOUND is the merge
+    * invariant, asserted in StreamingSpec under a median split AND an
+    * arbitrary re-split, plus the checkpoint-restart harness).
+    *
+    * State is capacity + capacity·log₂(n/capacity) items per group —
+    * KBs at any corpus size, the mergeable-sketch state contract.
+    * Accepts lvl > 0 rows so two independently-built sketch states can
+    * be REPLAYED through the same twin (the CRDT-merge argument
+    * stream_hll_sliding makes).
+    */
+  def kllStream(items: Dataset[(String, Long, Long, Long)])
+      : Dataset[(String, Long, Long, Long, Long)] = {
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, rows: Iterator[(String, Long, Long, Long)],
+            state: GroupState[KllGroupState]) =>
+          val prev = state.getOption.getOrElse(KllGroupState(0L, Seq.empty))
+          val merged = prev.items.map(i => (i.cents, i.tie, i.lvl)) ++
+            rows.map(r => (r._2, r._3, r._4))
+          val compacted = graft.operators.Sketches.kllCompactLocal(merged)
+          val ver = prev.ver + 1L
+          state.update(KllGroupState(ver,
+            compacted.map { case (c, t, l) => KllItem(c, t, l) }))
+          compacted.iterator.map { case (c, t, l) => (group, ver, c, t, l) }
       }
   }
 }

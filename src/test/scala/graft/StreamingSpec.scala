@@ -1908,8 +1908,10 @@ class StreamingSpec extends SparkSpec {
     // hand case: a line crosses the 50% bar only in the SECOND batch.
     // batch 1: docs 1,2 both carry line 100 (df=2, n=2 → df under the
     // floor of 3, not flagged); batch 2: doc 3 carries it too, doc 4
-    // doesn't (df=3, n=4 → 3≥3 and 300≥200 → flagged).
-    val memL = MemoryStream[(String, Long)]
+    // doesn't (df=3, n=4 → 3≥3 and 300≥200 → flagged). Docs 1 and 3
+    // each REPEAT line 100 (the consecutive-blank-lines case): df
+    // counts distinct DOCS, so the repeats must not inflate it.
+    val memL = MemoryStream[(String, Long, Long)]
     val memD = MemoryStream[(String, Long)]
     val qL = EventStreams.boilerplateStream(memL.toDS())
       .toDF("source", "line_fp", "df")
@@ -1924,13 +1926,16 @@ class StreamingSpec extends SparkSpec {
           col("df") * 100 >= col("n_docs") * graft.operators.CorpusClean.BoilerSharePct)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     try {
-      memL.addData(("s", 100L), ("s", 100L), ("s", 7L), ("s", 8L))
+      memL.addData(("s", 100L, 1L), ("s", 100L, 1L), ("s", 100L, 2L),
+        ("s", 7L, 1L), ("s", 8L, 2L))
       memD.addData(("s", 1L), ("s", 2L))
       qL.processAllAvailable(); qD.processAllAvailable()
       assert(flaggedView("boiler_df", "boiler_nd").isEmpty, "flagged too early (df floor)")
-      memL.addData(("s", 100L), ("s", 9L), ("s", 10L))
+      memL.addData(("s", 100L, 3L), ("s", 100L, 3L), ("s", 9L, 3L), ("s", 10L, 4L))
       memD.addData(("s", 3L), ("s", 4L))
       qL.processAllAvailable(); qD.processAllAvailable()
+      // df = 3 DISTINCT docs (the intra-doc repeats in docs 1 and 3
+      // count once), not 5 line occurrences
       assert(flaggedView("boiler_df", "boiler_nd") == Set(("s", 100L, 3L, 4L)))
     } finally { qL.stop(); qD.stop() }
 
@@ -1943,7 +1948,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("source"), col("doc_id"))
       .as[(String, Long)].collect().sortBy(_._2)
     val medianId = docRows(docRows.length / 2)._2
-    val memL2 = MemoryStream[(String, Long)]
+    val memL2 = MemoryStream[(String, Long, Long)]
     val memD2 = MemoryStream[(String, Long)]
     val qL2 = EventStreams.boilerplateStream(memL2.toDS())
       .toDF("source", "line_fp", "df")
@@ -1953,10 +1958,10 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("boiler_nd_eq").outputMode("append").start()
     try {
       // reversed halves on purpose — the counters are order-independent
-      memL2.addData(lineRows.filter(_._1 >= medianId).map(r => (r._2, r._3)).toSeq)
+      memL2.addData(lineRows.filter(_._1 >= medianId).map(r => (r._2, r._3, r._1)).toSeq)
       memD2.addData(docRows.filter(_._2 >= medianId).toSeq)
       qL2.processAllAvailable(); qD2.processAllAvailable()
-      memL2.addData(lineRows.filter(_._1 < medianId).map(r => (r._2, r._3)).toSeq)
+      memL2.addData(lineRows.filter(_._1 < medianId).map(r => (r._2, r._3, r._1)).toSeq)
       memD2.addData(docRows.filter(_._2 < medianId).toSeq)
       qL2.processAllAvailable(); qD2.processAllAvailable()
       val streamed = flaggedView("boiler_df_eq", "boiler_nd_eq")
@@ -1972,6 +1977,69 @@ class StreamingSpec extends SparkSpec {
       assert(stateRows == distinctLines,
         s"state rows $stateRows != distinct (source, line) $distinctLines")
     } finally { qL2.stop(); qD2.stop() }
+  }
+
+  test("stream_kll: chunked compactor state meets the batch rank-error bar under any split") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val cap = operators.Sketches.KllCapacity
+    val items = sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+        col("event_id").as("tie"), lit(0L).as("lvl"))
+      .as[(String, Long, Long, Long)].collect()
+    val exact = items.groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    val nByType = items.groupBy(_._1).map { case (t, vs) => t -> vs.length.toLong }
+
+    // the merge bar from OperatorInvariantSpec's split-merge grade:
+    // rank error ≤ 2× the state's top weight for every graded quantile
+    // (chunked arrival = repeated union + re-compact = repeated merge)
+    def runSplit(name: String, batches: Seq[Seq[(String, Long, Long, Long)]]): Unit = {
+      val mem = MemoryStream[(String, Long, Long, Long)]
+      val q = EventStreams.kllStream(mem.toDS())
+        .toDF("event_type", "ver", "cents", "tie", "lvl")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        val rows = spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        // final sketch = the max-ver slice per group
+        val state = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          val vmax = rs.map(_._2).max
+          rs.filter(_._2 == vmax).toSeq
+        }
+        state.groupBy(r => (r._1, r._5)).foreach { case ((t, lvl), rs) =>
+          assert(rs.size <= cap, s"$name $t lvl $lvl: buffer over capacity") }
+        state.groupBy(_._1).foreach { case (t, rs) =>
+          assert(rs.map(r => 1L << r._5.toInt).sum == nByType(t), s"$name $t: weight mass")
+          val sorted = rs.sortBy(r => (r._3, r._4))
+          val wmax = rs.map(r => 1L << r._5.toInt).max
+          val n = nByType(t)
+          operators.Sketches.KllQuantilesPpm.foreach { qppm =>
+            val target = (n * qppm + 999999L) / 1000000L
+            var cum = 0L
+            val est = sorted.find { r => cum += 1L << r._5.toInt; cum >= target }.get._3
+            val vs = exact(t)
+            val lo = vs.count(_ < est) + 1L
+            val hi = vs.count(_ <= est).toLong
+            val err = if (target >= lo && target <= hi) 0L
+              else math.min(math.abs(target - lo), math.abs(target - hi))
+            assert(err <= 2L * wmax,
+              s"$name $t q=$qppm: rank error $err exceeds 2x top weight $wmax")
+          }
+        }
+        // state-size contract: the keyed state is the compacted sketch,
+        // capacity + capacity·log₂(n) items per group — never corpus-sized
+        val stateRows = q.recentProgress.flatMap(_.stateOperators)
+          .map(_.numRowsTotal).max
+        assert(stateRows == nByType.size.toLong,
+          s"$name: state rows $stateRows != groups ${nByType.size}")
+      } finally q.stop()
+    }
+    val med = items.map(_._3).sorted.apply(items.length / 2)
+    runSplit("kll_median",
+      Seq(items.filter(_._3 < med).toSeq, items.filter(_._3 >= med).toSeq))
+    runSplit("kll_resplit",
+      Seq(0L, 1L, 2L).map(p => items.filter(r => math.floorMod(r._3, 3L) == p).toSeq))
   }
 
   test("restart harness: index-carrying twins recover the corpus index from checkpoint") {
@@ -2049,6 +2117,13 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .as[(Long, String, Long)].collect().sortBy(_._1)
     val (qd1, qd2) = qdocs.splitAt(qdocs.length / 2)
+    // kll: a wave-2 chunk only compacts correctly against the carried
+    // sketch state — the mergeable-sketch index the crash must not lose
+    val kllItems = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+        col("event_id").as("tie"), lit(0L).as("lvl"))
+      .as[(String, Long, Long, Long)].collect()
+    val kllMed = kllItems.map(_._3).sorted.apply(kllItems.length / 2)
 
     val cases: Seq[(String, String, DataFrame, DataFrame, DataFrame => DataFrame)] = Seq(
       ("dedup_lsh", "kind INT, id LONG, b INT, bv LONG, mh ARRAY<LONG>",
@@ -2059,10 +2134,12 @@ class StreamingSpec extends SparkSpec {
         (ci1 ++ cp1).toDF(), (ci2 ++ cp2).toDF(),
         (df: DataFrame) => EventStreams.dedupContainmentStream(df.as[ContainPrintRow])
           .toDF("new_id", "cand", "i")),
-      ("boilerplate", "source STRING, line_fp LONG",
-        lineRows.filter(_._1 < lineMed).map(r => (r._2, r._3)).toSeq.toDF("source", "line_fp"),
-        lineRows.filter(_._1 >= lineMed).map(r => (r._2, r._3)).toSeq.toDF("source", "line_fp"),
-        (df: DataFrame) => EventStreams.boilerplateStream(df.as[(String, Long)])
+      ("boilerplate", "source STRING, line_fp LONG, doc_id LONG",
+        lineRows.filter(_._1 < lineMed).map(r => (r._2, r._3, r._1)).toSeq
+          .toDF("source", "line_fp", "doc_id"),
+        lineRows.filter(_._1 >= lineMed).map(r => (r._2, r._3, r._1)).toSeq
+          .toDF("source", "line_fp", "doc_id"),
+        (df: DataFrame) => EventStreams.boilerplateStream(df.as[(String, Long, Long)])
           .toDF("source", "line_fp", "df")),
       ("scene_cut", "doc_id LONG, frame_idx INT, ahash_lo LONG, ahash_hi LONG",
         f1.toSeq.toDF("doc_id", "frame_idx", "ahash_lo", "ahash_hi"),
@@ -2074,7 +2151,14 @@ class StreamingSpec extends SparkSpec {
         qd2.toSeq.toDF("doc_id", "source", "n_chars"),
         (df: DataFrame) => EventStreams.quotaStream(
           df.as[(Long, String, Long)], graft.operators.Corpus.QuotaPerSource.toInt)
-          .toDF("source", "n_seen", "n_kept", "sum_kept_ids", "kept_chars")))
+          .toDF("source", "n_seen", "n_kept", "sum_kept_ids", "kept_chars")),
+      ("kll", "event_type STRING, cents LONG, tie LONG, lvl LONG",
+        kllItems.filter(_._3 < kllMed).toSeq
+          .toDF("event_type", "cents", "tie", "lvl"),
+        kllItems.filter(_._3 >= kllMed).toSeq
+          .toDF("event_type", "cents", "tie", "lvl"),
+        (df: DataFrame) => EventStreams.kllStream(df.as[(String, Long, Long, Long)])
+          .toDF("event_type", "ver", "cents", "tie", "lvl")))
 
     cases.foreach { case (name, schema, b1, b2, twin) =>
       val root = Files.createTempDirectory(s"graft-index-restart-$name").toString
