@@ -363,11 +363,19 @@ object Similarity {
     * passes < p. Returns (query_id, cell, qv) — shared by [[knnIvfAt]]
     * and [[knnIvfPq]].
     */
-  private def queryProbes(vecs: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+  private def queryProbes(vecs: DataFrame, cents: DataFrame, nprobe: Int): DataFrame =
+    probesOf(vecs.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")), cents, nprobe)
+
+  /** [[queryProbes]] over an EXPLICIT (query_id, qv) set — shared with
+    * the refresh gates, whose probe queries are the planted mode batch
+    * rather than the `vec_id < QuerySetSize` contract slice.
+    */
+  private def probesOf(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val qscore = Materialize.stable(
-      vecs.filter(col("vec_id") < QuerySetSize).crossJoin(broadcast(cents))
-        .withColumn("neg", expr(sparkCosine("v", "cv")) * -1)
-        .select(col("vec_id").as("query_id"), col("cent_id"), col("neg"), col("v").as("qv")))
+      queries.crossJoin(broadcast(cents))
+        .withColumn("neg", expr(sparkCosine("qv", "cv")) * -1)
+        .select(col("query_id"), col("cent_id"), col("neg"), col("qv")))
     (1 until nprobe).foldLeft(
       qscore.groupBy("query_id")
         .agg(min(struct(col("neg"), col("cent_id"))).as("b"), first(col("qv")).as("qv"))
@@ -549,6 +557,14 @@ object Similarity {
   val PqK = 16       // centroids per subspace
   val PqSeedMod = 5  // codebook seeds: first PqK of vec_id % 5 == 2
   val PqSeedOffset = 2
+  /** rung count of the PQ training ladder (knn_pq_train_converge) and
+    * of knn_ivf_pq_refresh's warm-start retrain — enough to show the
+    * SSE curve flattening on this geometry (rung 1 buys 13-27% per
+    * subspace; rungs 2-3 price the diminishing tail). Declared with the
+    * PQ constants: the oracle SQL vals below interpolate it at object
+    * init, which runs in declaration order.
+    */
+  val PqTrainIters = 3
   val PqShortlist = 50 // ADC candidates per query that get an exact rerank
 
   /** Product-quantization ANN (Jégou et al., "Product Quantization for
@@ -2033,6 +2049,7 @@ object Similarity {
       s"${graft.functions.VectorFns.planeCoef(NewModeIdx.toString, "j")} + " +
       s"CAST(0.8 AS DOUBLE) * ${graft.functions.VectorFns.planeCoef(s"($NewModeIdx + 1 + $idExpr)", "j")})"
 
+
   /** IVF index REFRESH audit — the closure of [[knnIvfDrift]]'s loop:
     * drift says WHEN to rebuild; this gate proves the rebuild WORKED.
     * Two phases over the SAME drifted union (corpus + %10==5 verbatim
@@ -2261,6 +2278,333 @@ object Similarity {
        |  CASE WHEN ne.n_exact = 0 THEN 0 ELSE hr.n_hits * 1000000 // ne.n_exact END
        |FROM balr b, ne, hr
        |ORDER BY phase""".stripMargin
+
+  /** The COMPOSITE staleness gate [[knnIvfRefresh]] leaves open: that
+    * audit proves a coarse-quantizer rebuild recovers a drifted mode —
+    * but the IVFADC index has TWO trained halves, and at 10⁹ vectors
+    * the PQ codebook is the cheaper one to retrain. This gate holds the
+    * coarse cells FIXED (the refreshed quantizer over the same drifted
+    * union — the post-knn_ivf_refresh production state) and swaps ONLY
+    * the codebook: `frozen` scores the union's codes against the
+    * [[knnPqTrain]]-refined book trained on the PRE-DRIFT corpus (what
+    * production has when drift fires); `retrained` WARM-STARTS from
+    * that same frozen book and runs [[PqTrainIters]] more Lloyd rungs
+    * on the drifted UNION — the production codebook-refresh move
+    * (fine-tune on the new mixture, FAISS's IVFADC retraining shape;
+    * no re-seed needed because Lloyd reallocates codewords toward the
+    * new mass in proportion to its share). The drifted batch is a
+    * HALF-CORPUS re-embedding (every odd vec_id re-lands as a coherent
+    * new mode, [[newModeVec]]) — big enough that the stale book's
+    * codeword budget is visibly misallocated. Both phases share the
+    * exact brute-force side, the cell assignment and the probe lists,
+    * so every delta in the row is attributable to the codebook alone.
+    *
+    * What the gate MEASURES (and the readout a deployment should act
+    * on): codebook staleness is an SSE problem, not — at production
+    * shortlist settings — a recall problem. The `sse` column carries
+    * the staleness invoice and its retrain recovery (22-28% on this
+    * plant, Lloyd-descent-provable as in [[knnPqTrainConverge]]); the
+    * post-rerank `recall_ppm` stays at/near 10⁶ under BOTH books,
+    * because the [[PqShortlist]]-deep exact rerank absorbs the stale
+    * book's quantization bias (the ADC's coarse ordering still lands
+    * the true neighbors inside the 50-candidate shortlist). The
+    * diagnostic `recall_adc_ppm` (raw ADC top-[[KnnK]], no rerank)
+    * shows why a recall-based staleness alert is a trap in BOTH
+    * directions: reconstruction-optimal retraining can LOWER raw-ADC
+    * order precision inside a coherent new mode (codewords consolidate
+    * onto the mode and candidates' codes lose accidental diversity)
+    * while the production path is unaffected. Watch SSE drift to
+    * schedule codebook retrains; grade the retrain with this gate's
+    * recall columns to confirm the retrieval tier held.
+    *
+    * Portability: distances are integer squared-milli end to end (the
+    * codes, the per-query distance tables and the ADC sums — no
+    * micro-floor needed), so partial aggregation and the serial replay
+    * agree exactly; only the final [[PqShortlist]] rerank uses the
+    * established bit-portable cosine.
+    *
+    * Scale shape: codebooks and distance tables BROADCAST (M·K·SubDim
+    * and Q·M·K integers); code assignment is the map-side K-bounded
+    * argmin paid once per phase + once per warm rung; the ADC scan is
+    * probe-cell-bounded (nprobe·|cell| code rows per query);
+    * shortlist/rerank are query-bounded; the exact side is the
+    * query-slice broadcast cross (knn_bruteforce's plan), paid ONCE
+    * and shared.
+    */
+  def knnIvfPqRefresh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Materialize.stable(withVec(s, dir))
+    val batch = vecs.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(Dedup.plantId(col("vec_id"), DriftBatchShift).as("vec_id"),
+        expr(newModeVec("vec_id")).as("v"))
+    val union = Materialize.stable(vecs.union(batch))
+    val queries = union
+      .filter(col("vec_id") >= DriftBatchShift
+        && col("vec_id") < DriftBatchShift + RefreshQueryCap)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = Materialize.stable(union.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(sparkCosine("qv", "v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= KnnK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id")))
+    val nUnion = union.count()
+    val mR = centroidModFor(nUnion)
+    val seedsR = union
+      .filter(expr(s"pmod(${graft.functions.PortableHash.sparkWordHash(
+        "CAST(vec_id AS STRING)")}, $mR)") === lit(SeedResidue.toLong))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cents = Materialize.stable(refineCentsFromSeeds(union, seedsR))
+    val assign = Materialize.stable(cellAssign(union, cents))
+    val probes = Materialize.stable(probesOf(queries, cents, Nprobe)
+      .select("query_id", "cell"))
+    val gridU = Materialize.stable(pqMilliGrid(pqNormalize(union)))
+    val gridO = gridU.filter(col("vec_id") < DriftBatchShift)
+    val frozenB = Materialize.stable(pqRefineFromAssign(gridO,
+      pqAssign(gridO, pqMilliSeeds(gridO))
+        .select(col("vec_id"), col("m"), col("best.j").as("j"))))
+    val codesF = Materialize.stable(pqAssign(gridU, frozenB))
+    // warm-start retrain: [[PqTrainIters]] Lloyd rungs on the UNION
+    // from the frozen book (the knn_pq_train_converge ladder as the
+    // refresh move) — rung 1 alone recovers most of the SSE but leaves
+    // the mode mass on FEW codewords; the later rungs are what SPLIT
+    // it (Lloyd's variance-proportional allocation), which is where
+    // the ADC ranking quality inside the new mode comes back
+    var wbook = frozenB
+    var wcodes = codesF
+    (1 to PqTrainIters).foreach { _ =>
+      wbook = Materialize.stable(pqRefineFromAssign(gridU,
+        wcodes.select(col("vec_id"), col("m"), col("best.j").as("j"))))
+      wcodes = Materialize.stable(pqAssign(gridU, wbook))
+    }
+    val retrainedB = wbook
+    val codesR = wcodes
+    def phaseRow(name: String, book: DataFrame, codesD: DataFrame): DataFrame = {
+      val sse = codesD.agg(
+        expr("CAST(SUM(CAST(best.dist_sq AS DECIMAL(38,0))) AS BIGINT)").as("sse"))
+      val codes = codesD.select(col("vec_id"), col("m"), col("best.j").as("j"))
+      val dt = gridU.join(broadcast(queries.select(col("query_id"))),
+          col("vec_id") === col("query_id"))
+        .join(broadcast(book), Seq("m", "pos"))
+        .withColumn("d", col("milli") - col("c_milli"))
+        .groupBy("query_id", "m", "j")
+        .agg(sum(expr("d * d")).as("dti"))
+      val cellCodes = codes.join(assign.select("vec_id", "cell"), Seq("vec_id"))
+      val adc = probes.join(cellCodes, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(dt), Seq("query_id", "m", "j"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum("dti").as("adc_i"))
+      val ranked = Materialize.stable(adc.withColumn("srank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("adc_i"), col("neighbor_id")))))
+      val adcTop = ranked.filter(col("srank") <= KnnK)
+        .select("query_id", "neighbor_id")
+      val rerankTop = ranked.filter(col("srank") <= PqShortlist)
+        .join(union.select(col("vec_id").as("neighbor_id"), col("v")), Seq("neighbor_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .withColumn("cosine", expr(sparkCosine("qv", "v")))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+        .filter(col("rank") <= KnnK)
+        .select("query_id", "neighbor_id")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(sse))
+        .crossJoin(broadcast(exact.join(adcTop, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit_adc"))))
+        .crossJoin(broadcast(exact.join(rerankTop, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))))
+        .select(lit(name).as("phase"), col("sse"), col("n_exact"), col("n_hit_adc"),
+          expr("CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) ELSE n_hit_adc * 1000000 div n_exact END")
+            .as("recall_adc_ppm"),
+          col("n_hit"),
+          expr("CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) ELSE n_hit * 1000000 div n_exact END")
+            .as("recall_ppm"))
+    }
+    phaseRow("frozen", frozenB, codesF)
+      .unionByName(phaseRow("retrained", retrainedB, codesR))
+      .orderBy("phase")
+  }
+
+  val knnIvfPqRefreshSql: String = {
+    val wh = (e: String) => graft.functions.PortableHash.duckWordHash(s"CAST($e AS VARCHAR)")
+    // warm-start ladder: wb1 refines from the frozen phase's own
+    // assignment (fa); each later rung re-assigns and refines again
+    val warmChain = (1 to PqTrainIters).map { t =>
+      val src = if (t == 1) "fa" else s"wa${t - 1}"
+      s"""wb$t AS (
+         |  SELECT g.m, a.j, g.pos, CAST(SUM(g.milli) AS BIGINT) // COUNT(*) AS c_milli
+         |  FROM gridu g JOIN $src a ON g.vec_id = a.vec_id AND g.m = a.m
+         |  GROUP BY 1, 2, 3
+         |), wd$t AS (
+         |  SELECT g.vec_id, g.m, b.j,
+         |    CAST(SUM((g.milli - b.c_milli) * (g.milli - b.c_milli)) AS BIGINT) AS dist_sq
+         |  FROM gridu g JOIN wb$t b ON g.m = b.m AND g.pos = b.pos
+         |  GROUP BY 1, 2, 3
+         |), wa$t AS (
+         |  SELECT vec_id, m, j FROM (
+         |    SELECT vec_id, m, j,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist_sq, j) AS r
+         |    FROM wd$t) t WHERE r = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    def phaseSql(p: String, book: String) =
+      s"""${p}d AS (
+         |  SELECT g.vec_id, g.m, b.j,
+         |    CAST(SUM((g.milli - b.c_milli) * (g.milli - b.c_milli)) AS BIGINT) AS dist_sq
+         |  FROM gridu g JOIN $book b ON g.m = b.m AND g.pos = b.pos
+         |  GROUP BY 1, 2, 3
+         |), ${p}a AS (
+         |  SELECT vec_id, m, j, dist_sq FROM (
+         |    SELECT vec_id, m, j, dist_sq,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist_sq, j) AS r
+         |    FROM ${p}d) t WHERE r = 1
+         |), ${p}sse AS (
+         |  SELECT CAST(SUM(CAST(dist_sq AS HUGEINT)) AS BIGINT) AS sse FROM ${p}a
+         |), ${p}dt AS (
+         |  SELECT g.vec_id AS query_id, g.m, b.j,
+         |    CAST(SUM((g.milli - b.c_milli) * (g.milli - b.c_milli)) AS BIGINT) AS dti
+         |  FROM gridu g
+         |  JOIN queries q ON g.vec_id = q.query_id
+         |  JOIN $book b ON g.m = b.m AND g.pos = b.pos
+         |  GROUP BY 1, 2, 3
+         |), ${p}adc AS (
+         |  SELECT pr.query_id, n.vec_id AS neighbor_id, CAST(SUM(d.dti) AS BIGINT) AS adc_i
+         |  FROM probes pr
+         |  JOIN ar n ON n.cell = pr.cell
+         |  JOIN ${p}a c ON c.vec_id = n.vec_id
+         |  JOIN ${p}dt d ON d.query_id = pr.query_id AND d.m = c.m AND d.j = c.j
+         |  WHERE n.vec_id <> pr.query_id
+         |  GROUP BY 1, 2
+         |), ${p}rank AS (
+         |  SELECT query_id, neighbor_id, adc_i,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_i, neighbor_id) AS srank
+         |  FROM ${p}adc
+         |), ${p}hadc AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM exact e JOIN ${p}rank a
+         |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |   AND a.srank <= $KnnK
+         |), ${p}rr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |        ORDER BY ${duckCosine("q.qv", "u.v")} DESC, s.neighbor_id) AS rank
+         |    FROM ${p}rank s
+         |    JOIN uni u ON u.vec_id = s.neighbor_id
+         |    JOIN queries q ON q.query_id = s.query_id
+         |    WHERE s.srank <= $PqShortlist) t
+         |  WHERE rank <= $KnnK
+         |), ${p}hrr AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM exact e JOIN ${p}rr a USING (query_id, neighbor_id)
+         |)""".stripMargin
+    s"""WITH vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |), batch AS (
+       |  SELECT vec_id + $DriftBatchShift AS vec_id, ${duckNewModeVec("vec_id")} AS v
+       |  FROM vecs WHERE vec_id % 2 = 1
+       |), uni AS (
+       |  SELECT * FROM vecs UNION ALL SELECT * FROM batch
+       |), cmodr AS (
+       |  SELECT greatest(CAST($MinCentroidMod AS BIGINT),
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) // $CentroidGrid * $CentroidGrid) AS m
+       |  FROM uni
+       |), seedsr AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM uni, cmodr
+       |  WHERE (${wh("vec_id")}) % m = $SeedResidue
+       |), assign0r AS (
+       |  SELECT cell, v FROM (
+       |    SELECT uni.vec_id, s.cent_id AS cell, uni.v,
+       |      ROW_NUMBER() OVER (PARTITION BY uni.vec_id
+       |        ORDER BY ${duckCosine("uni.v", "s.cv")} DESC, s.cent_id) AS crank
+       |    FROM uni CROSS JOIN seedsr s) t
+       |  WHERE crank = 1
+       |), compr AS (
+       |  SELECT cell, p.pos AS pos,
+       |    SUM(CAST(floor(v[p.pos + 1] * 1000) AS BIGINT)) AS qs, COUNT(*) AS n
+       |  FROM assign0r CROSS JOIN (SELECT unnest(range(0, ${graft.functions.VectorFns.Dim})) AS pos) p
+       |  GROUP BY 1, 2
+       |), centsr AS (
+       |  SELECT cell AS cent_id,
+       |    list(floor(CAST(qs AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(1000 AS DOUBLE) ORDER BY pos) AS cv
+       |  FROM compr GROUP BY 1
+       |), ar AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT uni.vec_id, c.cent_id AS cell, uni.v,
+       |      ROW_NUMBER() OVER (PARTITION BY uni.vec_id
+       |        ORDER BY ${duckCosine("uni.v", "c.cv")} DESC, c.cent_id) AS crank
+       |    FROM uni CROSS JOIN centsr c) t
+       |  WHERE crank = 1
+       |), queries AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM uni
+       |  WHERE vec_id >= $DriftBatchShift
+       |    AND vec_id < ${DriftBatchShift + RefreshQueryCap}
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, u.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckCosine("q.qv", "u.v")} DESC, u.vec_id) AS rank
+       |    FROM queries q JOIN uni u ON u.vec_id <> q.query_id) t
+       |  WHERE rank <= $KnnK
+       |), ne AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact
+       |), probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckCosine("q.qv", "c.cv")} DESC, c.cent_id) AS crank
+       |    FROM queries q CROSS JOIN centsr c) t
+       |  WHERE crank <= $Nprobe
+       |), nuni AS (
+       |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v
+       |  FROM (SELECT vec_id, v, ${duckNorm("v")} AS nrm FROM uni) t
+       |), gridu AS (
+       |  SELECT vec_id, ms.m AS m, p.pos AS pos,
+       |    CAST(floor(v[ms.m * $PqSubDim + p.pos + 1] * 1000) AS BIGINT) AS milli
+       |  FROM nuni
+       |  CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms
+       |  CROSS JOIN (SELECT unnest(range(0, $PqSubDim)) AS pos) p
+       |), grido AS (
+       |  SELECT * FROM gridu WHERE vec_id < $DriftBatchShift
+       |), fseed AS (
+       |  SELECT (vec_id - $PqSeedOffset) // $PqSeedMod AS j, m, pos, milli AS c_milli
+       |  FROM grido
+       |  WHERE vec_id % $PqSeedMod = $PqSeedOffset
+       |    AND vec_id < $PqSeedOffset + $PqSeedMod * $PqK
+       |), f0d AS (
+       |  SELECT g.vec_id, g.m, b.j,
+       |    CAST(SUM((g.milli - b.c_milli) * (g.milli - b.c_milli)) AS BIGINT) AS dist_sq
+       |  FROM grido g JOIN fseed b ON g.m = b.m AND g.pos = b.pos
+       |  GROUP BY 1, 2, 3
+       |), f0a AS (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist_sq, j) AS r
+       |    FROM f0d) t WHERE r = 1
+       |), fbook AS (
+       |  SELECT g.m, a.j, g.pos, CAST(SUM(g.milli) AS BIGINT) // COUNT(*) AS c_milli
+       |  FROM grido g JOIN f0a a ON g.vec_id = a.vec_id AND g.m = a.m
+       |  GROUP BY 1, 2, 3
+       |), ${phaseSql("f", "fbook")}, $warmChain, ${phaseSql("r", s"wb$PqTrainIters")}
+       |SELECT 'frozen' AS phase, fsse.sse, ne.n_exact, fhadc.n AS n_hit_adc,
+       |  CASE WHEN ne.n_exact = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE fhadc.n * 1000000 // ne.n_exact END AS recall_adc_ppm,
+       |  fhrr.n AS n_hit,
+       |  CASE WHEN ne.n_exact = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE fhrr.n * 1000000 // ne.n_exact END AS recall_ppm
+       |FROM fsse, ne, fhadc, fhrr
+       |UNION ALL
+       |SELECT 'retrained', rsse.sse, ne.n_exact, rhadc.n,
+       |  CASE WHEN ne.n_exact = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE rhadc.n * 1000000 // ne.n_exact END,
+       |  rhrr.n,
+       |  CASE WHEN ne.n_exact = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE rhrr.n * 1000000 // ne.n_exact END
+       |FROM rsse, ne, rhadc, rhrr
+       |ORDER BY phase""".stripMargin
+  }
 
   /** Margin-based bitext mining (the CCMatrix / LASER production
     * shape): the corpus splits into two "language" sides (synthetic
@@ -2868,7 +3212,123 @@ object Similarity {
        |FROM sassign s JOIN rassign r ON s.vec_id = r.vec_id AND s.m = r.m
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** recompute every (subspace, codeword) as the integer milli mean of
+    * its assignees — the Lloyd recompute shared by the training ladder
+    * and the codebook-refresh gate. assign = (vec_id, m, j).
+    */
+  private def pqRefineFromAssign(grid: DataFrame, assign: DataFrame): DataFrame =
+    grid.join(assign.select("vec_id", "m", "j"), Seq("vec_id", "m"))
+      .groupBy("m", "j", "pos")
+      .agg(sum("milli").as("sum_milli"), count(lit(1)).as("n"))
+      .select(col("m"), col("j"), col("pos"), expr("sum_milli div n").as("c_milli"))
+
+  /** The PQ training ladder — [[knnPqTrain]] is ONE Lloyd rung; this is
+    * [[embedKmeansConverge]]'s when-to-stop idiom applied per subspace
+    * (the full FAISS IVFADC codebook training loop, Jégou et al. §IV):
+    * from the same deterministic seeds, [[PqTrainIters]] exact Lloyd
+    * iterations per subspace, each emitting the numbers a training loop
+    * stops on — surviving codeword count, centroid movement (integer
+    * milli L∞), assignment churn (ppm of (vector, subspace) codes that
+    * changed) and the per-subspace assignment-time SSE. Lloyd's descent
+    * makes the SSE column non-increasing per subspace (exact on the
+    * real-valued step; the floor-quantized integer means can in
+    * principle give back sub-ppm slack near convergence — measured
+    * strictly decreasing at every rung here, graded in
+    * OperatorInvariantSpec), and rung 1 reproduces [[knnPqTrain]] /
+    * [[knnPqTrainGain]] by construction (rung-1 SSE ≡ sse_refined,
+    * asserted).
+    *
+    * Portability: the whole ladder is integer milli math — floored
+    * means, squared-milli distances, (dist, j) tie-break — so partial
+    * aggregation and the serial oracle replay agree bit-for-bit at
+    * every rung; SSE sums accumulate DECIMAL(38,0)/HUGEINT (the
+    * [[knnPqTrainGain]] numeric-bounds rule).
+    *
+    * Scale shape: [[knnPqTrain]]'s plan per rung — the M×K×SubDim
+    * codebook (1k rows) BROADCASTS onto the map-side subvector grid,
+    * K-bounded fanout, argmin via min(struct), ONE (m, j, pos) partial
+    * agg; the grid materializes once ([[Materialize.stable]]) and each
+    * rung's codebook/assignment checkpoints ([[Materialize.iteration]])
+    * so the plan stays flat. Movement/churn/SSE rows are codebook- and
+    * (vector × M)-cardinality folds to an M-row table.
+    */
+  def knnPqTrainConverge(s: SparkSession, dir: String): DataFrame = {
+    val grid = Materialize.stable(pqMilliGrid(pqNormalize(withVec(s, dir))))
+    def assignOf(book: DataFrame): DataFrame =
+      pqAssign(grid, book).select(col("vec_id"), col("m"),
+        col("best.j").as("j"), col("best.dist_sq").as("d"))
+    var book = Materialize.iteration(pqMilliSeeds(grid))
+    var assign = Materialize.iteration(assignOf(book))
+    val rows = (1 to PqTrainIters).map { t =>
+      val nb = Materialize.iteration(pqRefineFromAssign(grid, assign))
+      val na = Materialize.iteration(assignOf(nb))
+      val moved = book.select(col("m"), col("j"), col("pos"), col("c_milli").as("prev"))
+        .join(nb, Seq("m", "j", "pos"))
+        .groupBy("m")
+        .agg(countDistinct("j").as("n_codewords"),
+          max(abs(col("c_milli") - col("prev"))).as("moved_linf_milli"))
+      val churnSse = assign.select(col("vec_id"), col("m"), col("j").as("pj"))
+        .join(na, Seq("vec_id", "m"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("j") =!= col("pj"), 1L).otherwise(0L)).as("n_churn"),
+          sum(expr("CAST(d AS DECIMAL(38,0))")).as("sse_d"))
+      book = nb; assign = na
+      moved.join(churnSse, Seq("m"))
+        .select(lit(t.toLong).as("iter"), col("m").cast("long").as("m"),
+          col("n_codewords"), col("moved_linf_milli"), col("n_vecs"), col("n_churn"),
+          expr("n_churn * 1000000 div n_vecs").as("churn_ppm"),
+          expr("CAST(sse_d AS BIGINT)").as("sse"))
+    }
+    rows.reduce(_ union _).orderBy("iter", "m")
+  }
+
+  val knnPqTrainConvergeSql: String = {
+    def assignCte(t: Int, cb: String) =
+      s"""pd$t AS (
+         |  SELECT g.vec_id, g.m, c.j,
+         |    CAST(SUM((g.milli - c.c_milli) * (g.milli - c.c_milli)) AS BIGINT) AS dist_sq
+         |  FROM grid g JOIN $cb c ON g.m = c.m AND g.pos = c.pos
+         |  GROUP BY 1, 2, 3
+         |), pa$t AS (
+         |  SELECT vec_id, m, j, dist_sq FROM (
+         |    SELECT vec_id, m, j, dist_sq,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist_sq, j) AS r
+         |    FROM pd$t) t WHERE r = 1
+         |)""".stripMargin
+    val iters = (1 to PqTrainIters).map { t =>
+      s"""pcb$t AS (
+         |  SELECT g.m, a.j, g.pos,
+         |    CAST(SUM(g.milli) AS BIGINT) // COUNT(*) AS c_milli
+         |  FROM grid g JOIN pa${t - 1} a ON g.vec_id = a.vec_id AND g.m = a.m
+         |  GROUP BY 1, 2, 3
+         |), ${assignCte(t, s"pcb$t")}, prow$t AS (
+         |  SELECT CAST($t AS BIGINT) AS iter, mv.m, mv.n_codewords, mv.moved_linf_milli,
+         |    ch.n_vecs, ch.n_churn, ch.n_churn * 1000000 // ch.n_vecs AS churn_ppm, ch.sse
+         |  FROM (
+         |    SELECT CAST(n.m AS BIGINT) AS m,
+         |      CAST(COUNT(DISTINCT n.j) AS BIGINT) AS n_codewords,
+         |      CAST(MAX(ABS(n.c_milli - p.c_milli)) AS BIGINT) AS moved_linf_milli
+         |    FROM pcb$t n JOIN pcb${t - 1} p ON n.m = p.m AND n.j = p.j AND n.pos = p.pos
+         |    GROUP BY 1) mv
+         |  JOIN (
+         |    SELECT CAST(n.m AS BIGINT) AS m, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |      CAST(SUM(CASE WHEN n.j <> p.j THEN 1 ELSE 0 END) AS BIGINT) AS n_churn,
+         |      CAST(SUM(CAST(n.dist_sq AS HUGEINT)) AS BIGINT) AS sse
+         |    FROM pa$t n JOIN pa${t - 1} p ON n.vec_id = p.vec_id AND n.m = p.m
+         |    GROUP BY 1) ch ON mv.m = ch.m
+         |)""".stripMargin
+    }.mkString(", ")
+    val unions = (1 to PqTrainIters).map(t => s"SELECT * FROM prow$t").mkString(" UNION ALL ")
+    s"""WITH $duckPqTrainWith, pcb0 AS (
+       |  SELECT m, j, pos, c_milli FROM seedbook
+       |), ${assignCte(0, "pcb0")}, $iters
+       |$unions ORDER BY iter, m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_ivf_pq_refresh" -> (knnIvfPqRefresh _),
+    "knn_pq_train_converge" -> (knnPqTrainConverge _),
     "embed_kmeans_converge" -> (embedKmeansConverge _),
     "knn_pq_train" -> (knnPqTrain _),
     "knn_pq_train_gain" -> (knnPqTrainGain _),
@@ -2905,6 +3365,8 @@ object Similarity {
     "embed_project" -> (embedProject _))
 
   val oracles: Map[String, String] = Map(
+    "knn_ivf_pq_refresh" -> knnIvfPqRefreshSql,
+    "knn_pq_train_converge" -> knnPqTrainConvergeSql,
     "embed_kmeans_converge" -> embedKmeansConvergeSql,
     "knn_pq_train" -> knnPqTrainSql,
     "knn_pq_train_gain" -> knnPqTrainGainSql,

@@ -2263,6 +2263,62 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("knn_pq_train_converge: rung 1 == knn_pq_train_gain; Lloyd SSE descent per subspace") {
+    val m = operators.Similarity.PqM
+    val iters = operators.Similarity.PqTrainIters
+    // (iter, m, n_codewords, moved, n_vecs, n_churn, churn_ppm, sse)
+    val ladder = operators.Similarity.knnPqTrainConverge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(ladder.length == m * iters, "ladder row count")
+    // rung 1 IS knn_pq_train's step: its assignment-time SSE equals
+    // knn_pq_train_gain's sse_refined in every subspace by construction
+    val gain = operators.Similarity.knnPqTrainGain(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    ladder.filter(_._1 == 1L).foreach { r =>
+      assert(r._8 == gain(r._2),
+        s"subspace ${r._2}: rung-1 SSE ${r._8} != knn_pq_train_gain sse_refined ${gain(r._2)}")
+    }
+    // Lloyd descent: per-subspace SSE non-increasing rung over rung
+    ladder.groupBy(_._2).foreach { case (mm, rows) =>
+      rows.sortBy(_._1).map(_._8).sliding(2).foreach { w =>
+        assert(w(1) <= w(0), s"subspace $mm: SSE increased ${w(0)} -> ${w(1)}")
+      }
+    }
+    // the when-to-stop story: movement and churn both shrink from the
+    // first rung to the last
+    val byIter = ladder.groupBy(_._1)
+    assert(byIter(iters.toLong).map(_._4).max <= byIter(1L).map(_._4).max,
+      "codeword movement did not shrink")
+    assert(byIter(iters.toLong).map(_._6).sum < byIter(1L).map(_._6).sum,
+      "assignment churn did not shrink")
+  }
+
+  test("knn_ivf_pq_refresh: retrain recovers SSE; the rerank tier holds under both books") {
+    // (sse, n_exact, n_hit_adc, recall_adc_ppm, n_hit, recall_ppm)
+    val rows = operators.Similarity.knnIvfPqRefresh(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.keySet == Set("frozen", "retrained"))
+    val f = rows("frozen")
+    val t = rows("retrained")
+    // both phases grade against the SAME exact side (the shared-side rule)
+    assert(f._2 == t._2 && f._2 > 0, "exact side not shared")
+    // the staleness invoice: warm-start Lloyd on the drifted union
+    // strictly reduces reconstruction SSE (descent; the retrain
+    // criterion the gate exists to calibrate)
+    assert(t._1 < f._1, s"retrain did not reduce SSE (${f._1} -> ${t._1})")
+    // the production path (PqShortlist exact rerank) holds under BOTH
+    // books — the gate's documented robustness claim
+    assert(f._6 >= 900000L && t._6 >= 900000L,
+      s"rerank recall collapsed: frozen ${f._6}, retrained ${t._6}")
+    // ppm accounting recounts
+    Seq(f, t).foreach { p =>
+      assert(p._4 == p._3 * 1000000L / p._2 && p._6 == p._5 * 1000000L / p._2,
+        "recall ppm recount")
+    }
+  }
+
   test("sketch_kll: weight conservation, capacity, rank-error bound, and MERGE under the same bar") {
     import spark.implicits._
     val cap = operators.Sketches.KllCapacity

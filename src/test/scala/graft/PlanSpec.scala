@@ -176,7 +176,12 @@ class PlanSpec extends SparkSpec {
       // (total docs, total tokens) aggregate (the q22 idiom);
       // embed_kmeans_converge joins each rung's two ONE-ROW aggregates
       // (movement × churn — the events_funnel count-combine shape)
-      "dedup_attribution", "embed_kmeans_converge")
+      "dedup_attribution", "embed_kmeans_converge",
+      // round 14: knn_ivf_pq_refresh composes knn_ivf_refresh's shapes —
+      // the slice-anchored broadcast cross for its shared exact side
+      // (knn_bruteforce idiom) plus per-phase ONE-ROW sse/recall total
+      // attachments (the q22 idiom); audit-tier, query-slice-bounded
+      "knn_ivf_pq_refresh")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()
