@@ -911,4 +911,119 @@ object CorpusOps {
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
       .withColumn("weight_ppm", expr("1000000 div cluster_size"))
   }
+
+  /** KLL-style mergeable rank-error quantile sketch over ANY
+    * (group, value, tie) frame — the unbounded-range quantile path the
+    * fixed-bin sketch can't cover, exposed as the library entry its
+    * scaladoc promises ([[graft.operators.Sketches.kllState]]). Values
+    * must be integral (cast your metric to fixed-point long first —
+    * the sketch is exact-integer end to end); `tieCol` is any unique
+    * id (deterministic tie-break). Returns the compacted state as
+    * (group, value, tie, lvl) rows — item weight = 2^lvl, retained
+    * rows ≤ capacity + capacity·log₂(n) per group. Feed the state to
+    * [[kllQuantiles]] for estimates; MERGE two independently built
+    * states with [[kllMerge]] (union + re-compact — the error bound,
+    * not the item-wise state, is the merge invariant).
+    */
+  def kllSketch(rows: DataFrame, groupCol: String = "group",
+      valueCol: String = "value", tieCol: String = "tie"): DataFrame =
+    graft.operators.Sketches.kllState(rows.select(
+        col(groupCol).cast("string").as("event_type"),
+        col(valueCol).cast("long").as("cents"),
+        col(tieCol).cast("long").as("tie"), lit(0L).as("lvl")))
+      .select(col("event_type").as("group"), col("cents").as("value"),
+        col("tie"), col("lvl"))
+
+  /** Merge two [[kllSketch]] states: union + re-compact. Mergeability
+    * is by construction — promotion into an occupied level is the same
+    * operation whether items arrived raw or pre-compacted — so
+    * distributed builds compose: sketch shards independently, merge
+    * pairwise, the rank-error bar degrades by at most one compaction
+    * generation per merge (graded in ApiTour and
+    * OperatorInvariantSpec's split-merge test).
+    */
+  def kllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    graft.operators.Sketches.kllState(a.unionByName(b).select(
+        col("group").as("event_type"), col("value").as("cents"),
+        col("tie"), col("lvl")))
+      .select(col("event_type").as("group"), col("cents").as("value"),
+        col("tie"), col("lvl"))
+
+  /** Quantile estimates from a [[kllSketch]] state: per (group, q) the
+    * smallest value whose cumulative weight reaches ⌈q·W⌉ — the
+    * weighted-order-statistic read, all integer. The state is KBs per
+    * group, so the rank windows here are driver-trivial at any corpus
+    * size; rank error is capacity-bounded (sketch_kll_error's gate:
+    * ≤ the state's top weight, 2× after a merge).
+    */
+  def kllQuantiles(state: DataFrame,
+      qsPpm: Seq[Long] = graft.operators.Sketches.KllQuantilesPpm): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("group").orderBy("value", "tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("group")
+    val cum = state
+      .withColumn("weight", expr("shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))"))
+      .withColumn("cumw", sum("weight").over(wOrd))
+      .withColumn("w_total", sum("weight").over(wAll))
+    qsPpm.map { q =>
+      cum.groupBy("group")
+        .agg(max("w_total").as("n"),
+          min(when(col("cumw") * 1000000L >= col("w_total") * q, col("value")))
+            .as("est"))
+        .select(col("group"), lit(q).as("q_ppm"), col("n"), col("est"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** First-to-fire dedup attribution over ANY weighted doc frame and
+    * ANY ordered stage lattice — dedup_attribution's census
+    * parameterized on the deployment's own pipeline (that query's
+    * 7-stage order is "a production pipeline's cost ordering"; a
+    * deployment that drops or reorders stages — e.g. the minhash pass
+    * the contract table itself shows subsumed on its corpus — re-runs
+    * the census here on its own lattice). `stages` is the ordered
+    * (name → frame of REMOVED ids) list, each frame the owning
+    * operator's already-priced removal output; a doc claimed by
+    * several stages is attributed to the FIRST — it never pays a later
+    * one. Output: the (k+1)-row invoice (stage_ord, stage, n_docs,
+    * n_tokens, doc_ppm, token_ppm) with a trailing `kept` row; masses
+    * partition the input exactly.
+    *
+    * Scale shape: each stage frame is distinct-ed and equi-joined back
+    * on the id (narrow rows, dup-mass-sized — the frames the dedup
+    * family already pays); the rollup is a (k+1)-row axis LEFT JOIN
+    * plus the q22 one-row totals broadcast.
+    */
+  def attributionFor(docs: DataFrame, stages: Seq[(String, DataFrame)],
+      idCol: String = "doc_id", weightCol: String = "n_tokens"): DataFrame = {
+    require(stages.nonEmpty, "attributionFor: empty stage lattice")
+    require(stages.map(_._1).distinct.size == stages.size &&
+      !stages.exists(_._1 == "kept"),
+      "attributionFor: stage names must be unique and none may be 'kept'")
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(weightCol).cast("long").as("n_tokens"))
+    val joined = stages.foldLeft(base) { case (acc, (name, drops)) =>
+      acc.join(drops.select(col(idCol).as("doc_id")).distinct()
+        .withColumn(s"__fires_$name", lit(true)), Seq("doc_id"), "left")
+    }
+    val stageCol = stages.foldRight(lit("kept")) { case ((name, _), els) =>
+      when(col(s"__fires_$name"), lit(name)).otherwise(els)
+    }
+    val agg = joined.withColumn("stage", stageCol)
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val axis = (stages.map(_._1) :+ "kept").zipWithIndex
+      .map { case (st, i) => (i + 1, st) }.toDF("stage_ord", "stage")
+    val tot = agg.agg(sum("n_docs").as("td"), sum("n_tokens").as("tt"))
+    axis.join(agg, Seq("stage"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("stage_ord"), col("stage"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        expr("coalesce(n_docs, CAST(0 AS BIGINT)) * 1000000 div td").as("doc_ppm"),
+        expr("coalesce(n_tokens, CAST(0 AS BIGINT)) * 1000000 div tt").as("token_ppm"))
+      .orderBy("stage_ord")
+  }
 }

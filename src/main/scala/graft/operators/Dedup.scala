@@ -1839,7 +1839,6 @@ object Dedup {
     */
   def dedupAttribution(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import s.implicits._
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     // plantId guard on ALL THREE plants (the SQL side replays the bare
     // arithmetic — the guard asymmetry is deliberate: Spark fails loud
@@ -1871,37 +1870,31 @@ object Dedup {
       .select(when(col("na") < col("nb"), col("doc_a"))
         .when(col("nb") < col("na"), col("doc_b"))
         .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct().withColumn("cont_drop", lit(true))
+      .distinct()
     val semDrops = Similarity.dedupSemantic(s, dir).filter(!col("keep"))
-      .select(col("vec_id").as("doc_id")).withColumn("sem_drop", lit(true))
-    val staged = feat
+      .select(col("vec_id").as("doc_id"))
+    // one window pass computes the three census flags, materialized so
+    // the per-stage drop frames are cheap filters over it; the
+    // first-to-fire rollup then goes through the PARAMETERIZED lattice
+    // entry (graft.api.CorpusOps.attributionFor) — this contract query
+    // is the 7-stage instantiation of the library census, so a
+    // deployment with its own stage order runs the same code path
+    // (the neardupWeightsFor rewiring idiom)
+    val flagged = Materialize.stable(feat
       .withColumn("drop_exact", col("doc_id") > min("doc_id").over(Window.partitionBy("fp")))
       .withColumn("drop_url", col("doc_id") > min("doc_id").over(Window.partitionBy("canon")))
       .withColumn("drop_prefix", col("doc_id") > min("doc_id").over(Window.partitionBy("pfp")))
-      .join(mh, Seq("doc_id"), "left")
-      .join(contDrops, Seq("doc_id"), "left")
-      .join(semDrops, Seq("doc_id"), "left")
-      .withColumn("stage",
-        when(col("drop_exact"), "exact")
-          .when(col("drop_url"), "url")
-          .when(col("drop_prefix"), "prefix")
-          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), "minhash")
-          .when(col("cont_drop").isNotNull, "containment")
-          .when(col("sem_drop").isNotNull, "semantic")
-          .otherwise("kept"))
-    val agg = staged.groupBy("stage")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-    val axis = AttributionStages.zipWithIndex
-      .map { case (st, i) => (i + 1, st) }.toDF("stage_ord", "stage")
-    val tot = agg.agg(sum("n_docs").as("td"), sum("n_tokens").as("tt"))
-    axis.join(agg, Seq("stage"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("stage_ord"), col("stage"),
-        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        expr("coalesce(n_docs, CAST(0 AS BIGINT)) * 1000000 div td").as("doc_ppm"),
-        expr("coalesce(n_tokens, CAST(0 AS BIGINT)) * 1000000 div tt").as("token_ppm"))
-      .orderBy("stage_ord")
+      .select("doc_id", "n_tokens", "drop_exact", "drop_url", "drop_prefix"))
+    val dropFrames = Map(
+      "exact" -> flagged.filter(col("drop_exact")).select("doc_id"),
+      "url" -> flagged.filter(col("drop_url")).select("doc_id"),
+      "prefix" -> flagged.filter(col("drop_prefix")).select("doc_id"),
+      "minhash" -> mh.filter(col("cluster_id") =!= col("doc_id")).select("doc_id"),
+      "containment" -> contDrops.select("doc_id"),
+      "semantic" -> semDrops.select("doc_id"))
+    graft.api.CorpusOps.attributionFor(
+      flagged.select("doc_id", "n_tokens"),
+      AttributionStages.init.map(n => n -> dropFrames(n)))
   }
 
   val dedupAttributionSql: String = {

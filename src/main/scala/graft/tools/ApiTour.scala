@@ -667,6 +667,68 @@ object ApiTour {
           comp).count() > 0
     })
 
+    // ---- KLL sketch surface (the mergeable unbounded-range quantile
+    // entry the Sketches scaladoc promises) + the parameterized
+    // attribution lattice ----
+    val kllCap = graft.operators.Sketches.KllCapacity
+    val evRows = Tables.events(spark, sfDir)
+      .select(col("event_type").as("group"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("value"),
+        col("event_id").as("tie"))
+      .cache()
+    val kllNBy = evRows.groupBy("group").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kllExact = evRows.select("group", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    def kllRankErrs(state: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] = {
+      // (group, rank error, state top weight) per graded quantile
+      val wmax = state.collect().groupBy(_.getString(0))
+        .map { case (g, rs) => g -> rs.map(r => 1L << r.getLong(3).toInt).max }
+      CorpusOps.kllQuantiles(state).collect().toSeq.map { r =>
+        val (g, q, n, est) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val target = (n * q + 999999L) / 1000000L
+        val vs = kllExact(g)
+        val lo = vs.count(_ < est) + 1L
+        val hi = vs.count(_ <= est).toLong
+        val err = if (target >= lo && target <= hi) 0L
+          else math.min(math.abs(target - lo), math.abs(target - hi))
+        (g, err, wmax(g))
+      }
+    }
+    val kllFull = CorpusOps.kllSketch(evRows).cache()
+    check("corpus.kllSketch: capacity-bounded state conserving corpus mass per group")({
+      val st = kllFull.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      st.groupBy(r => (r._1, r._4)).forall(_._2.size <= kllCap) &&
+        st.groupBy(_._1).forall { case (g, rs) =>
+          rs.map(r => 1L << r._4.toInt).sum == kllNBy(g) }
+    })
+    check("corpus.kllQuantiles: every estimate within the top-weight rank bar")(
+      kllRankErrs(kllFull).forall { case (_, err, w) => err <= w })
+    check("corpus.kllMerge: half-built states union+re-compact under the 2x bar")({
+      val a = CorpusOps.kllSketch(evRows.filter(pmod(col("tie"), lit(2)) === 0))
+      val b = CorpusOps.kllSketch(evRows.filter(pmod(col("tie"), lit(2)) === 1))
+      val merged = CorpusOps.kllMerge(a, b).cache()
+      val st = merged.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      st.groupBy(r => (r._1, r._4)).forall(_._2.size <= kllCap) &&
+        st.groupBy(_._1).forall { case (g, rs) =>
+          rs.map(r => 1L << r._4.toInt).sum == kllNBy(g) } &&
+        kllRankErrs(merged).forall { case (_, err, w) => err <= 2L * w }
+    })
+    check("corpus.attributionFor: custom lattice — first-to-fire partition with exact masses")({
+      val frame = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+        .toDF("doc_id", "n_tokens")
+      val out = CorpusOps.attributionFor(frame, Seq(
+          "cheap" -> Seq(2L, 3L).toDF("doc_id"),
+          "deep" -> Seq(3L, 4L).toDF("doc_id"))).collect()
+        .map(r => r.getString(1) -> ((r.getInt(0), r.getLong(2), r.getLong(3)))).toMap
+      // doc 3 fires BOTH stages → attributed to 'cheap' (first in order)
+      out("cheap") == ((1, 2L, 50L)) && out("deep") == ((2, 1L, 40L)) &&
+        out("kept") == ((3, 2L, 60L))
+    })
+
     check("sql kernels survive newSession (injected, not temp-registered)")({
       // a temp-function-only registration dies with the session; the
       // extensions-injected one is part of the cloned function registry
