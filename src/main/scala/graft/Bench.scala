@@ -89,9 +89,16 @@ object Bench {
     // the totals (round-11's 1.6× driver artifact needed manual solo
     // probes to prove that); with the controls in-band, a uniform drift
     // is machine-readable: compare control medians across rounds before
-    // believing any total. Keys chosen cheap, stable, and covering both
-    // shapes (q_rollup = shuffle agg, glob_match = scan + regex).
-    val controlKeys = Seq("q_rollup", "glob_match")
+    // believing any total. Keys cover both tiers and all three shapes:
+    // q_rollup (shuffle agg) and glob_match (scan + regex) are
+    // sub-second CONTRACT-tier probes; dedup_banding_sweep is a stable
+    // multi-second AUDIT-tier probe — round 13 proved the sub-second
+    // controls are blind to bursts that land on the long-running audit
+    // keys (the driver's 241s artifact had CLEAN contract controls
+    // while the audit tier ran 1.86×; adjudication needed out-of-band
+    // reruns). A clean contract control + an inflated audit control
+    // now reads "audit-window host burst" from the artifact alone.
+    val controlKeys = Seq("q_rollup", "glob_match", "dedup_banding_sweep")
     val controls = controlKeys.map { name =>
       val fn = SparkEntry.queries(name)
       spark.catalog.clearCache()

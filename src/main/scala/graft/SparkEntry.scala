@@ -50,7 +50,12 @@ object SparkEntry {
     // compactor with per-(group, level) rank windows so the oracle can
     // replay it (the production path is executor-local compactors)
     "dedup_attribution", "embed_kmeans_converge", "knn_pq_train_gain",
-    "sketch_kll", "sketch_kll_error")
+    "sketch_kll", "sketch_kll_error",
+    // round 14: knn_pq_train_converge pays PqTrainIters full Lloyd
+    // passes by contract (the PQ when-to-stop ladder); knn_ivf_pq_refresh
+    // pays the shared exact side + two codebook builds + the warm
+    // retrain ladder over the drifted union (knn_ivf_refresh's family)
+    "knn_pq_train_converge", "knn_ivf_pq_refresh")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -2038,6 +2038,11 @@ object Similarity {
     * coefficient from the portable integer plane PRN — bit-identical
     * across engines, intra-mode cosine ≈ 0.6 (coherent: a mode
     * vector's true top-k ARE mode vectors), mode-to-corpus ≈ 0.
+    * Callers pass the BLOCK-LOCAL id (`pmod(vec_id, 10⁷)` — the
+    * ScaleSmoke replication-block convention): the plane PRN's
+    * `idx·64·2654435761` product overflows Long past idx ≈ 4.5×10⁶,
+    * so replicated-block ids must fold back first; at contract scales
+    * ids sit below 10⁷ and the fold is a no-op (oracle unchanged).
     */
   private def newModeVec(idExpr: String): String =
     s"transform(sequence(0, ${graft.functions.VectorFns.Dim - 1}), j -> " +
@@ -2103,7 +2108,7 @@ object Similarity {
       .select(Dedup.plantId(col("vec_id"), DriftBatchShift).as("vec_id"), col("v"))
       .union(vecs.filter(pmod(col("vec_id"), lit(10)) === 9)
         .select(Dedup.plantId(col("vec_id"), DriftBatchShift).as("vec_id"),
-          expr(newModeVec("vec_id")).as("v")))
+          expr(newModeVec("pmod(vec_id, 10000000)")).as("v")))
     val union = Materialize.stable(vecs.union(batch))
     val queries = union
       .filter(col("vec_id") >= DriftBatchShift && pmod(col("vec_id"), lit(10)) === 9
@@ -2158,7 +2163,7 @@ object Similarity {
        |), batch AS (
        |  SELECT vec_id + $DriftBatchShift AS vec_id, v FROM vecs WHERE vec_id % 10 = 5
        |  UNION ALL
-       |  SELECT vec_id + $DriftBatchShift, ${duckNewModeVec("vec_id")} FROM vecs WHERE vec_id % 10 = 9
+       |  SELECT vec_id + $DriftBatchShift, ${duckNewModeVec("(vec_id % 10000000)")} FROM vecs WHERE vec_id % 10 = 9
        |), uni AS (
        |  SELECT * FROM vecs UNION ALL SELECT * FROM batch
        |), cmodf AS (
@@ -2336,7 +2341,7 @@ object Similarity {
     val vecs = Materialize.stable(withVec(s, dir))
     val batch = vecs.filter(pmod(col("vec_id"), lit(2)) === 1)
       .select(Dedup.plantId(col("vec_id"), DriftBatchShift).as("vec_id"),
-        expr(newModeVec("vec_id")).as("v"))
+        expr(newModeVec("pmod(vec_id, 10000000)")).as("v"))
     val union = Materialize.stable(vecs.union(batch))
     val queries = union
       .filter(col("vec_id") >= DriftBatchShift
@@ -2503,7 +2508,7 @@ object Similarity {
     s"""WITH vecs AS (
        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
        |), batch AS (
-       |  SELECT vec_id + $DriftBatchShift AS vec_id, ${duckNewModeVec("vec_id")} AS v
+       |  SELECT vec_id + $DriftBatchShift AS vec_id, ${duckNewModeVec("(vec_id % 10000000)")} AS v
        |  FROM vecs WHERE vec_id % 2 = 1
        |), uni AS (
        |  SELECT * FROM vecs UNION ALL SELECT * FROM batch

@@ -171,7 +171,14 @@ object ScaleSmoke {
       // state — watch rung 0 dominates and the tail rungs are no-ops)
       "dedup_attribution", "embed_kmeans_converge",
       "knn_pq_train", "knn_pq_train_gain",
-      "sketch_kll", "sketch_kll_error")
+      "sketch_kll", "sketch_kll_error",
+      // round 14: the PQ training ladder (watch: K-bounded broadcast
+      // fanout per rung, rung count fixed at PqTrainIters) and the
+      // codebook-staleness gate (watch: the exact side stays
+      // query-slice-bounded — 100 mode probes at any ×N — and every
+      // codebook assign is the map-side K-bounded argmin, linear in
+      // the union grid)
+      "knn_pq_train_converge", "knn_ivf_pq_refresh")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty
     else targets.filter(t => only.forall(_.contains(t))).map { name =>
       val t0 = System.nanoTime()

@@ -64,7 +64,7 @@ class ContractSpec extends AnyFunSuite {
     // parsed:null because a per-query map outgrew the window; Bench now
     // prints a TOTAL-ONLY line whose length is independent of query
     // count. Reconstruct it with worst-case field widths and assert.
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","runs":5,"stat":"median","n_queries":${SparkEntry.queries.size},"failed":999,"contract_sec":99999.999,"audit_sec":99999.999,"control":{"q_rollup":99999.999999,"glob_match":99999.999999},"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","runs":5,"stat":"median","n_queries":${SparkEntry.queries.size},"failed":999,"contract_sec":99999.999,"audit_sec":99999.999,"control":{"q_rollup":99999.999999,"glob_match":99999.999999,"dedup_banding_sweep":99999.999999},"sf":"/root/testdata/sf0.1"}"""
     assert(line.length <= 1900,
       s"bench stdout line would be ${line.length} bytes — must stay under the 2000-byte tail window minus sbt trailer")
   }

@@ -96,13 +96,24 @@ def main():
     # marks the NEW run as host-noise, not a code regression
     co, cn = old.get("control", {}), new.get("control", {})
     ck = sorted(set(co) & set(cn))
+    audit_ctl = set(new.get("audit_keys", []) or old.get("audit_keys", []))
     if ck:
         ratios = {k: cn[k] / co[k] for k in ck if co[k] > 0 and cn[k] > 0}
         if ratios:
             print("controls: " + ", ".join(
-                f"{k} {co[k]:.2f}s -> {cn[k]:.2f}s ({r:.2f}x)"
+                f"{k}[{'audit' if k in audit_ctl else 'contract'}] "
+                f"{co[k]:.2f}s -> {cn[k]:.2f}s ({r:.2f}x)"
                 for k, r in sorted(ratios.items())) +
                 " — if these track the total ratio, the drift is host noise")
+            # round-13 lesson: sub-second contract controls are blind to
+            # bursts landing on long-running audit keys — adjudicate the
+            # audit TIER with the audit-tier control specifically
+            a = [r for k, r in ratios.items() if k in audit_ctl]
+            c = [r for k, r in ratios.items() if k not in audit_ctl]
+            if a and c and max(a) > 1.3 * max(c):
+                print("  note: audit-tier control inflated while contract "
+                      "controls are clean — audit-window host burst; "
+                      "distrust the audit tier's totals in the NEW run")
     print(f"common keys: {len(common)} ({len(both_ok)} ok both sides); "
           f"old total {tot_o:.2f}s, "
           f"new total {tot_n:.2f}s ({tot_n/tot_o:.2f}x); "
