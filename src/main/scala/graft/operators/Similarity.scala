@@ -2366,10 +2366,17 @@ object Similarity {
       .select("query_id", "cell"))
     val gridU = Materialize.stable(pqMilliGrid(pqNormalize(union)))
     val gridO = gridU.filter(col("vec_id") < DriftBatchShift)
+    // the per-rung CODE frames checkpoint (Materialize.iteration, the
+    // ladder discipline): each rung derives from the previous one, and
+    // with lazy persists the logical tree re-expands the whole chain at
+    // every reference — measured 35-39s of driver-side plan processing
+    // PER ACTION at sf0.1 before the checkpoints, ~3s after, identical
+    // results. The book frames stay lazy (1k rows; their trees are one
+    // refine over the checkpointed codes — already flat).
     val frozenB = Materialize.stable(pqRefineFromAssign(gridO,
       pqAssign(gridO, pqMilliSeeds(gridO))
         .select(col("vec_id"), col("m"), col("best.j").as("j"))))
-    val codesF = Materialize.stable(pqAssign(gridU, frozenB))
+    val codesF = Materialize.iteration(pqAssign(gridU, frozenB))
     // warm-start retrain: [[PqTrainIters]] Lloyd rungs on the UNION
     // from the frozen book (the knn_pq_train_converge ladder as the
     // refresh move) — rung 1 alone recovers most of the SSE but leaves
@@ -2381,7 +2388,7 @@ object Similarity {
     (1 to PqTrainIters).foreach { _ =>
       wbook = Materialize.stable(pqRefineFromAssign(gridU,
         wcodes.select(col("vec_id"), col("m"), col("best.j").as("j"))))
-      wcodes = Materialize.stable(pqAssign(gridU, wbook))
+      wcodes = Materialize.iteration(pqAssign(gridU, wbook))
     }
     val retrainedB = wbook
     val codesR = wcodes
