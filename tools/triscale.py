@@ -60,9 +60,16 @@ def main():
                  "\n".join(src_dirty))
     record = {"commit": commit, "src_id": src_tree_id(), "scales": {}}
     keys = None
-    for sf, outdir in zip(SCALES, outdirs):
-        sfdir = f"/root/testdata/{sf}"
-        oks, fails, _ = run_parity(sfdir, outdir)
+    # the three parity legs are independent (each its own DuckDB over
+    # its own dump dir) — run them concurrently; the sf0.1 leg's serial
+    # oracle replay dominates the wall either way
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [(sf, outdir,
+                 ex.submit(run_parity, f"/root/testdata/{sf}", outdir))
+                for sf, outdir in zip(SCALES, outdirs)]
+        results = [(sf, outdir, f.result()) for sf, outdir, f in futs]
+    for sf, _outdir, (oks, fails, _) in results:
         record["scales"][sf] = {"ok": len(oks), "fail": len(fails),
                                 "failed_queries": fails}
         ks = set(oks) | set(fails)
