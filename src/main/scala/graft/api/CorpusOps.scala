@@ -966,13 +966,17 @@ object CorpusOps {
       .withColumn("weight", expr("shiftleft(CAST(1 AS BIGINT), CAST(lvl AS INT))"))
       .withColumn("cumw", sum("weight").over(wOrd))
       .withColumn("w_total", sum("weight").over(wAll))
-    qsPpm.map { q =>
-      cum.groupBy("group")
-        .agg(max("w_total").as("n"),
-          min(when(col("cumw") * 1000000L >= col("w_total") * q, col("value")))
-            .as("est"))
-        .select(col("group"), lit(q).as("q_ppm"), col("n"), col("est"))
-    }.reduce(_ unionByName _)
+    // ONE aggregation pass for every requested quantile: cross the
+    // KB-sized cumulative frame with the quantile axis and roll up by
+    // (group, q) — not one scan-and-union per q (callers pass many qs)
+    val qAxis = state.sparkSession
+      .createDataFrame(qsPpm.map(Tuple1.apply)).toDF("q_ppm")
+    cum.crossJoin(broadcast(qAxis))
+      .groupBy("group", "q_ppm")
+      .agg(max("w_total").as("n"),
+        min(when(col("cumw") * 1000000L >= col("w_total") * col("q_ppm"), col("value")))
+          .as("est"))
+      .select(col("group"), col("q_ppm"), col("n"), col("est"))
   }
 
   /** First-to-fire dedup attribution over ANY weighted doc frame and

@@ -752,6 +752,127 @@ object CorpusQuality {
       |  CAST(COUNT(*) AS BIGINT) AS n_types
       |FROM pairs GROUP BY 1 ORDER BY n_pairs DESC, pair LIMIT 20""".stripMargin
 
+  /** rungs of the BPE training ladder — like the other converge
+    * ladders, the iteration count is the CONTRACT (each rung pays one
+    * vocab-bounded pair recount by design).
+    */
+  val BpeTrainIters = 4
+
+  /** symbol-sequence string form of a vocab word: every symbol wrapped
+    * in `|` bars (`abc` → `|a||b||c|`), so applying a merge is ONE
+    * portable `replace` — both engines replace left-to-right
+    * non-overlapping, which IS the standard BPE apply, and the bar
+    * framing makes the pattern `|l||r|` match only at true symbol
+    * boundaries (bar-free runs are exactly the symbols; a symbol never
+    * contains a bar — guarded fail-loud below on the vocab frame).
+    */
+  private val bpeSymExpr =
+    "concat('|', array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '||'), '|')"
+
+  /** The BPE TRAINING ladder — [[bpePairStep]] is one merge-selection
+    * argmax; a real tokenizer trainer APPLIES the merge to the vocab
+    * and recounts, N times. [[BpeTrainIters]] rungs over the
+    * (word, count) vocab frame: per rung, count adjacent SYMBOL pairs
+    * (corpus-weighted, overlapping — the classic selection statistic,
+    * so rung 1's argmax IS bpe_pair_step's top row, asserted in
+    * OperatorInvariantSpec), select the max-count pair (ties by pair,
+    * the bpe_pair_step order), apply it greedily left-to-right via the
+    * bar-framed `replace`, and emit (iter, merged, n_pairs, n_types,
+    * vocab_mass) where vocab_mass = Σ count·|symbols| AFTER the merge
+    * — the token-budget curve a tokenizer trainer reads to stop
+    * (read with token_fertility / text_vocab_coverage). Mass strictly
+    * decreases by the number of merges APPLIED, which is ≤ n_pairs
+    * (overlapping occurrences count toward selection but merge once —
+    * `aaa` has two `aa` pairs, one greedy merge).
+    *
+    * 100 TB shape: ONE corpus partial agg to the vocab (the
+    * bpe_pair_step scale trick — a 10¹³-token corpus has ~10⁷ distinct
+    * words); every rung after that is vocab-bounded (pair fanout ≤
+    * Σ|word|, argmax a TakeOrdered, apply a map-side replace), with
+    * per-rung frames checkpointed ([[Materialize.iteration]] — the
+    * ladder discipline that keeps the plan tree flat).
+    */
+  def bpeTrainConverge(s: SparkSession, dir: String): DataFrame = {
+    val vocab0 = Tables.documents(s, dir)
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // separator guard on the vocab frame (vocab-sized, not corpus-
+      // sized): a word containing the bar would corrupt the symbol
+      // framing — fail loud, never mis-merge
+      .select(expr("CASE WHEN word LIKE '%|%' THEN " +
+        "raise_error(concat('bpe separator collision in word: ', word)) " +
+        s"ELSE $bpeSymExpr END").as("sym"), col("cnt"))
+    var vocab = Materialize.iteration(vocab0)
+    val rungs = (1 to BpeTrainIters).map { r =>
+      val pairs = vocab
+        .select(expr("filter(split(sym, '\\\\|'), x -> x <> '')").as("syms"), col("cnt"))
+        .filter(expr("size(syms) >= 2"))
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))"))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("n_pairs"), count(lit(1)).as("n_types"))
+      val sel = Materialize.stable(
+        pairs.orderBy(col("n_pairs").desc, col("l"), col("r")).limit(1))
+      vocab = Materialize.iteration(
+        vocab.crossJoin(broadcast(sel.select(col("l"), col("r"))))
+          .select(expr(
+            "replace(sym, concat('|', l, '||', r, '|'), concat('|', l, r, '|'))")
+            .as("sym"), col("cnt")))
+      val mass = vocab.agg(
+        sum(expr("cnt * ((length(sym) - length(replace(sym, '|', ''))) div 2)"))
+          .as("vocab_mass"))
+      sel.select(lit(r.toLong).as("iter"),
+          concat(col("l"), col("r")).as("merged"),
+          col("n_pairs"), col("n_types"))
+        .crossJoin(broadcast(mass))
+    }
+    rungs.reduce(_ unionByName _).orderBy("iter")
+  }
+
+  val bpeTrainConvergeSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH vocab0 AS (
+         |  SELECT '|' || array_to_string(list_transform(range(1, length(word) + 1),
+         |    i -> word[CAST(i AS INT)]), '||') || '|' AS sym, cnt
+         |  FROM (
+         |    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |      SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+         |      FROM documents) t
+         |    GROUP BY 1) v)""".stripMargin)
+    (1 to BpeTrainIters).foreach { r =>
+      sb.append(
+        s""", pairs$r AS (
+           |  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r, cnt
+           |  FROM (SELECT list_filter(string_split(sym, '|'), x -> x <> '') AS syms, cnt
+           |        FROM vocab${r - 1}) v,
+           |    UNNEST(range(1, len(syms))) AS t(i)
+           |), sel$r AS (
+           |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+           |    CAST(COUNT(*) AS BIGINT) AS n_types
+           |  FROM pairs$r GROUP BY 1, 2
+           |  ORDER BY n_pairs DESC, l, r LIMIT 1
+           |), vocab$r AS (
+           |  SELECT replace(sym, '|' || s.l || '||' || s.r || '|',
+           |    '|' || s.l || s.r || '|') AS sym, cnt
+           |  FROM vocab${r - 1} CROSS JOIN sel$r s
+           |), mass$r AS (
+           |  SELECT CAST(SUM(cnt * ((length(sym) - length(replace(sym, '|', ''))) // 2)) AS BIGINT)
+           |    AS vocab_mass
+           |  FROM vocab$r
+           |)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to BpeTrainIters).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS iter, l || r AS merged, n_pairs, n_types, vocab_mass
+         |FROM sel$r, mass$r""".stripMargin
+    }.mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY iter")
+    sb.toString
+  }
+
   /** Per-source distribution drift: KL(source ‖ corpus) over unigram
     * token distributions, in ppb — the "did this source's language
     * shift away from the mix" gate a corpus refresh runs before
@@ -1039,6 +1160,7 @@ object CorpusQuality {
     "text_vocab_coverage" -> (textVocabCoverage _),
     "corpus_dsir_weights" -> (corpusDsirWeights _),
     "bpe_pair_step" -> (bpePairStep _),
+    "bpe_train_converge" -> (bpeTrainConverge _),
     "source_kl_drift" -> (sourceKlDrift _),
     "corpus_novelty" -> (corpusNovelty _),
     "corpus_lm_buckets" -> (corpusLmBuckets _),
@@ -1058,6 +1180,7 @@ object CorpusQuality {
     "text_vocab_coverage" -> textVocabCoverageSql,
     "corpus_dsir_weights" -> corpusDsirWeightsSql,
     "bpe_pair_step" -> bpePairStepSql,
+    "bpe_train_converge" -> bpeTrainConvergeSql,
     "source_kl_drift" -> sourceKlDriftSql,
     "corpus_novelty" -> corpusNoveltySql,
     "corpus_lm_buckets" -> corpusLmBucketsSql,

@@ -309,8 +309,254 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---- image_dedup: the image modality's oracle-graded dedup row -------
+
+  /** The oracle-graded image corpus: fixed [[ImgW]]×[[ImgH]] gray
+    * rasters with POSITION-INDEXED pixels (value = closed-form
+    * function of (doc, pixel index), the Video.pixel convention — not
+    * [[encodeMedia]]'s chained LCG, which no SQL oracle can replay),
+    * encoded through the REAL codec (PNG even ids / BMP odd ids, both
+    * lossless). Gray (v,v,v) pixels make integer ITU-601 luma equal v
+    * exactly, so the oracle's analytic pixel sums ARE the decoded luma
+    * sums — parity proves the encode → PNG/BMP-decode → luma-grid →
+    * aHash pipeline bit-exact end to end.
+    */
+  val ImgW = 32
+  val ImgH = 32
+
+  /** Closed-form gray value of pixel `idx` of image `doc` — its own
+    * multiplier so the image corpus never aliases video frame 0; all
+    * terms positive, products < 2⁶³ at any replication-block id.
+    */
+  @inline def imgPixel(doc: Long, idx: Long): Int =
+    ((doc * 999983L + idx * 2654435761L) % 256L).toInt
+
+  def encodeImages(s: SparkSession, dir: String): Dataset[MediaPayload] = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id").as[Long].mapPartitions { docs =>
+      imageIoMemCache
+      docs.map { doc =>
+        val img = new java.awt.image.BufferedImage(ImgW, ImgH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var idx = 0
+        while (idx < ImgW * ImgH) {
+          val v = imgPixel(doc, idx)
+          img.setRGB(idx % ImgW, idx / ImgW, (v << 16) | (v << 8) | v)
+          idx += 1
+        }
+        val fmt = if (doc % 2 == 0) "png" else "bmp"
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, baos)
+        MediaPayload(doc, fmt, baos.toByteArray)
+      }
+    }
+  }
+
+  /** "Same image re-ingested after an edit" plant: every doc_id%10==3
+    * image REALLY decoded, corner-block swapped (cell 0's 4×4 pixel
+    * block exchanges with cell 63's — the video_dedup plant on the
+    * 32×32 grid), re-encoded in the same format under a shifted id.
+    * The swap preserves the image total, so exactly the two swapped
+    * cells' hash bits can exchange (0 or 2 bit flips) — what lets the
+    * SQL oracle replay the plant analytically.
+    */
+  val ImageDedupShift = 100000L
+  private[graft] def cornerSwappedImages(base: Dataset[MediaPayload]): Dataset[MediaPayload] = {
+    import base.sparkSession.implicits._
+    base.filter(_.doc_id % 10 == 3).mapPartitions { rows =>
+      imageIoMemCache
+      rows.map { p =>
+        // planted ids live at base+Shift WITHIN each 10^7 replication
+        // block (the plantId convention) — fail loud on collision
+        require(p.doc_id % 10000000L < ImageDedupShift,
+          s"doc_id ${p.doc_id} collides with the +$ImageDedupShift copy-id plant")
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
+        require(src != null, s"undecodable payload for doc ${p.doc_id}")
+        val dst = new java.awt.image.BufferedImage(ImgW, ImgH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var idx = 0
+        while (idx < ImgW * ImgH) {
+          val (r, c) = (idx / ImgW, idx % ImgW)
+          val (sr, sc) =
+            if (r < 4 && c < 4) (r + 28, c + 28)
+            else if (r >= 28 && c >= 28) (r - 28, c - 28)
+            else (r, c)
+          val b = src.getRGB(sc, sr) & 0xFF
+          dst.setRGB(c, r, (b << 16) | (b << 8) | b)
+          idx += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, p.fmt, baos)
+        MediaPayload(p.doc_id + ImageDedupShift, p.fmt, baos.toByteArray)
+      }
+    }
+  }
+
+  /** Split-halves integer aHash per decoded image — Video.aHashLoHi's
+    * signature pass for stills: REAL decode, integer luma-grid sums,
+    * bit c set iff 64·cellsum > total (float-free, both engines in
+    * signed-BIGINT arithmetic).
+    */
+  def imageAHashLoHi(ds: Dataset[MediaPayload]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      imageIoMemCache
+      rows.map { p =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p.payload))
+        require(img != null, s"undecodable payload for doc ${p.doc_id}")
+        val (sums, _) = lumaGridSums(img, 8)
+        val total = sums.sum
+        var lo = 0L; var hi = 0L
+        var c = 0
+        while (c < 64) {
+          if (sums(c) * 64L > total) {
+            if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+          }
+          c += 1
+        }
+        (p.doc_id, lo, hi)
+      }
+    }.toDF("doc_id", "ahash_lo", "ahash_hi")
+  }
+
+  /** the video verify bar on a SINGLE image: the corner-swap plant
+    * flips exactly 0 or 2 bits, so ≤2 is deterministic for every
+    * planted pair; distinct noise images differ by ≥20 bits
+    * (measured — the high-frequency adversarial regime the
+    * [[imageNearDupPairs]] scaladoc prices).
+    */
+  val ImageDedupMaxHamming = 2L
+
+  /** Visual near-dup dedup over the image corpus ∪ the planted
+    * re-ingestions — the FOURTH modality's oracle row, completing the
+    * per-modality dedup family: text (dedup_minhash), audio
+    * (audio_dedup), video (video_dedup), image (this). EXACT
+    * signature-class collapse first (the family's twice-measured
+    * pair-explosion rule), 16×4-bit aHash bands generate candidates
+    * between class representatives ([[Dedup.cappedPairs]] occupancy
+    * discipline), integer hamming ≤ [[ImageDedupMaxHamming]] verifies,
+    * star output — one row per deduped image with provenance.
+    *
+    * Scale shape: signatures are one typed mapPartitions codec pass
+    * (images never shuffle); the collapse is one linear agg on an
+    * exact string fingerprint; the band self-join is bucket-bounded
+    * and occupancy-capped and sees one row per content class;
+    * verification touches candidate pairs only — never images².
+    */
+  def imageDedup(s: SparkSession, dir: String,
+      bucketCap: Long = Long.MaxValue, anchors: Long = 16L): DataFrame = {
+    val base = encodeImages(s, dir)
+    imageDedupFromSigs(
+      Materialize.stable(imageAHashLoHi(base.union(cornerSwappedImages(base)))),
+      bucketCap, anchors)
+  }
+
+  /** the dedup chain over an already-materialized still-image aHash
+    * frame `(doc_id, ahash_lo, ahash_hi)` — the composition point for
+    * pipelines that compute signatures once.
+    */
+  def imageDedupFromSigs(sigs0: DataFrame,
+      bucketCap: Long = Long.MaxValue, anchors: Long = 16L): DataFrame = {
+    val classes = sigs0
+      .withColumn("sig_fp", expr("concat(ahash_lo, ':', ahash_hi)"))
+      .groupBy("sig_fp")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_members"))
+    val sigs = sigs0
+      .withColumn("sig_fp", expr("concat(ahash_lo, ':', ahash_hi)"))
+      .join(classes, Seq("sig_fp"))
+      .filter(col("doc_id") === col("rep"))
+      .select("doc_id", "ahash_lo", "ahash_hi", "n_members")
+    val bands = sigs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 15), b -> named_struct('b', b, 'v', " +
+          "CASE WHEN b < 8 THEN shiftright(ahash_lo, b * 4) % 16 " +
+          "ELSE shiftright(ahash_hi, (b - 8) * 4) % 16 END))")).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.v").as("v"))
+    val cand = Dedup.cappedPairs(bands, Seq("b", "v"), "doc_id", bucketCap, anchors)
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("ahash_lo").as("la"),
+        col("ahash_hi").as("ha"), col("n_members").as("members_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("ahash_lo").as("lb"),
+        col("ahash_hi").as("hb"), col("n_members").as("members_b")), Seq("doc_b"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= ImageDedupMaxHamming)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(struct(col("doc_a"), col("hamming"), col("members_a"), col("members_b"))).as("best"))
+      .select(col("best.doc_a").as("rep_id"), col("doc_id"),
+        col("best.hamming").as("hamming"),
+        col("best.members_a").as("members_rep"),
+        col("best.members_b").as("members_doc"))
+      .orderBy("doc_id")
+  }
+
+  val imageDedupSql: String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS vid, doc_id AS orig, 0 AS is_copy FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $ImageDedupShift, doc_id, 1 FROM documents WHERE doc_id % 10 = 3
+       |), px AS (
+       |  -- the copy reads its pixel from the SWAPPED index (corner
+       |  -- cell 0 <-> cell 63 on the 32x32 grid); originals read straight
+       |  SELECT vid,
+       |    ((i // $ImgW) // ${ImgH / 8}) * 8 + (i % $ImgW) // ${ImgW / 8} AS cell,
+       |    (orig * 999983 +
+       |      (CASE WHEN is_copy > 0 AND (i // $ImgW) < 4 AND (i % $ImgW) < 4
+       |              THEN ((i // $ImgW) + 28) * $ImgW + ((i % $ImgW) + 28)
+       |            WHEN is_copy > 0 AND (i // $ImgW) >= 28 AND (i % $ImgW) >= 28
+       |              THEN ((i // $ImgW) - 28) * $ImgW + ((i % $ImgW) - 28)
+       |            ELSE i END) * 2654435761) % 256 AS v
+       |  FROM imgs, UNNEST(generate_series(0, ${ImgW * ImgH - 1})) AS t(i)
+       |), cells AS (
+       |  SELECT vid, cell, CAST(SUM(v) AS BIGINT) AS cs
+       |  FROM px GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT vid, CAST(SUM(cs) AS BIGINT) AS total
+       |  FROM cells GROUP BY 1
+       |), sigs AS (
+       |  SELECT c.vid,
+       |    CAST(SUM(CASE WHEN c.cs * 64 > t.total AND c.cell < 32
+       |      THEN (CAST(1 AS BIGINT) << CAST(c.cell AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN c.cs * 64 > t.total AND c.cell >= 32
+       |      THEN (CAST(1 AS BIGINT) << CAST(c.cell - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM cells c JOIN tot t USING (vid)
+       |  GROUP BY 1
+       |), classes AS (
+       |  SELECT lo || ':' || hi AS sig_fp, MIN(vid) AS rep,
+       |    CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM sigs GROUP BY 1
+       |), rsigs AS (
+       |  SELECT s.vid, s.lo, s.hi, c.n_members
+       |  FROM sigs s JOIN classes c ON s.vid = c.rep AND s.lo || ':' || s.hi = c.sig_fp
+       |), bands AS (
+       |  SELECT vid, bs.b AS b,
+       |    CASE WHEN bs.b < 8 THEN (lo >> (bs.b * 4)) % 16
+       |         ELSE (hi >> ((bs.b - 8) * 4)) % 16 END AS v
+       |  FROM rsigs CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs
+       |), cand AS (
+       |  SELECT DISTINCT x.vid AS doc_a, y.vid AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.v = y.v AND x.vid < y.vid
+       |)
+       |SELECT doc_a AS rep_id, doc_b AS doc_id, hamming,
+       |  members_a AS members_rep, members_b AS members_doc
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_b
+       |    ORDER BY doc_a, hamming, members_a, members_b) AS rn
+       |  FROM (
+       |    SELECT c.doc_a, c.doc_b,
+       |      CAST(bit_count(xor(sa.lo, sb.lo)) + bit_count(xor(sa.hi, sb.hi)) AS BIGINT) AS hamming,
+       |      sa.n_members AS members_a, sb.n_members AS members_b
+       |    FROM cand c
+       |    JOIN rsigs sa ON c.doc_a = sa.vid
+       |    JOIN rsigs sb ON c.doc_b = sb.vid) p
+       |  WHERE hamming <= $ImageDedupMaxHamming) r
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta" -> (multimodalMeta _),
+    "image_dedup" -> ((s: SparkSession, dir: String) => imageDedup(s, dir)))
   val oracles: Map[String, String] = Map(
-    "multimodal_meta" -> multimodalMetaSql)
+    "multimodal_meta" -> multimodalMetaSql,
+    "image_dedup" -> imageDedupSql)
 }

@@ -945,6 +945,202 @@ object Similarity {
        |FROM assign a LEFT JOIN comps c ON a.vec_id = c.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---- semantic incremental admission (the FOURTH admission gate) --------
+
+  /** id shift for the semantic-ingestion batch — its own namespace
+    * after the 200000 exact / 300000 near-dup / 400000 containment
+    * doc batches and the 400000 drift batch on the EMBEDDINGS id
+    * space (distinct per-table namespaces; globally unique among the
+    * embeddings-side plants so refresh/drift/semantic batches can
+    * never alias in a union).
+    */
+  val SemBatchShift = 500000L
+
+  /** plane-PRN stream bases for the semantic plants — their own slots
+    * far above the LSH/projection planes (≤ 80), the sweep geometries
+    * and the refresh audit's 90000, so no stream ever collides.
+    */
+  val SemPerturbIdx = 95000L
+  val SemNewIdx = 96000L
+
+  /** the semantic admit bar: reject a batch vector whose best corpus
+    * cosine reaches this. Measured geometry at every contract scale
+    * (sf0.001/0.01/0.1): planted paraphrases sit ≥ 0.971 against
+    * their origin and ≤ 0.54 against every OTHER corpus vector;
+    * new-mode vectors peak at 0.60 against the corpus — 0.8 splits
+    * the plants with ≥ 0.17 margin either side, and (unlike the 0.45
+    * near-dup bar) sits above the tail of chance cosines between
+    * unrelated vectors in this 64-dim geometry, which is what an
+    * ADMISSION decision needs: a borderline 0.5-cosine stranger must
+    * not block ingestion.
+    */
+  val SemAdmitTau = 0.8
+
+  /** the paraphrased re-ingestion vector for plant id `idExpr`: the
+    * original plus a 0.05-weighted per-vector PRN spread — cosine to
+    * its origin ≥ 0.971 at every contract scale (the "same content,
+    * new embedding noise" shape: re-encoded text, a fine-tuned
+    * encoder checkpoint). Block-local ids ([[newModeVec]]'s overflow
+    * fold).
+    */
+  private def semPerturbVec(idExpr: String): String =
+    s"transform(sequence(0, ${graft.functions.VectorFns.Dim - 1}), j -> " +
+      s"element_at(v, j + 1) + CAST(0.05 AS DOUBLE) * " +
+      s"${graft.functions.VectorFns.planeCoef(s"($SemPerturbIdx + 1 + $idExpr)", "j")})"
+
+  private def duckSemPerturbVec(idExpr: String): String =
+    s"list_transform(range(0, ${graft.functions.VectorFns.Dim}), j -> " +
+      s"v[j + 1] + CAST(0.05 AS DOUBLE) * " +
+      s"${graft.functions.VectorFns.planeCoef(s"($SemPerturbIdx + 1 + $idExpr)", "j")})"
+
+  /** the genuinely-new vector for plant id `idExpr`: [[newModeVec]]'s
+    * mode-plus-spread shape on the [[SemNewIdx]] PRN stream — corpus
+    * cosines peak at 0.60, far under [[SemAdmitTau]].
+    */
+  private def semNewVec(idExpr: String): String =
+    s"transform(sequence(0, ${graft.functions.VectorFns.Dim - 1}), j -> " +
+      s"${graft.functions.VectorFns.planeCoef(SemNewIdx.toString, "j")} + " +
+      s"CAST(0.8 AS DOUBLE) * ${graft.functions.VectorFns.planeCoef(s"($SemNewIdx + 1 + $idExpr)", "j")})"
+
+  private def duckSemNewVec(idExpr: String): String =
+    s"list_transform(range(0, ${graft.functions.VectorFns.Dim}), j -> " +
+      s"${graft.functions.VectorFns.planeCoef(SemNewIdx.toString, "j")} + " +
+      s"CAST(0.8 AS DOUBLE) * ${graft.functions.VectorFns.planeCoef(s"($SemNewIdx + 1 + $idExpr)", "j")})"
+
+  /** Semantic incremental admission — the FOURTH admission gate,
+    * closing the leak all three text gates provably pass: a PARAPHRASE
+    * re-ingestion (same content re-embedded — new wording, new byte
+    * stream) shares no 3-gram shingles with its origin, so the exact
+    * fingerprint probe admits it, the minhash est-J verify admits it
+    * (J ≈ 0), and the winnow-print containment probe admits it (no
+    * shared 12-word run → no shared print) — the cross-gate leak is
+    * asserted in OperatorInvariantSpec, mirroring the containment
+    * gate's. This gate probes the corpus EMBEDDING index instead: the
+    * IVF cells (the dedup_semantic / knn_ivf centroids) plus the
+    * 16-table hyperplane buckets ([[lshBitsFor]] census geometry),
+    * and verifies candidates with embed_neardup's exact-cosine
+    * predicate at the [[SemAdmitTau]] bar. The synthetic batch mixes
+    * paraphrase re-ingestions (vec_id%10==2, [[semPerturbVec]]) with
+    * genuinely-new vectors (vec_id%10==6, [[semNewVec]] — a new
+    * content mode, admitted).
+    *
+    * 100 TB shape: the index (cell assignment + bucket postings per
+    * corpus vector) is built once and amortized across batches — in
+    * production it persists through [[annIndexWrite]]'s bucketed
+    * layout, making the probe join exchange-free on the index side;
+    * the probe shuffles only the BATCH (delta-sized); verification is
+    * candidate-bounded, and candidate volume per probe is held to
+    * ~[[graft.functions.VectorFns.LshTables]]·[[graft.functions.VectorFns.LshTargetOcc]]
+    * + one cell by the census bit geometry at ANY corpus size.
+    */
+  def dedupIncrementalSemantic(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Materialize.stable(withVec(s, dir))
+    val batch = vecs.filter(pmod(col("vec_id"), lit(10)) === 2)
+      .select(Dedup.plantId(col("vec_id"), SemBatchShift).as("new_id"),
+        expr(semPerturbVec("pmod(vec_id, 10000000)")).as("v"))
+      .union(vecs.filter(pmod(col("vec_id"), lit(10)) === 6)
+        .select(Dedup.plantId(col("vec_id"), SemBatchShift).as("new_id"),
+          expr(semNewVec("pmod(vec_id, 10000000)")).as("v")))
+    semanticAdmissionFor(vecs, batch)
+  }
+
+  /** the semantic admission gate over ANY corpus (`vec_id`, `v`) /
+    * batch (`new_id`, `v`) frames — the library entry point.
+    * `bucketCap`/`anchors`: the posting-occupancy rule on the
+    * hyperplane-bucket probe join for near-identical vector FAMILIES
+    * (the [[Dedup.containmentAdmissionFor]] anchor discipline on a
+    * bipartite join; default inert, oracle byte-identical). `tau`:
+    * the admit bar (see [[SemAdmitTau]]).
+    *
+    * EAGER BY DESIGN: one corpus census (count → [[lshBitsFor]] bit
+    * geometry) runs at construction — the embed_neardup discipline.
+    */
+  def semanticAdmissionFor(corpus: DataFrame, batch: DataFrame,
+      tau: Double = SemAdmitTau, bucketCap: Long = Long.MaxValue,
+      anchors: Long = 16L): DataFrame = {
+    val n = corpus.agg(count(lit(1))).head().getLong(0)
+    val bits = lshBitsFor(n)
+    val bucketsExpr =
+      if (bits == LshBits) sparkLshBuckets("v")
+      else sparkLshBucketsParam("v", LshTables, bits)
+    val cents = Materialize.stable(refineCents(corpus))
+    val idx = Materialize.stable(cellAssign(corpus, cents))
+    val iBuck0 = idx
+      .select(col("vec_id"), posexplode(expr(bucketsExpr)).as(Seq("t", "bucket")))
+    val iBuck =
+      if (bucketCap == Long.MaxValue) iBuck0
+      else {
+        val bw = org.apache.spark.sql.expressions.Window
+          .partitionBy("t", "bucket").orderBy("vec_id")
+        val bwAll = org.apache.spark.sql.expressions.Window.partitionBy("t", "bucket")
+        iBuck0.withColumn("rn", row_number().over(bw))
+          .withColumn("bsize", count(lit(1)).over(bwAll))
+          .filter(col("bsize") <= bucketCap || col("rn") <= anchors)
+          .select("vec_id", "t", "bucket")
+      }
+    val bAssign = Materialize.stable(
+      cellAssign(batch.select(col("new_id").as("vec_id"), col("v")), cents)
+        .select(col("vec_id").as("new_id"), col("cell"), col("v")))
+    val bBuck = bAssign
+      .select(col("new_id"), posexplode(expr(bucketsExpr)).as(Seq("t", "bucket")))
+    val candLsh = bBuck.join(iBuck, Seq("t", "bucket"))
+      .select("new_id", "vec_id")
+    val candCell = bAssign.select("new_id", "cell")
+      .join(idx.select("vec_id", "cell"), Seq("cell"))
+      .select("new_id", "vec_id")
+    val cand = candLsh.union(candCell).distinct()
+    val verified = cand
+      .join(bAssign.select(col("new_id"), col("v").as("bv")), Seq("new_id"))
+      .join(idx.select(col("vec_id"), col("v").as("cv")), Seq("vec_id"))
+      .withColumn("cosine",
+        expr(s"floor(${sparkCosine("bv", "cv")} * 1000000) / CAST(1000000 AS DOUBLE)"))
+      .filter(col("cosine") >= tau)
+      .groupBy("new_id").agg(min("vec_id").as("dup_of"))
+    bAssign.select("new_id").join(verified, Seq("new_id"), "left")
+      .select(col("new_id"), col("dup_of").isNull.as("admitted"), col("dup_of"))
+      .orderBy("new_id")
+  }
+
+  val dedupIncrementalSemanticSql: String =
+    s"""$knnAssignCte, batch AS (
+       |  SELECT vec_id + $SemBatchShift AS new_id,
+       |    ${duckSemPerturbVec("(vec_id % 10000000)")} AS v
+       |  FROM vecs WHERE vec_id % 10 = 2
+       |  UNION ALL
+       |  SELECT vec_id + $SemBatchShift, ${duckSemNewVec("(vec_id % 10000000)")}
+       |  FROM vecs WHERE vec_id % 10 = 6
+       |), bassign AS (
+       |  SELECT new_id, cell, v FROM (
+       |    SELECT batch.new_id, cents.cent_id AS cell, batch.v,
+       |      ROW_NUMBER() OVER (PARTITION BY batch.new_id
+       |        ORDER BY ${duckCosine("batch.v", "cents.cv")} DESC, cents.cent_id) AS crank
+       |    FROM batch CROSS JOIN cents) t
+       |  WHERE crank = 1
+       |), ibuck AS (
+       |  SELECT vec_id, ts.t AS t, (${duckLshBuckets("v")})[ts.t + 1] AS bucket
+       |  FROM assign CROSS JOIN (SELECT unnest(range(0, $LshTables)) AS t) ts
+       |), bbuck AS (
+       |  SELECT new_id, ts.t AS t, (${duckLshBuckets("v")})[ts.t + 1] AS bucket
+       |  FROM bassign CROSS JOIN (SELECT unnest(range(0, $LshTables)) AS t) ts
+       |), cand AS (
+       |  SELECT DISTINCT new_id, vec_id FROM (
+       |    SELECT b.new_id, i.vec_id
+       |    FROM bbuck b JOIN ibuck i ON b.t = i.t AND b.bucket = i.bucket
+       |    UNION ALL
+       |    SELECT b.new_id, a.vec_id
+       |    FROM bassign b JOIN assign a ON b.cell = a.cell) u
+       |), ver AS (
+       |  SELECT new_id, MIN(vec_id) AS dup_of FROM (
+       |    SELECT c.new_id, c.vec_id,
+       |      floor(${duckCosine("b.v", "a.v")} * 1000000) / CAST(1000000 AS DOUBLE) AS cosine
+       |    FROM cand c JOIN bassign b USING (new_id) JOIN assign a USING (vec_id)) t
+       |  WHERE cosine >= $SemAdmitTau
+       |  GROUP BY 1
+       |)
+       |SELECT b.new_id, v.dup_of IS NULL AS admitted, v.dup_of
+       |FROM bassign b LEFT JOIN ver v USING (new_id)
+       |ORDER BY new_id""".stripMargin
+
   /** kNN JOIN: top-k cosine neighbors for EVERY corpus vector, not
     * just a query set — the all-pairs problem that builds similarity
     * graphs (SemDeDup's input, recommendation candidate sets). The
@@ -3365,6 +3561,7 @@ object Similarity {
     "knn_classify" -> (knnClassify _),
     "embed_centroid" -> (embedCentroid _),
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_incremental_semantic" -> (dedupIncrementalSemantic _),
     "knn_pq" -> (knnPq _),
     "knn_ivf_pq" -> (knnIvfPq _),
     "knn_ivf_pq_recall" -> (knnIvfPqRecall _),
@@ -3403,6 +3600,7 @@ object Similarity {
     "knn_classify" -> knnClassifySql,
     "embed_centroid" -> embedCentroidSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_incremental_semantic" -> dedupIncrementalSemanticSql,
     "knn_pq" -> knnPqSql,
     "knn_ivf_pq" -> knnIvfPqSql,
     "knn_ivf_pq_recall" -> knnIvfPqRecallSql,

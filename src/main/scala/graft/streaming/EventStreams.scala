@@ -1353,6 +1353,18 @@ object EventStreams {
     * cardinality the batch census shuffles, kept in the state store; a
     * production deployment ages out lines that stay far under the df
     * floor with a timeout (the dedupStreamBounded discipline).
+    *
+    * PRECONDITION — exactly-once delivery (the monotone-counter twins'
+    * shared contract): the state carries no per-doc evidence, so a doc
+    * REDELIVERED in a LATER micro-batch (an at-least-once source
+    * replaying acknowledged input) increments df again. The violation
+    * is one-sided — df only INFLATES, so a boilerplate line is flagged
+    * early, never missed — but the census then over-counts; a
+    * deployment on an at-least-once source must dedup doc ids upstream
+    * (dropDuplicatesWithinWatermark on doc_id, the dedupStreamBounded
+    * shape) before feeding this twin. Within one micro-batch the
+    * doc-id distinct below makes redelivery harmless; StreamingSpec's
+    * redelivered-doc case documents the cross-batch behavior.
     */
   def boilerplateStream(lines: Dataset[(String, Long, Long)])
       : Dataset[(String, Long, Long)] = {

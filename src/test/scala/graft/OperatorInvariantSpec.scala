@@ -2280,18 +2280,30 @@ class OperatorInvariantSpec extends SparkSpec {
         s"subspace ${r._2}: rung-1 SSE ${r._8} != knn_pq_train_gain sse_refined ${gain(r._2)}")
     }
     // Lloyd descent: per-subspace SSE non-increasing rung over rung
+    // (sliding(2) on a 1-element seq emits that element alone — guard
+    // the window so a single-rung ladder config can't throw here)
     ladder.groupBy(_._2).foreach { case (mm, rows) =>
-      rows.sortBy(_._1).map(_._8).sliding(2).foreach { w =>
+      rows.sortBy(_._1).map(_._8).sliding(2).filter(_.length == 2).foreach { w =>
         assert(w(1) <= w(0), s"subspace $mm: SSE increased ${w(0)} -> ${w(1)}")
       }
     }
-    // the when-to-stop story: movement and churn both shrink from the
-    // first rung to the last
-    val byIter = ladder.groupBy(_._1)
-    assert(byIter(iters.toLong).map(_._4).max <= byIter(1L).map(_._4).max,
-      "codeword movement did not shrink")
-    assert(byIter(iters.toLong).map(_._6).sum < byIter(1L).map(_._6).sum,
-      "assignment churn did not shrink")
+    // the when-to-stop story: movement and churn both NON-increasing
+    // from the first rung to the last (<= not <: a ladder already
+    // converged at rung 1 — churn 0 everywhere — is a legitimate
+    // fixpoint, not a failure), plus a not-already-flat guard: if rung
+    // 1 churned at all, the ladder must have made SOME progress by the
+    // last rung, else the iteration is dead weight
+    if (iters > 1) {
+      val byIter = ladder.groupBy(_._1)
+      assert(byIter(iters.toLong).map(_._4).max <= byIter(1L).map(_._4).max,
+        "codeword movement did not shrink")
+      val churnFirst = byIter(1L).map(_._6).sum
+      val churnLast = byIter(iters.toLong).map(_._6).sum
+      assert(churnLast <= churnFirst, "assignment churn increased")
+      if (churnFirst > 0)
+        assert(churnLast < churnFirst,
+          "rung 1 churned but later rungs made no progress")
+    }
   }
 
   test("knn_ivf_pq_refresh: retrain recovers SSE; the rerank tier holds under both books") {

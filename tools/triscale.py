@@ -43,6 +43,15 @@ def run_parity(sfdir, outdir):
         capture_output=True, text=True)
     oks = re.findall(r"^OK   (\S+)", p.stdout, re.M)
     fails = re.findall(r"^FAIL (\S+)", p.stdout, re.M)
+    # a CRASHED leg (one of the three concurrent DuckDB replays
+    # OOM-killed, a signal, an import error) must read as a loud abort
+    # with stderr attached — never as "0 ok, 0 fail" regex-parsed from
+    # an empty stdout. parity.py itself exits 0/1 only (1 = red
+    # queries, which the stamp records); anything else, or a nonzero
+    # exit with NO parseable verdict lines, is a crash.
+    if p.returncode not in (0, 1) or (p.returncode != 0 and not (oks or fails)):
+        sys.exit(f"parity leg for {sfdir} crashed (exit {p.returncode}):\n"
+                 f"--- stdout ---\n{p.stdout}\n--- stderr ---\n{p.stderr}")
     return sorted(oks), sorted(set(f.rstrip(":") for f in fails)), p.stdout
 
 def main():
