@@ -55,7 +55,11 @@ object SparkEntry {
     // passes by contract (the PQ when-to-stop ladder); knn_ivf_pq_refresh
     // pays the shared exact side + two codebook builds + the warm
     // retrain ladder over the drifted union (knn_ivf_refresh's family)
-    "knn_pq_train_converge", "knn_ivf_pq_refresh")
+    "knn_pq_train_converge", "knn_ivf_pq_refresh",
+    // round 15: bpe_train_converge pays BpeTrainIters full vocab-pair
+    // recounts by contract (the converge-ladder family — tokenizer
+    // training cadence, not per-ingest)
+    "bpe_train_converge")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -792,10 +792,17 @@ object CorpusQuality {
     * per-rung frames checkpointed ([[Materialize.iteration]] — the
     * ladder discipline that keeps the plan tree flat).
     */
-  def bpeTrainConverge(s: SparkSession, dir: String): DataFrame = {
-    val vocab0 = Tables.documents(s, dir)
+  def bpeTrainConverge(s: SparkSession, dir: String): DataFrame =
+    bpeTrainLadder(Tables.documents(s, dir)
       .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .groupBy("word").agg(count(lit(1)).as("cnt")))
+
+  /** the ladder over ANY (`word`, `cnt`) vocab frame — the library
+    * entry point, and what lets OperatorInvariantSpec replay the
+    * greedy-apply/overlap semantics on a hand vocab.
+    */
+  def bpeTrainLadder(vocabWords: DataFrame): DataFrame = {
+    val vocab0 = vocabWords
       // separator guard on the vocab frame (vocab-sized, not corpus-
       // sized): a word containing the bar would corrupt the symbol
       // framing — fail loud, never mis-merge

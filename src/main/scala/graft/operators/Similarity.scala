@@ -1035,20 +1035,64 @@ object Similarity {
     */
   def dedupIncrementalSemantic(s: SparkSession, dir: String): DataFrame = {
     val vecs = Materialize.stable(withVec(s, dir))
-    val batch = vecs.filter(pmod(col("vec_id"), lit(10)) === 2)
+    semanticAdmissionFor(vecs, semanticPlantBatch(vecs))
+  }
+
+  /** the gate's synthetic ingestion delta over ANY (`vec_id`, `v`)
+    * corpus frame — shared with the streaming twin and the cross-gate
+    * leak spec so all three feed the IDENTICAL plant.
+    */
+  private[graft] def semanticPlantBatch(vecs: DataFrame): DataFrame =
+    vecs.filter(pmod(col("vec_id"), lit(10)) === 2)
       .select(Dedup.plantId(col("vec_id"), SemBatchShift).as("new_id"),
         expr(semPerturbVec("pmod(vec_id, 10000000)")).as("v"))
       .union(vecs.filter(pmod(col("vec_id"), lit(10)) === 6)
         .select(Dedup.plantId(col("vec_id"), SemBatchShift).as("new_id"),
           expr(semNewVec("pmod(vec_id, 10000000)")).as("v")))
-    semanticAdmissionFor(vecs, batch)
+
+  /** The semantic index's posting shape over ANY (`idCol`, `v`) frame,
+    * geometry frozen from `corpus`: space 0 rows are hyperplane-bucket
+    * postings (key = table·2³² + bucket, bit count from the corpus
+    * census via [[lshBitsFor]]), space 1 rows the IVF cell assignment
+    * (key = cell id; cells are the corpus centroids). ONE shape serves
+    * the whole family: the batch gate equi-joins batch postings to
+    * index postings on (space, key), the streaming twin keys its state
+    * store by them, and the persisted layout buckets by key — so a
+    * candidate is "co-posted under some (space, key)" identically in
+    * all three.
+    */
+  def semanticPostings(corpus: DataFrame, frame: DataFrame,
+      idCol: String): DataFrame = {
+    val n = corpus.agg(count(lit(1))).head().getLong(0)
+    val cents = Materialize.stable(refineCents(corpus))
+    semPostingsOf(
+      Materialize.stable(cellAssign(frame.select(col(idCol).as("vec_id"), col("v")), cents)),
+      lshBitsFor(n))
+      .withColumnRenamed("vec_id", idCol)
+  }
+
+  /** posting rows from an already-computed cell assignment — the
+    * internal path [[semanticAdmissionFor]] uses so corpus and batch
+    * share one centroid build and one census.
+    */
+  private def semPostingsOf(assign: DataFrame, bits: Int): DataFrame = {
+    val bucketsExpr =
+      if (bits == LshBits) sparkLshBuckets("v")
+      else sparkLshBucketsParam("v", LshTables, bits)
+    assign
+      .select(col("vec_id"), col("v"), posexplode(expr(bucketsExpr)).as(Seq("t", "bucket")))
+      .select(col("vec_id"), lit(0).as("space"),
+        expr("CAST(t AS BIGINT) * 4294967296 + bucket").as("key"), col("v"))
+      .unionByName(assign.select(col("vec_id"), lit(1).as("space"),
+        col("cell").as("key"), col("v")))
   }
 
   /** the semantic admission gate over ANY corpus (`vec_id`, `v`) /
     * batch (`new_id`, `v`) frames — the library entry point.
-    * `bucketCap`/`anchors`: the posting-occupancy rule on the
-    * hyperplane-bucket probe join for near-identical vector FAMILIES
-    * (the [[Dedup.containmentAdmissionFor]] anchor discipline on a
+    * `bucketCap`/`anchors`: the posting-occupancy rule on the probe
+    * join, applied per (space, key) — hyperplane buckets AND cells —
+    * for near-identical vector FAMILIES (the
+    * [[Dedup.containmentAdmissionFor]] anchor discipline on a
     * bipartite join; default inert, oracle byte-identical). `tau`:
     * the admit bar (see [[SemAdmitTau]]).
     *
@@ -1060,43 +1104,34 @@ object Similarity {
       anchors: Long = 16L): DataFrame = {
     val n = corpus.agg(count(lit(1))).head().getLong(0)
     val bits = lshBitsFor(n)
-    val bucketsExpr =
-      if (bits == LshBits) sparkLshBuckets("v")
-      else sparkLshBucketsParam("v", LshTables, bits)
     val cents = Materialize.stable(refineCents(corpus))
     val idx = Materialize.stable(cellAssign(corpus, cents))
-    val iBuck0 = idx
-      .select(col("vec_id"), posexplode(expr(bucketsExpr)).as(Seq("t", "bucket")))
-    val iBuck =
-      if (bucketCap == Long.MaxValue) iBuck0
+    val bAssign = Materialize.stable(
+      cellAssign(batch.select(col("new_id").as("vec_id"), col("v")), cents))
+    val iPost0 = semPostingsOf(idx, bits).select("vec_id", "space", "key")
+    val iPost =
+      if (bucketCap == Long.MaxValue) iPost0
       else {
         val bw = org.apache.spark.sql.expressions.Window
-          .partitionBy("t", "bucket").orderBy("vec_id")
-        val bwAll = org.apache.spark.sql.expressions.Window.partitionBy("t", "bucket")
-        iBuck0.withColumn("rn", row_number().over(bw))
+          .partitionBy("space", "key").orderBy("vec_id")
+        val bwAll = org.apache.spark.sql.expressions.Window.partitionBy("space", "key")
+        iPost0.withColumn("rn", row_number().over(bw))
           .withColumn("bsize", count(lit(1)).over(bwAll))
           .filter(col("bsize") <= bucketCap || col("rn") <= anchors)
-          .select("vec_id", "t", "bucket")
+          .select("vec_id", "space", "key")
       }
-    val bAssign = Materialize.stable(
-      cellAssign(batch.select(col("new_id").as("vec_id"), col("v")), cents)
-        .select(col("vec_id").as("new_id"), col("cell"), col("v")))
-    val bBuck = bAssign
-      .select(col("new_id"), posexplode(expr(bucketsExpr)).as(Seq("t", "bucket")))
-    val candLsh = bBuck.join(iBuck, Seq("t", "bucket"))
-      .select("new_id", "vec_id")
-    val candCell = bAssign.select("new_id", "cell")
-      .join(idx.select("vec_id", "cell"), Seq("cell"))
-      .select("new_id", "vec_id")
-    val cand = candLsh.union(candCell).distinct()
+    val bPost = semPostingsOf(bAssign, bits)
+      .select(col("vec_id").as("new_id"), col("space"), col("key"))
+    val cand = bPost.join(iPost, Seq("space", "key"))
+      .select("new_id", "vec_id").distinct()
     val verified = cand
-      .join(bAssign.select(col("new_id"), col("v").as("bv")), Seq("new_id"))
+      .join(bAssign.select(col("vec_id").as("new_id"), col("v").as("bv")), Seq("new_id"))
       .join(idx.select(col("vec_id"), col("v").as("cv")), Seq("vec_id"))
       .withColumn("cosine",
         expr(s"floor(${sparkCosine("bv", "cv")} * 1000000) / CAST(1000000 AS DOUBLE)"))
       .filter(col("cosine") >= tau)
       .groupBy("new_id").agg(min("vec_id").as("dup_of"))
-    bAssign.select("new_id").join(verified, Seq("new_id"), "left")
+    bAssign.select(col("vec_id").as("new_id")).join(verified, Seq("new_id"), "left")
       .select(col("new_id"), col("dup_of").isNull.as("admitted"), col("dup_of"))
       .orderBy("new_id")
   }
@@ -3532,6 +3567,88 @@ object Similarity {
        |  SELECT m, j, pos, c_milli FROM seedbook
        |), ${assignCte(0, "pcb0")}, $iters
        |$unions ORDER BY iter, m""".stripMargin
+  }
+
+  // ---- persisted ANN index (bucketed layout) -----------------------------
+
+  /** Persist the ANN index corpus-side through the bucketed layout —
+    * the knn family's cells and PQ codes rebuild per query in the
+    * contract queries (amortized-once by scaladoc); this makes the
+    * amortization REAL: one table `(vec_id, cell, v, codes)` bucketed
+    * AND sorted by `cell` (probe joins on cell are then EXCHANGE-FREE
+    * on the index side — asserted in ScaleOpsSpec; the remaining
+    * per-bucket Sort is partition-local CPU, no network — Spark ≥3
+    * ignores sortBy file order unless
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` is set,
+    * SPARK-24528, and the one-file-per-bucket write below keeps that
+    * option sound for deployments that enable it), the
+    * refined centroids at `path/cents`, the PQ codebook at
+    * `path/codebook`. Build pays the full index once (seed → Lloyd →
+    * assign; normalize → subvec → codebook → encode); every probe
+    * afterwards reads its buckets in place.
+    *
+    * dedup_incremental already proves the exchange-free bucketed-index
+    * probe for the TEXT fingerprint index; this is the embedding
+    * family's twin of that layout.
+    */
+  def annIndexWrite(vecs: DataFrame, name: String, path: String,
+      nBuckets: Int): Unit = {
+    val cents = Materialize.stable(refineCents(vecs))
+    val assign = Materialize.stable(cellAssign(vecs, cents))
+    val nvecs = pqNormalize(vecs)
+    val subvecs = pqSubvecs(nvecs)
+    val codebook = Materialize.stable(pqCodebook(nvecs, subvecs))
+    val codes = pqCodes(subvecs, codebook)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, j))), s -> s.j)").as("codes"))
+    cents.write.mode("overwrite").parquet(s"$path/cents")
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    // one writer task per bucket (repartition hash == bucket hash), so
+    // every bucket lands in ONE file and the sortBy(cell) layout holds
+    // at read time — multiple files per bucket would force the probe
+    // join to re-Sort the index side, defeating half the layout
+    graft.sources.BucketedSink.writeBucketed(
+      assign.join(codes, Seq("vec_id")).repartition(nBuckets, col("cell")),
+      name, s"$path/index", "cell", nBuckets)
+  }
+
+  /** load the persisted index: (bucketed index table, centroids,
+    * codebook).
+    */
+  def annIndexLoad(s: SparkSession, name: String,
+      path: String): (DataFrame, DataFrame, DataFrame) =
+    (graft.sources.BucketedSink.table(s, name),
+      s.read.parquet(s"$path/cents"),
+      s.read.parquet(s"$path/codebook"))
+
+  /** knn_ivf's probe path over the PERSISTED index — bit-identical
+    * output to [[knnIvfAt]] on the same corpus (asserted in
+    * ScaleOpsSpec), but the corpus side comes from the bucketed table:
+    * the cell equi-join plans as a sort-merge join with NO Exchange
+    * on the index side (`bucketBy(cell)` — see [[annIndexWrite]] on
+    * the residual partition-local sort), so a probe pays shuffling
+    * the QUERY probes only. The `merge` hint
+    * pins the join shape the layout was built for (a tiny probe side
+    * would otherwise broadcast — also index-side-exchange-free, but
+    * then the assert would not witness the bucketed path).
+    */
+  def knnIvfFromIndex(s: SparkSession, name: String, path: String,
+      nprobe: Int = Nprobe, k: Int = KnnK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (idx, cents, _) = annIndexLoad(s, name, path)
+    val queries = idx.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = probesOf(queries, cents, nprobe)
+    val byQuery = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.hint("merge")
+      .join(idx.select(col("vec_id").as("neighbor_id"), col("cell"), col("v")), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", expr(sparkCosine("qv", "v")))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        expr("floor(cosine * 1000000) / CAST(1000000 AS DOUBLE)").as("cosine"))
+      .orderBy("query_id", "rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

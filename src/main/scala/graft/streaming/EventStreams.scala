@@ -1170,6 +1170,81 @@ object EventStreams {
       }
   }
 
+  /** Streaming SEMANTIC admission — the twin of the batch
+    * [[graft.operators.Similarity.dedupIncrementalSemantic]], and the
+    * ingestion shape none of the three text admission streams can
+    * cover: a PARAPHRASE re-ingestion (same content re-embedded)
+    * shares no shingles — exact, est-J and containment streams all
+    * pass it; only the embedding index can pin it.
+    *
+    * The state IS the corpus semantic-index posting table
+    * ([[graft.operators.Similarity.semanticPostings]]'s (space, key)
+    * shape — hyperplane buckets AND IVF cells in ONE keyed store):
+    * `kind=0` rows are index postings (a corpus vector under one of
+    * its (space, key) slots, carrying the vector) and accumulate;
+    * `kind=1` rows are probe postings (a batch vector's slots) and
+    * read state without writing. Verification happens in-state with
+    * the batch gate's exact quantized-cosine predicate
+    * (floor(cos·10⁶)/10⁶ ≥ tau, the same strict fold order as the
+    * `graft_cosine` expression — bit-identical doubles); a probe
+    * emits one presence marker (`cand = -1`) per slot plus one row
+    * per VERIFIED corpus vector, so `min(cand ≥ 0)` per new_id is the
+    * batch `dup_of` under ANY split of index rows before probe rows.
+    *
+    * State bound: one record per OCCUPIED (space, key) slot, holding
+    * that slot's (vec_id → vector) members in a Map (O(1) membership);
+    * `bucketCap`/`anchors` = the [[dedupLshStream]] mega-bucket
+    * truncation for near-identical vector families (default inert).
+    */
+  case class SemPostRow(kind: Int, id: Long, space: Int, key: Long, v: Seq[Double])
+  case class SemProbeHit(new_id: Long, cand: Long, cos_ppm: Long)
+
+  /** the batch verify predicate's exact double: three strict
+    * left-to-right folds (dot, |a|², |b|²) then floor-quantize to
+    * 10⁻⁶ — the same IEEE op sequence as `graft_cosine` + the
+    * `floor(c·10⁶)/10⁶` column, so stream and batch agree bitwise.
+    */
+  private def quantCosine(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < a.length) { na += a(i) * a(i); i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0) / 1000000.0
+  }
+
+  def dedupSemanticStream(rows: Dataset[SemPostRow],
+      tau: Double = graft.operators.Similarity.SemAdmitTau,
+      bucketCap: Int = Int.MaxValue, anchors: Int = 16)(
+      implicit s: SparkSession): Dataset[SemProbeHit] = {
+    import s.implicits._
+    rows.groupByKey(r => (r.space, r.key))
+      .flatMapGroupsWithState[Map[Long, Seq[Double]], SemProbeHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[SemPostRow],
+            state: GroupState[Map[Long, Seq[Double]]]) =>
+          var idx = state.getOption.getOrElse(Map.empty[Long, Seq[Double]])
+          val out = Seq.newBuilder[SemProbeHit]
+          val (idxRows, probes) = it.toSeq.partition(_.kind == 0)
+          idxRows.foreach { r => if (!idx.contains(r.id)) idx += (r.id -> r.v) }
+          if (idx.size > bucketCap) idx = idx.toSeq.sortBy(_._1).take(anchors).toMap
+          if (idxRows.nonEmpty) state.update(idx)
+          probes.foreach { p =>
+            out += SemProbeHit(p.id, -1L, 0L)
+            idx.foreach { case (docId, cv) =>
+              val q = quantCosine(p.v, cv)
+              if (q >= tau)
+                out += SemProbeHit(p.id, docId, math.round(q * 1000000.0))
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   /** manifest-delta stream: each micro-batch carries (key, size, etag)
     * observations; emits cumulative per-key change classification vs the
     * previously-committed state — the streaming twin of `change_detect`,

@@ -178,7 +178,15 @@ object ScaleSmoke {
       // query-slice-bounded — 100 mode probes at any ×N — and every
       // codebook assign is the map-side K-bounded argmin, linear in
       // the union grid)
-      "knn_pq_train_converge", "knn_ivf_pq_refresh")
+      "knn_pq_train_converge", "knn_ivf_pq_refresh",
+      // round 15: the embedding admission gate (watch: probe shuffles
+      // stay BATCH-sized, candidates bounded by the census bit
+      // geometry + one cell per probe), the image-modality dedup
+      // (watch: one codec pass, class collapse before banding, star
+      // output stays Σ(k−1)) and the BPE training ladder (watch:
+      // corpus → vocab partial agg ONCE, every rung vocab-bounded,
+      // rung count fixed at BpeTrainIters)
+      "dedup_incremental_semantic", "image_dedup", "bpe_train_converge")
     val times: Seq[(String, Double)] = if (globOnly) Seq.empty
     else targets.filter(t => only.forall(_.contains(t))).map { name =>
       val t0 = System.nanoTime()

@@ -2446,4 +2446,154 @@ class OperatorInvariantSpec extends SparkSpec {
       assert(maxc == (if (c3 > 0) 3L else if (c2 > 0) 2L else 1L))
     }
   }
+
+  test("dedup_incremental_semantic: paraphrase re-ingestion passes ALL THREE text gates; the embedding gate pins it") {
+    // the cross-gate leak the fourth gate exists for: a paraphrase
+    // (same content re-embedded, entirely new wording — modeled on the
+    // text side as word reversal, the established plants' no-shared-
+    // shingle shape) is byte-unequal (exact gate admits), shares no
+    // 3-gram shingles (est-J ≈ 0, minhash gate admits) and no 12-word
+    // window (no shared winnow print, containment gate admits) — yet
+    // its EMBEDDING sits at cosine ≥ 0.97 to the origin, and only this
+    // gate rejects it
+    import graft.functions.PortableHash._
+    graft.expressions.GraftFunctions.register(spark)
+    val out = operators.Similarity.dedupIncrementalSemantic(spark, sf).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Boolean]("admitted"))).toMap
+    val rejectedVecs = out.collect { case (id, false) =>
+      id - operators.Similarity.SemBatchShift }.toSet
+    assert(rejectedVecs.nonEmpty, "plant produced no semantic rejections")
+    assert(out.valuesIterator.exists(identity), "plant produced no admissions")
+    // rejections are exactly the %10==2 paraphrase plants; the %10==6
+    // new-mode batch is admitted (measured-margin geometry)
+    assert(rejectedVecs.forall(_ % 10 == 2),
+      s"non-paraphrase ids rejected: ${rejectedVecs.filterNot(_ % 10 == 2)}")
+    // the text twins of the rejected paraphrases (doc_id = vec_id):
+    // reversed word order, >= 3 words, actually changed by reversal
+    val d = sources.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val para = d.filter(col("doc_id").isin(rejectedVecs.toSeq: _*))
+      .filter(expr("size(filter(split(text, ' '), w -> w <> '')) >= 3"))
+      .select(col("doc_id").as("new_id"),
+        array_join(reverse(split(col("text"), " ")), " ").as("text"),
+        col("text").as("orig"))
+      .filter(col("text") =!= col("orig"))
+      .select("new_id", "text")
+    val paraIds = para.select("new_id").collect().map(_.getLong(0)).toSet
+    assert(paraIds.nonEmpty, "no reversible text twins for the rejected plants")
+    // gate 1 — exact fingerprint: reversed text present in the corpus?
+    val corpusFps = d.select(expr(sparkFingerprint("text"))).collect()
+      .map(_.getLong(0)).toSet
+    val caughtExact = para
+      .select(col("new_id"), expr(sparkFingerprint("text")).as("fp")).collect()
+      .collect { case r if corpusFps.contains(r.getLong(1)) => r.getLong(0) }.toSet
+    // gate 2 — minhash est-J >= 1/2 verify, run verbatim
+    val idxBands = d
+      .select(col("doc_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("mb"))
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("mb"))
+      .select(col("doc_id"), col("b"), expr(sparkBandValue("mb", "b")).as("bv"), col("mb"))
+    val pBands = para
+      .select(col("new_id"), expr(sparkMinhash(sparkShingleHashes("text"))).as("ma"))
+      .select(col("new_id"), explode(expr(s"sequence(0, ${MinhashBands - 1})")).as("b"), col("ma"))
+      .select(col("new_id"), col("b"), expr(sparkBandValue("ma", "b")).as("bv"), col("ma"))
+    val caughtLsh = pBands.join(idxBands, Seq("b", "bv"))
+      .filter(expr(
+        s"size(filter(sequence(1, $MinhashK), i -> element_at(ma, i) = element_at(mb, i))) * 2 >= $MinhashK"))
+      .select("new_id").distinct().collect().map(_.getLong(0)).toSet
+    // gate 3 — the containment gate itself over the reversed batch
+    val caughtContain = operators.Dedup.containmentAdmissionFor(d, para).collect()
+      .collect { case r if !r.getAs[Boolean]("admitted") => r.getAs[Long]("new_id") }.toSet
+    // the LEAK SET: paraphrases every text gate admits — must be the
+    // (overwhelming) majority, and every one of them is semantically
+    // rejected by construction (paraIds ⊆ rejectedVecs)
+    val leak = paraIds -- caughtExact -- caughtLsh -- caughtContain
+    assert(leak.nonEmpty, "no paraphrase passed all three text gates")
+    assert(2 * leak.size >= paraIds.size,
+      s"text gates caught most paraphrases (${paraIds.size - leak.size} of ${paraIds.size}) — plant not leak-shaped")
+  }
+
+  test("bpe_train_converge: rung 1 == bpe_pair_step argmax; vocab mass descends by the applied merges") {
+    val ladder = operators.CorpusQuality.bpeTrainConverge(spark, sf).collect()
+      .map(r => (r.getAs[Long]("iter"), r.getAs[String]("merged"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_types"), r.getAs[Long]("vocab_mass")))
+      .sortBy(_._1)
+    assert(ladder.length == operators.CorpusQuality.BpeTrainIters)
+    // rung 1 IS bpe_pair_step's selection: same statistic, same order
+    val top = operators.CorpusQuality.bpePairStep(spark, sf).collect().head
+    assert(ladder.head._2 == top.getAs[String]("pair") &&
+      ladder.head._3 == top.getAs[Long]("n_pairs") &&
+      ladder.head._4 == top.getAs[Long]("n_types"),
+      s"rung 1 ${ladder.head} != bpe_pair_step top $top")
+    // mass chain: strictly decreasing; each rung's drop equals the
+    // number of merges APPLIED, which is positive and <= the selected
+    // pair's overlapping count
+    val mass0 = sources.Tables.documents(spark, sf)
+      .select(explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .agg(sum(length(col("w")))).collect().head.getLong(0)
+    val chain = mass0 +: ladder.map(_._5)
+    chain.sliding(2).zip(ladder.iterator).foreach { case (w, rung) =>
+      val delta = w(0) - w(1)
+      assert(delta > 0L, s"rung ${rung._1}: vocab mass did not shrink")
+      assert(delta <= rung._3,
+        s"rung ${rung._1}: mass delta $delta exceeds selected pair count ${rung._3}")
+    }
+  }
+
+  test("bpe_train_converge: hand-vocab replay pins greedy apply and overlap semantics") {
+    import spark.implicits._
+    // 'aaab'×3 exercises the overlap rule: (a,a) counts 2 per word
+    // (overlapping, selection statistic) but merges ONCE (greedy
+    // left-to-right apply) — n_pairs 6, mass drop 3
+    val vocab = Seq(("aaab", 3L), ("ab", 2L), ("ba", 1L)).toDF("word", "cnt")
+    val got = operators.CorpusQuality.bpeTrainLadder(vocab).collect()
+      .map(r => (r.getAs[Long]("iter"), r.getAs[String]("merged"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_types"), r.getAs[Long]("vocab_mass")))
+      .sortBy(_._1).toSeq
+    // rung 1: (a,a) wins at 6 (2 slots in 'aaab'); greedy apply gives
+    // |aa||a||b| — mass 18-3=15. rung 2: (a,b) at 3+2=5 over 2 slots;
+    // 'aa|a|b'→|aa||ab|, 'ab'→|ab| — mass 15-5=10. rung 3: (aa,ab) at
+    // 3 (one slot); mass 7. rung 4: (b,a) at 1; mass 6.
+    assert(got.take(2) == Seq((1L, "aa", 6L, 2L, 15L), (2L, "ab", 5L, 2L, 10L)),
+      s"first rungs diverge: $got")
+    assert(got(2) == ((3L, "aaab", 3L, 1L, 7L)), s"rung 3 diverges: ${got(2)}")
+    assert(got(3) == ((4L, "ba", 1L, 1L, 6L)), s"rung 4 diverges: ${got(3)}")
+  }
+
+  test("image_dedup: every planted corner-swap re-ingestion caught (exact class OR star edge); bounds hold") {
+    val out = operators.Multimodal.imageDedup(spark, sf).collect()
+    val nDocs = sources.Tables.documents(spark, sf).count()
+    val shift = operators.Multimodal.ImageDedupShift
+    val base = operators.Multimodal.encodeImages(spark, sf)
+    val sigs = operators.Multimodal.imageAHashLoHi(
+      base.union(operators.Multimodal.cornerSwappedImages(base))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val starDocs = out.map(_.getAs[Long]("doc_id")).toSet
+    // min-id representative per signature value — a copy whose corner
+    // cells coincide collapses into SOME class (usually its origin's,
+    // but any identical-signature doc's min id wins)
+    val repOfSig = sigs.toSeq.groupBy(_._2).map { case (sg, ms) => sg -> ms.map(_._1).min }
+    (0L until nDocs).filter(_ % 10 == 3).foreach { d =>
+      val copy = d + shift
+      if (repOfSig(sigs(copy)) != copy) {
+        // caught by the exact-class collapse — the copy never reaches
+        // the star frame as its own row
+        assert(!starDocs.contains(copy),
+          s"copy $copy collapsed exactly but still star-linked")
+      } else {
+        val r = out.find(_.getAs[Long]("doc_id") == copy)
+        assert(r.isDefined, s"planted copy $copy neither collapsed nor star-linked")
+        // the swap preserves the total: vs its ORIGIN exactly the two
+        // swapped cells' bits exchange (hamming 2); the star edge may
+        // pick an even closer smaller-id partner, never a farther one
+        assert(r.get.getAs[Long]("hamming") >= 1L &&
+          r.get.getAs[Long]("hamming") <= 2L,
+          s"copy $copy hamming ${r.get.getAs[Long]("hamming")}")
+      }
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("hamming") <= operators.Multimodal.ImageDedupMaxHamming)
+      assert(r.getAs[Long]("members_rep") >= 1L && r.getAs[Long]("members_doc") >= 1L)
+      assert(r.getAs[Long]("rep_id") < r.getAs[Long]("doc_id"),
+        "star edge must point at the smaller-id representative")
+    }
+  }
 }

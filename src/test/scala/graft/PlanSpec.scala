@@ -181,7 +181,13 @@ class PlanSpec extends SparkSpec {
       // the slice-anchored broadcast cross for its shared exact side
       // (knn_bruteforce idiom) plus per-phase ONE-ROW sse/recall total
       // attachments (the q22 idiom); audit-tier, query-slice-bounded
-      "knn_ivf_pq_refresh")
+      "knn_ivf_pq_refresh",
+      // round 15: dedup_incremental_semantic inherits cellAssign's
+      // centroid-broadcast cross (twice: corpus index + batch assign —
+      // the knn_ivf_drift shape); bpe_train_converge attaches each
+      // rung's ONE-ROW selected-merge frame and ONE-ROW vocab-mass
+      // aggregate via crossJoin(broadcast) (the q22 idiom, ladder form)
+      "dedup_incremental_semantic", "bpe_train_converge")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val df = fn(spark, sfDir)
       df.count()

@@ -35,6 +35,54 @@ class ScaleOpsSpec extends SparkSpec {
     assert(joined.except(plain).count() == 0 && plain.except(joined).count() == 0)
   }
 
+  test("persisted ANN index: probe join exchange-free on the index side; output == rebuild-per-query knn_ivf") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val sf = "/root/testdata/sf0.01"
+    val dir = Files.createTempDirectory("graft_annidx").toString
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr(graft.functions.VectorFns.sparkToDouble("embedding")).as("v"))
+    graft.operators.Similarity.annIndexWrite(vecs, "ann_idx", dir, 4)
+    val probed = graft.operators.Similarity.knnIvfFromIndex(spark, "ann_idx", dir)
+    // correctness: bit-identical to the rebuild-per-query contract path
+    val got = probed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = graft.operators.Similarity.knnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want, s"indexed probe diverges from knn_ivf (${got.size} vs ${want.size} rows)")
+    // plan shape: the cell equi-join is a sort-merge join whose INDEX
+    // side (the bucketed table scan) has NO Exchange and NO Sort —
+    // only the query-probe side shuffles (delta-sized by contract).
+    // AQE off for the assertion: its QueryStage wrappers hide the tree
+    // from collect(); the join strategy itself is AQE-independent.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exec = try {
+      graft.operators.Similarity.knnIvfFromIndex(spark, "ann_idx", dir)
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val smjs = exec.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a sort-merge join:\n$exec")
+    val indexSides = smjs.map { j =>
+      def hasBucketScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.bucketSpec.isDefined => f }.nonEmpty
+      Seq(j.left, j.right).filter(hasBucketScan)
+    }.flatten
+    assert(indexSides.nonEmpty, s"no bucketed scan under any SMJ:\n$exec")
+    indexSides.foreach { side =>
+      // the load-bearing property: the CORPUS-sized side never crosses
+      // the network — no Exchange above the bucketed scan. (A
+      // partition-local Sort survives: Spark ≥3 ignores sortBy file
+      // order by default — SPARK-24528's legacy conf re-enables it —
+      // and that sort is per-bucket CPU, not a shuffle.)
+      val exchanges = side.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"index side of the probe join shuffled:\n$side")
+    }
+    spark.sql("DROP TABLE IF EXISTS ann_idx")
+  }
+
   test("knn_ivf recall vs brute force: nprobe=2 probes recover most true neighbors") {
     val sf = "/root/testdata/sf0.01"
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -423,6 +423,87 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup_semantic == batch dedup_incremental_semantic admit/reject set, median split") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.SemPostRow
+    graft.expressions.GraftFunctions.register(spark)
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr(graft.functions.VectorFns.sparkToDouble("embedding")).as("v"))
+    val batch = graft.operators.Similarity.semanticPlantBatch(vecs)
+    def postRows(frame: org.apache.spark.sql.DataFrame, idCol: String,
+        kind: Int): Seq[SemPostRow] =
+      graft.operators.Similarity.semanticPostings(vecs, frame, idCol)
+        .collect().map(r => SemPostRow(kind, r.getLong(0), r.getInt(1),
+          r.getLong(2), r.getSeq[Double](3)))
+    // index = the corpus postings; probes = the SAME synthetic batch
+    // the batch operator plants (paraphrases %10==2, new modes %10==6)
+    val idxRows = postRows(vecs, "vec_id", 0)
+    val probeRows = postRows(batch, "new_id", 1)
+    assert(idxRows.nonEmpty && probeRows.nonEmpty)
+
+    val mem = MemoryStream[SemPostRow]
+    val q = EventStreams.dedupSemanticStream(mem.toDS())
+      .toDF("new_id", "cand", "cos_ppm")
+      .writeStream.format("memory").queryName("semdd").outputMode("append").start()
+    try {
+      // median split on BOTH sides: index rows across batches 1-2,
+      // probe rows across batches 3-4 — admission must not depend on
+      // either split point
+      val idMed = idxRows.map(_.id).sorted.apply(idxRows.size / 2)
+      val (i1, i2) = idxRows.partition(_.id < idMed)
+      val pMed = probeRows.map(_.id).sorted.apply(probeRows.size / 2)
+      val (p1, p2) = probeRows.partition(_.id < pMed)
+      Seq(i1, i2, p1, p2).foreach { b => mem.addData(b); q.processAllAvailable() }
+
+      val got = spark.table("semdd").groupBy("new_id")
+        .agg(min(when(col("cand") >= 0, col("cand"))).as("dup_of"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val expected = graft.operators.Similarity.dedupIncrementalSemantic(spark, sfDir)
+        .collect().map(r => r.getAs[Long]("new_id") ->
+          Option(r.get(r.fieldIndex("dup_of"))).map(_.asInstanceOf[Long])).toMap
+      assert(got.keySet == expected.keySet,
+        s"probe coverage: stream ${got.size} docs vs batch ${expected.size}")
+      expected.foreach { case (id, dup) =>
+        assert(got(id) == dup, s"new_id $id: stream dup_of=${got(id)}, batch dup_of=$dup")
+      }
+      // the planted structure must exercise both verdicts
+      assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty))
+      // state-cardinality contract: ONE record per occupied (space,
+      // key) slot of the INDEX — probes write nothing
+      val occupied = idxRows.map(r => (r.space, r.key)).distinct.size.toLong
+      val stateRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal).max
+      assert(stateRows == occupied, s"state rows $stateRows != occupied slots $occupied")
+    } finally q.stop()
+  }
+
+  test("stream_boilerplate: cross-batch doc REDELIVERY inflates df — the documented at-least-once behavior") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = EventStreams.boilerplateStream(mem.toDS())
+      .toDF("source", "line_fp", "df")
+      .writeStream.format("memory").queryName("bpredeliver").outputMode("append").start()
+    try {
+      // one doc, one line, repeated WITHIN a batch: counts once
+      mem.addData(Seq(("web", 42L, 7L), ("web", 42L, 7L)))
+      q.processAllAvailable()
+      // the SAME doc redelivered in a LATER batch: the state carries no
+      // doc evidence, so df inflates to 2 — one-sided (a line is
+      // flagged early, never missed); exactly-once delivery is the
+      // twin's documented precondition
+      mem.addData(Seq(("web", 42L, 7L)))
+      q.processAllAvailable()
+      val dfs = spark.table("bpredeliver").collect()
+        .map(r => r.getLong(2)).sorted.toSeq
+      assert(dfs == Seq(1L, 2L),
+        s"expected intra-batch distinct then cross-batch inflation, got $dfs")
+    } finally q.stop()
+  }
+
   test("ingest pipeline: fingerprint -> dedup -> quality gate, end to end") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
@@ -2043,10 +2124,11 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("restart harness: index-carrying twins recover the corpus index from checkpoint") {
-    // the A/B crash-between-waves harness applied to the five twins
+    // the A/B crash-between-waves harness applied to the seven twins
     // whose keyed state IS the production corpus index (LSH band
     // buckets, containment print postings, boilerplate df counters,
-    // per-video frame frontier, per-source quota frontier): a recovery
+    // per-video frame frontier, per-source quota frontier, the KLL
+    // compactor, semantic vector postings): a recovery
     // bug there silently re-admits duplicates after a crash — a
     // deployment correctness bug, not a latency one. Wave 2's probes /
     // increments only produce the right rows if wave 1's index state
@@ -2124,6 +2206,24 @@ class StreamingSpec extends SparkSpec {
         col("event_id").as("tie"), lit(0L).as("lvl"))
       .as[(String, Long, Long, Long)].collect()
     val kllMed = kllItems.map(_._3).sorted.apply(kllItems.length / 2)
+    // semantic: a wave-2 paraphrase probe only rejects if wave 1's
+    // vector postings came back from the checkpoint
+    import graft.streaming.EventStreams.SemPostRow
+    val svecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr(graft.functions.VectorFns.sparkToDouble("embedding")).as("v"))
+      .filter(col("vec_id") < 200)
+    def semRows(frame: org.apache.spark.sql.DataFrame, idCol: String,
+        kind: Int): Seq[SemPostRow] =
+      graft.operators.Similarity.semanticPostings(svecs, frame, idCol)
+        .collect().map(r => SemPostRow(kind, r.getLong(0), r.getInt(1),
+          r.getLong(2), r.getSeq[Double](3)))
+    val semIdx = semRows(svecs, "vec_id", 0)
+    val semProbes = semRows(
+      graft.operators.Similarity.semanticPlantBatch(svecs), "new_id", 1)
+    assert(semIdx.nonEmpty && semProbes.nonEmpty)
+    val (si1, si2) = halves[SemPostRow](semIdx, _.id)
+    val (sp1, sp2) = halves[SemPostRow](semProbes, _.id)
 
     val cases: Seq[(String, String, DataFrame, DataFrame, DataFrame => DataFrame)] = Seq(
       ("dedup_lsh", "kind INT, id LONG, b INT, bv LONG, mh ARRAY<LONG>",
@@ -2158,7 +2258,11 @@ class StreamingSpec extends SparkSpec {
         kllItems.filter(_._3 >= kllMed).toSeq
           .toDF("event_type", "cents", "tie", "lvl"),
         (df: DataFrame) => EventStreams.kllStream(df.as[(String, Long, Long, Long)])
-          .toDF("event_type", "ver", "cents", "tie", "lvl")))
+          .toDF("event_type", "ver", "cents", "tie", "lvl")),
+      ("dedup_semantic", "kind INT, id LONG, space INT, key LONG, v ARRAY<DOUBLE>",
+        (si1 ++ sp1).toDF(), (si2 ++ sp2).toDF(),
+        (df: DataFrame) => EventStreams.dedupSemanticStream(df.as[SemPostRow])
+          .toDF("new_id", "cand", "cos_ppm")))
 
     cases.foreach { case (name, schema, b1, b2, twin) =>
       val root = Files.createTempDirectory(s"graft-index-restart-$name").toString
