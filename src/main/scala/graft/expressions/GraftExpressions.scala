@@ -85,6 +85,29 @@ case class LshBuckets(child: Expression) extends KernelExpression {
   override protected def withNewChildInternal(c: Expression): LshBuckets = copy(child = c)
 }
 
+/** `graft_lsh_buckets_param(array<double>, tables, bits)` →
+  * array<long>[tables] bucket ids at an explicit geometry — the
+  * compiled twin of `VectorFns.sparkLshBucketsParam`'s HOF spec
+  * (same plane-index stream t·bits+p, so (16, 4) reproduces
+  * `graft_lsh_buckets` bit-for-bit). `tables`/`bits` must be foldable
+  * int literals: they are baked into the generated code, keeping the
+  * kernel a single static call per row.
+  */
+case class LshBucketsParam(child: Expression, tables: Int, bits: Int)
+    extends KernelExpression {
+  override def expectedInput: DataType = ArrayType(DoubleType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def kernel: String = "graft.functions.HashKernels.lshBucketsParam"
+  override def prettyName: String = "graft_lsh_buckets_param"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.lshBucketsParam(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], tables, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernel($c, $tables, $bits)")
+  override protected def withNewChildInternal(c: Expression): LshBucketsParam =
+    copy(child = c)
+}
+
 /** `graft_project(array<double>)` → array<double>[16]: JL random
   * projection with the portable-PRN coefficient stream.
   */
@@ -142,12 +165,27 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
   * touches a graft table can parse the expressions.
   */
 object GraftFunctions {
+  /** geometry args of graft_lsh_buckets_param are plan-time constants —
+    * fail at parse time (never mid-job) if a caller passes a column.
+    */
+  private def foldedInt(e: Expression): Int = {
+    require(e.foldable, s"graft_lsh_buckets_param geometry arg must be a literal, got $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_buckets_param geometry arg must be integral, got $other")
+    }
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_polyhash" -> (es => PolyHash(es.head)),
     "graft_minhash" -> (es => MinhashSig(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head)),
     "graft_simhash_bands" -> (es => SimhashBands(es.head)),
     "graft_lsh_buckets" -> (es => LshBuckets(es.head)),
+    "graft_lsh_buckets_param" -> (es =>
+      LshBucketsParam(es.head, foldedInt(es(1)), foldedInt(es(2)))),
     "graft_project" -> (es => ProjectVec(es.head)),
     "graft_cosine" -> (es => CosineSim(es(0), es(1))),
     "graft_jaccard" -> (es => JaccardSim(es(0), es(1))))

@@ -209,6 +209,42 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** parameterized-geometry twin of [[lshBuckets]] — `tables` sign-sketch
+    * tables of `bits` planes each, same plane-coefficient PRN and the
+    * same plane-index stream t·bits+p (so tables=16/bits=4 reproduces
+    * the contract buckets bit-for-bit; asserted in KernelSpec). The
+    * compiled spelling of `VectorFns.sparkLshBucketsParam`'s HOF spec:
+    * the sweep/rule gates (embed_geometry_sweep, embed_bits_rule) and
+    * the off-floor production geometry evaluate tables·bits·Dim
+    * multiply-adds per vector — interpreted lambda eval per element in
+    * the HOF, one compiled loop per row here. Identical arithmetic,
+    * identical results.
+    */
+  def lshBucketsParam(vec: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val dim = vec.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < bits) {
+        val idx = t * bits + p
+        var dot = 0.0
+        var j = 0
+        while (j < dim && j < VectorFns.Dim) {
+          val c = ((idx.toLong * 64L + j) * 2654435761L % P % 2001L - 1000L).toDouble / 1000.0
+          dot += vec.getDouble(j) * c
+          j += 1
+        }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** JL random projection Dim→ProjDim — the compiled twin of
     * [[VectorFns.sparkProjectHof]]: same coefficient stream (offset
     * past the LSH plane indices), same strict left-to-right double

@@ -94,15 +94,24 @@ object VectorFns {
        |      s + element_at($v, j + 1) * ${planeCoef(s"t * $LshBits + p", "j")}) > 0
        |    THEN shiftleft(1L, p) ELSE 0L END))""".stripMargin.replaceAll("\\s+", " ")
 
-  /** parameterized-geometry HOF twin of [[sparkLshBucketsHof]]: `tables`
-    * sign-sketch tables of `bits` planes each, same portable
-    * plane-coefficient PRN (index stream t·bits+p — so tables=16/bits=4
-    * reproduces the contract buckets bit-for-bit). The geometry DIAL:
-    * expected bucket occupancy is n / 2^bits per table, so bits must
-    * grow ~log₂(n) to hold candidate volume — embed_geometry_sweep is
-    * the gate that prices this (SCALE.md round-11 geometry law).
+  /** parameterized-geometry buckets: `tables` sign-sketch tables of
+    * `bits` planes each, same portable plane-coefficient PRN (index
+    * stream t·bits+p — so tables=16/bits=4 reproduces the contract
+    * buckets bit-for-bit). The geometry DIAL: expected bucket occupancy
+    * is n / 2^bits per table, so bits must grow ~log₂(n) to hold
+    * candidate volume — embed_geometry_sweep is the gate that prices
+    * this (SCALE.md round-11 geometry law). Compiled kernel since
+    * round 16 ([[sparkLshBucketsParamHof]] is the interpreted spec it
+    * must match, asserted in KernelSpec at on- and off-floor
+    * geometries).
     */
   def sparkLshBucketsParam(v: String, tables: Int, bits: Int): String =
+    s"graft_lsh_buckets_param($v, $tables, $bits)"
+
+  /** the HOF twin of graft_lsh_buckets_param (kept for the equivalence
+    * spec).
+    */
+  def sparkLshBucketsParamHof(v: String, tables: Int, bits: Int): String =
     s"""transform(sequence(0, ${tables - 1}), t ->
        |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, p) ->
        |    acc + CASE WHEN aggregate(sequence(0, ${Dim - 1}), CAST(0 AS DOUBLE), (s, j) ->

@@ -38,31 +38,54 @@ object Materialize {
     * growing) plan tree and overflows the optimizer's stack after ~10
     * rounds.
     *
-    * Spelling (round-15 optimization): a [[snapshot]] parquet
-    * write-and-read-back when a checkpoint dir is set. A reliable
-    * `Dataset.checkpoint()` computes its plan TWICE by contract (the
-    * eager action runs the job, then `ReliableRDDCheckpointData`
-    * re-runs the RDD to write the checkpoint files — the documented
-    * RDD-checkpoint recompute), so every ladder rung paid its
-    * dominant assign/propagate pass twice; the datasource write is ONE
-    * ordinary action and every re-read is a plain columnar file scan.
-    * Measured at sf0.1 (fresh-JVM solo medians): knn_pq_train_converge
-    * 4.45s → 2.81s, sketch_kll 2.12s → 1.10s, embed_kmeans_converge
-    * 3.63s → 2.48s, knn_ivf_pq_refresh 12.9s → 9.3s. Files land in the
-    * same shared checkpoint dir either way (1000-executor-safe: set
-    * `sc.setCheckpointDir` to an HDFS/S3 path on a real cluster, as
-    * GraftSession does with a local tmp dir) and parquet state is
-    * smaller on the wire than Java-serialized RDD blocks.
-    * `spark.graft.iteration=checkpoint` restores the RDD-checkpoint
-    * spelling; no checkpoint dir ⇒ `localCheckpoint()` (single-process
-    * sessions only).
+    * Spelling (round-16 measurement, reverting the round-15 default):
+    * a reliable `Dataset.checkpoint()`. All three spellings were
+    * probed solo at sf0.1 / 32 cores on the same tree
+    * (tools.BenchProbe fresh-JVM medians, OPTIMIZATION_r16.md has the
+    * full table): `checkpoint` won on 8 of 9 iterative keys — e.g.
+    * web_domain_components 3.77s vs 5.91 (snapshot) vs 7.54 (cached),
+    * sketch_kll 2.36 vs 4.04 vs 4.51, bpe_train_converge 1.83 vs 2.60
+    * vs 3.67. Why the alternatives lose here:
+    *  - `snapshot` (the r15 default — the driver's suite went 0.566×
+    *    with clean controls and ANTI-SCALED 8c→32c): a per-rung
+    *    parquet write/list/read cycle whose file count scales with
+    *    the core count, and the read-back loses `LogicalRDD`'s
+    *    preserved outputPartitioning, so groupBy-shaped state re-enters
+    *    the next rung's join behind one extra full-state Exchange.
+    *  - `cachedCheckpoint` (persist → checkpoint → unpersist, so the
+    *    checkpoint write reads blocks instead of recomputing): the
+    *    columnar cache build costs MORE than recomputing these
+    *    broadcast-join + partial-agg rungs twice.
+    * `spark.graft.iteration=snapshot|cachedCheckpoint` select the
+    * alternatives; no checkpoint dir ⇒ `localCheckpoint()`
+    * (single-process sessions only). On a real cluster the checkpoint
+    * dir is HDFS/S3 (GraftSession sets a local tmp dir).
     */
   def iteration(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty) df.localCheckpoint()
     else df.sparkSession.conf.getOption("spark.graft.iteration")
-      .getOrElse("snapshot") match {
-      case "checkpoint" => df.checkpoint()
-      case _ => snapshot(df)
+      .getOrElse("checkpoint") match {
+      case "snapshot" => snapshot(df)
+      case "cachedCheckpoint" => cachedCheckpoint(df)
+      case _ => df.checkpoint()
+    }
+
+  /** reliable checkpoint that computes its input ONCE: persist →
+    * checkpoint (the eager action materializes the cache; the
+    * RDD-checkpoint write job then reads blocks, not the plan) →
+    * unpersist (the rung state lives on as checkpoint files — the
+    * cache served exactly the write). Measured SLOWER than the bare
+    * double-computing checkpoint on every contract ladder (see
+    * [[iteration]] scaladoc) — the rungs are cheap broadcast-join +
+    * partial-agg plans and the InMemoryRelation build is not free —
+    * kept as a conf spelling for state whose recompute is genuinely
+    * expensive.
+    */
+  private def cachedCheckpoint(df: DataFrame): DataFrame =
+    if (df.storageLevel != StorageLevel.NONE) df.checkpoint()
+    else {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint() finally df.unpersist(false)
     }
 
   /** ONE-adaptive-evaluation materialization for an EXPENSIVE frame a

@@ -269,11 +269,9 @@ object Similarity {
     *
     * Scale shape: neighbor assignment is ONE struct-argmin aggregate
     * (n rows shuffled, never the n×k scored cross product). Query
-    * probes are [[Nprobe]] iterative argmin passes over the
-    * query×centroid scores — each pass excludes the cells already
-    * chosen, keeps aggregate state bounded (no unbounded collect_list
-    * top-k), and only runs on the query set, which is tiny next to the
-    * corpus.
+    * probes are one rank window over the query×centroid scores
+    * ([[probesOf]]) — it only runs on the query set, which is tiny
+    * next to the corpus.
     */
   def knnIvf(s: SparkSession, dir: String): DataFrame = knnIvfAt(Nprobe)(s, dir)
 
@@ -370,25 +368,24 @@ object Similarity {
   /** [[queryProbes]] over an EXPLICIT (query_id, qv) set — shared with
     * the refresh gates, whose probe queries are the planted mode batch
     * rather than the `vec_id < QuerySetSize` contract slice.
+    *
+    * Round 16: one rank window over the query×centroid scores instead
+    * of nprobe iterative argmin passes (each pass paid a groupBy, a
+    * collect_set join and a union over the same scored frame). The
+    * top-np by (neg cosine, cent_id) is the identical cell set — pass
+    * p's argmin over the not-yet-picked cells IS lexicographic rank
+    * p+1, and the DuckDB oracle already spells it `crank <= np`. The
+    * window shuffles only the query×centroid scores (queries are tiny
+    * by contract; cells are √n), never corpus rows.
     */
   private def probesOf(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
-    val qscore = Materialize.stable(
-      queries.crossJoin(broadcast(cents))
-        .withColumn("neg", expr(sparkCosine("qv", "cv")) * -1)
-        .select(col("query_id"), col("cent_id"), col("neg"), col("qv")))
-    (1 until nprobe).foldLeft(
-      qscore.groupBy("query_id")
-        .agg(min(struct(col("neg"), col("cent_id"))).as("b"), first(col("qv")).as("qv"))
-        .select(col("query_id"), col("b.cent_id").as("cell"), col("qv"))
-    ) { (acc, _) =>
-      val next = qscore
-        .join(acc.groupBy("query_id").agg(collect_set(col("cell")).as("seen")), Seq("query_id"))
-        .filter(!array_contains(col("seen"), col("cent_id")))
-        .groupBy("query_id")
-        .agg(min(struct(col("neg"), col("cent_id"))).as("b"), first(col("qv")).as("qv"))
-        .select(col("query_id"), col("b.cent_id").as("cell"), col("qv"))
-      acc.union(next)
-    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("neg"), col("cent_id"))
+    queries.crossJoin(broadcast(cents))
+      .withColumn("neg", expr(sparkCosine("qv", "cv")) * -1)
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"), col("qv"))
   }
 
   def knnIvfAt(nprobe: Int)(s: SparkSession, dir: String): DataFrame = {
@@ -1553,16 +1550,34 @@ object Similarity {
     val assign = Materialize.stable(cellAssign(vecs, cents))
     val exact = Materialize.stable(
       knnBruteforce(s, dir).select(col("query_id"), col("neighbor_id")))
+    // round 16 (guide §5 sweep reuse): the per-config probe lists and
+    // candidate scoring used to be re-derived per nprobe — the probe
+    // list at the LARGEST nprobe with a per-query cell rank subsumes
+    // every config (rank ≤ np ⟺ [[probesOf]]'s np iterative argmin
+    // passes: both are the (neg, cent_id) lexicographic top-np — the
+    // oracle's own `crank <= np` spelling), so the index join and the
+    // exact-cosine scoring of candidates run ONCE and each config just
+    // filters the shared scored frame.
+    val maxNp = ProbeSweepConfigs.max
+    val wc = Window.partitionBy("query_id").orderBy(col("neg"), col("cent_id"))
+    val probes = vecs.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("neg", expr(sparkCosine("qv", "cv")) * -1)
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= maxNp)
+      .select(col("query_id"), col("cent_id").as("cell"), col("qv"), col("crank"))
+    val scored = Materialize.stable(probes.join(
+        assign.select(col("vec_id").as("neighbor_id"), col("cell"), col("v")),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", expr(sparkCosine("qv", "v")))
+      .select("query_id", "neighbor_id", "crank", "cosine"))
     val rows = ProbeSweepConfigs.map { np =>
-      val probes = queryProbes(vecs, cents, np)
-      val joined = probes.join(
-          assign.select(col("vec_id").as("neighbor_id"), col("cell"), col("v")),
-          Seq("cell"))
-        .filter(col("neighbor_id") =!= col("query_id"))
+      val joined = scored.filter(col("crank") <= np)
       val w = Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("neighbor_id"))
       val approx = joined
-        .withColumn("cosine", expr(sparkCosine("qv", "v")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= KnnK)
         .select("query_id", "neighbor_id")
@@ -2597,13 +2612,15 @@ object Similarity {
       .select("query_id", "cell"))
     val gridU = Materialize.stable(pqMilliGrid(pqNormalize(union)))
     val gridO = gridU.filter(col("vec_id") < DriftBatchShift)
-    // the per-rung CODE frames checkpoint (Materialize.iteration, the
-    // ladder discipline): each rung derives from the previous one, and
-    // with lazy persists the logical tree re-expands the whole chain at
-    // every reference — measured 35-39s of driver-side plan processing
-    // PER ACTION at sf0.1 before the checkpoints, ~3s after, identical
-    // results. The book frames stay lazy (1k rows; their trees are one
-    // refine over the checkpointed codes — already flat).
+    // the MULTI-REFERENCE code frames checkpoint (Materialize.iteration,
+    // the ladder discipline): each rung derives from the previous one,
+    // and with lazy persists alone the logical tree re-expanded the
+    // whole chain at every reference — measured 35-39s of driver-side
+    // plan processing PER ACTION at sf0.1 before the checkpoints, ~3s
+    // after, identical results. codesF is referenced twice (rung-1
+    // refine + the frozen phaseRow); the book frames stay
+    // stable-persisted (1k rows; their trees are one refine over the
+    // previous materialization boundary — already flat).
     val frozenB = Materialize.stable(pqRefineFromAssign(gridO,
       pqAssign(gridO, pqMilliSeeds(gridO))
         .select(col("vec_id"), col("m"), col("best.j").as("j"))))
@@ -2616,10 +2633,18 @@ object Similarity {
     // the ADC ranking quality inside the new mode comes back
     var wbook = frozenB
     var wcodes = codesF
-    (1 to PqTrainIters).foreach { _ =>
+    (1 to PqTrainIters).foreach { i =>
       wbook = Materialize.stable(pqRefineFromAssign(gridU,
         wcodes.select(col("vec_id"), col("m"), col("best.j").as("j"))))
-      wcodes = Materialize.iteration(pqAssign(gridU, wbook))
+      // round 16: intermediate rung codes feed exactly ONE consumer —
+      // the next rung's refine, whose Materialize.stable boundary
+      // already stops re-evaluation — so only the FINAL rung's codes
+      // (referenced twice by phaseRow: SSE fold + ADC join) pay a
+      // lineage-truncating checkpoint; the intermediates stay lazy and
+      // are computed once inside the successor's materialization
+      wcodes =
+        if (i == PqTrainIters) Materialize.iteration(pqAssign(gridU, wbook))
+        else pqAssign(gridU, wbook)
     }
     val retrainedB = wbook
     val codesR = wcodes
@@ -3036,8 +3061,12 @@ object Similarity {
         greatest(col("qid"), col("vec_id")).as("pb"))
       .distinct())
     GeomBitsConfigs.map { bits =>
-      val buckets = vecs.select(col("vec_id"),
-        posexplode(expr(sparkLshBucketsParam("v", LshTables, bits))).as(Seq("t", "bucket")))
+      // round 16 (guide §5): the bucket frame is referenced THREE times
+      // per config (query side, index side of the candidate self-join,
+      // occupancy census) — materialize it so the tables·bits·Dim
+      // sign-sketch computation runs once per config, not three times
+      val buckets = Materialize.stable(vecs.select(col("vec_id"),
+        posexplode(expr(sparkLshBucketsParam("v", LshTables, bits))).as(Seq("t", "bucket"))))
       val qb = buckets.filter(col("vec_id") < GeomSliceSize)
         .select(col("t"), col("bucket"), col("vec_id").as("qid"))
       val cand = qb.join(buckets, Seq("t", "bucket"))

@@ -906,7 +906,15 @@ object Sketches {
       val r = df.agg(count(lit(1)), coalesce(max(col("lvl")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var state = Materialize.iteration(items)
+    // round 16: the INITIAL state is the raw item frame — corpus-sized,
+    // flat-planned (a scan projection or a union of two states), and
+    // referenced twice (census + rung 1). A lineage-truncating
+    // checkpoint here wrote the whole corpus as rung-0 state;
+    // Materialize.stable's lazy persist serves both references from
+    // one computation without the full-state write. Rungs still
+    // checkpoint ([[Materialize.iteration]]) — they are the frames the
+    // self-referencing loop would otherwise re-expand.
+    var state = Materialize.stable(items)
     var (n, maxLvl) = census(state)
     var rung = 0
     var converged = false

@@ -57,6 +57,18 @@ class KernelSpec extends SparkSpec {
     assertSame("a", "b", d)
   }
 
+  test("graft_lsh_buckets_param == HOF twin off the contract floor") {
+    // the compiled kernel must match the interpreted HOF spec at a
+    // geometry the contract never exercises (7 bits = the lshBitsFor
+    // answer for n = 2·10⁴) — the equivalence that keeps the sweep and
+    // rule gates' kernel switch an execution-strategy change only
+    val d = Tables.embeddings(spark, sfDir)
+      .withColumn("v", expr(VectorFns.sparkToDouble("embedding")))
+      .withColumn("a", expr(VectorFns.sparkLshBucketsParam("v", 16, 7)))
+      .withColumn("b", expr(VectorFns.sparkLshBucketsParamHof("v", 16, 7)))
+    assertSame("a", "b", d)
+  }
+
   test("lshBitsFor: occupancy law held by geometry, contract floor intact") {
     import VectorFns._
     // floor: every contract scale (500 / 2000 vectors, and headroom to

@@ -62,6 +62,31 @@ class MaterializeSpec extends SparkSpec {
     assert((snapDirs() -- before).isEmpty, "snap dir must be gone after cleanup")
   }
 
+  test("iteration() default preserves schema+rows, truncates lineage, leaves no cache entry") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-iter-spec").toString)
+    spark.catalog.clearCache()
+    // a groupBy-shaped frame — the state shape every ladder rung feeds
+    // through iteration()
+    val base = (1 to 100).toDF("x")
+      .groupBy(expr("x % 7").as("k")).agg(count(lit(1)).as("n"))
+    val it = Materialize.iteration(base)
+    // checkpoint semantics: same schema, same row multiset, lineage gone
+    assert(it.schema == base.schema, s"schema drifted: ${it.schema} vs ${base.schema}")
+    assert(it.collect().map(_.toString).sorted.toSeq ==
+      base.collect().map(_.toString).sorted.toSeq)
+    assert(it.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      it.queryExecution.optimizedPlan.toString)
+    // the persist that fed the checkpoint write must NOT linger — a
+    // leaked entry per rung would accumulate across a ladder exactly
+    // like the round-4 CacheManager pile-up
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cachedCheckpoint leaked a cache entry")
+  }
+
   test("stable() honors the switch: localCheckpoint truncates lineage, persist keeps it") {
     import spark.implicits._
     val base = (1 to 10).toDF("x")

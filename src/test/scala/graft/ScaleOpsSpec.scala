@@ -63,23 +63,27 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     val smjs = exec.collect { case j: SortMergeJoinExec => j }
     assert(smjs.nonEmpty, s"expected a sort-merge join:\n$exec")
-    val indexSides = smjs.map { j =>
-      def hasBucketScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-        p.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.relation.bucketSpec.isDefined => f }.nonEmpty
-      Seq(j.left, j.right).filter(hasBucketScan)
-    }.flatten
-    assert(indexSides.nonEmpty, s"no bucketed scan under any SMJ:\n$exec")
-    indexSides.foreach { side =>
-      // the load-bearing property: the CORPUS-sized side never crosses
-      // the network — no Exchange above the bucketed scan. (A
-      // partition-local Sort survives: Spark ≥3 ignores sortBy file
-      // order by default — SPARK-24528's legacy conf re-enables it —
-      // and that sort is per-bucket CPU, not a shuffle.)
-      val exchanges = side.collect { case e: ShuffleExchangeExec => e }
-      assert(exchanges.isEmpty,
-        s"index side of the probe join shuffled:\n$side")
+    def hasBucketScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.bucketSpec.isDefined => f }.nonEmpty
+    // the load-bearing property: the CORPUS-sized side never crosses
+    // the network — the cell join has a bucketed-scan side with NO
+    // Exchange anywhere above it. The QUERY-probe side also reads the
+    // bucketed table (the query slice comes from the index) and
+    // legitimately shuffles its delta-sized rows, so the index side is
+    // identified as "bucketed scan AND exchange-free", not merely
+    // "contains a bucketed scan". (A partition-local Sort survives:
+    // Spark ≥3 ignores sortBy file order by default — SPARK-24528's
+    // legacy conf re-enables it — and that sort is per-bucket CPU, not
+    // a shuffle.)
+    val exchangeFreeIndexSide = smjs.exists { j =>
+      Seq(j.left, j.right).exists { side =>
+        hasBucketScan(side) &&
+          side.collect { case e: ShuffleExchangeExec => e }.isEmpty
+      }
     }
+    assert(exchangeFreeIndexSide,
+      s"no exchange-free bucketed side under any SMJ:\n$exec")
     spark.sql("DROP TABLE IF EXISTS ann_idx")
   }
 
