@@ -2677,12 +2677,21 @@ object Similarity {
           .orderBy(col("cosine").desc, col("neighbor_id"))))
         .filter(col("rank") <= KnnK)
         .select("query_id", "neighbor_id")
-      exact.agg(count(lit(1)).as("n_exact"))
+      // round 16 (guide §1.2 — fewer jobs on tiny frames): ONE grading
+      // pass over the exact side computes all three counts — the old
+      // spelling paid three separate aggregate jobs + three broadcast
+      // exchanges per phase. adcTop/rerankTop are (query, neighbor)-
+      // unique by their row_number filters, so the left joins cannot
+      // duplicate exact rows and count(flag) ≡ the old semi-join count.
+      exact
+        .join(adcTop.withColumn("hit_adc", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .join(rerankTop.withColumn("hit_rr", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("hit_adc")).as("n_hit_adc"),
+          count(col("hit_rr")).as("n_hit"))
         .crossJoin(broadcast(sse))
-        .crossJoin(broadcast(exact.join(adcTop, Seq("query_id", "neighbor_id"), "left_semi")
-          .agg(count(lit(1)).as("n_hit_adc"))))
-        .crossJoin(broadcast(exact.join(rerankTop, Seq("query_id", "neighbor_id"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))))
         .select(lit(name).as("phase"), col("sse"), col("n_exact"), col("n_hit_adc"),
           expr("CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) ELSE n_hit_adc * 1000000 div n_exact END")
             .as("recall_adc_ppm"),
